@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Snapshot / leaderboard / gain operators.
+  *
+  * Re-expresses the reference's flagship pipelines over an exploded
+  * relational snapshot table instead of a JSON-blob-per-day document
+  * (SURVEY.md §1.4). The event log (`events`) plays the role of the raw
+  * observation stream; a *snapshot* is "latest value per (game-day, user)".
+  *
+  * Reference semantics covered here:
+  *  - snapshot point lookup `.single()`  — /root/reference/lib/src/etl.dart:224-227 (S6)
+  *  - existence probe                    — etl.dart:286-289 (S7)
+  *  - diff join + positive-gain filter   — etl.dart:229-247 (J1, F4, F5)
+  *  - sort by value desc + dense rank    — etl.dart:88,143,220,249-255 (O1, O4)
+  *  - top-K page cap (~1000 entries)     — etl.dart:501,544 (O7)
+  *  - positional points 1001 - rank      — etl.dart:504-510 (O6)
+  *
+  * Scale notes (100 TB design stance):
+  *  - `dailySnapshot` is a single hash aggregate keyed (day, user): map-side
+  *    partial agg + one shuffle on the group key; no window, no sort.
+  *  - The diff join keys on `user_id` after each side has been reduced to
+  *    one row per user — join input is |users|, not |events|. At cluster
+  *    scale both sides hash-partition on user_id; AQE will broadcast the
+  *    smaller snapshot when it fits.
+  *  - Global `row_number` ranking is inherently a single-reducer step; it is
+  *    only ever applied *after* the data is reduced to per-user rows (≤ one
+  *    row per user) or behind a top-K limit, so the sort input is small by
+  *    construction. Spark plans a TakeOrderedAndProject for sort+limit.
+  */
+object Snapshots {
+
+  /** One row per (day, user): the latest observed value, "latest" defined by
+    * the monotonically increasing `event_id` (unique, so tie-free — unlike
+    * ns timestamps which Spark truncates to µs). Mirrors the reference's
+    * daily `exp-record` materialization (etl.dart:115-121). */
+  def dailySnapshot(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"), col("value"), col("event_id"))
+      .groupBy("day", "user_id")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+
+  /** Latest day present in the log — 1-row DataFrame, broadcast into the
+    * queries below (declarative; no driver-side collect). */
+  private def endDay(snap: DataFrame): DataFrame =
+    broadcast(snap.agg(max(col("day")).as("end_day")))
+
+  /** Flagship diff query (E2 / J1): gain per user between the snapshot
+    * `lookbackDays` before the latest day and the latest day.
+    * Inner join ≡ the reference's `firstWhere` because the snapshot builder
+    * guarantees one row per (day, user) (SURVEY.md §7.4). Null values never
+    * reach the subtraction (snapshot drops users absent that day; inner
+    * join drops users present on only one side — F5). Gain ≤ 0 is dropped
+    * (etl.dart:236) and the survivors are ranked densely (etl.dart:249-255)
+    * with user_id as deterministic tiebreak. */
+  def gain(events: DataFrame, lookbackDays: Int): DataFrame = {
+    val snap = dailySnapshot(events)
+    val end = snap
+      .join(endDay(snap), col("day") === col("end_day"))
+      .select(col("user_id"), col("value").as("end_value"))
+    val start = snap
+      .join(endDay(snap), col("day") === date_sub(col("end_day"), lookbackDays))
+      .select(col("user_id"), col("value").as("start_value"))
+    rankGains(end, start)
+  }
+
+  /** All-time variant: first observed day vs latest day (the reference's
+    * `last365days` degenerates to this on a 30-day log — etl.dart:200-213). */
+  def gainAllTime(events: DataFrame): DataFrame = {
+    val snap = dailySnapshot(events)
+    val bounds =
+      broadcast(snap.agg(max(col("day")).as("end_day"), min(col("day")).as("start_day")))
+    val end = snap
+      .join(bounds, col("day") === col("end_day"))
+      .select(col("user_id"), col("value").as("end_value"))
+    val start = snap
+      .join(bounds, col("day") === col("start_day"))
+      .select(col("user_id"), col("value").as("start_value"))
+    rankGains(end, start)
+  }
+
+  private def rankGains(end: DataFrame, start: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("gain").desc, col("user_id").asc)
+    end
+      .join(start, Seq("user_id"))
+      .withColumn("gain", col("end_value") - col("start_value"))
+      .filter(col("gain") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "user_id", "gain")
+      .orderBy("rank")
+  }
+
+  /** Current leaderboard (E1): latest snapshot ordered by value desc,
+    * dense rank + positional points `1001 - rank` (etl.dart:504-510), top-K
+    * cap ≈ the reference's 20-page scan limit (etl.dart:501). Spark plans
+    * sort+limit as TakeOrderedAndProject — no global sort materialized. */
+  def leaderboard(events: DataFrame, topK: Int = 1000): DataFrame = {
+    val snap = dailySnapshot(events)
+    val w = Window.orderBy(col("value").desc, col("user_id").asc)
+    snap
+      .join(endDay(snap), col("day") === col("end_day"))
+      .select(col("user_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("points", lit(1001L) - col("rank"))
+      .filter(col("rank") <= topK)
+      .select("rank", "user_id", "value", "points")
+      .orderBy("rank")
+  }
+
+  /** Point lookup by date (S6): the full snapshot for one specific day —
+    * here `end_day - offsetDays`. On a date-partitioned table this prunes to
+    * a single partition (SURVEY.md §2.1 S8). */
+  def pointLookup(events: DataFrame, offsetDays: Int): DataFrame = {
+    val snap = dailySnapshot(events)
+    snap
+      .join(endDay(snap), col("day") === date_sub(col("end_day"), offsetDays))
+      .select(col("user_id"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** Existence / idempotency probe (S7, etl.dart:286-289): row count for the
+    * latest day as a 1-row frame. The reference gates recompute on this. */
+  def existsProbe(events: DataFrame): DataFrame = {
+    val withDay = events.select(to_date(col("ts")).as("day"))
+    withDay
+      .join(broadcast(withDay.agg(max(col("day")).as("end_day"))), col("day") === col("end_day"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Composite multi-category score ("Rook Master", E3 / A1 / J2 / O5):
+    * per category, score users by their summed metric, award positional
+    * points `1001 - rank` (etl.dart:556), then total points across
+    * categories and re-rank. The reference's 7 sequential left joins
+    * (etl.dart:550-570) are re-expressed as one union-free groupBy over the
+    * category column — semantically equal because absent categories
+    * contribute 0 points, and one shuffle instead of seven joins.
+    * Money-typed metric goes through DECIMAL so the per-user sums are exact
+    * and engine-order-independent. */
+  def rookmaster(events: DataFrame): DataFrame = {
+    val scores = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("score"))
+    val perCat = Window.partitionBy(col("event_type")).orderBy(col("score").desc, col("user_id").asc)
+    val pts = scores.withColumn("points", lit(1001) - row_number().over(perCat))
+    val overall = Window.orderBy(col("total_points").desc, col("user_id").asc)
+    pts
+      .groupBy("user_id")
+      .agg(sum(col("points")).as("total_points"), count(lit(1)).as("n_categories"))
+      .withColumn("rank", row_number().over(overall).cast("long"))
+      .select("rank", "user_id", "total_points", "n_categories")
+      .orderBy("rank")
+  }
+}

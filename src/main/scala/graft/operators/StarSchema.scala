@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Star-schema breadth queries (SURVEY.md §7.2 step 7).
+  *
+  * The reference's operator shapes — hash joins on a single equi-key,
+  * grouped aggregation, top-K, window ranking, existence probes
+  * (/root/reference/lib/src/etl.dart:229-247, :286-289, :550-570) — applied
+  * to the TPC-H-ish fixture tables so the benchmark exercises them at
+  * sf0.1+ volume.
+  *
+  * Determinism / oracle policy: every money aggregate is computed in
+  * DECIMAL(18,2) (exact, order-independent — double sums would differ in
+  * the last ulp between engines and between shuffle orders) and cast to
+  * DOUBLE only at the output boundary; every ORDER BY carries a unique
+  * tiebreak key.
+  *
+  * Scale notes: dimension joins (region/nation/customer/supplier) are
+  * explicit `broadcast()`s — at 100 TB the fact-side stays shuffle-free for
+  * those edges; the lineitem⋈orders edge hash-partitions on the join key and
+  * benefits from AQE skew splitting. Aggregates are partial (map-side
+  * combine) by construction.
+  */
+object StarSchema {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  /** price * (1 - discount), exact. */
+  private def revenue(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
+    dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(disc))
+
+  /** TPC-H Q1-shaped pricing summary: one wide hash aggregate over the fact
+    * table with a pushed-down date predicate. */
+  def q1Pricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: segment filter on the (broadcast) customer dim, two
+    * hash joins, revenue top-10. Sort+limit plans as TakeOrderedAndProject. */
+  def q3TopOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    broadcast(customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+      .join(orders.filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  }
+
+  /** TPC-H Q5-shaped: local-supplier revenue per nation inside one region —
+    * 6-way join; all dimension edges broadcast, fact edges co-partitioned. */
+  def q5RegionRevenue(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val nations = broadcast(
+      region.filter(col("r_name") === "ASIA")
+        .join(nation, col("r_regionkey") === col("n_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val custs = broadcast(
+      customer.join(nations, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey")))
+    val supps = broadcast(supplier.select("s_suppkey", "s_nationkey"))
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(custs, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supps, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Plain top-K over a fact table (O7): TakeOrderedAndProject, no shuffle
+    * beyond the per-partition top-K merge. */
+  def topOrders(orders: DataFrame, k: Int = 20): DataFrame =
+    orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Dimension rollup (A1-shaped): per-segment counts + exact balance sum. */
+  def segmentStats(customer: DataFrame): DataFrame =
+    customer
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy("c_mktsegment")
+
+  /** Per-customer top-3 orders (O4-shaped partitioned ranking): window
+    * row_number partitioned by customer — shuffles once on o_custkey. */
+  def customerTopOrders(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Existence-probe shape as an anti join (S7 dual): customers that never
+    * ordered. Plans as a broadcast/shuffled hash anti join — no row fanout. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+}
