@@ -52,6 +52,19 @@ object SparkEntry {
     "customer_top_orders" -> ((s, dir) => StarSchema.customerTopOrders(Tables.orders(s, dir))),
     "customers_without_orders" -> ((s, dir) =>
       StarSchema.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // --- LLM-training-data pipeline ops (SURVEY §7.2 step 8) ---
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "token_count" -> ((s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
+    "ngram_jaccard_top" -> ((s, dir) => Dedup.ngramJaccardTop(Tables.documents(s, dir))),
+    "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
+    "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
   )
 
   /** Skill-points formula (X1) over the distinct level domain derived from
@@ -184,5 +197,123 @@ object SparkEntry {
     "customers_without_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | s AS (SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(len(w) AS BIGINT) AS n_words,
+        |   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |   CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt
+        | FROM t)
+        |SELECT doc_id, n_chars, n_words, n_distinct_words, punct_cnt, stop_cnt,
+        | (n_chars - n_words + 1) / n_words AS avg_word_len,
+        | stop_cnt / n_words AS stop_ratio,
+        | punct_cnt / n_chars AS punct_ratio,
+        | (stop_cnt / n_words) * 0.5 + least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.3
+        |   + (1.0 - punct_cnt / n_chars) * 0.2 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "lang_id" -> TextAnalysis.langIdOracleSql,
+    "token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS tokens_ws,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS tokens_bpe,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        | list_min([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+        |           for i in range(1, len(w) - 3)]) AS fp,
+        | CAST(len(w) - 4 AS BIGINT) AS n_shingles
+        |FROM t WHERE len(w) >= 5 ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        | count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $ShinglesCte,
+         | sig AS (SELECT doc_id, ${(0 until 16).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")}
+         |         FROM sh GROUP BY doc_id),
+         | bands AS (SELECT doc_id, unnest([
+         |   md5('b0:' || h0 || h1 || h2 || h3), md5('b1:' || h4 || h5 || h6 || h7),
+         |   md5('b2:' || h8 || h9 || h10 || h11), md5('b3:' || h12 || h13 || h14 || h15)]) AS bk FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT id_a, id_b, count(*) AS n_common
+         |           FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |                     JOIN sh sb ON sb.doc_id = id_b AND sb.sh = sa.sh
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+         | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ngram_jaccard_top" ->
+      s"""WITH $ShinglesCte,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
+         |           FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+         |           GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+         | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "simhash" ->
+      s"""WITH $SimhashCte
+         |SELECT sb.doc_id AS doc_id, CAST(simhash AS BIGINT) AS simhash, CAST(n.n_words AS BIGINT) AS n_words
+         |FROM sb JOIN n ON sb.doc_id = n.doc_id ORDER BY sb.doc_id""".stripMargin,
+    "simhash_pairs" ->
+      s"""WITH $SimhashCte,
+         | sbands AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+         |            FROM sb, generate_series(0, 3) t(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sbands a JOIN sbands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS cid, e AS ce FROM e),
+        | s AS (SELECT qid, cid, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+        |       FROM q, c WHERE cid != qid),
+        | r AS (SELECT qid, cid, cos_sim,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+        |       FROM s)
+        |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // ann_lsh: intentionally no oracle — approximate variant; the
+    // brute-force cosine_topk above is its oracle-checked ground truth.
+    "multimodal_decode" ->
+      """WITH ch AS (SELECT doc_id, unnest([ascii(substr(text, i, 1))
+        |                                   for i in range(1, length(text) + 1)]) AS c
+        |            FROM documents),
+        | agg AS (SELECT doc_id, count(*) AS n_bytes, sum(c) % 997 AS checksum FROM ch GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, CAST(agg.n_bytes AS BIGINT) AS n_bytes,
+        | CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS head_byte,
+        | CAST(ascii(substr(d.text, length(d.text), 1)) AS BIGINT) AS tail_byte,
+        | CAST(agg.checksum AS BIGINT) AS checksum
+        |FROM documents d JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
   )
+
+  /** Shared oracle CTE: distinct word-3-gram shingles per document. */
+  private val ShinglesCte =
+    """wd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+      | sh0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                for i in range(1, len(w) - 1)]) AS sh
+      |         FROM wd WHERE len(w) >= 3),
+      | sh AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
+
+  /** Shared oracle CTE: 60-bit frequency-weighted SimHash per document
+    * (majority vote over md5-derived word-occurrence hashes) — mirrors
+    * [[graft.operators.Dedup.simhash]]. */
+  private val SimhashCte =
+    """t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+      | f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 1),
+      | wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h FROM f, unnest(ws) u(word)),
+      | n AS (SELECT doc_id, count(*) AS n_words FROM wh GROUP BY 1),
+      | bits AS (SELECT doc_id, j, sum((h >> j) & 1) AS ones FROM wh, generate_series(0, 59) t(j) GROUP BY 1, 2),
+      | sb AS (SELECT b.doc_id, sum(CASE WHEN 2 * b.ones > n.n_words THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+      |        FROM bits b JOIN n ON b.doc_id = n.doc_id GROUP BY 1)""".stripMargin
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star extensions,
+  * SURVEY.md §7.2 step 8): brute-force cosine top-k as the correctness
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale
+  * path.
+  *
+  * Scale design: the query set is small and explicitly `broadcast` — the
+  * corpus side streams through executors with zero shuffle; per-row dot
+  * products are higher-order array folds (codegen'd, no UDF). Top-k per
+  * query is a window over |queries|·|corpus| scored rows — at cluster
+  * scale the LSH variant prunes the corpus side to colliding buckets
+  * first, turning O(Q·N) into O(Q·N/2^bits) expected.
+  *
+  * Float policy: embeddings are float32; all math is done after an exact
+  * cast to double, and cosine is rounded to 6 dp at the output boundary so
+  * last-ulp summation differences between engines can't flip a hash
+  * compare (ranking also orders on the rounded value, deterministically
+  * tie-broken by vec_id).
+  */
+object Similarity {
+
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))"))
+
+  /** Brute-force cosine top-k: queries = vec_id < `numQueries`, neighbors
+    * ranked per query. Output: (qid, cid, cos_sim, rank). */
+  def cosineTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = withNorm(embeddings)
+    val q = broadcast(base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+    val c = base.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
+    q.join(c, col("qid") =!= col("cid"))
+      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", round(col("dot") / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos_sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** Deterministic ±1 random hyperplanes: sign from one md5 bit of
+    * "plane:t:j:i" — reproducible anywhere, no RNG state. */
+  private def planes(table: Int, numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    Array.tabulate(numPlanes, dim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"plane:$table:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x10) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** LSH-bucketed approximate nearest neighbors, multi-table random
+    * hyperplane scheme: `numTables` independent signatures of
+    * `bitsPerTable` bits each; candidates = corpus rows sharing any
+    * table's bucket with the query (the standard recall amplifier — one
+    * table of many bits has near-zero collision probability). Same output
+    * shape as [[cosineTopK]]; a query whose buckets are under-filled
+    * returns fewer than k neighbors — the recall/speed tradeoff.
+    *
+    * Scale shape: signatures are per-row higher-order folds over literal
+    * plane arrays (no shuffle to build the index); the probe is one
+    * equi-join on (table, bucket) against a broadcast query set, scoring
+    * only colliding candidates — O(Q·N/2^bits·L) expected vs O(Q·N). */
+  def annLsh(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+             numTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val base = withNorm(embeddings)
+    val planeArr = array((0 until numTables).map { t =>
+      array(planes(t, bitsPerTable, 64).map(p => array(p.map(lit): _*)): _*)
+    }: _*)
+    val sig = base
+      .withColumn("planes", planeArr)
+      .withColumn("tb", expr(
+        s"""transform(sequence(0, ${numTables - 1}), t -> struct(t AS tbl,
+           |  aggregate(sequence(0, ${bitsPerTable - 1}), 0L, (acc, j) -> acc + IF(
+           |    aggregate(zip_with(e, planes[t][j], (x, p) -> x * p), 0D, (a, x) -> a + x) >= 0D,
+           |    shiftleft(1L, j), 0L)) AS bucket))""".stripMargin))
+      .drop("planes")
+    val buckets = sig.select(col("vec_id"), col("e"), col("nrm"), explode(col("tb")).as("b"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val q = broadcast(buckets.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("tbl"), col("bucket")))
+    val c = buckets.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"), col("tbl"), col("bucket"))
+    val cand = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qe", "qn", "cid", "ce", "cn")
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
+    cand
+      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", round(col("dot") / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos_sim", "rank")
+      .orderBy("qid", "rank")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM-training-data pipeline (north-star
+  * extensions, SURVEY.md §7.2 step 8): quality scoring, language ID,
+  * token counting, document fingerprinting — over the `documents` table.
+  *
+  * Everything is built from codegen'd built-ins (split / higher-order array
+  * functions / regexp_count) — no UDFs — so the whole pipeline stays inside
+  * WholeStageCodegen and scales linearly with one parquet scan, no shuffle
+  * (all operators are per-row; fingerprint needs no explode thanks to
+  * higher-order `transform` + `array_min`).
+  */
+object TextAnalysis {
+
+  /** Whitespace word split on lowercased, trimmed text — the shared
+    * tokenization for all text + dedup operators (DuckDB mirror:
+    * `regexp_split_to_array(trim(lower(text)), '\s+')`). */
+  val wordsExpr: Column = expr("split(lower(trim(text)), '\\\\s+')")
+
+  /** Per-document stats + a composite quality score (length, punctuation
+    * and stopword ratios — the usual cheap quality heuristics). All ratio
+    * arithmetic is written in the same textual order as the oracle SQL so
+    * doubles come out bit-identical. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), wordsExpr.as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("punct_cnt"),
+        size(expr(
+          "filter(w, x -> x IN ('the','a','of','and','to','in','is'))")).cast("long").as("stop_cnt"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - col("n_words") + lit(1)) / col("n_words"))
+      .withColumn("stop_ratio", col("stop_cnt") / col("n_words"))
+      .withColumn("punct_ratio", col("punct_cnt") / col("n_chars"))
+      .withColumn("quality",
+        col("stop_ratio") * lit(0.5)
+          + least(lit(1.0), col("n_words") / lit(100.0)) * lit(0.3)
+          + (lit(1.0) - col("punct_ratio")) * lit(0.2))
+      .orderBy("doc_id")
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "que", "y", "los"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  /** N-gram-free language-ID heuristic: score = stopword hits per language
+    * over the shared word split; prediction = first language (fixed
+    * precedence de,en,es,fr,zh) whose score ties the maximum. Deterministic
+    * by construction — same CASE precedence in the oracle SQL. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = stopwords.foldLeft(
+      docs.select(col("doc_id"), col("lang"), wordsExpr.as("w"))) {
+      case (df, (code, words)) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"s_$code",
+          size(expr(s"filter(w, x -> x IN ($inList))")).cast("long"))
+    }
+    val langs = stopwords.map(_._1)
+    val pred = stopwords.indices.init.foldRight(lit(langs.last): Column) { (i, els) =>
+      val c = langs(i)
+      val beatsRest = langs.drop(i + 1)
+        .map(o => col(s"s_$c") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(beatsRest, lit(c)).otherwise(els)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("boolean"))
+      .select(Seq("doc_id", "lang").map(col) ++ langs.map(c => col(s"s_$c")) ++
+        Seq(col("pred_lang"), col("is_match")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** The CASE-precedence oracle fragment matching [[langId]]. */
+  def langIdOracleSql: String = {
+    val langs = stopwords.map(_._1)
+    val scoreCols = stopwords.map { case (code, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS s_$code"
+    }.mkString(",\n  ")
+    val caseArms = langs.init.zipWithIndex.map { case (c, i) =>
+      val cond = langs.drop(i + 1).map(o => s"s_$c >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+       | s AS (SELECT doc_id, lang,
+       |  $scoreCols
+       | FROM w),
+       | p AS (SELECT *, CASE $caseArms ELSE '${langs.last}' END AS pred_lang FROM s)
+       |SELECT doc_id, lang, ${langs.map(c => s"s_$c").mkString(", ")}, pred_lang,
+       |       pred_lang = lang AS is_match
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (alpha runs | digit runs | single non-space symbol). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(wordsExpr).cast("long").as("tokens_ws"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("tokens_bpe"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint, winnowing-style: the lexicographic minimum of
+    * md5 over all word 5-gram shingles — a stable content fingerprint that
+    * survives local edits elsewhere in the document. Pure per-row
+    * higher-order expression (no explode, no shuffle). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), wordsExpr.as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(
+        col("doc_id"),
+        expr("array_min(transform(sequence(0, size(w)-5), i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))))").as("fp"),
+        (size(col("w")) - lit(4)).cast("long").as("n_shingles"))
+      .orderBy("doc_id")
+}

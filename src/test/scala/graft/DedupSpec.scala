@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Planted-duplicate fixtures: the driver corpus has no near-dups, so the
+  * operators' detection behavior is proven here (FIXTURES.md §B edge
+  * cases; exact-dup grouping, MinHash recall on a one-word edit, SimHash
+  * hamming proximity, Jaccard ranking). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                    // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),          // near dup (1-word edit)
+    (3L, "completely different text about spark catalyst optimizer rules and codegen stages working"),
+    (4L, "THE  quick   brown fox jumps over the lazy dog and runs far away into the woods tonight") // ws/case dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeper = min doc_id") {
+    val groups = Dedup.exact(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.length === 3)
+    val big = groups.find(_._2 === 3L)
+    assert(big.exists(_._3 === 0L), "dup group keeps doc 0")
+  }
+
+  test("minhash finds the exact and near dup pairs, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 2L)), "one-word edit is a near dup")
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L), "unrelated doc excluded")
+  }
+
+  test("simhash: identical docs share the signature; near dup is close; unrelated far") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> simhash? col order: doc_id, n_words, simhash
+    val bySel = Dedup.simhash(docs).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySel(0L) === bySel(1L))
+    assert(bySel(0L) === bySel(4L), "normalization makes ws/case dup identical")
+    assert(java.lang.Long.bitCount(bySel(0L) ^ bySel(2L)) <= 8)
+    assert(java.lang.Long.bitCount(bySel(0L) ^ bySel(3L)) > 8)
+    assert(sig.nonEmpty)
+  }
+
+  test("simhash pairs surfaces the dup cluster via band join") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 === 0L && p._2 === 1L && p._3 === 0L))
+    assert(pairs.exists(p => p._1 === 0L && p._2 === 2L))
+  }
+
+  test("ngram jaccard ranks the exact dup above the near dup") {
+    val top = Dedup.ngramJaccardTop(docs, minCommon = 1, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(top((0L, 1L)) === 1.0)
+    assert(top((0L, 2L)) < 1.0 && top((0L, 2L)) > 0.5)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 64-dim vectors: unit basis-ish patterns with a known similarity order.
+  private def vec(weights: (Int, Float)*): Array[Float] = {
+    val a = Array.fill(64)(0.0f)
+    weights.foreach { case (i, w) => a(i) = w }
+    a
+  }
+
+  private lazy val emb = Seq(
+    (0L, vec(0 -> 1.0f, 1 -> 1.0f)),        // query
+    (10L, vec(0 -> 1.0f, 1 -> 0.9f)),       // nearly parallel -> top1
+    (11L, vec(0 -> 1.0f)),                  // cos = 1/sqrt(2) -> top2
+    (12L, vec(5 -> 1.0f)),                  // orthogonal -> last
+    (13L, vec(0 -> -1.0f, 1 -> -1.0f))      // opposite -> negative
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by true similarity") {
+    val r = Similarity.cosineTopK(emb, numQueries = 1, k = 4).collect()
+      .map(x => (x.getLong(1), x.getLong(3)))
+    assert(r.map(_._1).toSeq === Seq(10L, 11L, 12L, 13L))
+    assert(r.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("cosine values are correct to 6dp") {
+    val m = Similarity.cosineTopK(emb, numQueries = 1, k = 4).collect()
+      .map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(math.abs(m(11L) - 1.0 / math.sqrt(2)) < 1e-6)
+    assert(m(12L) === 0.0)
+    assert(m(13L) === -1.0)
+  }
+
+  test("ann_lsh results are a subset of brute force with identical scores") {
+    val bf = Similarity.cosineTopK(emb, numQueries = 1, k = 4).collect()
+      .map(x => (x.getLong(1), x.getDouble(2))).toMap
+    val lsh = Similarity.annLsh(emb, numQueries = 1, k = 4).collect()
+      .map(x => (x.getLong(1), x.getDouble(2)))
+    assert(lsh.nonEmpty, "identical-bucket neighbors exist")
+    lsh.foreach { case (cid, cos) => assert(bf(cid) === cos) }
+  }
+
+  test("ann_lsh on the fixture corpus achieves nonzero overlap with brute force") {
+    val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf = Similarity.cosineTopK(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(lsh)) // sanity
+    assert(lsh.nonEmpty)
+  }
+}
