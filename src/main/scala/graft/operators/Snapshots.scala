@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -59,13 +59,7 @@ object Snapshots {
     * with user_id as deterministic tiebreak. */
   def gain(events: DataFrame, lookbackDays: Int): DataFrame = {
     val snap = dailySnapshot(events)
-    val end = snap
-      .join(endDay(snap), col("day") === col("end_day"))
-      .select(col("user_id"), col("value").as("end_value"))
-    val start = snap
-      .join(endDay(snap), col("day") === date_sub(col("end_day"), lookbackDays))
-      .select(col("user_id"), col("value").as("start_value"))
-    rankGains(end, start)
+    gainBetween(snap, endDay(snap), date_sub(col("end_day"), lookbackDays))
   }
 
   /** All-time variant: first observed day vs latest day (the reference's
@@ -74,19 +68,24 @@ object Snapshots {
     val snap = dailySnapshot(events)
     val bounds =
       broadcast(snap.agg(max(col("day")).as("end_day"), min(col("day")).as("start_day")))
-    val end = snap
-      .join(bounds, col("day") === col("end_day"))
-      .select(col("user_id"), col("value").as("end_value"))
-    val start = snap
-      .join(bounds, col("day") === col("start_day"))
-      .select(col("user_id"), col("value").as("start_value"))
-    rankGains(end, start)
+    gainBetween(snap, bounds, col("start_day"))
   }
 
-  private def rankGains(end: DataFrame, start: DataFrame): DataFrame = {
+  /** Single-pass diff: instead of materializing the two snapshot sides and
+    * joining them (which re-scans and re-aggregates the log per side), tag
+    * each snapshot row against the broadcast date bounds, keep the two days
+    * of interest, and pivot end/start into one row per user with
+    * conditional aggregation. One scan, two shuffles, one broadcast join —
+    * the formulation that survives a 100× scale-up. Users missing either
+    * side yield NULL and are dropped by the gain filter (F5 semantics). */
+  private def gainBetween(snap: DataFrame, bounds: DataFrame, startExpr: Column): DataFrame = {
     val w = Window.orderBy(col("gain").desc, col("user_id").asc)
-    end
-      .join(start, Seq("user_id"))
+    snap
+      .join(bounds, col("day") === col("end_day") || col("day") === startExpr)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("day") === col("end_day"), col("value"))).as("end_value"),
+        max(when(col("day") =!= col("end_day"), col("value"))).as("start_value"))
       .withColumn("gain", col("end_value") - col("start_value"))
       .filter(col("gain") > 0)
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,58 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Load-side semantics of the reference (SURVEY.md §2.2 L1-L5),
+  * re-expressed as parquet write modes over a date-partitioned layout.
+  *
+  * The reference talks to Supabase row-by-row; here the table layout IS the
+  * semantics:
+  *  - L1 insert-by-date            -> append a `day=` partition
+  *  - L2 singleton "latest" table  -> full overwrite of an unpartitioned table
+  *  - L3 upsert-by-date            -> dynamic partition overwrite (replaces
+  *                                    exactly the incoming days, keeps others)
+  *  - L4/L5 retention delete       -> retention = write-side: overwrite the
+  *                                    table with only the surviving days
+  *                                    (delete-as-rewrite, the columnar way)
+  *
+  * Scale notes: partitioning by day keeps every write and every downstream
+  * date-range scan pruned to the touched partitions; dynamic partition
+  * overwrite gives idempotent re-runs (the reference's `_exists` guards
+  * become unnecessary — re-running a day replaces that day exactly).
+  */
+object SnapshotStore {
+
+  /** L1 (etl.dart:115-121): insert a daily snapshot, history kept. */
+  def appendDaily(snapshot: DataFrame, path: String): Unit =
+    snapshot.write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+
+  /** L2 (etl.dart:108-113, :334-337): the 1-row-per-entity "latest" table —
+    * full overwrite, no partitions. */
+  def overwriteLatest(latest: DataFrame, path: String): Unit =
+    latest.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** L3 (etl.dart:271, :351-358): upsert keyed by day — dynamic partition
+    * overwrite replaces exactly the days present in `snapshot`. */
+  def upsertDays(snapshot: DataFrame, path: String): Unit =
+    snapshot.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
+
+  /** L4/L5 (etl.dart:270, :282-283, :384-395): keep only days satisfying
+    * `keep` — retention as a rewrite of survivors. Reads the table itself,
+    * so the caller must pass the table's current path. */
+  def retainWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+                  keep: org.apache.spark.sql.Column): Unit = {
+    val survivors = spark.read.parquet(path).filter(keep).cache()
+    survivors.count() // materialize before overwriting the source
+    survivors.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+    survivors.unpersist()
+  }
+
+  /** Point read of one day — partition-pruned (S6/S8). */
+  def readDay(spark: org.apache.spark.sql.SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("day") === day)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.SnapshotStore
+import org.apache.spark.sql.functions.col
+
+/** L1-L5 write semantics (SURVEY.md §2.2): append keeps history, upsert
+  * replaces exactly the incoming day, retention keeps survivors only,
+  * singleton overwrite replaces everything. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-store").toString
+
+  private def snap(day: String, users: (Long, Double)*) =
+    users.map { case (u, v) => (day, u, v) }.toDF("day", "user_id", "value")
+
+  test("append keeps history; point read prunes to one day") {
+    val path = tmp()
+    SnapshotStore.appendDaily(snap("2024-01-01", 1L -> 10.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-02", 1L -> 20.0), path)
+    assert(spark.read.parquet(path).count() === 2)
+    val d2 = SnapshotStore.readDay(spark, path, "2024-01-02").collect()
+    assert(d2.length === 1 && d2.head.getAs[Double]("value") === 20.0)
+  }
+
+  test("upsert replaces exactly the incoming day") {
+    val path = tmp()
+    SnapshotStore.appendDaily(snap("2024-01-01", 1L -> 10.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-02", 1L -> 20.0), path)
+    SnapshotStore.upsertDays(snap("2024-01-02", 1L -> 99.0, 2L -> 5.0), path)
+    // partition-column type inference turns day= back into DATE; normalize
+    val rows = spark.read.parquet(path).withColumn("day", col("day").cast("string")).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    assert(rows === Set(("2024-01-01", 1L, 10.0), ("2024-01-02", 1L, 99.0), ("2024-01-02", 2L, 5.0)))
+  }
+
+  test("upsert is idempotent (re-running a day changes nothing)") {
+    val path = tmp()
+    SnapshotStore.upsertDays(snap("2024-01-01", 1L -> 10.0), path)
+    SnapshotStore.upsertDays(snap("2024-01-01", 1L -> 10.0), path)
+    assert(spark.read.parquet(path).count() === 1)
+  }
+
+  test("retention keeps only surviving days (L4 keep-latest)") {
+    val path = tmp()
+    SnapshotStore.appendDaily(snap("2024-01-01", 1L -> 10.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-02", 1L -> 20.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-03", 1L -> 30.0), path)
+    SnapshotStore.retainWhere(spark, path, col("day") === "2024-01-03")
+    val days = spark.read.parquet(path).select(col("day").cast("string")).collect().map(_.getString(0)).toSet
+    assert(days === Set("2024-01-03"))
+  }
+
+  test("singleton overwrite replaces the latest table wholesale (L2)") {
+    val path = tmp()
+    SnapshotStore.overwriteLatest(Seq((1L, 10.0)).toDF("user_id", "value"), path)
+    SnapshotStore.overwriteLatest(Seq((1L, 99.0), (2L, 1.0)).toDF("user_id", "value"), path)
+    val rows = spark.read.parquet(path).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 99.0), (2L, 1.0)))
+  }
+}

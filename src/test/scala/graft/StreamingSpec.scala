@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.OnlineTimeStream
+import graft.streaming.OnlineTimeStream.{Sample, UserMinutes}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics (SURVEY.md §2.9): windowed daily accumulation and
+  * explicit keyed state, driven deterministically with MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("windowed daily minutes over a streamed sample log") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.startToMemory(
+      input.toDF(), "daily_minutes_test")
+    try {
+      input.addData(Sample(1L, ts(1, 1)), Sample(1L, ts(1, 2)), Sample(2L, ts(1, 3)))
+      q.processAllAvailable()
+      input.addData(Sample(1L, ts(2, 1)))
+      q.processAllAvailable()
+      val out = spark.table("daily_minutes_test").collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("user_id"), r.getAs[Long]("minutes")))
+        .toSet
+      assert(out.contains(("2024-01-01", 1L, 10L)))
+      assert(out.contains(("2024-01-01", 2L, 5L)))
+      assert(out.contains(("2024-01-02", 1L, 5L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates +5 per sighting across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.runningMinutes(input.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("running_minutes_test").start()
+    try {
+      input.addData(Sample(1L, ts(1, 1)), Sample(1L, ts(1, 2)))
+      q.processAllAvailable()
+      input.addData(Sample(1L, ts(1, 3)), Sample(2L, ts(1, 3)))
+      q.processAllAvailable()
+      val out = spark.table("running_minutes_test").as[UserMinutes].collect()
+      // latest state per user: u1 = 15 (10 then +5), u2 = 5
+      assert(out.filter(_.user_id == 1L).map(_.minutes).max === 15L)
+      assert(out.filter(_.user_id == 2L).map(_.minutes).max === 5L)
+    } finally q.stop()
+  }
+}
