@@ -39,6 +39,8 @@ object SparkEntry {
     "onlinetime_daily" -> ((s, dir) => OnlineTime.daily(Tables.events(s, dir))),
     "onlinetime_7d" -> ((s, dir) => OnlineTime.period(Tables.events(s, dir), 7)),
     "skill_points" -> ((s, dir) => skillPointsQuery(s, dir)),
+    "category_union" -> ((s, dir) =>
+      Snapshots.categoryUnion(Tables.events(s, dir), "purchase", "signup")),
     // --- star-schema breadth (SURVEY §7.2 step 7) ---
     "q1_pricing" -> ((s, dir) => StarSchema.q1Pricing(Tables.lineitem(s, dir))),
     "q3_top_orders" -> ((s, dir) =>
@@ -151,6 +153,12 @@ object SparkEntry {
         |       CAST((CAST(power(2, v - 10) AS BIGINT) - 1) * 50 // 1800 AS BIGINT) AS points_melee,
         |       CAST((CAST(power(2, v - 10) AS BIGINT) - 1) * 25 // 1000 AS BIGINT) AS points_distance
         |FROM lv ORDER BY v""".stripMargin,
+    "category_union" ->
+      """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | count(*) AS n_events
+        |FROM (SELECT user_id, value FROM events WHERE event_type = 'purchase'
+        |      UNION ALL SELECT user_id, value FROM events WHERE event_type = 'signup') u
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -233,11 +241,15 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $ShinglesCte,
-         | sig AS (SELECT doc_id, ${(0 until 16).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")}
-         |         FROM sh GROUP BY doc_id),
-         | bands AS (SELECT doc_id, unnest([
-         |   md5('b0:' || h0 || h1 || h2 || h3), md5('b1:' || h4 || h5 || h6 || h7),
-         |   md5('b2:' || h8 || h9 || h10 || h11), md5('b3:' || h12 || h13 || h14 || h15)]) AS bk FROM sig),
+         | hsh AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % ${Dedup.P} AS h FROM sh),
+         | sig AS (SELECT doc_id, ${Dedup.hashParams.zipWithIndex
+        .map { case ((a, b), j) => s"min(($a * h + $b) % ${Dedup.P}) AS h$j" }.mkString(", ")}
+         |         FROM hsh GROUP BY doc_id),
+         | bands AS (SELECT doc_id, unnest([${(0 until Dedup.Bands).map { bd =>
+        val cols = (0 until Dedup.RowsPerBand)
+          .map(r => s"h${bd * Dedup.RowsPerBand + r}").mkString(", ")
+        s"md5(concat_ws('_', 'b$bd', $cols))"
+      }.mkString(", ")}]) AS bk FROM sig),
          | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |          FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
          | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -44,21 +44,44 @@ object Dedup {
   }
 
   val NumHashes = 16
-  val Bands = 4 // 4 rows per band
+  // 8 bands x 2 rows: candidate threshold ~ (1/b)^(1/r) = 0.35, the right
+  // sensitivity for a 0.5 Jaccard cut (4x4 banding missed ~40% of
+  // genuine 0.6-0.7 pairs — measured on the planted-dup fixtures).
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
 
-  /** MinHash signature: h_j = min over shingles of md5("j:" ++ shingle) —
-    * the classic min-wise permutation family with md5 as the random
-    * permutation (string min; no float math anywhere). */
+  /** Mersenne prime 2^31 - 1: affine permutations (a·h + b) mod P over a
+    * 31-bit base hash stay inside exact BIGINT range (a·h < 2^62). */
+  val P = 2147483647L
+
+  /** Deterministic permutation constants — also baked into the DuckDB
+    * oracle SQL, so keep them pure functions of j. */
+  val hashParams: Seq[(Long, Long)] = (0 until NumHashes).map { j =>
+    val a = (((j + 1) * 0x9E3779B1L) % P) | 1L
+    val b = ((j + 1) * 0x85EBCA77L) % P
+    (a, b)
+  }
+
+  /** 31-bit base hash of a shingle: md5 -> first 15 hex chars -> mod P.
+    * One md5 per shingle; the 16 permutations are cheap affine arithmetic
+    * (the md5-per-permutation formulation costs 16× the hashing and
+    * dominated the whole pipeline). */
+  val baseHashSql = s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $P"
+
+  /** MinHash signature: h_j = min over shingles of (a_j·h + b_j) mod P —
+    * the classic min-wise affine permutation family. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val hashes = (0 until NumHashes).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
-    sh.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
+    val base = sh.withColumn("h", expr(baseHashSql))
+    val aggs = hashParams.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"($a * h + $b) % $P")).as(s"h$j")
+    }
+    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private def bandKeys: Seq[Column] = {
-    val rows = NumHashes / Bands
     (0 until Bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      md5(concat(lit(s"b$b:") +: cols: _*))
+      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      md5(concat_ws("_", lit(s"b$b") +: cols: _*))
     }
   }
 

@@ -27,6 +27,10 @@ object Similarity {
   private def withNorm(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      // The repartition is an exchange barrier: it materializes `e` once.
+      // Without it CollapseProject inlines the cast-transform into every
+      // downstream fold (64 re-evaluations per row in the LSH signature).
+      .repartition(col("vec_id"))
       .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))"))
 
   /** Brute-force cosine top-k: queries = vec_id < `numQueries`, neighbors

@@ -130,6 +130,23 @@ object Snapshots {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** UNION ALL shape (U1, etl.dart:78,:325,:497,:539): the reference unions
+    * per-page/per-world partial scans into one snapshot; here two category
+    * sub-scans union and aggregate. Catalyst pushes the per-branch filters
+    * below the union into each scan (`PushDownPredicates`), so at scale
+    * each branch reads only its partition slice. */
+  def categoryUnion(events: DataFrame, catA: String, catB: String): DataFrame = {
+    def side(c: String) =
+      events.filter(col("event_type") === c).select(col("user_id"), col("value"))
+    side(catA)
+      .unionByName(side(catB))
+      .groupBy("user_id")
+      .agg(
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Composite multi-category score ("Rook Master", E3 / A1 / J2 / O5):
     * per category, score users by their summed metric, award positional
     * points `1001 - rank` (etl.dart:556), then total points across
