@@ -41,6 +41,16 @@ object SparkEntry {
     "skill_points" -> ((s, dir) => skillPointsQuery(s, dir)),
     "category_union" -> ((s, dir) =>
       Snapshots.categoryUnion(Tables.events(s, dir), "purchase", "signup")),
+    // S2 paginated scan via the DSv2 source: level-filter pushdown prunes
+    // page partitions at planning time (early-termination semantics).
+    "paged_scan" -> ((s, _) =>
+      s.read.format("graft.sources.PagedLeaderboardProvider")
+        .option("maxPages", "200").load()
+        .filter(col("level") >= 400)
+        .select(col("rank").cast("long").as("rank"), col("name"),
+          col("level").cast("long").as("level"), col("value"),
+          col("vocation"), col("world"))
+        .orderBy("rank")),
     // --- star-schema breadth (SURVEY §7.2 step 7) ---
     "q1_pricing" -> ((s, dir) => StarSchema.q1Pricing(Tables.lineitem(s, dir))),
     "q3_top_orders" -> ((s, dir) =>
@@ -153,6 +163,15 @@ object SparkEntry {
         |       CAST((CAST(power(2, v - 10) AS BIGINT) - 1) * 50 // 1800 AS BIGINT) AS points_melee,
         |       CAST((CAST(power(2, v - 10) AS BIGINT) - 1) * 25 // 1000 AS BIGINT) AS points_distance
         |FROM lv ORDER BY v""".stripMargin,
+    "paged_scan" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, 'char_' || rank AS name,
+        | CAST(greatest(8, 500 - (rank - 1) // 10) AS BIGINT) AS level,
+        | CAST(10000000000 - rank * 1000 AS BIGINT) AS value,
+        | CASE rank % 5 WHEN 0 THEN 'None' WHEN 1 THEN 'Knight' WHEN 2 THEN 'Paladin'
+        |   WHEN 3 THEN 'Druid' ELSE 'Sorcerer' END AS vocation,
+        | 'W' || (rank % 8) AS world
+        |FROM generate_series(1, 10000) t(rank)
+        |WHERE greatest(8, 500 - (rank - 1) // 10) >= 400 ORDER BY rank""".stripMargin,
     "category_union" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | count(*) AS n_events

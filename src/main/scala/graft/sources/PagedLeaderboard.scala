@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 model of the reference's paginated leaderboard scan
+  * (SURVEY.md §2.1 S2, /root/reference/lib/src/etl.dart:50-90): the live
+  * API serves 50-entry pages in rank order, and the reference stops paging
+  * once the last entry's level drops below 30 (etl.dart:83) — a
+  * predicate-driven early termination.
+  *
+  * Here that early termination is *planning-time partition pruning*: the
+  * scan builder accepts `level >= X` filter pushdown and LIMIT pushdown,
+  * and plans only the page partitions that can contain qualifying rows
+  * (level is monotonically non-increasing in rank, exactly like the real
+  * leaderboard). Each page is one [[InputPartition]], so a cluster fetches
+  * pages in parallel — the Spark-native replacement for the reference's
+  * sequential 500 ms-per-page loop.
+  *
+  * The page payload is a deterministic synthetic generator standing in for
+  * the HTTP call (zero-egress environment); swapping [[PageReader.entry]]
+  * for a real client changes nothing else.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.PagedLeaderboardProvider")
+  *     .option("maxPages", "1000").load()
+  *     .filter($"level" >= 30)        // planned: only pages 1..95
+  * }}}
+  */
+object PagedLeaderboard {
+  val PageSize = 50
+  val BaseLevel = 500
+
+  val schema: StructType = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("level", IntegerType, nullable = false),
+    StructField("value", LongType, nullable = false),
+    StructField("vocation", StringType, nullable = false),
+    StructField("world", StringType, nullable = false)))
+
+  private val vocations = Array("None", "Knight", "Paladin", "Druid", "Sorcerer")
+
+  /** Monotone non-increasing level curve: drops 1 every 10 ranks. */
+  def levelOf(rank: Int): Int = math.max(8, BaseLevel - (rank - 1) / 10)
+
+  def valueOf(rank: Int): Long = 10000000000L - rank.toLong * 1000L
+
+  def vocationOf(rank: Int): String = vocations(rank % vocations.length)
+
+  /** Last rank that can satisfy `level >= minLevel` (monotonicity). */
+  def lastQualifyingRank(minLevel: Int): Int =
+    if (minLevel > BaseLevel) 0
+    else if (minLevel <= 8) Int.MaxValue
+    else (BaseLevel - minLevel) * 10 + 10
+
+  /** Pages "fetched" — incremented per partition read; tests assert the
+    * pushdown actually pruned the fetch count. */
+  val pagesFetched = new AtomicLong(0L)
+}
+
+class PagedLeaderboardProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedLeaderboard.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val raw = properties.asScala.getOrElse("maxPages", "1000")
+    val maxPages = try raw.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"option 'maxPages' must be a positive integer, got '$raw'")
+    }
+    require(maxPages > 0, s"option 'maxPages' must be positive, got $maxPages")
+    new PagedLeaderboardTable(maxPages)
+  }
+}
+
+class PagedLeaderboardTable(maxPages: Int) extends Table with SupportsRead {
+  override def name(): String = s"paged_leaderboard(maxPages=$maxPages)"
+  override def schema(): StructType = PagedLeaderboard.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(maxPages)
+}
+
+class PagedScanBuilder(maxPages: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+  private var minLevel: Option[Int] = None
+  private var limit: Option[Int] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThanOrEqual("level", _: Int) => true
+      case GreaterThan("level", _: Int) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("level", v: Int) =>
+        minLevel = Some(minLevel.fold(v)(math.max(_, v)))
+      case GreaterThan("level", v: Int) =>
+        minLevel = Some(minLevel.fold(v + 1)(math.max(_, v + 1)))
+      case _ =>
+    }
+    pushed = accepted
+    // Residual filters: Spark still re-applies everything (safe), we only
+    // use the bound for partition planning.
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  override def build(): Scan = new PagedScan(maxPages, minLevel, limit)
+}
+
+class PagedScan(maxPages: Int, minLevel: Option[Int], limit: Option[Int])
+    extends Scan with Batch {
+  import PagedLeaderboard._
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedLeaderboardScan(maxPages=$maxPages, minLevel=$minLevel, limit=$limit)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val byLevel = minLevel.map(l => (lastQualifyingRank(l) + PageSize - 1) / PageSize)
+      .getOrElse(Int.MaxValue)
+    val byLimit = limit.map(n => (n + PageSize - 1) / PageSize).getOrElse(Int.MaxValue)
+    val pages = Seq(maxPages, byLevel, byLimit).min.max(0)
+    (1 to pages).map(p => PagePartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+}
+
+case class PagePartition(page: Int) extends InputPartition
+
+class PagedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PageReader(partition.asInstanceOf[PagePartition].page)
+}
+
+class PageReader(page: Int) extends PartitionReader[InternalRow] {
+  import PagedLeaderboard._
+  private var i = -1
+  PagedLeaderboard.pagesFetched.incrementAndGet() // "one HTTP GET per page"
+
+  override def next(): Boolean = { i += 1; i < PageSize }
+
+  override def get(): InternalRow = {
+    val rank = (page - 1) * PageSize + i + 1
+    InternalRow(
+      rank,
+      UTF8String.fromString(s"char_$rank"),
+      levelOf(rank),
+      valueOf(rank),
+      UTF8String.fromString(vocationOf(rank)),
+      UTF8String.fromString(s"W${rank % 8}"))
+  }
+
+  override def close(): Unit = ()
+}
