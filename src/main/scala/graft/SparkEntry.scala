@@ -37,6 +37,7 @@ object SparkEntry {
     "exists_probe" -> ((s, dir) => Snapshots.existsProbe(Tables.events(s, dir))),
     "rookmaster" -> ((s, dir) => Snapshots.rookmaster(Tables.events(s, dir))),
     "onlinetime_daily" -> ((s, dir) => OnlineTime.daily(Tables.events(s, dir))),
+    "daily_gapfill" -> ((s, dir) => OnlineTime.dailyActivityGapfill(Tables.events(s, dir))),
     "onlinetime_7d" -> ((s, dir) => OnlineTime.period(Tables.events(s, dir), 7)),
     "skill_points" -> ((s, dir) => skillPointsQuery(s, dir)),
     "category_union" -> ((s, dir) =>
@@ -157,6 +158,16 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY minutes DESC, last_day DESC, user_id) AS BIGINT) AS rank,
         |       user_id, minutes, CAST(last_day AS VARCHAR) AS last_day
         |FROM agg ORDER BY rank""".stripMargin,
+    "daily_gapfill" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |               count(DISTINCT user_id) AS n_users FROM events GROUP BY 1),
+        | cal AS (SELECT unnest(generate_series((SELECT min(day) FROM daily),
+        |                                       (SELECT max(day) FROM daily),
+        |                                       INTERVAL 1 DAY))::DATE AS day)
+        |SELECT CAST(cal.day AS VARCHAR) AS day,
+        | CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
+        | CAST(coalesce(daily.n_users, 0) AS BIGINT) AS n_users
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day ORDER BY day""".stripMargin,
     "skill_points" ->
       """WITH lv AS (SELECT DISTINCT CAST(floor(value) AS INTEGER) % 40 + 10 AS v FROM events)
         |SELECT CAST(v AS BIGINT) AS v,

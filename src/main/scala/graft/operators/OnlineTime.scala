@@ -36,6 +36,29 @@ object OnlineTime {
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       .orderBy("day", "user_id")
 
+  /** Calendar gap-fill (X2's `DT.tibia.range` — SURVEY.md §2.8): per-day
+    * activity over the FULL calendar between the first and last observed
+    * day, with zero rows for silent days. The reference iterates a Dart
+    * date range and skips missing snapshots (etl.dart:400-419); here the
+    * calendar is `sequence(min_day, max_day)` exploded and left-joined —
+    * one broadcast of the (tiny) calendar frame, one aggregation. */
+  def dailyActivityGapfill(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+    val calendar = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    calendar
+      .join(daily, Seq("day"), "left_outer")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("day")
+  }
+
   /** Sliding period rollup (J4/A2/A3, etl.dart:397-424): total minutes per
     * user over the last `days` game-days (inclusive of the latest), plus the
     * latest day each user was seen, ranked by the reference's composite

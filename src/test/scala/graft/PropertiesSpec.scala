@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Dedup, Snapshots}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY.md §5.3): diff-join, ranking, and rollup
+  * invariants over generated event logs. Uses raw ScalaCheck generators
+  * with deterministic seeds (the scalatest bridge isn't in the offline
+  * dependency cache; Spark jobs per case are slow anyway, so a small
+  * fixed sample per property is the right budget). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], n: Int = 8)(body: T => Unit): Unit =
+    Iterator.iterate(Seed(42L))(_.next).take(n).foreach { seed =>
+      body(g.pureApply(Gen.Parameters.default, seed))
+    }
+
+  private val eventsGen: Gen[List[(Long, Int, Long, Double)]] = for {
+    n <- Gen.chooseNum(1, 60)
+    rows <- Gen.listOfN(n, for {
+      day <- Gen.chooseNum(1, 5)
+      user <- Gen.chooseNum(1L, 8L)
+      value <- Gen.chooseNum(0, 10000).map(_ / 100.0)
+    } yield (user, day, 0L, value))
+  } yield rows.zipWithIndex.map { case ((u, d, _, v), i) => (u, d, i.toLong, v) }
+
+  private def toDf(rows: List[(Long, Int, Long, Double)]) =
+    rows.map { case (u, d, id, v) =>
+      (id, Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), u, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+
+  test("gain invariants: positive gains, output users ⊆ both snapshots, dense ranks") {
+    forAll(eventsGen) { rows =>
+      val df = toDf(rows)
+      val out = Snapshots.gainAllTime(df).collect()
+      val gains = out.map(_.getDouble(2))
+      assert(gains.forall(_ > 0))
+      assert(out.map(_.getLong(0)).toSeq === (1 to out.length).map(_.toLong))
+      // ranks ordered by gain desc
+      assert(gains.sameElements(gains.sortBy(-(_: Double))))
+      val snap = Snapshots.dailySnapshot(df)
+      val days = snap.select("day").distinct().count()
+      if (days == 1) assert(out.isEmpty, "diff of a snapshot with itself is empty")
+    }
+  }
+
+  test("leaderboard invariants: dense ranks follow value order, points mirror rank") {
+    forAll(eventsGen) { rows =>
+      val out = Snapshots.leaderboard(toDf(rows)).collect()
+      assert(out.map(_.getLong(0)).toSeq === (1 to out.length).map(_.toLong))
+      val values = out.map(_.getDouble(2))
+      assert(values.sameElements(values.sortBy(-(_: Double))))
+      assert(out.forall(r => r.getLong(3) === 1001L - r.getLong(0)))
+    }
+  }
+
+  test("rookmaster total equals the sum of per-category points") {
+    forAll(eventsGen) { rows =>
+      val df = toDf(rows).withColumn("event_type",
+        org.apache.spark.sql.functions.expr("CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END"))
+      val out = Snapshots.rookmaster(df).collect()
+      val total = out.map(_.getLong(2)).sum
+      val users = df.select("event_type", "user_id").distinct().count()
+      // each (category, user) contributes 1001 - rank; sum over a category
+      // of k users = k*1001 - k(k+1)/2
+      val perCat = df.select("event_type", "user_id").distinct()
+        .groupBy("event_type").count().collect().map(_.getLong(1))
+      val expected = perCat.map(k => k * 1001L - k * (k + 1) / 2).sum
+      assert(total === expected)
+      assert(out.map(_.getLong(3)).sum === users)
+    }
+  }
+
+  test("jaccard is symmetric-safe and bounded; exact dup pairs always found") {
+    val docGen = for {
+      base <- Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      n <- Gen.chooseNum(3, 6)
+    } yield (base.mkString(" "), n)
+    forAll(docGen) { case (text, n) =>
+      val docs = (0L until n.toLong).map(i => (i, text)).toDF("doc_id", "text")
+      val pairs = Dedup.minhashPairs(docs, threshold = 0.99).collect()
+      // all docs identical -> every pair found with jaccard 1.0
+      assert(pairs.length === n * (n - 1) / 2)
+      assert(pairs.forall(_.getDouble(3) === 1.0))
+    }
+  }
+}
