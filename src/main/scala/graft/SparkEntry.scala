@@ -63,6 +63,7 @@ object SparkEntry {
     "top_orders" -> ((s, dir) => StarSchema.topOrders(Tables.orders(s, dir))),
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
     "customer_top_orders" -> ((s, dir) => StarSchema.customerTopOrders(Tables.orders(s, dir))),
+    "customer_topk_agg" -> ((s, dir) => StarSchema.customerTopOrdersAgg(Tables.orders(s, dir))),
     "customers_without_orders" -> ((s, dir) =>
       StarSchema.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     // --- LLM-training-data pipeline ops (SURVEY §7.2 step 8) ---
@@ -235,6 +236,14 @@ object SparkEntry {
     "customers_without_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+    // Same oracle as customer_top_orders: the heap aggregate must
+    // reproduce the window formulation exactly.
+    "customer_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
         | s AS (SELECT doc_id,

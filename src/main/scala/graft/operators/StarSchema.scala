@@ -112,6 +112,26 @@ object StarSchema {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Same result as [[customerTopOrders]], computed with the custom
+    * single-pass [[graft.functions.TopKAgg]] heap aggregate instead of a
+    * window sort: map-side partial heaps merge associatively, so only K
+    * rows per group cross the shuffle — the formulation that survives
+    * groups too large to sort (SURVEY.md §2.10). Oracle-checked against
+    * the window formulation's SQL. */
+  def customerTopOrdersAgg(orders: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.TopKAgg.top_k
+    orders
+      .groupBy("o_custkey")
+      .agg(top_k(struct(col("o_totalprice"), col("o_orderkey")), k).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Existence-probe shape as an anti join (S7 dual): customers that never
     * ordered. Plans as a broadcast/shuffled hash anti join — no row fanout. */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
