@@ -38,6 +38,12 @@ object SparkEntry {
     "rookmaster" -> ((s, dir) => Snapshots.rookmaster(Tables.events(s, dir))),
     "onlinetime_daily" -> ((s, dir) => OnlineTime.daily(Tables.events(s, dir))),
     "daily_gapfill" -> ((s, dir) => OnlineTime.dailyActivityGapfill(Tables.events(s, dir))),
+    // The Structured Streaming transform run on the batch path — same
+    // code, oracle-checked (streaming/batch unification).
+    "streaming_daily_minutes" -> ((s, dir) =>
+      graft.streaming.OnlineTimeStream.dailyMinutes(Tables.events(s, dir))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day", "user_id")),
     "onlinetime_7d" -> ((s, dir) => OnlineTime.period(Tables.events(s, dir), 7)),
     "skill_points" -> ((s, dir) => skillPointsQuery(s, dir)),
     "category_union" -> ((s, dir) =>
@@ -159,6 +165,10 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY minutes DESC, last_day DESC, user_id) AS BIGINT) AS rank,
         |       user_id, minutes, CAST(last_day AS VARCHAR) AS last_day
         |FROM agg ORDER BY rank""".stripMargin,
+    "streaming_daily_minutes" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+        | CAST(5 * count(*) AS BIGINT) AS minutes
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "daily_gapfill" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |               count(DISTINCT user_id) AS n_users FROM events GROUP BY 1),

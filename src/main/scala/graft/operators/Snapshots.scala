@@ -103,9 +103,13 @@ object Snapshots {
     snap
       .join(endDay(snap), col("day") === col("end_day"))
       .select(col("user_id"), col("value"))
+      // sort+limit FIRST: plans as TakeOrderedAndProject (per-partition
+      // top-K + merge), so the rank window below only ever sees <= topK
+      // rows — never a single-partition sort of the full user set.
+      .orderBy(col("value").desc, col("user_id").asc)
+      .limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("points", lit(1001L) - col("rank"))
-      .filter(col("rank") <= topK)
       .select("rank", "user_id", "value", "points")
       .orderBy("rank")
   }
