@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import graft.functions.VectorExprs.{lsh_buckets, vec_dot}
+
   private def withNorm(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       // The repartition is an exchange barrier: it materializes `e` once.
       // Without it CollapseProject inlines the cast-transform into every
-      // downstream fold (64 re-evaluations per row in the LSH signature).
+      // downstream reference.
       .repartition(col("vec_id"))
-      .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(vec_dot(col("e"), col("e"))))
 
   /** Brute-force cosine top-k: queries = vec_id < `numQueries`, neighbors
     * ranked per query. Output: (qid, cid, cos_sim, rank). */
@@ -42,7 +44,7 @@ object Similarity {
     val c = base.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
     q.join(c, col("qid") =!= col("cid"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", vec_dot(col("qe"), col("ce")))
       .withColumn("cos_sim", round(col("dot") / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -75,19 +77,12 @@ object Similarity {
   def annLsh(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
              numTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
     val base = withNorm(embeddings)
-    val planeArr = array((0 until numTables).map { t =>
-      array(planes(t, bitsPerTable, 64).map(p => array(p.map(lit): _*)): _*)
-    }: _*)
-    val sig = base
-      .withColumn("planes", planeArr)
-      .withColumn("tb", expr(
-        s"""transform(sequence(0, ${numTables - 1}), t -> struct(t AS tbl,
-           |  aggregate(sequence(0, ${bitsPerTable - 1}), 0L, (acc, j) -> acc + IF(
-           |    aggregate(zip_with(e, planes[t][j], (x, p) -> x * p), 0D, (a, x) -> a + x) >= 0D,
-           |    shiftleft(1L, j), 0L)) AS bucket))""".stripMargin))
-      .drop("planes")
-    val buckets = sig.select(col("vec_id"), col("e"), col("nrm"), explode(col("tb")).as("b"))
-      .select(col("vec_id"), col("e"), col("nrm"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val tensor = Array.tabulate(numTables)(t => planes(t, bitsPerTable, 64))
+    val buckets = base
+      .withColumn("bks", lsh_buckets(col("e"), tensor))
+      .select(col("vec_id"), col("e"), col("nrm"), posexplode(col("bks")))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
     val q = broadcast(buckets.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("tbl"), col("bucket")))
     val c = buckets.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"), col("tbl"), col("bucket"))
@@ -97,7 +92,7 @@ object Similarity {
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
     cand
-      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", vec_dot(col("qe"), col("ce")))
       .withColumn("cos_sim", round(col("dot") / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
