@@ -85,6 +85,15 @@ object SparkEntry {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
+    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // props JSON payload extraction (X3-adjacent): JSON path on the Spark
+    // side, regexp on the oracle side, same values.
+    "props_sum" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("total_k"), count(col("k")).as("n_with_k"))
+        .orderBy("event_type")),
   )
 
   /** Skill-points formula (X1) over the distinct level domain derived from
@@ -356,6 +365,21 @@ object SparkEntry {
         | CAST(ascii(substr(d.text, length(d.text), 1)) AS BIGINT) AS tail_byte,
         | CAST(agg.checksum AS BIGINT) AS checksum
         |FROM documents d JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH fr AS (SELECT doc_id, text,
+        |  unnest([i for i in range(0, (length(text) + 31) // 32)]) AS frame_idx FROM documents),
+        | sel AS (SELECT doc_id, frame_idx,
+        |  [ascii(substr(text, j, 1))
+        |   for j in range(frame_idx * 32 + 1, least(frame_idx * 32 + 32, length(text)) + 1)] AS cs
+        |  FROM fr WHERE frame_idx % 2 = 0)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(len(cs) AS BIGINT) AS n_bytes, CAST(list_sum(cs) % 997 AS BIGINT) AS checksum
+        |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
+    "props_sum" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS BIGINT) AS total_k,
+        | count(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document. */

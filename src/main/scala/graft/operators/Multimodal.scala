@@ -56,6 +56,34 @@ object Multimodal {
       lit("application/x-fake").as("media_type"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  /** One sampled frame of a payload (video-frame-sampling shape): payloads
+    * chop into fixed `frameSize` windows, every `every`-th frame is kept
+    * with deterministic per-frame features. */
+  final case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long, checksum: Long)
+
+  /** Frame sampling over binary payloads — the media pipeline's
+    * decode→sample step as partition-local typed processing (a real codec
+    * would decode before slicing; the slicing/sampling plumbing is what's
+    * exercised here). */
+  def frameSample(docs: DataFrame, frameSize: Int = 32, every: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    assets(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[AssetRow]
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          a.payload.grouped(frameSize).zipWithIndex.collect {
+            case (frame, idx) if idx % every == 0 =>
+              Frame(a.doc_id, idx.toLong, frame.length.toLong,
+                frame.foldLeft(0L)((acc, x) => acc + (x & 0xff)) % 997)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Batched decode over the binary payloads: partition-local, batch shape
     * explicit (`grouped(BatchSize)`), typed in/out. */
   def decodeFeatures(docs: DataFrame): DataFrame = {
