@@ -84,6 +84,7 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
+    "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     // props JSON payload extraction (X3-adjacent): JSON path on the Spark
@@ -353,6 +354,13 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
         |       FROM s)
         |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     // ann_lsh: intentionally no oracle — approximate variant; the
     // brute-force cosine_topk above is its oracle-checked ground truth.
     "multimodal_decode" ->

@@ -52,6 +52,22 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs (the dedup-flavored sibling of
+    * [[cosineTopK]]): every unordered pair with rounded cosine above
+    * `threshold`. Brute force — the correctness baseline; at corpus scale
+    * the candidate set comes from [[annLsh]]-style bucket joins instead of
+    * the O(N²) nested-loop join. One side broadcasts, dots are codegen'd. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val base = withNorm(embeddings)
+    val a = broadcast(base.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na")))
+    val b = base.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic ±1 random hyperplanes: sign from one md5 bit of
     * "plane:t:j:i" — reproducible anywhere, no RNG state. */
   private def planes(table: Int, numPlanes: Int, dim: Int): Array[Array[Double]] = {
