@@ -36,6 +36,7 @@ object SparkEntry {
     "point_lookup" -> ((s, dir) => Snapshots.pointLookup(Tables.events(s, dir), 3)),
     "exists_probe" -> ((s, dir) => Snapshots.existsProbe(Tables.events(s, dir))),
     "rookmaster" -> ((s, dir) => Snapshots.rookmaster(Tables.events(s, dir))),
+    "rookmaster_categories" -> ((s, dir) => Snapshots.rookmasterCategories(Tables.events(s, dir))),
     "onlinetime_daily" -> ((s, dir) => OnlineTime.daily(Tables.events(s, dir))),
     "daily_gapfill" -> ((s, dir) => OnlineTime.dailyActivityGapfill(Tables.events(s, dir))),
     // The Structured Streaming transform run on the batch path — same
@@ -162,6 +163,14 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY total_points DESC, user_id) AS BIGINT) AS rank,
         |       user_id, total_points, n_categories
         |FROM total ORDER BY rank""".stripMargin,
+    "rookmaster_categories" ->
+      """WITH scores AS (SELECT event_type, user_id, sum(CAST(value AS DECIMAL(18,2))) AS score
+        |               FROM events GROUP BY 1, 2),
+        | r AS (SELECT event_type, user_id, CAST(score AS DOUBLE) AS score,
+        |       CAST(row_number() OVER (PARTITION BY event_type ORDER BY score DESC, user_id) AS BIGINT) AS cat_rank
+        |       FROM scores)
+        |SELECT event_type, user_id, score, cat_rank, CAST(1001 - cat_rank AS BIGINT) AS points
+        |FROM r ORDER BY event_type, cat_rank""".stripMargin,
     "onlinetime_daily" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id, CAST(5 * count(*) AS BIGINT) AS minutes,
         |       arg_max(event_type, event_id) AS last_event_type

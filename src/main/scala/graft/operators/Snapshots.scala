@@ -160,6 +160,22 @@ object Snapshots {
     * contribute 0 points, and one shuffle instead of seven joins.
     * Money-typed metric goes through DECIMAL so the per-user sums are exact
     * and engine-order-independent. */
+  /** Per-(category, user) scores with positional points — the detail level
+    * the reference grafts into each entry's nested `expanded` struct
+    * (etl.dart:557-565), exposed as rows instead of nested JSON. */
+  def rookmasterCategories(events: DataFrame): DataFrame = {
+    val scores = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("score"))
+    val perCat = Window.partitionBy(col("event_type")).orderBy(col("score").desc, col("user_id").asc)
+    scores
+      .withColumn("cat_rank", row_number().over(perCat).cast("long"))
+      .withColumn("points", lit(1001L) - col("cat_rank"))
+      .select(col("event_type"), col("user_id"), col("score").cast("double").as("score"),
+        col("cat_rank"), col("points"))
+      .orderBy("event_type", "cat_rank")
+  }
+
   def rookmaster(events: DataFrame): DataFrame = {
     val scores = events
       .groupBy(col("event_type"), col("user_id"))
