@@ -68,6 +68,9 @@ object SparkEntry {
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "top_orders" -> ((s, dir) => StarSchema.topOrders(Tables.orders(s, dir))),
+    "pricing_rollup" -> ((s, dir) => StarSchema.pricingRollup(Tables.lineitem(s, dir))),
+    "sessionize" -> ((s, dir) => EventsAnalytics.sessionize(Tables.events(s, dir))),
+    "asof_carryforward" -> ((s, dir) => EventsAnalytics.asofCarryForward(Tables.events(s, dir))),
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
     "customer_top_orders" -> ((s, dir) => StarSchema.customerTopOrders(Tables.orders(s, dir))),
     "customer_topk_agg" -> ((s, dir) => StarSchema.customerTopOrdersAgg(Tables.orders(s, dir))),
@@ -252,6 +255,29 @@ object SparkEntry {
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "pricing_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events),
+        | f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM e),
+        | g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "asof_carryforward" ->
+      """SELECT event_id, user_id, event_type, value,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS marker_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "segment_stats" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

@@ -84,6 +84,19 @@ object StarSchema {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** ROLLUP aggregation (beyond the reference's surface — SURVEY.md §2.5
+    * notes it has none): per-(flag, status) pricing stats with subtotals
+    * and a grand total in one pass (Spark expands grouping sets inside a
+    * single hash aggregate). NULL ordering pinned explicitly — Spark ASC
+    * defaults NULLS FIRST, DuckDB NULLS LAST. */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Plain top-K over a fact table (O7): TakeOrderedAndProject, no shuffle
     * beyond the per-partition top-K merge. */
   def topOrders(orders: DataFrame, k: Int = 20): DataFrame =
