@@ -69,6 +69,7 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "top_orders" -> ((s, dir) => StarSchema.topOrders(Tables.orders(s, dir))),
     "pricing_rollup" -> ((s, dir) => StarSchema.pricingRollup(Tables.lineitem(s, dir))),
+    "price_percentiles" -> ((s, dir) => StarSchema.pricePercentiles(Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => EventsAnalytics.sessionize(Tables.events(s, dir))),
     "asof_carryforward" -> ((s, dir) => EventsAnalytics.asofCarryForward(Tables.events(s, dir))),
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
@@ -260,6 +261,10 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "price_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.95) AS p95, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events),

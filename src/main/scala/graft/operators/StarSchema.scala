@@ -97,6 +97,23 @@ object StarSchema {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Exact percentiles per group (beyond the reference's surface): Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the standard
+    * linear-interpolation definition, so results match bit-for-bit. At
+    * 100 TB the approximate sketch (`approx_percentile`, mergeable
+    * KLL-style buffers) replaces the exact sort — kept exact here because
+    * the oracle gate demands determinism. */
+  def pricePercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        // quantity, not price: exact percentile keeps a per-group counts
+        // map of DISTINCT values — 50 quantities vs ~600k prices.
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Plain top-K over a fact table (O7): TakeOrderedAndProject, no shuffle
     * beyond the per-partition top-K merge. */
   def topOrders(orders: DataFrame, k: Int = 20): DataFrame =
