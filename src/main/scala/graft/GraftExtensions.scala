@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{SkillPointsExpr, TopKAgg, VecDot}
+
+/** SQL surface for the engine's native expressions (SURVEY.md §2.10):
+  * makes `skill_points`, `vec_dot` and `top_k` callable from
+  * `spark.sql(...)`.
+  *
+  * Two registration paths, same builders:
+  *  - [[GraftExtensions]] for session construction
+  *    (`.withExtensions(new GraftExtensions)`) or cluster-wide via
+  *    `spark.sql.extensions=graft.GraftExtensions` — the deployment path.
+  *  - [[GraftFunctions.register]] for an already-running session (local
+  *    mode reuses one SparkContext, so a second builder can't inject
+  *    extensions) — the embedded/test path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def stringArg(e: Expression, fn: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal argument, got: $other")
+  }
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument, got: $other")
+  }
+
+  /** (name, info, builder) triples shared by both registration paths. */
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("skill_points",
+      new ExpressionInfo(classOf[SkillPointsExpr].getName, "skill_points"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "skill_points(level, 'skill')")
+        SkillPointsExpr(args.head, stringArg(args(1), "skill_points"))
+      }),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b)")
+        VecDot(args.head, args(1))
+      }),
+    ("top_k",
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_k(struct(score, id), k)")
+        TopKAgg(args.head, intArg(args(1), "top_k")).toAggregateExpression()
+      }))
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

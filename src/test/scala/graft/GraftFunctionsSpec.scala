@@ -1,0 +1,38 @@
+package graft
+
+/** SQL-surface registration: the native expressions callable from
+  * spark.sql, matching their Column-API results. */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("skill_points from SQL") {
+    val r = spark.sql("SELECT skill_points(20, 'sword') AS p, skill_points(NULL, 'fishing') AS z")
+      .collect().head
+    assert(r.getLong(0) === 28L)
+    assert(r.getLong(1) === 0L)
+  }
+
+  test("vec_dot from SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d").collect().head
+    assert(r.getDouble(0) === 32.0)
+  }
+
+  test("top_k from SQL as a grouped aggregate") {
+    Seq(("g", 1.0, 1L), ("g", 9.0, 2L), ("g", 5.0, 3L)).toDF("g", "s", "id")
+      .createOrReplaceTempView("tk")
+    val r = spark.sql(
+      "SELECT top_k(struct(s, id), 2) AS top FROM tk GROUP BY g").collect().head
+    val top = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getDouble(0), x.getLong(1)))
+    assert(top === Seq((9.0, 2L), (5.0, 3L)))
+  }
+
+  test("non-literal skill name is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT skill_points(20, concat('sw', 'ord'))").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+}
