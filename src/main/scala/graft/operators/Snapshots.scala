@@ -79,8 +79,7 @@ object Snapshots {
     * the formulation that survives a 100× scale-up. Users missing either
     * side yield NULL and are dropped by the gain filter (F5 semantics). */
   private def gainBetween(snap: DataFrame, bounds: DataFrame, startExpr: Column): DataFrame = {
-    val w = Window.orderBy(col("gain").desc, col("user_id").asc)
-    snap
+    val gains = snap
       .join(bounds, col("day") === col("end_day") || col("day") === startExpr)
       .groupBy("user_id")
       .agg(
@@ -88,7 +87,10 @@ object Snapshots {
         max(when(col("day") =!= col("end_day"), col("value"))).as("start_value"))
       .withColumn("gain", col("end_value") - col("start_value"))
       .filter(col("gain") > 0)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    // Distributed global rank (RankUtils): the gainer set is unbounded
+    // (every active user), so no single-partition rank window here.
+    RankUtils
+      .globalRowNumber(gains, Seq(col("gain").desc, col("user_id").asc), "rank")
       .select("rank", "user_id", "gain")
       .orderBy("rank")
   }
