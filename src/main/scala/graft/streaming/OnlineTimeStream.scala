@@ -49,6 +49,16 @@ object OnlineTimeStream {
       }
   }
 
+  /** Streaming exactly-once dedup: drop re-delivered events by `event_id`
+    * within the watermark horizon — the idempotency layer an at-least-once
+    * ingestion needs (the reference gets this implicitly from its
+    * `_exists` guards + upserts; a stream needs bounded state, hence the
+    * watermark: duplicates older than the horizon are already final). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   /** Convenience: wire [[dailyMinutes]] to a memory sink for tests/demos. */
   def startToMemory(events: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     dailyMinutes(events).writeStream

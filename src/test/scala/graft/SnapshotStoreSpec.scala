@@ -53,6 +53,22 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(days === Set("2024-01-03"))
   }
 
+  test("point read prunes to exactly one day partition (S6/S8)") {
+    val path = tmp()
+    SnapshotStore.appendDaily(snap("2024-01-01", 1L -> 10.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-02", 1L -> 20.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-03", 1L -> 30.0), path)
+    val plan = SnapshotStore.readDay(spark, path, "2024-01-02")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"expected partition filters in:\n$plan")
+    // the scan must touch 1 of 3 partitions
+    val scanned = SnapshotStore.readDay(spark, path, "2024-01-02")
+      .queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.contains(1), s"expected 1 partition scanned, got $scanned")
+  }
+
   test("singleton overwrite replaces the latest table wholesale (L2)") {
     val path = tmp()
     SnapshotStore.overwriteLatest(Seq((1L, 10.0)).toDF("user_id", "value"), path)

@@ -33,6 +33,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = OnlineTimeStream.dedupEvents(
+      input.toDF().toDF("event_id", "ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_events_test").start()
+    try {
+      input.addData((1L, ts(1, 1)), (2L, ts(1, 1)), (1L, ts(1, 1))) // dup in-batch
+      q.processAllAvailable()
+      input.addData((2L, ts(1, 1)), (3L, ts(1, 2)))                 // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates +5 per sighting across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Sample]
