@@ -90,6 +90,8 @@ object SparkEntry {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
+    "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
+    "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     // props JSON payload extraction (X3-adjacent): JSON path on the Spark
@@ -413,6 +415,16 @@ object SparkEntry {
         | CAST(ascii(substr(d.text, length(d.text), 1)) AS BIGINT) AS tail_byte,
         | CAST(agg.checksum AS BIGINT) AS checksum
         |FROM documents d JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
+    "sample_uniform" ->
+      """SELECT * FROM (
+        | SELECT doc_id, lang, md5('s1' || ':' || doc_id) AS h FROM documents
+        | ORDER BY md5('s1' || ':' || doc_id), doc_id LIMIT 100) s
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, md5('s1' || ':' || doc_id) AS h FROM documents),
+        | r AS (SELECT lang, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn FROM h)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "multimodal_frames" ->
       """WITH fr AS (SELECT doc_id, text,
         |  unnest([i for i in range(0, (length(text) + 31) // 32)]) AS frame_idx FROM documents),
