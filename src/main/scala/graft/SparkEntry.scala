@@ -71,6 +71,10 @@ object SparkEntry {
     "pricing_rollup" -> ((s, dir) => StarSchema.pricingRollup(Tables.lineitem(s, dir))),
     "price_percentiles" -> ((s, dir) => StarSchema.pricePercentiles(Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => EventsAnalytics.sessionize(Tables.events(s, dir))),
+    "daily_type_pivot" -> ((s, dir) =>
+      EventsAnalytics.dailyTypePivot(Tables.events(s, dir),
+        Seq("click", "error", "purchase", "signup", "view"))),
+    "rolling_weekly_minutes" -> ((s, dir) => EventsAnalytics.rollingWeeklyMinutes(Tables.events(s, dir))),
     "asof_carryforward" -> ((s, dir) => EventsAnalytics.asofCarryForward(Tables.events(s, dir))),
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
     "customer_top_orders" -> ((s, dir) => StarSchema.customerTopOrders(Tables.orders(s, dir))),
@@ -279,6 +283,22 @@ object SparkEntry {
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         | CAST(sum(v) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "daily_type_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        | CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rolling_weekly_minutes" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id, CAST(5 * count(*) AS BIGINT) AS minutes
+        |              FROM events GROUP BY 1, 2),
+        | d AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dayn FROM daily)
+        |SELECT CAST(day AS VARCHAR) AS day, user_id, minutes,
+        | CAST(sum(minutes) OVER (PARTITION BY user_id ORDER BY dayn
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_minutes
+        |FROM d ORDER BY day, user_id""".stripMargin,
     "asof_carryforward" ->
       """SELECT event_id, user_id, event_type, value,
         | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

@@ -37,6 +37,39 @@ object EventsAnalytics {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Wide-format pivot: per-day event counts, one column per event type.
+    * The value list is explicit, so the output schema is static (a
+    * values-less pivot would scan once just to discover columns — never at
+    * 100 TB) and the plan is a single hash aggregate with conditional
+    * counts. */
+  def dailyTypePivot(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("day")
+
+  /** Rolling 7-day minutes per user — a RANGE window frame over the
+    * day-number ordering, so silent days still bound the window correctly
+    * (a ROWS frame would slide over gaps). One shuffle on user_id. */
+  def rollingWeeklyMinutes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+      .rangeBetween(-6, Window.currentRow)
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day", "user_id")
+      .agg((lit(5) * count(lit(1))).as("minutes"))
+      .withColumn("dayn", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("rolling_minutes", sum(col("minutes")).over(w))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("minutes"), col("rolling_minutes"))
+      .orderBy("day", "user_id")
+  }
+
   /** As-of semantics as carry-forward: each event is annotated with the
     * value of the same user's most recent `markerType` event at-or-before
     * it (NULL before the first marker) — `last_value IGNORE NULLS` over
