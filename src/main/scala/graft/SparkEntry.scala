@@ -77,6 +77,8 @@ object SparkEntry {
     "rolling_weekly_minutes" -> ((s, dir) => EventsAnalytics.rollingWeeklyMinutes(Tables.events(s, dir))),
     "asof_carryforward" -> ((s, dir) => EventsAnalytics.asofCarryForward(Tables.events(s, dir))),
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
+    "dq_checks" -> ((s, dir) =>
+      QualityChecks.lineitemSuite(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "customer_top_orders" -> ((s, dir) => StarSchema.customerTopOrders(Tables.orders(s, dir))),
     "customer_topk_agg" -> ((s, dir) => StarSchema.customerTopOrdersAgg(Tables.orders(s, dir))),
     "customers_without_orders" -> ((s, dir) =>
@@ -309,6 +311,21 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_customers,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "dq_checks" ->
+      """WITH rc AS (SELECT
+        |  CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) AS discount_range,
+        |  CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT) AS negative_price,
+        |  CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS null_orderkey,
+        |  CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS quantity_range
+        | FROM lineitem),
+        | orph AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT 'discount_range' AS check_name, discount_range AS n_violations FROM rc
+        |UNION ALL SELECT 'negative_price', negative_price FROM rc
+        |UNION ALL SELECT 'null_orderkey', null_orderkey FROM rc
+        |UNION ALL SELECT 'orphan_lineitems', n FROM orph
+        |UNION ALL SELECT 'quantity_range', quantity_range FROM rc
+        |ORDER BY check_name""".stripMargin,
     "customer_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
