@@ -14,11 +14,17 @@ object Bench {
     // whichever query happens to run first).
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // toRdd.count() materializes every output column — a plain count()
       // lets Catalyst prune the expensive expressions and times nothing.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      // One untimed warmup run first: it pays the per-query Janino codegen
+      // compilation (0.5-2 s regardless of data volume), so the timed run
+      // measures engine throughput, not compiler startup.
+      def run(): Long =
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => -1L }
+      run()
+      val t0 = System.nanoTime()
+      run()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

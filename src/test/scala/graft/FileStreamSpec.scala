@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.OnlineTimeStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** End-to-end Structured Streaming over a file source (the real
+  * deployment path of §2.9): parquet drops into a watched directory,
+  * AvailableNow trigger drains it through the windowed aggregation into a
+  * parquet sink with a checkpoint; a restart resumes from the checkpoint
+  * and processes only the new files (exactly-once over the file log). */
+class FileStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("file-source daily minutes with checkpointed restart") {
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val chk = Files.createTempDirectory("graft-stream-chk").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+
+    def drop(rows: Seq[(Long, java.sql.Timestamp)], file: String): Unit =
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(s"$in/$file")
+
+    def drain(): Unit = {
+      val q = OnlineTimeStream.dailyMinutes(
+        spark.readStream.schema(schema).parquet(s"$in/*"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // Batch 1: two users on day 1; watermark closes day 1 only once later
+    // data arrives, so drop day-2 data in the second run.
+    drop(Seq((1L, ts(1, 1)), (1L, ts(1, 2)), (2L, ts(1, 5))), "b1")
+    drain()
+    // Restart the query from the checkpoint with a new file present.
+    drop(Seq((1L, ts(2, 1)), (2L, ts(3, 0))), "b2")
+    drain()
+    drop(Seq((9L, ts(5, 0))), "b3") // pushes the watermark past day 3
+    drain()
+
+    val result = spark.read.parquet(out)
+      .select(col("day").cast("string"), col("user_id"), col("minutes"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(result(("2024-01-01", 1L)) === 10L)
+    assert(result(("2024-01-01", 2L)) === 5L)
+    assert(result(("2024-01-02", 1L)) === 5L)
+    assert(result(("2024-01-03", 2L)) === 5L)
+    // no duplicated day-1 rows after the restarts (exactly-once append)
+    assert(result.size === spark.read.parquet(out).count())
+  }
+}
