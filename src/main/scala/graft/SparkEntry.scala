@@ -35,6 +35,7 @@ object SparkEntry {
     "leaderboard" -> ((s, dir) => Snapshots.leaderboard(Tables.events(s, dir))),
     "point_lookup" -> ((s, dir) => Snapshots.pointLookup(Tables.events(s, dir), 3)),
     "exists_probe" -> ((s, dir) => Snapshots.existsProbe(Tables.events(s, dir))),
+    "state_merge" -> ((s, dir) => Snapshots.stateMerge(Tables.events(s, dir))),
     "rookmaster" -> ((s, dir) => Snapshots.rookmaster(Tables.events(s, dir))),
     "rookmaster_categories" -> ((s, dir) => Snapshots.rookmasterCategories(Tables.events(s, dir))),
     "onlinetime_daily" -> ((s, dir) => OnlineTime.daily(Tables.events(s, dir))),
@@ -164,6 +165,15 @@ object SparkEntry {
     "exists_probe" ->
       """SELECT count(*) AS n_events FROM events
         |WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)""".stripMargin,
+    "state_merge" ->
+      s"""WITH $SnapCte, $MaxDayCte,
+         | t AS (SELECT user_id AS uid_t, value AS v_today FROM snap, mx WHERE day = end_day),
+         | y AS (SELECT user_id AS uid_y, value AS v_yesterday FROM snap, mx WHERE day = end_day - 1)
+         |SELECT coalesce(uid_t, uid_y) AS user_id,
+         | coalesce(v_today, v_yesterday) AS value,
+         | CASE WHEN uid_t IS NOT NULL AND uid_y IS NOT NULL THEN 'updated'
+         |      WHEN uid_t IS NOT NULL THEN 'new' ELSE 'carried' END AS status
+         |FROM t FULL JOIN y ON uid_t = uid_y ORDER BY user_id""".stripMargin,
     "rookmaster" ->
       """WITH scores AS (SELECT event_type, user_id, sum(CAST(value AS DECIMAL(18,2))) AS score
         |               FROM events GROUP BY 1, 2),

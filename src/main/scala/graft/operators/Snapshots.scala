@@ -136,6 +136,31 @@ object Snapshots {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Full-outer state merge (J3 in its literal join form, etl.dart:360-382):
+    * yesterday's accumulator FULL OUTER JOIN today's snapshot on the key —
+    * matched rows take today's value, unmatched-today rows are new,
+    * unmatched-yesterday rows carry forward. The aggregation re-expression
+    * ([[OnlineTime.daily]]) is the cheaper path when the history is an
+    * append-only log; this join form is what a true read-modify-write
+    * state table needs. */
+  def stateMerge(events: DataFrame): DataFrame = {
+    val snap = dailySnapshot(events)
+    val bounds = endDay(snap)
+    val today = snap.join(bounds, col("day") === col("end_day"))
+      .select(col("user_id").as("uid_t"), col("value").as("v_today"))
+    val yesterday = snap.join(bounds, col("day") === date_sub(col("end_day"), 1))
+      .select(col("user_id").as("uid_y"), col("value").as("v_yesterday"))
+    today
+      .join(yesterday, col("uid_t") === col("uid_y"), "full_outer")
+      .select(
+        coalesce(col("uid_t"), col("uid_y")).as("user_id"),
+        coalesce(col("v_today"), col("v_yesterday")).as("value"),
+        when(col("uid_t").isNotNull && col("uid_y").isNotNull, "updated")
+          .when(col("uid_t").isNotNull, "new")
+          .otherwise("carried").as("status"))
+      .orderBy("user_id")
+  }
+
   /** UNION ALL shape (U1, etl.dart:78,:325,:497,:539): the reference unions
     * per-page/per-world partial scans into one snapshot; here two category
     * sub-scans union and aggregate. Catalyst pushes the per-branch filters
