@@ -60,4 +60,78 @@ object SnapshotJson {
     * List`). Note `from_json` alone is not enough — Spark wraps a lone
     * JSON object into a 1-element array for array schemas. */
   def validBlob(c: Column): Column = json_array_length(c).isNotNull
+
+  // --- `expanded` nested per-skill compat (fromJsonExpanded) -------------
+  //
+  // The reference's rookmaster blob carries a nested `expanded` object per
+  // entry — one {value, position, points} stat per skill plus experience
+  // (etl.dart:495, :507-509, :557-566). These helpers extend the blob
+  // schema with that struct so a legacy expanded document round-trips.
+
+  /** The reference's skill keys (etl.dart:573-580) plus `experience`
+    * (etl.dart:507-509). */
+  val ExpandedSkills: Seq[String] =
+    Seq("experience", "fist", "axe", "club", "sword", "distance", "shielding", "fishing")
+
+  /** One per-skill stat: {value, position, points} (etl.dart:559-564). */
+  val skillStatSchema: StructType = StructType(Seq(
+    StructField("value", LongType),
+    StructField("position", IntegerType),
+    StructField("points", IntegerType)))
+
+  /** `expanded` as a struct keyed by skill name — fields absent from a
+    * given blob parse as NULL (nullable throughout, like the reference). */
+  def expandedSchema(skills: Seq[String] = ExpandedSkills): StructType =
+    StructType(skills.map(s => StructField(s, skillStatSchema)))
+
+  /** Entry schema including the nested `expanded` struct. */
+  def entrySchemaExpanded(skills: Seq[String] = ExpandedSkills): StructType =
+    StructType(entrySchema.fields :+ StructField("expanded", expandedSchema(skills)))
+
+  def blobSchemaExpanded(skills: Seq[String] = ExpandedSkills): ArrayType =
+    ArrayType(entrySchemaExpanded(skills))
+
+  /** Blob -> rows, keeping `expanded` as a nested struct column. Same
+    * guard semantics as [[explodeBlob]]. */
+  def explodeBlobExpanded(docs: DataFrame, dataCol: String = "data",
+                          skills: Seq[String] = ExpandedSkills): DataFrame = {
+    val keep = docs.columns.filter(_ != dataCol).map(col)
+    docs
+      .filter(validBlob(col(dataCol)))
+      .withColumn("entries", from_json(col(dataCol), blobSchemaExpanded(skills)))
+      .filter(col("entries").isNotNull)
+      .select(keep :+ explode(col("entries")).as("entry"): _*)
+      .select(keep :+
+        col("entry.rank").as("rank") :+ col("entry.name").as("name") :+
+        col("entry.level").as("level") :+ col("entry.value").as("value") :+
+        col("entry.world").as("world") :+ col("entry.vocation").as("vocation") :+
+        col("entry.expanded").as("expanded"): _*)
+  }
+
+  /** Nested struct -> one row per present skill: (skill, value, position,
+    * points). The relational view of `expanded` (rookmaster_categories
+    * exposes the same data computed natively). */
+  def explodeSkills(rows: DataFrame, skills: Seq[String] = ExpandedSkills): DataFrame = {
+    val branches = skills.map(s => s"'$s', expanded.`$s`").mkString(", ")
+    rows
+      .select(rows.columns.filter(_ != "expanded").map(col) :+
+        expr(s"stack(${skills.length}, $branches)").as(Seq("skill", "st")): _*)
+      .filter(col("st").isNotNull)
+      .withColumn("skill_value", col("st.value"))
+      .withColumn("skill_position", col("st.position"))
+      .withColumn("skill_points", col("st.points"))
+      .drop("st")
+  }
+
+  /** Rows (with an `expanded` struct column) -> blob, including the nested
+    * struct. NULL skill fields are omitted from the JSON (to_json drops
+    * nulls), exactly like an absent key in the reference's documents. */
+  def toBlobExpanded(rows: DataFrame, keyCols: Seq[String]): DataFrame =
+    rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("name"), col("level"), col("value"),
+          col("world"), col("vocation"), col("expanded")))).as("entries"))
+      .withColumn("data", to_json(col("entries")))
+      .drop("entries")
 }

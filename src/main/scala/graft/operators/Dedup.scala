@@ -124,8 +124,22 @@ object Dedup {
     * variant above is the 100 TB path; this is the exhaustive-within-reason
     * baseline (the self-join only fans out on shared shingles, never a
     * cross join). */
-  def ngramJaccardTop(docs: DataFrame, minCommon: Long = 3, k: Int = 100): DataFrame = {
-    val sh = shingles(docs)
+  def ngramJaccardTop(docs: DataFrame, minCommon: Long = 3, k: Int = 100,
+                      maxDocFreq: Long = 100): DataFrame = {
+    // Document-frequency cap BEFORE the self-join: a shingle shared by d
+    // documents emits ~d²/2 candidate rows, so one boilerplate phrase
+    // shared by 100k docs is a 5e9-row fanout on a real corpus. Hot
+    // shingles carry no dedup signal (they are corpus-wide boilerplate);
+    // dropping them bounds the per-shingle fanout at maxDocFreq² and
+    // improves precision. Jaccard below is over the capped shingle set on
+    // both sides (sizes and intersections) — a well-defined "informative
+    // shingle" Jaccard, mirrored exactly in the oracle SQL.
+    val sh0 = shingles(docs)
+    // The hot set is tiny (Zipf tail above df=100), so AQE plans the anti
+    // join as a broadcast — the big shingle side never reshuffles for it.
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("sh")
+    val sh = sh0.join(hot, Seq("sh"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("sa")
       .join(sh.as("sb"), col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))

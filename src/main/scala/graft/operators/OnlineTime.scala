@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Online-time accumulation family (SURVEY.md §2.9, §2.4 J3/J4, §2.5 A2/A3).
@@ -70,12 +69,15 @@ object OnlineTime {
       .groupBy("day", "user_id")
       .agg((lit(5) * count(lit(1))).as("minutes"))
     val bound = broadcast(daily0.agg(max(col("day")).as("end_day")))
-    val w = Window.orderBy(col("minutes").desc, col("last_day").desc, col("user_id").asc)
-    daily0
+    val agg = daily0
       .join(bound, col("day") >= date_sub(col("end_day"), days - 1))
       .groupBy("user_id")
       .agg(sum(col("minutes")).as("minutes"), max(col("day")).as("last_day"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    // Distributed global rank (one row per active user — unbounded at
+    // scale): range-partitioned rank instead of a single-partition window.
+    RankUtils
+      .globalRowNumber(agg,
+        Seq(col("minutes").desc, col("last_day").desc, col("user_id").asc), "rank")
       .withColumn("last_day", date_format(col("last_day"), "yyyy-MM-dd"))
       .select("rank", "user_id", "minutes", "last_day")
       .orderBy("rank")

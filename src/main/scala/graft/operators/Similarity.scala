@@ -54,12 +54,14 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs (the dedup-flavored sibling of
     * [[cosineTopK]]): every unordered pair with rounded cosine above
-    * `threshold`. Brute force — the correctness baseline; at corpus scale
-    * the candidate set comes from [[annLsh]]-style bucket joins instead of
-    * the O(N²) nested-loop join. One side broadcasts, dots are codegen'd. */
+    * `threshold`. Brute force O(N²) — the correctness baseline kept for
+    * ground truth; [[embeddingNearDupLsh]] is the production path whose
+    * candidates come from bucket collisions instead of all pairs. No
+    * forced broadcast: AQE decides the join strategy from runtime stats
+    * (a forced whole-corpus broadcast OOMs at scale). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val base = withNorm(embeddings)
-    val a = broadcast(base.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na")))
+    val a = base.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
@@ -70,12 +72,82 @@ object Similarity {
 
   /** Deterministic ±1 random hyperplanes: sign from one md5 bit of
     * "plane:t:j:i" — reproducible anywhere, no RNG state. */
-  private def planes(table: Int, numPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def planes(table: Int, numPlanes: Int, dim: Int): Array[Array[Double]] = {
     Array.tabulate(numPlanes, dim) { (j, i) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val h = md.digest(s"plane:$table:$j:$i".getBytes("UTF-8"))
       if ((h(0) & 0x10) == 0) 1.0 else -1.0
     }
+  }
+
+  /** Quantization scale for LSH bucketing: round(x·1e6). */
+  val QuantScale = 1000000L
+
+  /** Integer-valued quantized copy of the embedding, used ONLY to compute
+    * LSH bucket bits. Each element is round(x·1e6) — an integer below 2^53
+    * stored in a double — so the ±1-plane dot products are EXACT sums,
+    * independent of summation order and engine. That is what lets the
+    * DuckDB oracle reproduce the bucket bit pattern bit-for-bit (a raw
+    * float dot's sign at the 0-boundary could differ in the last ulp
+    * between engines). Scoring always uses the raw embedding; the ~1e-6
+    * perturbation only nudges hyperplane assignment of near-boundary
+    * vectors, which LSH tolerates by design. */
+  private def quantized(e: Column): Column =
+    transform(e, x => round(x * lit(QuantScale.toDouble)))
+
+  /** Shared bucket frame: (vec_id, e, nrm, tbl, bucket) — one row per
+    * (vector, table). Signatures are a single codegen'd pass per row; no
+    * shuffle to build the index. */
+  private def bucketed(embeddings: DataFrame, numTables: Int, bitsPerTable: Int): DataFrame = {
+    val base = withNorm(embeddings)
+    val tensor = Array.tabulate(numTables)(t => planes(t, bitsPerTable, 64))
+    base
+      .withColumn("bks", lsh_buckets(quantized(col("e")), tensor))
+      .select(col("vec_id"), col("e"), col("nrm"), posexplode(col("bks")))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** LSH-bucketed near-dup pairs — the 100 TB production path for
+    * [[embeddingNearDup]]: candidates are bucket-colliding pairs across
+    * `numTables` independent signatures (|rows|·L shuffle on (tbl,
+    * bucket), never all pairs), then an exact cosine re-score and
+    * threshold filter touch candidates only. Recall follows the standard
+    * multi-table amplification 1-(1-p^b)^L; misses are pairs colliding in
+    * no table — the documented approximation vs the brute baseline. */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
+                          numTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val buckets = bucketed(embeddings, numTables, bitsPerTable)
+    val a = buckets.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"),
+      col("tbl"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"),
+      col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "ea", "na", "id_b", "eb", "nb")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim", round(vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Recall@k gate for [[annLsh]] against the [[cosineTopK]] ground truth:
+    * per query, the fraction of true top-k neighbors the ANN index
+    * returned. Fully deterministic (fixed planes + quantized bucketing +
+    * rounded scores), so the driver's hash oracle covers the approximate
+    * index too — approximate output, exact metric. */
+  def annRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, numQueries, k).select(col("qid"), col("cid"))
+    val approx = annLsh(embeddings, numQueries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    truth
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(k))
+      .select("qid", "n_hit", "recall")
+      .orderBy("qid")
   }
 
   /** LSH-bucketed approximate nearest neighbors, multi-table random
@@ -92,13 +164,7 @@ object Similarity {
     * only colliding candidates — O(Q·N/2^bits·L) expected vs O(Q·N). */
   def annLsh(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
              numTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
-    val base = withNorm(embeddings)
-    val tensor = Array.tabulate(numTables)(t => planes(t, bitsPerTable, 64))
-    val buckets = base
-      .withColumn("bks", lsh_buckets(col("e"), tensor))
-      .select(col("vec_id"), col("e"), col("nrm"), posexplode(col("bks")))
-      .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bucket")
+    val buckets = bucketed(embeddings, numTables, bitsPerTable)
     val q = broadcast(buckets.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("tbl"), col("bucket")))
     val c = buckets.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"), col("tbl"), col("bucket"))

@@ -127,6 +127,34 @@ object Snapshots {
       .orderBy("user_id")
   }
 
+  /** O8 (etl.dart:139, :225): the reference's `.single()` — return THE row
+    * and throw unless exactly one exists. `take(2)` stops after two rows
+    * (limit pushdown), so the uniqueness probe never materializes the full
+    * result; this is an action, as in the reference. */
+  def single(df: DataFrame): org.apache.spark.sql.Row = {
+    val rows = df.take(2)
+    if (rows.length != 1)
+      throw new IllegalStateException(
+        s"single(): expected exactly 1 row, found ${if (rows.isEmpty) "0" else "2 or more"}")
+    rows(0)
+  }
+
+  /** O4 conditional re-rank (etl.dart:249-255, `_recordAddMissingRank`):
+    * preserve upstream ranks when the record already carries them; assign
+    * fresh ranks under `order` only when absent. The reference peeks at the
+    * first entry (an all-or-nothing invariant on its blobs); the
+    * declarative equivalent is a broadcast any-rank-present flag — no
+    * driver-side peek, no action. Fresh ranks come from the distributed
+    * rank construction, not a single-partition window. */
+  def rankIfMissing(df: DataFrame, order: Seq[Column], rankCol: String = "rank"): DataFrame = {
+    val flag = broadcast(df.agg(max(col(rankCol)).isNotNull.as("__has_rank")))
+    RankUtils.globalRowNumber(df.withColumnRenamed(rankCol, "__orig"), order, "__fresh")
+      .crossJoin(flag)
+      .withColumn(rankCol,
+        when(col("__has_rank"), col("__orig").cast("long")).otherwise(col("__fresh")))
+      .drop("__orig", "__fresh", "__has_rank")
+  }
+
   /** Existence / idempotency probe (S7, etl.dart:286-289): row count for the
     * latest day as a 1-row frame. The reference gates recompute on this. */
   def existsProbe(events: DataFrame): DataFrame = {
@@ -209,11 +237,14 @@ object Snapshots {
       .agg(sum(col("value").cast(DecimalType(18, 2))).as("score"))
     val perCat = Window.partitionBy(col("event_type")).orderBy(col("score").desc, col("user_id").asc)
     val pts = scores.withColumn("points", lit(1001) - row_number().over(perCat))
-    val overall = Window.orderBy(col("total_points").desc, col("user_id").asc)
-    pts
+    val totals = pts
       .groupBy("user_id")
       .agg(sum(col("points")).as("total_points"), count(lit(1)).as("n_categories"))
-      .withColumn("rank", row_number().over(overall).cast("long"))
+    // Distributed global rank: the totals set is one row per user —
+    // unbounded at corpus scale, so no single-partition rank window here
+    // (same construction as the gain family).
+    RankUtils
+      .globalRowNumber(totals, Seq(col("total_points").desc, col("user_id").asc), "rank")
       .select("rank", "user_id", "total_points", "n_categories")
       .orderBy("rank")
   }

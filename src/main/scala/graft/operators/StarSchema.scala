@@ -68,10 +68,14 @@ object StarSchema {
       region.filter(col("r_name") === "ASIA")
         .join(nation, col("r_regionkey") === col("n_regionkey"))
         .select("n_nationkey", "n_name"))
-    val custs = broadcast(
-      customer.join(nations, col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_nationkey")))
-    val supps = broadcast(supplier.select("s_suppkey", "s_nationkey"))
+    // customer and supplier are FACT-sized at TPC-H scale: no forced
+    // broadcast (a forced hint is honored regardless of size → executor OOM
+    // at 100×). AQE plans these edges from runtime stats — broadcast when
+    // they fit, shuffled hash join when they don't. Only the genuinely tiny
+    // region⋈nation dim stays an explicit broadcast.
+    val custs = customer.join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supps = supplier.select("s_suppkey", "s_nationkey")
     orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))

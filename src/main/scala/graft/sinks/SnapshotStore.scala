@@ -43,14 +43,36 @@ object SnapshotStore {
 
   /** L4/L5 (etl.dart:270, :282-283, :384-395): keep only days satisfying
     * `keep` — retention as a rewrite of survivors. Reads the table itself,
-    * so the caller must pass the table's current path. */
+    * so the caller must pass the table's current path.
+    *
+    * Durability protocol: survivors are written to a temp sibling path
+    * FIRST, and only after that write commits is the source swapped out
+    * (delete + rename). The earlier cache()+count()-then-overwrite-source
+    * formulation was unsafe: a cache is not a durability barrier — lose a
+    * cached partition mid-write (eviction, task retry) and Spark recomputes
+    * from the already-half-overwritten source, silently destroying data.
+    * On HDFS/local the rename is a metadata op; on an object store this
+    * step is where a table format (Iceberg/Delta snapshot commit) takes
+    * over — the temp-write-then-swap shape is the same. */
   def retainWhere(spark: org.apache.spark.sql.SparkSession, path: String,
                   keep: org.apache.spark.sql.Column): Unit = {
-    val survivors = spark.read.parquet(path).filter(keep).cache()
-    survivors.count() // materialize before overwriting the source
-    survivors.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
-    survivors.unpersist()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + RetainTmpSuffix)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path).filter(keep)
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tmp.toString)
+    // Survivors are durable on disk from here on; the source is untouched
+    // until this point, so any failure above leaves the table intact.
+    if (!fs.delete(target, true))
+      throw new java.io.IOException(s"retainWhere: failed to remove $target for swap")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"retainWhere: swap rename $tmp -> $target failed; survivors intact at $tmp")
   }
+
+  /** Temp-path suffix used by [[retainWhere]]'s write-then-swap protocol. */
+  val RetainTmpSuffix = ".__retain_tmp"
 
   /** Point read of one day — partition-pruned (S6/S8). */
   def readDay(spark: org.apache.spark.sql.SparkSession, path: String, day: String): DataFrame =

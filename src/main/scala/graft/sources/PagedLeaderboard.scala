@@ -136,10 +136,15 @@ class PagedScan(maxPages: Int, minLevel: Option[Int], limit: Option[Int])
     s"PagedLeaderboardScan(maxPages=$maxPages, minLevel=$minLevel, limit=$limit)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val byLevel = minLevel.map(l => (lastQualifyingRank(l) + PageSize - 1) / PageSize)
-      .getOrElse(Int.MaxValue)
-    val byLimit = limit.map(n => (n + PageSize - 1) / PageSize).getOrElse(Int.MaxValue)
-    val pages = Seq(maxPages, byLevel, byLimit).min.max(0)
+    // Ceil-divide in Long: lastQualifyingRank returns Int.MaxValue when the
+    // bound is vacuous (level <= 8), and Int.MaxValue + PageSize - 1 wraps
+    // negative in Int — which would plan ZERO partitions and silently drop
+    // every row for a filter that matches everything.
+    def ceilPages(n: Long): Long = (n + PageSize - 1) / PageSize
+    val byLevel = minLevel.map(l => ceilPages(lastQualifyingRank(l).toLong))
+      .getOrElse(Long.MaxValue)
+    val byLimit = limit.map(n => ceilPages(n.toLong)).getOrElse(Long.MaxValue)
+    val pages = Seq(maxPages.toLong, byLevel, byLimit).min.max(0L).toInt
     (1 to pages).map(p => PagePartition(p): InputPartition).toArray
   }
 

@@ -52,12 +52,16 @@ object OnlineTimeStream {
   /** Streaming exactly-once dedup: drop re-delivered events by `event_id`
     * within the watermark horizon — the idempotency layer an at-least-once
     * ingestion needs (the reference gets this implicitly from its
-    * `_exists` guards + upserts; a stream needs bounded state, hence the
-    * watermark: duplicates older than the horizon are already final). */
+    * `_exists` guards + upserts; a stream needs bounded state).
+    *
+    * `dropDuplicatesWithinWatermark` is the form whose state the watermark
+    * actually evicts: plain `dropDuplicates("event_id")` without the
+    * event-time column in the key set keeps every key forever (unbounded
+    * state growth on a real stream). */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Convenience: wire [[dailyMinutes]] to a memory sink for tests/demos. */
   def startToMemory(events: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
