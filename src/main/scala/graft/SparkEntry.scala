@@ -411,10 +411,14 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "ngram_jaccard_top" ->
+      // The df>100 hot-shingle cap mirrors Dedup.ngramJaccardTop exactly:
+      // sizes AND intersections are both over the capped shingle set.
       s"""WITH $ShinglesCte,
-         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         | hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+         | shc AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
+         | sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
          | inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
-         |           FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+         |           FROM shc sa JOIN shc sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
          |           GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
          | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard

@@ -145,13 +145,21 @@ object Snapshots {
     * first entry (an all-or-nothing invariant on its blobs); the
     * declarative equivalent is a broadcast any-rank-present flag — no
     * driver-side peek, no action. Fresh ranks come from the distributed
-    * rank construction, not a single-partition window. */
+    * rank construction, not a single-partition window.
+    *
+    * Precondition: ranks are all-present or all-absent (the reference's
+    * blob invariant — it only ever inspects `first.rank`). A frame that
+    * violates it (mixed null/non-null) is still well-defined here: the
+    * per-row `coalesce` repairs null rows with a fresh rank instead of
+    * leaving them null, which is strictly safer than the reference's
+    * behavior (it would emit null ranks for the tail rows). */
   def rankIfMissing(df: DataFrame, order: Seq[Column], rankCol: String = "rank"): DataFrame = {
     val flag = broadcast(df.agg(max(col(rankCol)).isNotNull.as("__has_rank")))
     RankUtils.globalRowNumber(df.withColumnRenamed(rankCol, "__orig"), order, "__fresh")
       .crossJoin(flag)
       .withColumn(rankCol,
-        when(col("__has_rank"), col("__orig").cast("long")).otherwise(col("__fresh")))
+        when(col("__has_rank"), coalesce(col("__orig").cast("long"), col("__fresh")))
+          .otherwise(col("__fresh")))
       .drop("__orig", "__fresh", "__has_rank")
   }
 

@@ -59,7 +59,17 @@ object SnapshotStore {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(path + RetainTmpSuffix)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(tmp) && !fs.exists(target)) {
+      // Interrupted swap from a prior run: the source was already deleted,
+      // so tmp holds the ONLY copy of the survivors. Complete the swap
+      // instead of deleting it (deleting here would destroy the table).
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"retainWhere: recovery rename $tmp -> $target failed; survivors intact at $tmp")
+      // fall through: this call's retention still applies to the recovered table
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true) // stale tmp from a pre-swap failure; target is intact
+    }
     spark.read.parquet(path).filter(keep)
       .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tmp.toString)
     // Survivors are durable on disk from here on; the source is untouched
