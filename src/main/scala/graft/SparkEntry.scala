@@ -96,7 +96,9 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
+    "ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
+    "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
@@ -454,8 +456,50 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
-    // ann_lsh: intentionally no oracle — approximate variant; the
-    // brute-force cosine_topk above is its oracle-checked ground truth.
+    // The LSH family is fully deterministic (md5-derived ±1 planes +
+    // quantized bucketing + 6-dp rounded scores), so even the approximate
+    // index gets a hard hash oracle: DuckDB reproduces the bucket bits
+    // exactly from plane literals generated by the same Similarity.planes
+    // function the Spark expression uses.
+    "ann_lsh" ->
+      s"""WITH $LshBucketCte,
+         | cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |          FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         | s AS (SELECT qid, cid, round(list_cosine_similarity(qe.e, ce.e), 6) AS cos_sim
+         |       FROM cand JOIN emb qe ON qe.vec_id = qid JOIN emb ce ON ce.vec_id = cid),
+         | r AS (SELECT qid, cid, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+         |       FROM s)
+         |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "ann_recall" ->
+      s"""WITH $LshBucketCte,
+         | cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |          FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         | s AS (SELECT qid, cid, round(list_cosine_similarity(qe.e, ce.e), 6) AS cos_sim
+         |       FROM cand JOIN emb qe ON qe.vec_id = qid JOIN emb ce ON ce.vec_id = cid),
+         | r AS (SELECT qid, cid,
+         |       row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s),
+         | ann AS (SELECT qid AS aqid, cid AS acid FROM r WHERE rank <= 5),
+         | ts AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+         |        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         | tr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM ts),
+         | truth AS (SELECT qid, cid FROM tr WHERE rank <= 5)
+         |SELECT t.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
+         |       CAST(count(a.acid) AS DOUBLE) / 5 AS recall
+         |FROM truth t LEFT JOIN ann a ON a.aqid = t.qid AND a.acid = t.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH $LshBucketCte,
+         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |                                AND a.vec_id < b.vec_id),
+         | s AS (SELECT id_a, id_b, round(list_cosine_similarity(ae.e, be.e), 6) AS cos_sim
+         |       FROM cand JOIN emb ae ON ae.vec_id = id_a JOIN emb be ON be.vec_id = id_b)
+         |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "multimodal_decode" ->
       """WITH ch AS (SELECT doc_id, unnest([ascii(substr(text, i, 1))
         |                                   for i in range(1, length(text) + 1)]) AS c
@@ -492,6 +536,34 @@ object SparkEntry {
         | count(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS n_with_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
+
+  /** Shared oracle CTE: one (vec_id, tbl, bucket) row per LSH table,
+    * mirroring [[graft.operators.Similarity]]'s quantized random-hyperplane
+    * scheme bit-for-bit. q = round(e·1e6) makes every ±1-plane dot an exact
+    * integer sum (≤ 6.4e7 ≪ 2^53), so the sign — and therefore every bucket
+    * bit — is engine-independent. The plane literals are generated from the
+    * very same [[graft.operators.Similarity.planes]] function the Spark
+    * codegen expression uses; bit j of table t contributes 2^j, matching
+    * LshBuckets' packing. */
+  private lazy val LshBucketCte: String = {
+    val numTables = 8; val bits = 8; val dim = 64
+    val sigCols = (0 until numTables).map { t =>
+      val planes = graft.operators.Similarity.planes(t, bits, dim)
+      val bitSum = (0 until bits).map { j =>
+        val arr = planes(j).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(q, CAST($arr AS DOUBLE[])) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$bitSum AS bucket$t"
+    }.mkString(",\n        ")
+    val structs = (0 until numTables).map(t => s"{'tbl': $t, 'bucket': bucket$t}").mkString(", ")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       | qz AS (SELECT vec_id, [round(x * 1000000) for x in e] AS q FROM emb),
+       | sig AS (SELECT vec_id,
+       |        $sigCols
+       |        FROM qz),
+       | bkt AS (SELECT vec_id, u.tbl AS tbl, u.bucket AS bucket
+       |         FROM (SELECT vec_id, unnest([$structs]) AS u FROM sig))""".stripMargin
+  }
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document. */
   private val ShinglesCte =
