@@ -48,7 +48,48 @@ class SimilaritySpec extends SparkSpec {
     val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val bf = Similarity.cosineTopK(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.annLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(lsh)) // sanity
-    assert(lsh.nonEmpty)
+    assert((bf intersect lsh).nonEmpty)
+  }
+
+  test("LSH near-dup pairs are a subset of brute force with identical scores") {
+    val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf = Similarity.embeddingNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.embeddingNearDupLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "bucket-colliding near-dup pairs exist in the fixture")
+    lsh.foreach { case (pair, cos) =>
+      assert(bf.contains(pair), s"LSH pair $pair missing from brute force")
+      assert(bf(pair) === cos, s"score mismatch for $pair")
+    }
+  }
+
+  test("near-identical vectors collide in some LSH table (near-dup recall on planted dups)") {
+    // A vector and a tiny perturbation of it agree on almost every
+    // hyperplane sign; multi-table amplification makes a full miss
+    // (different bucket in all 8 tables) essentially impossible.
+    val planted = Seq(
+      (0L, vec(0 -> 1.0f, 1 -> 1.0f, 2 -> 0.5f)),
+      (1L, vec(0 -> 1.0f, 1 -> 1.0f, 2 -> 0.5001f)),
+      (2L, vec(5 -> 1.0f, 9 -> -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupLsh(planted, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("annRecall emits one row per query with recall in [0,1] consistent with overlap") {
+    val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val recall = Similarity.annRecall(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(recall.map(_._1).toSeq === (0L until 10L))
+    recall.foreach { case (_, nHit, rec) =>
+      assert(nHit >= 0L && nHit <= 5L)
+      assert(math.abs(rec - nHit / 5.0) < 1e-12)
+    }
+    // cross-check one aggregate against the raw sets
+    val bf = Similarity.cosineTopK(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recall.map(_._2).sum === (bf intersect lsh).size.toLong)
   }
 }

@@ -69,6 +69,43 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(scanned.contains(1), s"expected 1 partition scanned, got $scanned")
   }
 
+  test("retention recovers an interrupted swap instead of deleting the only copy") {
+    val path = tmp()
+    SnapshotStore.appendDaily(snap("2024-01-02", 1L -> 20.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-03", 1L -> 30.0), path)
+    // Simulate a crash between delete(target) and rename(tmp, target): the
+    // survivors live only at the tmp path, the target is gone.
+    val conf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(path + SnapshotStore.RetainTmpSuffix)
+    val fs = target.getFileSystem(conf)
+    assert(fs.rename(target, tmpPath))
+    // A rerun must complete the swap (not delete tmp) and then apply its
+    // own retention on the recovered table.
+    SnapshotStore.retainWhere(spark, path, col("day") >= "2024-01-03")
+    val days = spark.read.parquet(path).select(col("day").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(days === Set("2024-01-03"))
+    assert(!fs.exists(tmpPath))
+  }
+
+  test("retention deletes a stale pre-swap tmp when the target is intact") {
+    val path = tmp()
+    SnapshotStore.appendDaily(snap("2024-01-01", 1L -> 10.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-02", 1L -> 20.0), path)
+    // A tmp left by a failure BEFORE the swap (target still complete) must
+    // not leak into the result.
+    val conf = spark.sessionState.newHadoopConf()
+    val tmpPath = new org.apache.hadoop.fs.Path(path + SnapshotStore.RetainTmpSuffix)
+    val fs = tmpPath.getFileSystem(conf)
+    snap("2023-12-31", 9L -> 99.0).write.partitionBy("day").parquet(tmpPath.toString)
+    SnapshotStore.retainWhere(spark, path, col("day") >= "2024-01-01")
+    val rows = spark.read.parquet(path).select(col("user_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows === Set(1L))
+    assert(!fs.exists(tmpPath))
+  }
+
   test("singleton overwrite replaces the latest table wholesale (L2)") {
     val path = tmp()
     SnapshotStore.overwriteLatest(Seq((1L, 10.0)).toDF("user_id", "value"), path)

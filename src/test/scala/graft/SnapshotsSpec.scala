@@ -52,6 +52,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.gainAllTime(oneDay).count() === 0)
   }
 
+  test("single(): returns the row iff exactly one exists (O8)") {
+    val one = Seq((1L, 10.0)).toDF("user_id", "value")
+    assert(Snapshots.single(one).getLong(0) === 1L)
+    intercept[IllegalStateException] { Snapshots.single(one.limit(0)) }
+    intercept[IllegalStateException] {
+      Snapshots.single(Seq((1L, 1.0), (2L, 2.0)).toDF("user_id", "value"))
+    }
+  }
+
+  test("rankIfMissing preserves present ranks, assigns fresh ones when absent (O4)") {
+    import org.apache.spark.sql.functions.col
+    // upstream ranks present (deliberately NOT value order): preserved as-is
+    val ranked = Seq((7L, 10.0, 3L), (8L, 20.0, 1L), (9L, 15.0, 2L))
+      .toDF("user_id", "value", "rank")
+    val kept = Snapshots.rankIfMissing(ranked, Seq(col("value").desc), "rank")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rank")).toMap
+    assert(kept === Map(7L -> 3L, 8L -> 1L, 9L -> 2L))
+    // all ranks absent: fresh dense ranks under the given order
+    val unranked = Seq((7L, 10.0), (8L, 20.0), (9L, 15.0))
+      .toDF("user_id", "value").withColumn("rank", org.apache.spark.sql.functions.lit(null).cast("long"))
+    val fresh = Snapshots.rankIfMissing(unranked, Seq(col("value").desc), "rank")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rank")).toMap
+    assert(fresh === Map(8L -> 1L, 9L -> 2L, 7L -> 3L))
+  }
+
+  test("rankIfMissing repairs a mixed-rank frame (nulls get a fresh rank, no null output)") {
+    import org.apache.spark.sql.functions.col
+    val mixed = Seq((7L, 10.0, Some(5L)), (8L, 20.0, None), (9L, 15.0, Some(2L)))
+      .toDF("user_id", "value", "rank")
+    val out = Snapshots.rankIfMissing(mixed, Seq(col("value").desc), "rank").collect()
+    assert(out.forall(!_.isNullAt(2)), "no null ranks may survive")
+    val m = out.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rank")).toMap
+    assert(m(7L) === 5L && m(9L) === 2L) // present ranks preserved
+    assert(m(8L) === 1L)                 // null repaired with the fresh rank (value desc)
+  }
+
   test("rookmaster: points accumulate across categories, ties broken by user_id") {
     val cat = Seq(
       (1L, ts(1, 1), 1L, "a", 10.0), (2L, ts(1, 1), 2L, "a", 20.0),
