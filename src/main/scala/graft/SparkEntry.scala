@@ -97,6 +97,7 @@ object SparkEntry {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
+    "ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
@@ -492,6 +493,25 @@ object SparkEntry {
          |       CAST(count(a.acid) AS DOUBLE) / 5 AS recall
          |FROM truth t LEFT JOIN ann a ON a.aqid = t.qid AND a.acid = t.cid
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+    // IVF is deterministic end-to-end: seeds + one Lloyd step over
+    // QUANTIZED vectors (integer sums are exact and order-independent),
+    // re-quantized centroids, exact integer distance comparisons — so the
+    // approximate index hash-matches across engines.
+    "ann_ivf" ->
+      s"""WITH $IvfCte,
+         | pr AS (SELECT qid, qe, cluster FROM (
+         |        SELECT z.vec_id AS qid, z.e AS qe, s.cluster,
+         |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+         |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+         |        FROM qz z CROSS JOIN cents s WHERE z.vec_id < 10) t WHERE rn <= 4),
+         | sc AS (SELECT qid, a.vec_id AS cid,
+         |        round(list_cosine_similarity(qe, a.e), 6) AS cos_sim
+         |        FROM pr JOIN asg a ON a.cluster = pr.cluster AND a.vec_id <> qid),
+         | r AS (SELECT qid, cid, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+         |       FROM sc)
+         |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH $LshBucketCte,
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -564,6 +584,32 @@ object SparkEntry {
        | bkt AS (SELECT vec_id, u.tbl AS tbl, u.bucket AS bucket
        |         FROM (SELECT vec_id, unnest([$structs]) AS u FROM sig))""".stripMargin
   }
+
+  /** Shared oracle CTE: the IVF model, mirroring
+    * [[graft.operators.Similarity.ivfModel]] exactly — seeds = quantized
+    * vectors with vec_id < 16, argmin assignment by the exact integer
+    * distance identity q·q − 2·q·c + c·c (tie-break on cluster), one Lloyd
+    * step with means re-quantized via round(). Produces `qz` (vec_id, e,
+    * q), `cents` (cluster, c), `asg` (vec_id, e, cluster). */
+  private val IvfCte: String =
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      | qz AS (SELECT vec_id, e, [round(x * 1000000) for x in e] AS q FROM emb),
+      | seeds AS (SELECT vec_id AS cluster, q AS c FROM qz WHERE vec_id < 16),
+      | a1 AS (SELECT vec_id, q, cluster FROM (
+      |        SELECT z.vec_id, z.q, s.cluster,
+      |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+      |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+      |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+      |        FROM qz z CROSS JOIN seeds s) t1 WHERE rn = 1),
+      | dims AS (SELECT cluster, i, round(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS m
+      |          FROM a1, generate_series(1, 64) t(i) GROUP BY cluster, i),
+      | cents AS (SELECT cluster, list(m ORDER BY i) AS c FROM dims GROUP BY cluster),
+      | asg AS (SELECT vec_id, e, cluster FROM (
+      |        SELECT z.vec_id, z.e, s.cluster,
+      |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+      |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+      |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+      |        FROM qz z CROSS JOIN cents s) t2 WHERE rn = 1)""".stripMargin
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document. */
   private val ShinglesCte =

@@ -150,6 +150,87 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Argmin-over-centroids assignment: min of (dist, cluster) structs —
+    * deterministic tie-break on cluster id, no window. Distance compares
+    * via the exact identity |q−c|² = q·q − 2·q·c + c·c over quantized
+    * integer vectors (every term ≤ 2^53, so the doubles are exact).
+    * Expects `frame` to carry an integer-valued `q` column. */
+  private def nearestCluster(frame: DataFrame, cents: DataFrame): DataFrame =
+    frame.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        vec_dot(col("q"), col("q")) - lit(2.0) * vec_dot(col("q"), col("c")) +
+          vec_dot(col("c"), col("c")))
+      .groupBy(frame.columns.map(col): _*)
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .withColumn("cluster", col("m.cluster"))
+      .drop("m")
+
+  /** One Lloyd update over quantized assignments: per-cluster per-dim
+    * integer sums (exact, order-independent — a float k-means would drift
+    * with aggregation order and could never hash-match an oracle), mean
+    * re-quantized back to integers so the next assignment stays exact.
+    * posexplode + grouped sum keeps the update one partial-aggregated
+    * shuffle of (nlist × dim) groups; the sort on collect makes list order
+    * deterministic. Output: (cluster, c). */
+  private def lloydUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("q")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", round(col("s").cast("double") / col("n")))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("c"))
+
+  /** IVF (inverted-file) coarse quantizer model: centroids from one
+    * deterministic Lloyd step (seeds = the quantized vectors with
+    * vec_id < nlist), then every vector assigned to its nearest centroid.
+    *
+    * Scale shape: centroids are a tiny broadcast (nlist rows) — assignment
+    * is a broadcast join plus a per-row argmin, no all-pairs anything; the
+    * Lloyd update is the only extra shuffle and it carries nlist×dim
+    * groups. The same plan holds at 100 TB.
+    * Returns (assigned = (vec_id, e, nrm, q, cluster), centroids). */
+  private[graft] def ivfModel(embeddings: DataFrame, nlist: Int = 16): (DataFrame, DataFrame) = {
+    val base = withNorm(embeddings).withColumn("q", quantized(col("e")))
+    val seeds = base.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cluster"), col("q").as("c"))
+    val centroids = lloydUpdate(nearestCluster(base.select("vec_id", "q"), seeds))
+    (nearestCluster(base, centroids), centroids)
+  }
+
+  /** IVF approximate nearest neighbors: probe the `nprobe` nearest
+    * clusters per query (by the same exact quantized distance used for
+    * assignment), exact cosine re-score of probed candidates only. Same
+    * output shape as [[cosineTopK]]; fully deterministic (see
+    * [[ivfModel]]) so the DuckDB oracle hash-matches the approximate
+    * result — candidates shrink O(Q·N) to O(Q·N·nprobe/nlist) expected.
+    * The complementary scale axis to [[annLsh]]: IVF partitions the space
+    * (good when clusters are real), LSH unions independent hash tables
+    * (good when they are not). */
+  def annIvf(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (assigned, centroids) = ivfModel(embeddings, nlist)
+    val probes = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("q"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        vec_dot(col("q"), col("q")) - lit(2.0) * vec_dot(col("q"), col("c")) +
+          vec_dot(col("c"), col("c")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cluster"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
+    probes.join(assigned.select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn"), col("cluster")), Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos_sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** LSH-bucketed approximate nearest neighbors, multi-table random
     * hyperplane scheme: `numTables` independent signatures of
     * `bitsPerTable` bits each; candidates = corpus rows sharing any

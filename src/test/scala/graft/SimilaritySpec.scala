@@ -78,6 +78,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("ann_ivf results are a subset of brute force with identical scores") {
+    val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf = Similarity.cosineTopK(docs, numQueries = 10, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.annIvf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, cid, cos) =>
+      assert(bf((qid, cid)) === cos, s"IVF score for ($qid,$cid) must equal brute force")
+    }
+  }
+
+  test("IVF assignment is a total partition: every vector lands in exactly one cluster") {
+    val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (assigned, centroids) = Similarity.ivfModel(docs)
+    val n = docs.count()
+    assert(assigned.count() === n)
+    assert(assigned.select("vec_id").distinct().count() === n)
+    assert(centroids.count() === 16)
+  }
+
   test("annRecall emits one row per query with recall in [0,1] consistent with overlap") {
     val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val recall = Similarity.annRecall(docs).collect()
