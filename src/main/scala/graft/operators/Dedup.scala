@@ -126,24 +126,32 @@ object Dedup {
     * cross join). */
   def ngramJaccardTop(docs: DataFrame, minCommon: Long = 3, k: Int = 100,
                       maxDocFreq: Long = 100): DataFrame = {
-    // Document-frequency cap BEFORE the self-join: a shingle shared by d
-    // documents emits ~d²/2 candidate rows, so one boilerplate phrase
-    // shared by 100k docs is a 5e9-row fanout on a real corpus. Hot
-    // shingles carry no dedup signal (they are corpus-wide boilerplate);
-    // dropping them bounds the per-shingle fanout at maxDocFreq² and
-    // improves precision. Jaccard below is over the capped shingle set on
-    // both sides (sizes and intersections) — a well-defined "informative
-    // shingle" Jaccard, mirrored exactly in the oracle SQL.
-    val sh0 = shingles(docs)
-    // The hot set is tiny (Zipf tail above df=100), so AQE plans the anti
-    // join as a broadcast — the big shingle side never reshuffles for it.
-    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select("sh")
-    val sh = sh0.join(hot, Seq("sh"), "left_anti")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("sa")
-      .join(sh.as("sb"), col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
+    // Document-frequency cap: a shingle shared by d documents implies
+    // ~d²/2 candidate pairs, so one boilerplate phrase shared by 100k docs
+    // is a 5e9-row fanout on a real corpus. Hot shingles carry no dedup
+    // signal (corpus-wide boilerplate); dropping them bounds per-shingle
+    // fanout at maxDocFreq²/2 and improves precision. Jaccard is over the
+    // capped shingle set on both sides (sizes and intersections), mirrored
+    // exactly in the oracle SQL.
+    //
+    // Shape: ONE aggregation groups each shingle's sorted doc list and its
+    // df — the df filter and the pair expansion (an expression over the
+    // ≤cap-sized list) both come from it. This replaces the previous
+    // hot-set anti-join + sort-merge self-join: the full shingle table
+    // shuffles once, not three times, and per-group memory is bounded by
+    // the cap.
+    val grouped = shingles(docs).groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grouped.filter(col("df") >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     inter
