@@ -210,7 +210,11 @@ object Similarity {
   def annIvf(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (assigned, centroids) = ivfModel(embeddings, nlist)
-    val probes = assigned.filter(col("vec_id") < numQueries)
+    // Query side reads straight from the normalized base — probing needs a
+    // query's vector and the centroids, NOT its own cluster assignment, so
+    // the argmin subtree is skipped for this branch.
+    val probes = withNorm(embeddings).filter(col("vec_id") < numQueries)
+      .withColumn("q", quantized(col("e")))
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("q"))
       .crossJoin(broadcast(centroids))
       .withColumn("dist",
