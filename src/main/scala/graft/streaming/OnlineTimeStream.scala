@@ -63,6 +63,44 @@ object OnlineTimeStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Pipeline tail (L3 + J3 in streaming form, etl.dart:271, :360-382):
+    * stream [[dailyMinutes]] into the date-partitioned snapshot store as a
+    * keyed merge-upsert. Update mode emits the new TOTAL per touched
+    * (day, user) each micro-batch; foreachBatch keeps untouched users of
+    * the same day (left-anti on the key) and replaces exactly the touched
+    * day partitions via dynamic partition overwrite. Re-running a batch
+    * rewrites the same totals — at-least-once delivery + idempotent write
+    * = effectively-once end to end.
+    *
+    * Scale notes: the store read is partition-pruned to the batch's days
+    * (a literal isin pushed to the partition index), and the days-per-batch
+    * list is watermark-bounded — the collect is O(active days), not data.
+    * foreachBatch is the sanctioned imperative seam in Structured
+    * Streaming; everything inside it is still declarative Spark. */
+  def startToStore(events: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dailyMinutes(events).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.withColumn("day", col("day").cast("string"))
+        val days = b.select("day").distinct().collect().map(_.getString(0))
+        if (days.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+              val existing = spark.read.parquet(path)
+                .withColumn("day", col("day").cast("string"))
+                .filter(col("day").isin(days.toIndexedSeq: _*))
+              existing.join(b, Seq("day", "user_id"), "left_anti").unionByName(b)
+            } else b
+          graft.sinks.SnapshotStore.upsertDays(merged, path)
+        }
+        ()
+      }
+      .start()
+
   /** Convenience: wire [[dailyMinutes]] to a memory sink for tests/demos. */
   def startToMemory(events: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     dailyMinutes(events).writeStream

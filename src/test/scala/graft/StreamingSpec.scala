@@ -50,6 +50,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch merge-upsert: stream lands in the partitioned store, updates converge") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-store")
+    val path = s"$dir/store"
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.startToStore(input.toDF(), path, s"$dir/ckpt")
+    try {
+      // batch 1: day1 u1 (2 sightings) + u2
+      input.addData(Sample(1L, ts(1, 1)), Sample(1L, ts(1, 2)), Sample(2L, ts(1, 3)))
+      q.processAllAvailable()
+      // batch 2: day1 u1 again (total must become 15, u2 must SURVIVE the
+      // partition rewrite) + a new day2 user
+      input.addData(Sample(1L, ts(1, 4)), Sample(3L, ts(2, 1)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(path)
+        .select(org.apache.spark.sql.functions.col("day").cast("string"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("minutes"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out === Set(
+        ("2024-01-01", 1L, 15L),
+        ("2024-01-01", 2L, 5L),
+        ("2024-01-02", 3L, 5L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates +5 per sighting across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Sample]
