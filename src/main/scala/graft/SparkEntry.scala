@@ -84,6 +84,8 @@ object SparkEntry {
     "customer_topk_agg" -> ((s, dir) => StarSchema.customerTopOrdersAgg(Tables.orders(s, dir))),
     "customers_without_orders" -> ((s, dir) =>
       StarSchema.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "range_join" -> ((s, dir) =>
+      RangeJoin.shipWindowCounts(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // --- LLM-training-data pipeline ops (SURVEY §7.2 step 8) ---
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -348,6 +350,16 @@ object SparkEntry {
     "customers_without_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+    "range_join" ->
+      """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_day,
+        |            CAST(o_orderdate AS DATE) + 13 AS end_day
+        |            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 200),
+        | pts AS (SELECT CAST(l_shipdate AS DATE) AS ship_day FROM lineitem),
+        | c AS (SELECT o_orderkey, count(*) AS n FROM iv
+        |       JOIN pts ON ship_day BETWEEN start_day AND end_day GROUP BY 1)
+        |SELECT iv.o_orderkey, CAST(start_day AS VARCHAR) AS start_day,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n_shipped
+        |FROM iv LEFT JOIN c USING (o_orderkey) ORDER BY o_orderkey""".stripMargin,
     // Same oracle as customer_top_orders: the heap aggregate must
     // reproduce the window formulation exactly.
     "customer_topk_agg" ->

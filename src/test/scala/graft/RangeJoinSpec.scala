@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Date
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** The bucketized range join must be row-identical to the naive
+  * range-predicate join AND must not plan a nested loop — the entire point
+  * of the operator is replacing O(P·I) BroadcastNestedLoopJoin with an
+  * equi-join on grid cells. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val intervals = Seq(
+    (1L, d("2024-01-02"), d("2024-01-05")),   // short, within one cell
+    (2L, d("2024-01-04"), d("2024-01-20")),   // spans cells, overlaps #1
+    (3L, d("2024-03-01"), d("2024-03-01"))    // degenerate single day
+  ).toDF("iv_id", "start_day", "end_day")
+
+  private lazy val points = Seq(
+    d("2024-01-01"), d("2024-01-02"), d("2024-01-04"), d("2024-01-05"),
+    d("2024-01-06"), d("2024-01-19"), d("2024-01-21"), d("2024-03-01")
+  ).toDF("p")
+
+  test("bucketized range join equals the naive range-predicate join") {
+    val fast = RangeJoin.pointInInterval(points, "p", intervals, "start_day", "end_day")
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("p").between(col("start_day"), col("end_day")))
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    assert(fast === naive)
+    // spot-check the expected memberships
+    assert(naive.contains((1L, "2024-01-02")) && naive.contains((2L, "2024-01-19")))
+    assert(naive.contains((3L, "2024-03-01")) && !naive.contains((1L, "2024-01-06")))
+  }
+
+  test("the plan is an equi-join on the grid cell, not a nested loop") {
+    val plan = RangeJoin.pointInInterval(points, "p", intervals, "start_day", "end_day")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("granularity does not change results (fanout/selectivity tradeoff only)") {
+    def run(g: Int) =
+      RangeJoin.pointInInterval(points, "p", intervals, "start_day", "end_day", g)
+        .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    assert(run(1) === run(7) && run(7) === run(30))
+  }
+
+  test("shipWindowCounts keeps zero-match intervals and is exactly topN rows") {
+    val orders = Seq(
+      (10L, 900.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (11L, 800.0, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (12L, 700.0, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")) // no ships
+    ).toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val lineitem = Seq(
+      java.sql.Timestamp.valueOf("2024-01-03 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-14 00:00:00"), // inside 14d window of #10
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), // outside (day 15 of window)
+      java.sql.Timestamp.valueOf("2024-02-05 00:00:00")
+    ).toDF("l_shipdate")
+    val out = RangeJoin.shipWindowCounts(orders, lineitem, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, 2L), (11L, 1L), (12L, 0L)))
+  }
+}
