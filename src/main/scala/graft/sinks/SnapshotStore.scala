@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, hash, pmod}
 
 /** Load-side semantics of the reference (SURVEY.md §2.2 L1-L5),
   * re-expressed as parquet write modes over a date-partitioned layout.
@@ -55,30 +55,71 @@ object SnapshotStore {
     * step is where a table format (Iceberg/Delta snapshot commit) takes
     * over — the temp-write-then-swap shape is the same. */
   def retainWhere(spark: org.apache.spark.sql.SparkSession, path: String,
-                  keep: org.apache.spark.sql.Column): Unit = {
+                  keep: org.apache.spark.sql.Column): Unit =
+    rewriteSwap(spark, path)(_.filter(keep))
+
+  /** Shared crash-safe rewrite protocol: read the table, apply `build`,
+    * write the result to a temp sibling, then swap (delete + rename). On
+    * entry, `tmp exists && target missing` is an interrupted swap from a
+    * prior run — tmp holds the ONLY copy, so recovery COMPLETES the
+    * rename (deleting tmp there would destroy the table) and then this
+    * call's rewrite still applies; a tmp alongside an intact target is
+    * pre-swap debris and is discarded. */
+  private def rewriteSwap(spark: org.apache.spark.sql.SparkSession, path: String)
+                         (build: DataFrame => DataFrame): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(path + RetainTmpSuffix)
     if (fs.exists(tmp) && !fs.exists(target)) {
-      // Interrupted swap from a prior run: the source was already deleted,
-      // so tmp holds the ONLY copy of the survivors. Complete the swap
-      // instead of deleting it (deleting here would destroy the table).
       if (!fs.rename(tmp, target))
         throw new java.io.IOException(
-          s"retainWhere: recovery rename $tmp -> $target failed; survivors intact at $tmp")
-      // fall through: this call's retention still applies to the recovered table
+          s"rewriteSwap: recovery rename $tmp -> $target failed; survivors intact at $tmp")
     } else if (fs.exists(tmp)) {
-      fs.delete(tmp, true) // stale tmp from a pre-swap failure; target is intact
+      fs.delete(tmp, true)
     }
-    spark.read.parquet(path).filter(keep)
+    build(spark.read.parquet(path))
       .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tmp.toString)
-    // Survivors are durable on disk from here on; the source is untouched
+    // The rewrite is durable on disk from here on; the source is untouched
     // until this point, so any failure above leaves the table intact.
     if (!fs.delete(target, true))
-      throw new java.io.IOException(s"retainWhere: failed to remove $target for swap")
+      throw new java.io.IOException(s"rewriteSwap: failed to remove $target for swap")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(
-        s"retainWhere: swap rename $tmp -> $target failed; survivors intact at $tmp")
+        s"rewriteSwap: swap rename $tmp -> $target failed; survivors intact at $tmp")
+  }
+
+  /** Small-file compaction — the operational cost a streaming upsert
+    * ([[graft.streaming.OnlineTimeStream.startToStore]]) accrues: every
+    * micro-batch adds files, and at 100 TB a day partition with 10k tiny
+    * files turns each scan into 10k opens. Rewrite each day into
+    * max(1, ceil(dayBytes / targetBytes)) files. Per-day byte sizes come
+    * from FILESYSTEM METADATA (no data scan); rows are salted by a hash of
+    * their columns into that many shuffle cells per day, and the rewrite
+    * rides the same crash-safe temp-swap as retention. File counts are an
+    * upper bound per day (hash cells of one day may coalesce into the same
+    * shuffle partition) — never more files than asked, never fewer than 1. */
+  def compactDays(spark: org.apache.spark.sql.SparkSession, path: String,
+                  targetBytes: Long = 128L << 20): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val perDayFiles: Seq[(String, Long)] = fs.listStatus(target).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map { d =>
+        val bytes = fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum
+        (d.getPath.getName.stripPrefix("day="),
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes))
+      }
+    if (perDayFiles.isEmpty) return
+    import spark.implicits._
+    val nf = broadcast(perDayFiles.toDF("day", "__nf"))
+    rewriteSwap(spark, path) { df =>
+      val dataCols = df.columns.filterNot(_ == "day")
+      df.withColumn("day", col("day").cast("string"))
+        .join(nf, Seq("day"))
+        .withColumn("__salt", pmod(hash(dataCols.map(col).toIndexedSeq: _*), col("__nf")))
+        .repartition(col("day"), col("__salt"))
+        .drop("__nf", "__salt")
+    }
   }
 
   /** Temp-path suffix used by [[retainWhere]]'s write-then-swap protocol. */

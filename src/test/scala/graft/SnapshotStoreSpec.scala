@@ -106,6 +106,46 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!fs.exists(tmpPath))
   }
 
+  test("compaction collapses a many-small-files day to one file, data intact") {
+    val path = tmp()
+    // 20 writers' worth of fragmentation in one day partition
+    val rows = (1L to 200L).map(u => ("2024-01-01", u, u * 1.0))
+    rows.toDF("day", "user_id", "value").repartition(20)
+      .write.mode("append").partitionBy("day").parquet(path)
+    SnapshotStore.appendDaily(snap("2024-01-02", 1L -> 5.0), path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def dayFiles(day: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/day=$day"))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(dayFiles("2024-01-01") === 20)
+    val before = spark.read.parquet(path)
+      .collect().map(r => (r.getAs[Any]("day").toString, r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    SnapshotStore.compactDays(spark, path) // default 128 MB target >> data
+    assert(dayFiles("2024-01-01") === 1, "fragmented day must collapse to one file")
+    assert(dayFiles("2024-01-02") === 1)
+    val after = spark.read.parquet(path)
+      .collect().map(r => (r.getAs[Any]("day").toString, r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    assert(after === before)
+  }
+
+  test("compaction honors the per-day target as an upper bound on files") {
+    val path = tmp()
+    val rows = (1L to 500L).map(u => ("2024-01-01", u, u * 1.0))
+    rows.toDF("day", "user_id", "value").repartition(10)
+      .write.mode("append").partitionBy("day").parquet(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/day=2024-01-01"))
+      .filter(_.isFile).map(_.getLen).sum
+    // target ~ a third of the data: asks for <= 3 files (hash cells may coalesce)
+    SnapshotStore.compactDays(spark, path, targetBytes = bytes / 3 + 1)
+    val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/day=2024-01-01"))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(n >= 1 && n <= 3, s"expected 1..3 files, got $n")
+    assert(spark.read.parquet(path).count() === 500)
+  }
+
   test("singleton overwrite replaces the latest table wholesale (L2)") {
     val path = tmp()
     SnapshotStore.overwriteLatest(Seq((1L, 10.0)).toDF("user_id", "value"), path)
