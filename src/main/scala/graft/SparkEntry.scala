@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
+    "neardup_recall" -> ((s, dir) => Similarity.nearDupRecall(Tables.embeddings(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
@@ -532,6 +533,21 @@ object SparkEntry {
          | s AS (SELECT id_a, id_b, round(list_cosine_similarity(ae.e, be.e), 6) AS cos_sim
          |       FROM cand JOIN emb ae ON ae.vec_id = id_a JOIN emb be ON be.vec_id = id_b)
          |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "neardup_recall" ->
+      s"""WITH $LshBucketCte,
+         | truth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |           WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+         | cand AS (SELECT DISTINCT a.vec_id AS fa, b.vec_id AS fb
+         |          FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |                                AND a.vec_id < b.vec_id),
+         | found AS (SELECT fa, fb FROM cand JOIN emb ae ON ae.vec_id = fa
+         |           JOIN emb be ON be.vec_id = fb
+         |           WHERE round(list_cosine_similarity(ae.e, be.e), 6) >= 0.4)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(count(f.fa) AS BIGINT) AS n_found,
+         | round(CAST(count(f.fa) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN found f ON f.fa = t.id_a AND f.fb = t.id_b""".stripMargin,
     "multimodal_decode" ->
       """WITH ch AS (SELECT doc_id, unnest([ascii(substr(text, i, 1))
         |                                   for i in range(1, length(text) + 1)]) AS c

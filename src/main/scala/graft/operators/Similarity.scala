@@ -132,6 +132,22 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Corpus-level recall gate for [[embeddingNearDupLsh]] against the
+    * brute-force [[embeddingNearDup]] truth: one row — how many true
+    * near-dup pairs exist, how many the LSH candidates surfaced, and the
+    * recall fraction. Deterministic end to end, so the driver's hash
+    * oracle covers the near-dup approximation exactly like [[annRecall]]
+    * covers the ANN index. */
+  def nearDupRecall(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val truth = embeddingNearDup(embeddings, threshold).select("id_a", "id_b")
+    val found = embeddingNearDupLsh(embeddings, threshold)
+      .select(col("id_a").as("fa"), col("id_b").as("fb"))
+    truth
+      .join(found, col("id_a") === col("fa") && col("id_b") === col("fb"), "left_outer")
+      .agg(count(lit(1)).as("n_true"), count(col("fa")).as("n_found"))
+      .withColumn("recall", round(col("n_found").cast("double") / col("n_true"), 6))
+  }
+
   /** Recall@k gate for [[annLsh]] against the [[cosineTopK]] ground truth:
     * per query, the fraction of true top-k neighbors the ANN index
     * returned. Fully deterministic (fixed planes + quantized bucketing +
