@@ -97,6 +97,7 @@ object SparkEntry {
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "cosine_topk_int8" -> ((s, dir) => Similarity.cosineTopKInt8(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
@@ -457,6 +458,23 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 10),
         | c AS (SELECT vec_id AS cid, e AS ce FROM e),
+        | s AS (SELECT qid, cid, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+        |       FROM q, c WHERE cid != qid),
+        | r AS (SELECT qid, cid, cos_sim,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+        |       FROM s)
+        |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "cosine_topk_int8" ->
+      // Quantize/dequantize arithmetic mirrors PackInt8/UnpackInt8 exactly:
+      // q = round(x / scale * 127) half-away-from-zero, dq = (q * scale) / 127.
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | sc AS (SELECT vec_id, e, list_max([abs(x) for x in e]) AS scale FROM e0),
+        | dq AS (SELECT vec_id,
+        |        [CASE WHEN scale = 0 THEN 0.0
+        |              ELSE (round(x / scale * 127) * scale) / 127 END for x in e] AS e
+        |        FROM sc),
+        | q AS (SELECT vec_id AS qid, e AS qe FROM dq WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS cid, e AS ce FROM dq),
         | s AS (SELECT qid, cid, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
         |       FROM q, c WHERE cid != qid),
         | r AS (SELECT qid, cid, cos_sim,

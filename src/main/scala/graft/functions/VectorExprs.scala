@@ -26,6 +26,16 @@ object VectorExprs {
     * Array[Long] of length planes.length (one bucket id per table). */
   def lsh_buckets(e: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftColumnBridge.column(LshBuckets(GraftColumnBridge.expression(e), planes))
+
+  /** Symmetric per-vector int8 quantization: one byte per dimension. */
+  def pack_int8(e: Column, scale: Column): Column =
+    GraftColumnBridge.column(
+      PackInt8(GraftColumnBridge.expression(e), GraftColumnBridge.expression(scale)))
+
+  /** Inverse of [[pack_int8]]: binary + scale back to ArrayType(Double). */
+  def unpack_int8(bin: Column, scale: Column): Column =
+    GraftColumnBridge.column(
+      UnpackInt8(GraftColumnBridge.expression(bin), GraftColumnBridge.expression(scale)))
 }
 
 /** Index-ordered dot product — same summation order as the DuckDB oracle's
@@ -126,4 +136,86 @@ case class LshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Symmetric per-vector int8 quantization — the 4× storage lever for an
+  * embedding corpus at 100 TB (a 64-dim float32 vector is 256 payload
+  * bytes; quantized it is 64 bytes + one float scale). q_i = round(e_i /
+  * scale · 127), rounding half AWAY from zero (BigDecimal HALF_UP /
+  * DuckDB semantics — java.lang.Math.round rounds half toward +∞ and
+  * would diverge on negative midpoints). `scale` is the vector's max |e_i|
+  * computed by the caller and stored alongside the blob. A zero-vector
+  * (scale = 0) packs to all-zero bytes. */
+case class PackInt8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val scale = b.asInstanceOf[Double]
+    val out = new Array[Byte](e.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (scale != 0.0) {
+        val x = e.getDouble(i) / scale * 127.0
+        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+        byte[] $out = new byte[$a.numElements()];
+        for (int $i = 0; $i < $out.length; $i++) {
+          if ($s != 0.0) {
+            double $x = $a.getDouble($i) / $s * 127.0;
+            $out[$i] = (byte) ($x >= 0 ? java.lang.Math.floor($x + 0.5d)
+                                       : java.lang.Math.ceil($x - 0.5d));
+          }
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Inverse of [[PackInt8]]: dq_i = (q_i · scale) / 127 — the evaluation
+  * order is part of the contract (mirrored in the DuckDB oracle so the
+  * doubles are bit-identical). */
+case class UnpackInt8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unpack_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val scale = b.asInstanceOf[Double]
+    val out = new Array[Any](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) * scale / 127.0; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+        double[] $out = new double[$a.length];
+        for (int $i = 0; $i < $out.length; $i++) {
+          $out[$i] = $a[$i] * $s / 127.0;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -52,6 +52,22 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** [[cosineTopK]] over int8-quantized embeddings — the storage-scale
+    * path: the corpus rides as 1 byte/dim + a float scale (4× smaller
+    * scans than float32) through [[graft.functions.PackInt8]], and search
+    * runs on the dequantized vectors. Deterministic end to end (round-half
+    * -away quantization, fixed dequant evaluation order), so the oracle
+    * hash-checks the quantization error's effect on the ranking exactly. */
+  def cosineTopKInt8(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.VectorExprs.{pack_int8, unpack_int8}
+    val rq = embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e0"))
+      .withColumn("scale", expr("array_max(transform(e0, x -> abs(x)))"))
+      .select(col("vec_id"),
+        unpack_int8(pack_int8(col("e0"), col("scale")), col("scale")).as("embedding"))
+    cosineTopK(rq, numQueries, k)
+  }
+
   /** Embedding-cosine near-dup pairs (the dedup-flavored sibling of
     * [[cosineTopK]]): every unordered pair with rounded cosine above
     * `threshold`. Brute force O(N²) — the correctness baseline kept for

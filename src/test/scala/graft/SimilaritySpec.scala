@@ -99,6 +99,37 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids.count() === 16)
   }
 
+  test("int8 pack/unpack: 1 byte per dim, round-trip error within scale/254") {
+    import graft.functions.VectorExprs.{pack_int8, unpack_int8}
+    import org.apache.spark.sql.functions._
+    val df = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("scale", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("packed", pack_int8(col("e"), col("scale")))
+      .withColumn("back", unpack_int8(col("packed"), col("scale")))
+    val rows = df.select("e", "scale", "packed", "back").collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](0); val scale = r.getDouble(1)
+      val packed = r.getAs[Array[Byte]](2); val back = r.getSeq[Double](3)
+      assert(packed.length === 64, "exactly one byte per dimension")
+      // max quantization error is half a step: scale/127/2
+      e.zip(back).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 254.0 + 1e-12, s"error too large: $x vs $y")
+      }
+    }
+  }
+
+  test("int8-quantized top-k stays close to the exact ranking") {
+    val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosineTopK(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.cosineTopKInt8(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 64-dim int8 quantization perturbs cosines by ~1e-3: most of the top-5
+    // sets must agree (exact agreement is not required — that is the point
+    // of hash-checking the quantized variant separately).
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized ranking drifted too far: overlap $overlap")
+  }
+
   test("annRecall emits one row per query with recall in [0,1] consistent with overlap") {
     val docs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val recall = Similarity.annRecall(docs).collect()
