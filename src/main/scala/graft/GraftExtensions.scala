@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{SkillPointsExpr, TopKAgg, VecDot}
+import graft.functions.{PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §2.10):
   * makes `skill_points`, `vec_dot` and `top_k` callable from
@@ -59,6 +59,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "top_k(struct(score, id), k)")
         TopKAgg(args.head, intArg(args(1), "top_k")).toAggregateExpression()
+      }),
+    ("pack_int8",
+      new ExpressionInfo(classOf[PackInt8].getName, "pack_int8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pack_int8(embedding, scale)")
+        PackInt8(args.head, args(1))
+      }),
+    ("unpack_int8",
+      new ExpressionInfo(classOf[UnpackInt8].getName, "unpack_int8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "unpack_int8(bytes, scale)")
+        UnpackInt8(args.head, args(1))
       }))
 
   /** Register into a live session's function registry. */

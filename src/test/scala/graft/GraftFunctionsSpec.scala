@@ -29,6 +29,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(top === Seq((9.0, 2L), (5.0, 3L)))
   }
 
+  test("pack_int8 / unpack_int8 from SQL round-trip") {
+    val r = spark.sql(
+      """SELECT unpack_int8(pack_int8(array(1.0D, -0.5D, 0.0D), 1.0D), 1.0D) AS back,
+        |       length(pack_int8(array(1.0D, -0.5D, 0.0D), 1.0D)) AS n""".stripMargin)
+      .collect().head
+    val back = r.getSeq[Double](0)
+    assert(r.getInt(1) === 3)
+    assert(back.head === 1.0)
+    assert(math.abs(back(1) - (-0.5)) <= 1.0 / 254 + 1e-12)
+    assert(back(2) === 0.0)
+  }
+
   test("non-literal skill name is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT skill_points(20, concat('sw', 'ord'))").collect()
