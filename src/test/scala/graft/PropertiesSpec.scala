@@ -33,6 +33,38 @@ class PropertiesSpec extends SparkSpec {
       (id, Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), u, v)
     }.toDF("event_id", "ts", "user_id", "value")
 
+  private val rangeJoinGen: Gen[(List[Int], List[(Int, Int)])] = for {
+    np <- Gen.chooseNum(1, 40)
+    points <- Gen.listOfN(np, Gen.chooseNum(0, 120))
+    ni <- Gen.chooseNum(1, 15)
+    ivals <- Gen.listOfN(ni, for {
+      start <- Gen.chooseNum(0, 120)
+      len <- Gen.chooseNum(0, 45)
+    } yield (start, start + len))
+  } yield (points, ivals)
+
+  test("range join property: bucketized result equals naive for random intervals/granularities") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    forAll(rangeJoinGen, n = 6) { case (pointOffsets, ivalOffsets) =>
+      val epoch = to_date(lit("2024-01-01"))
+      val pts = pointOffsets.zipWithIndex.toDF("off", "pid")
+        .select(col("pid"), date_add(epoch, col("off")).as("p"))
+      val ivs = ivalOffsets.zipWithIndex.map { case ((s, e), i) => (i, s, e) }
+        .toDF("iv_id", "s_off", "e_off")
+        .select(col("iv_id"), date_add(epoch, col("s_off")).as("start_day"),
+          date_add(epoch, col("e_off")).as("end_day"))
+      val naive = pts.crossJoin(ivs)
+        .filter(col("p").between(col("start_day"), col("end_day")))
+        .select("pid", "iv_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      for (g <- Seq(1, 7, 30)) {
+        val fast = graft.operators.RangeJoin
+          .pointInInterval(pts, "p", ivs, "start_day", "end_day", g)
+          .select("pid", "iv_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        assert(fast === naive, s"granularity $g diverged from naive join")
+      }
+    }
+  }
+
   test("gain invariants: positive gains, output users ⊆ both snapshots, dense ranks") {
     forAll(eventsGen) { rows =>
       val df = toDf(rows)
