@@ -20,10 +20,12 @@ import graft.functions.{PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot}
   *    extensions) — the embedded/test path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftFunctions {
@@ -80,4 +82,11 @@ object GraftFunctions {
       registry.registerFunction(FunctionIdentifier(name), info, builder)
     }
   }
+
+  /** Install the optimizer rewrites into an already-running session (the
+    * live-session twin of [[GraftExtensions]]'s injectOptimizerRule). */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
 }
