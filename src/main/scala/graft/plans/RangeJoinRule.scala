@@ -31,15 +31,23 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
-  /** Grid granularity. 7 days suits day-grained intervals of days-to-weeks
-    * span: fanout = span/7 rows per interval, selectivity = one week of
-    * points per cell. */
-  val GranularityDays = 7
+  /** Grid granularity config. The 7-day default suits day-grained
+    * intervals of days-to-weeks span: fanout = span/7 rows per interval,
+    * selectivity = one week of points per cell. Tune toward the typical
+    * interval length. */
+  val GranularityConf = "spark.graft.rangeJoin.granularityDays"
+  val GranularityDefault = 7
 
-  private def cellOf(p: Expression): Expression =
+  private def granularityDays: Int = {
+    val g = conf.getConfString(GranularityConf, GranularityDefault.toString).toInt
+    require(g >= 1, s"$GranularityConf must be >= 1, got $g")
+    g
+  }
+
+  private def cellOf(p: Expression, g: Int): Expression =
     Floor(Divide(
       Cast(DateDiff(p, Literal(0, DateType)), DoubleType),
-      Literal(GranularityDays.toDouble)))
+      Literal(g.toDouble)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -73,13 +81,14 @@ object RangeJoinRule extends Rule[LogicalPlan] {
                       p: Expression, s: Expression, e: Expression,
                       cond: Expression, hint: JoinHint,
                       pointOnLeft: Boolean): LogicalPlan = {
+    val g = granularityDays
     val (pointChild, ivalChild) = if (pointOnLeft) (left, right) else (right, left)
-    val pointCell = Alias(cellOf(p), "__graft_cell_p")()
+    val pointCell = Alias(cellOf(p, g), "__graft_cell_p")()
     val pointSide = Project(pointChild.output :+ pointCell, pointChild)
     val ivalCell = AttributeReference("__graft_cell_iv", LongType, nullable = false)()
     // Sequence is TimeZoneAwareExpression: without an explicit zone it
     // reports unresolved, and the optimizer never re-runs ResolveTimeZone.
-    val cells = new Sequence(cellOf(s), cellOf(e)).withTimeZone(conf.sessionLocalTimeZone)
+    val cells = new Sequence(cellOf(s, g), cellOf(e, g)).withTimeZone(conf.sessionLocalTimeZone)
     val ivalSide = Generate(
       Explode(cells),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,

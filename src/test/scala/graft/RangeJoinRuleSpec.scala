@@ -60,6 +60,15 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(eq.count() === 2) // 01-04 and 03-01 match start days
   }
 
+  test("granularity is configurable per session and does not change results") {
+    spark.conf.set(graft.plans.RangeJoinRule.GranularityConf, "30")
+    try {
+      val rows = pts.join(ivs, col("p").between(col("start_day"), col("end_day")))
+        .select("pid", "iv_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(rows === expected)
+    } finally spark.conf.unset(graft.plans.RangeJoinRule.GranularityConf)
+  }
+
   test("null dates never match (the post-join filter keeps BETWEEN's null semantics)") {
     val withNull = pts.unionByName(
       Seq((9, Option.empty[Date])).toDF("pid", "p"))
