@@ -60,4 +60,24 @@ class DedupSpec extends SparkSpec {
     assert(top((0L, 1L)) === 1.0)
     assert(top((0L, 2L)) < 1.0 && top((0L, 2L)) > 0.5)
   }
+
+  test("ngram df-cap: a corpus-wide hot shingle contributes to neither pairs nor sizes") {
+    import spark.implicits._
+    // "common boiler plate" appears in ALL 4 docs (df=4 > cap=3) — it must
+    // not create candidates. Docs 10/11 additionally share two informative
+    // shingles; docs 12/13 share ONLY the hot shingle.
+    val hotDocs = Seq(
+      (10L, "alpha beta gamma delta common boiler plate"),
+      (11L, "alpha beta gamma delta common boiler plate"),
+      (12L, "one two three common boiler plate"),
+      (13L, "four five six common boiler plate")
+    ).toDF("doc_id", "text")
+    val top = Dedup.ngramJaccardTop(hotDocs, minCommon = 1, k = 10, maxDocFreq = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(!top.contains((12L, 13L)), "hot-shingle-only pair must not surface")
+    // 10/11 are identical docs: every surviving shingle shared. With the
+    // hot shingle dropped from SIZES as well, jaccard is exactly 1.0 —
+    // if sizes still counted it, jaccard would come out below 1.
+    assert(top((10L, 11L)) === 1.0)
+  }
 }
