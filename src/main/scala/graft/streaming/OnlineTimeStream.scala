@@ -77,10 +77,13 @@ object OnlineTimeStream {
     * list is watermark-bounded — the collect is O(active days), not data.
     * foreachBatch is the sanctioned imperative seam in Structured
     * Streaming; everything inside it is still declarative Spark. */
-  def startToStore(events: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def startToStore(events: DataFrame, path: String, checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): org.apache.spark.sql.streaming.StreamingQuery =
     dailyMinutes(events).writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val b = batch.withColumn("day", col("day").cast("string"))

@@ -60,4 +60,36 @@ class FileStreamSpec extends SparkSpec {
     // no duplicated day-1 rows after the restarts (exactly-once append)
     assert(result.size === spark.read.parquet(out).count())
   }
+
+  test("stream-to-store merge-upsert converges across checkpointed restarts") {
+    val in = Files.createTempDirectory("graft-s2s-in").toString
+    val chk = Files.createTempDirectory("graft-s2s-chk").toString
+    val store = s"${Files.createTempDirectory("graft-s2s-store")}/table"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+
+    def drop(rows: Seq[(Long, java.sql.Timestamp)], file: String): Unit =
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(s"$in/$file")
+
+    def drain(): Unit = {
+      val q = OnlineTimeStream.startToStore(
+        spark.readStream.schema(schema).parquet(s"$in/*"),
+        store, chk, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    drop(Seq((1L, ts(1, 1)), (1L, ts(1, 2)), (2L, ts(1, 5))), "b1")
+    drain()
+    // restart from the checkpoint: day-1 user 1 grows, user 2 must
+    // survive the partition rewrite, a new day appears
+    drop(Seq((1L, ts(1, 6)), (3L, ts(2, 1))), "b2")
+    drain()
+    val rows = spark.read.parquet(store)
+      .select(col("day").cast("string"), col("user_id"), col("minutes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("2024-01-01", 1L, 15L),
+      ("2024-01-01", 2L, 5L),
+      ("2024-01-02", 3L, 5L)))
+  }
 }
