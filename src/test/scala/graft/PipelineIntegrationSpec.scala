@@ -51,5 +51,14 @@ class PipelineIntegrationSpec extends SparkSpec {
     // idempotent re-ingest of day 2 changes nothing
     ingest("2024-02-02", 7L)
     assert(spark.read.parquet(path).count() === 400)
+
+    // operational tail: compaction then retention, data surviving both
+    SnapshotStore.compactDays(spark, path)
+    assert(spark.read.parquet(path).count() === 400)
+    SnapshotStore.retainWhere(spark, path, col("day") === "2024-02-02")
+    val kept = spark.read.parquet(path)
+    assert(kept.count() === 200)
+    assert(kept.select(col("day").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("2024-02-02"))
   }
 }
