@@ -93,6 +93,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
+    "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(Tables.documents(s, dir))),
     "ngram_jaccard_top" -> ((s, dir) => Dedup.ngramJaccardTop(Tables.documents(s, dir))),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
@@ -405,28 +406,29 @@ object SparkEntry {
         | count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH $ShinglesCte,
-         | hsh AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % ${Dedup.P} AS h FROM sh),
-         | sig AS (SELECT doc_id, ${Dedup.hashParams.zipWithIndex
-        .map { case ((a, b), j) => s"min(($a * h + $b) % ${Dedup.P}) AS h$j" }.mkString(", ")}
-         |         FROM hsh GROUP BY doc_id),
-         | bands AS (SELECT doc_id, unnest([${(0 until Dedup.Bands).map { bd =>
-        val cols = (0 until Dedup.RowsPerBand)
-          .map(r => s"h${bd * Dedup.RowsPerBand + r}").mkString(", ")
-        s"md5(concat_ws('_', 'b$bd', $cols))"
-      }.mkString(", ")}]) AS bk FROM sig),
-         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         | inter AS (SELECT id_a, id_b, count(*) AS n_common
-         |           FROM cand JOIN sh sa ON sa.doc_id = id_a
-         |                     JOIN sh sb ON sb.doc_id = id_b AND sb.sh = sa.sh
-         |           GROUP BY 1, 2)
+      s"""WITH $MinhashCtes
          |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
          | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
          |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      // Transitive closure of the minhash near-dup pairs via recursive CTE;
+      // keeper = min doc_id reachable — mirrors the label-propagation
+      // fixpoint exactly (both compute min over the connected component).
+      s"""WITH RECURSIVE $MinhashCtes,
+         | prs AS (SELECT id_a, id_b
+         |         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+         |         WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5),
+         | e AS (SELECT id_a AS n, id_b AS m FROM prs UNION SELECT id_b, id_a FROM prs),
+         | reach AS (SELECT n, m FROM e
+         |           UNION
+         |           SELECT r.n, e2.m FROM reach r JOIN e e2 ON r.m = e2.n),
+         | comp AS (SELECT n AS doc_id, least(n, min(m)) AS keep_id FROM reach GROUP BY n)
+         |SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id,
+         | (d.doc_id <> coalesce(c.keep_id, d.doc_id)) AS is_dup
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "ngram_jaccard_top" ->
       // The df>100 hot-shingle cap mirrors Dedup.ngramJaccardTop exactly:
       // sizes AND intersections are both over the capped shingle set.
@@ -656,6 +658,29 @@ object SparkEntry {
       |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
       |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
       |        FROM qz z CROSS JOIN cents s) t2 WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTEs: the whole MinHash+LSH candidate/verify pipeline up
+    * to `inter` (pair intersection counts) + `sizes` — used by
+    * `dedup_minhash` (pair emission) and `dedup_clusters` (transitive
+    * closure over the same pairs). */
+  private lazy val MinhashCtes: String =
+    s"""$ShinglesCte,
+       | hsh AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % ${Dedup.P} AS h FROM sh),
+       | sig AS (SELECT doc_id, ${Dedup.hashParams.zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * h + $b) % ${Dedup.P}) AS h$j" }.mkString(", ")}
+       |         FROM hsh GROUP BY doc_id),
+       | bands AS (SELECT doc_id, unnest([${(0 until Dedup.Bands).map { bd =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"h${bd * Dedup.RowsPerBand + r}").mkString(", ")
+      s"md5(concat_ws('_', 'b$bd', $cols))"
+    }.mkString(", ")}]) AS bk FROM sig),
+       | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       | inter AS (SELECT id_a, id_b, count(*) AS n_common
+       |           FROM cand JOIN sh sa ON sa.doc_id = id_a
+       |                     JOIN sh sb ON sb.doc_id = id_b AND sb.sh = sa.sh
+       |           GROUP BY 1, 2)""".stripMargin
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document. */
   private val ShinglesCte =

@@ -164,6 +164,60 @@ object Dedup {
       .limit(k)
   }
 
+  /** Connected components over near-dup pairs — the step that turns pair
+    * detection into an actionable dedup decision: every document in a
+    * connected cluster maps to the cluster's canonical keeper (min doc_id,
+    * deterministic). Pairs are edges; transitively-linked docs (A~B, B~C)
+    * collapse into one cluster even when A and C were never compared.
+    *
+    * Algorithm: hash-to-min label propagation — every node starts as its
+    * own label; each round every node takes the min label across itself
+    * and its neighbors; stop at fixpoint. Rounds needed = graph diameter
+    * (near-dup clusters are shallow; `maxIters` bounds pathological
+    * chains). Each round is one equi-join + one partial-aggregated
+    * groupBy — all shuffles on doc_id, no driver-side data beyond the
+    * converged? count. The final labels are path-independent, so the
+    * result is deterministic under any partitioning — oracle-checkable
+    * against a recursive-CTE transitive closure. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Undirected edges + self-loops: one row per (node, neighbor)
+    val fwd = pairs.select(col("id_a").as("n"), col("id_b").as("m"))
+    val sym = fwd.unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
+    val edges = sym.unionByName(
+      sym.select(col("n")).distinct().withColumn("m", col("n")))
+    var labels = edges.select(col("n")).distinct().withColumn("lbl", col("n"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed("n", "m").withColumnRenamed("lbl", "mlbl"), Seq("m"))
+        .groupBy("n")
+        .agg(min(col("mlbl")).as("lbl"))
+      // localCheckpoint truncates the per-iteration lineage (a fixpoint
+      // loop otherwise compounds the plan each round and re-executes the
+      // whole history per action).
+      val materialized = next.localCheckpoint()
+      converged = labels.join(materialized.withColumnRenamed("lbl", "lbl2"), Seq("n"))
+        .filter(col("lbl") =!= col("lbl2")).isEmpty
+      labels = materialized
+      i += 1
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("keep_id")).orderBy("doc_id")
+  }
+
+  /** Cluster assignment for the whole corpus: docs in near-dup clusters
+    * map to the cluster keeper, everything else keeps itself. `is_dup`
+    * marks the rows a dedup pass would drop. */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val comp = connectedComponents(minhashPairs(docs, threshold))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 60 // 15 hex chars of md5 -> fits a signed BIGINT
 
   /** Per-document 60-bit SimHash, frequency-weighted (Charikar): each word

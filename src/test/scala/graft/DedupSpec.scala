@@ -61,6 +61,35 @@ class DedupSpec extends SparkSpec {
     assert(top((0L, 2L)) < 1.0 && top((0L, 2L)) > 0.5)
   }
 
+  test("connected components: transitive chains collapse to the min-id keeper") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (3 never compared to 1) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components: a long path converges within the iteration bound") {
+    import spark.implicits._
+    // path 0-1-2-...-9: min label must travel the whole diameter
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet === Set(0L))
+    assert(comp.keySet === (0L to 9L).toSet)
+  }
+
+  test("dedupClusters: dup family maps to one keeper, singletons keep themselves") {
+    val out = Dedup.dedupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val m = out.map(x => x._1 -> x._2).toMap
+    // docs 0/1 are exact dups (cluster keeper 0); every doc appears once
+    assert(m(1L) === 0L && m(0L) === 0L)
+    assert(out.count(_._3) === out.count(x => x._1 != x._2))
+    assert(out.map(_._1).toSet === docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("ngram df-cap: a corpus-wide hot shingle contributes to neither pairs nor sizes") {
     import spark.implicits._
     // "common boiler plate" appears in ALL 4 docs (df=4 > cap=3) — it must
