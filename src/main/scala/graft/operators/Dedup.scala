@@ -183,8 +183,11 @@ object Dedup {
     // Undirected edges + self-loops: one row per (node, neighbor)
     val fwd = pairs.select(col("id_a").as("n"), col("id_b").as("m"))
     val sym = fwd.unionByName(fwd.select(col("m").as("n"), col("n").as("m")))
+    // Materialize the edge set once: it feeds every propagation round, and
+    // without the checkpoint the entire upstream pair-detection pipeline
+    // (LSH candidates + verification) re-executes per iteration.
     val edges = sym.unionByName(
-      sym.select(col("n")).distinct().withColumn("m", col("n")))
+      sym.select(col("n")).distinct().withColumn("m", col("n"))).localCheckpoint()
     var labels = edges.select(col("n")).distinct().withColumn("lbl", col("n"))
     var converged = false
     var i = 0
