@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
+    "ivf_recall" -> ((s, dir) => Similarity.ivfRecall(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "neardup_recall" -> ((s, dir) => Similarity.nearDupRecall(Tables.embeddings(s, dir))),
@@ -545,6 +546,30 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
          |       FROM sc)
          |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "ivf_recall" ->
+      s"""WITH $IvfCte,
+         | pr AS (SELECT qid, qe, cluster FROM (
+         |        SELECT z.vec_id AS qid, z.e AS qe, s.cluster,
+         |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+         |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+         |        FROM qz z CROSS JOIN cents s WHERE z.vec_id < 10) t WHERE rn <= 4),
+         | sc AS (SELECT qid, a.vec_id AS cid,
+         |        round(list_cosine_similarity(qe, a.e), 6) AS cos_sim
+         |        FROM pr JOIN asg a ON a.cluster = pr.cluster AND a.vec_id <> qid),
+         | r AS (SELECT qid, cid,
+         |       row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM sc),
+         | ann AS (SELECT qid AS aqid, cid AS acid FROM r WHERE rank <= 5),
+         | ts AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+         |        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         | tr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM ts),
+         | truth AS (SELECT qid, cid FROM tr WHERE rank <= 5)
+         |SELECT t2.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
+         |       CAST(count(a.acid) AS DOUBLE) / 5 AS recall
+         |FROM truth t2 LEFT JOIN ann a ON a.aqid = t2.qid AND a.acid = t2.cid
+         |GROUP BY t2.qid ORDER BY t2.qid""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH $LshBucketCte,
          | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -276,6 +276,22 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Recall@k gate for [[annIvf]] — same construction as [[annRecall]]:
+    * per query, the fraction of true top-k neighbors the IVF probe
+    * returned. Deterministic, hash-gated. */
+  def ivfRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, numQueries, k).select(col("qid"), col("cid"))
+    val approx = annIvf(embeddings, numQueries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    truth
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(k))
+      .select("qid", "n_hit", "recall")
+      .orderBy("qid")
+  }
+
   /** LSH-bucketed approximate nearest neighbors, multi-table random
     * hyperplane scheme: `numTables` independent signatures of
     * `bitsPerTable` bits each; candidates = corpus rows sharing any
