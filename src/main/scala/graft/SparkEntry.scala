@@ -106,6 +106,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "neardup_recall" -> ((s, dir) => Similarity.nearDupRecall(Tables.embeddings(s, dir))),
+    "pack_documents" -> ((s, dir) => Packing.packDocuments(Tables.documents(s, dir))),
+    "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
@@ -402,6 +404,20 @@ object SparkEntry {
         |           for i in range(1, len(w) - 3)]) AS fp,
         | CAST(len(w) - 4 AS BIGINT) AS n_shingles
         |FROM t WHERE len(w) >= 5 ORDER BY doc_id""".stripMargin,
+    "pack_documents" ->
+      s"""WITH $PackCte
+         |SELECT doc_id, shard,
+         | shard * 1000000000 + CAST(floor(CAST(cum - tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk_id,
+         | tokens
+         |FROM pc ORDER BY doc_id""".stripMargin,
+    "pack_chunk_stats" ->
+      s"""WITH $PackCte,
+         | asg AS (SELECT doc_id, shard,
+         |         shard * 1000000000 + CAST(floor(CAST(cum - tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk_id,
+         |         tokens FROM pc)
+         |SELECT shard, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(tokens) AS BIGINT) AS packed_tokens
+         |FROM asg GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
         | count(*) AS n_docs, min(doc_id) AS keep_id
@@ -706,6 +722,18 @@ object SparkEntry {
        |           FROM cand JOIN sh sa ON sa.doc_id = id_a
        |                     JOIN sh sb ON sb.doc_id = id_b AND sb.sh = sa.sh
        |           GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle CTE: sharded token cumsum for sequence packing —
+    * mirrors [[graft.operators.Packing]]: whitespace tokens, md5-derived
+    * shard, per-shard running total in doc_id order. */
+  private val PackCte: String =
+    """t AS (SELECT doc_id,
+      |       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS tokens,
+      |       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard
+      |       FROM documents),
+      | pc AS (SELECT doc_id, shard, tokens,
+      |        sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM t)""".stripMargin
 
   /** Shared oracle CTE: distinct word-3-gram shingles per document. */
   private val ShinglesCte =

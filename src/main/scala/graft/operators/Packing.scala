@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the LLM-training data-prep step that concatenates
+  * documents into fixed-budget context chunks ("pack until full"). The
+  * exact greedy bin-packing is inherently sequential, so at scale the
+  * standard formulation is sharded streaming concatenation: documents
+  * hash into `shards` independent streams, each stream packs in doc_id
+  * order by cumulative token count, and each document lands in the chunk
+  * selected by the total BEFORE it (`floor((cumsum − tokens) / budget)`)
+  * — the boundary-straddling approximation every large-scale packer
+  * accepts (exact per-chunk capacity enforcement would serialize the
+  * scan).
+  *
+  * Scale shape: one partitioned window per shard (never a global window —
+  * the cumsum parallelism IS the shard count), shard assignment from an
+  * md5-derived hash (engine-reproducible, unlike `hash()`), everything
+  * else per-row arithmetic.
+  * Output: (doc_id, shard, chunk_id, tokens) — chunk_id unique across
+  * shards.
+  */
+object Packing {
+
+  /** Whitespace token count, matching [[TextAnalysis]]'s tokens_ws. */
+  private def tokensExpr = size(TextAnalysis.wordsExpr).cast("long")
+
+  def packDocuments(docs: DataFrame, budget: Long = 2048, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), tokensExpr.as("tokens"))
+      // md5-derived shard: first 15 hex chars fit a BIGINT exactly; both
+      // engines compute the identical value (hash() would not reproduce).
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $shards"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("chunk_id",
+        col("shard") * lit(1000000000L) + floor((col("cum") - col("tokens")) / lit(budget)).cast("long"))
+      .select("doc_id", "shard", "chunk_id", "tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Chunk-level summary: documents per chunk and the packed token count —
+    * the fill-efficiency view (chunks fill to ≥ budget − max_doc_tokens
+    * except each shard's tail chunk). */
+  def chunkStats(docs: DataFrame, budget: Long = 2048, shards: Int = 8): DataFrame =
+    packDocuments(docs, budget, shards)
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("packed_tokens"))
+      .orderBy("shard", "chunk_id")
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Packing
+
+/** Sequence-packing semantics: sharded streaming concatenation with the
+  * boundary-straddling approximation (a doc's chunk comes from the
+  * cumulative total BEFORE it). */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single-shard packing follows the preceding-cumsum rule") {
+    val docs = Seq(
+      (0L, "a b c d"),          // 4 tokens, cum-before 0  -> chunk 0
+      (1L, "a b c d e"),        // 5 tokens, cum-before 4  -> chunk 0
+      (2L, "a b c d"),          // 4 tokens, cum-before 9  -> chunk 0 (straddles)
+      (3L, "a b c d e f g h i") // 9 tokens, cum-before 13 -> chunk 1
+    ).toDF("doc_id", "text")
+    val out = Packing.packDocuments(docs, budget = 10, shards = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) === (0L, 4L))
+    assert(out(1L) === (0L, 5L))
+    assert(out(2L) === (0L, 4L))
+    assert(out(3L) === (1L, 9L))
+  }
+
+  test("packing is total and token-conserving on the fixture corpus") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Packing.packDocuments(docs)
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    val stats = Packing.chunkStats(docs)
+    val (nDocs, tokens) = stats.collect()
+      .map(r => (r.getLong(2), r.getLong(3))).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(nDocs === docs.count())
+    val directTokens = packed.collect().map(_.getLong(3)).sum
+    assert(tokens === directTokens)
+    // every shard starts packing at chunk offset 0
+    val firstChunks = packed.collect().groupBy(_.getLong(1))
+      .map { case (shard, rows) => rows.map(_.getLong(2)).min - shard * 1000000000L }
+    assert(firstChunks.forall(_ === 0L))
+  }
+}
