@@ -106,6 +106,15 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "neardup_recall" -> ((s, dir) => Similarity.nearDupRecall(Tables.embeddings(s, dir))),
+    "pii_redact" -> ((s, dir) => DataHygiene.redactionAudit(Tables.documents(s, dir))),
+    "doc_repetition" -> ((s, dir) => DataHygiene.repetitionScore(Tables.documents(s, dir))),
+    // Decontamination fixture: even doc_ids play "train", odd play "eval".
+    "contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DataHygiene.contamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     "pack_documents" -> ((s, dir) => Packing.packDocuments(Tables.documents(s, dir))),
     "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
@@ -404,6 +413,35 @@ object SparkEntry {
         |           for i in range(1, len(w) - 3)]) AS fp,
         | CAST(len(w) - 4 AS BIGINT) AS n_shingles
         |FROM t WHERE len(w) >= 5 ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${DataHygiene.EmailRe}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${DataHygiene.PhoneRe}')) AS BIGINT) AS n_phones,
+         | md5(regexp_replace(regexp_replace(text, '${DataHygiene.EmailRe}', '<EMAIL>', 'g'),
+         |                    '${DataHygiene.PhoneRe}', '<PHONE>', 'g')) AS clean_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | g AS (SELECT doc_id,
+        |       CASE WHEN len(w) >= 3 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |            ELSE [] END AS grams FROM t)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        | CASE WHEN len(grams) > 0
+        |      THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |      ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "contamination" ->
+      s"""WITH $ShinglesCte,
+         | tsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+         | esh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM esh GROUP BY 1),
+         | hits AS (SELECT e.doc_id, count(*) AS n_common
+         |          FROM esh e JOIN tsh t2 ON e.sh = t2.sh GROUP BY 1)
+         |SELECT h.doc_id, CAST(n_common AS BIGINT) AS n_common, CAST(n_sh AS BIGINT) AS n_sh,
+         | round(CAST(n_common AS DOUBLE) / n_sh, 6) AS contaminated_frac
+         |FROM hits h JOIN sizes sz ON sz.doc_id = h.doc_id
+         |WHERE n_common >= 3 ORDER BY h.doc_id""".stripMargin,
     "pack_documents" ->
       s"""WITH $PackCte
          |SELECT doc_id, shard,

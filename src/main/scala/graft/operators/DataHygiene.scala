@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for LLM training data: PII redaction,
+  * within-document repetition scoring (the Gopher-rule family), and
+  * train/eval contamination detection. All per-row built-ins or
+  * candidate-bounded joins — no UDFs, no unbounded shuffles.
+  */
+object DataHygiene {
+
+  /** Regexes shared with the DuckDB oracle — RE2/Java-compatible subset
+    * only (no lookbehind, no possessive quantifiers). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction: emails/phones replaced with typed placeholders, with
+    * per-document redaction counts (the audit trail a scrubbing pass
+    * needs). Pure per-row codegen'd string work — no shuffle. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        .as("clean_text"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"))
+      .orderBy("doc_id")
+
+  /** Redaction summary (oracle-friendly shape: the counts and the cleaned
+    * text's stability are what matters, not megabytes of text): per-doc
+    * counts + md5 of the cleaned text. */
+  def redactionAudit(docs: DataFrame): DataFrame =
+    redactPii(docs).select(
+      col("doc_id"),
+      col("n_emails"), col("n_phones"),
+      md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** Within-document repetition (Gopher-style quality rule): fraction of
+    * word 3-gram occurrences that are repeats of an earlier 3-gram in the
+    * same document. High values mark boilerplate/keyword-stuffed docs a
+    * quality filter drops. Per-row array expressions only. */
+  def repetitionScore(docs: DataFrame, k: Int = 3): DataFrame = {
+    val gram = (0 until k).map(j => s"w[i+$j]").mkString(", ")
+    docs
+      .select(col("doc_id"), TextAnalysis.wordsExpr.as("w"))
+      .withColumn("grams",
+        expr(s"CASE WHEN size(w) >= $k THEN transform(sequence(0, size(w)-$k), i -> concat_ws(' ', $gram)) ELSE array() END"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** Train/eval contamination: eval documents sharing ≥ `minCommon`
+    * word-k-gram shingles with any train document, with the contaminated
+    * fraction of the eval doc's shingles. The decontamination primitive:
+    * run before training, drop or flag the hits. Join is shingle-keyed
+    * (candidate-bounded like the dedup family), never doc×doc. */
+  def contamination(train: DataFrame, eval: DataFrame,
+                    minCommon: Long = 3): DataFrame = {
+    val tsh = Dedup.shingles(train).select(col("sh")).distinct()
+    val esh = Dedup.shingles(eval)
+    val sizes = esh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    esh.join(tsh, Seq("sh")) // semi-shaped: only shingles seen in train
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("n_common") >= minCommon)
+      .select(col("doc_id"),
+        col("n_common"),
+        col("n_sh"),
+        round(col("n_common").cast("double") / col("n_sh"), 6).as("contaminated_frac"))
+      .orderBy("doc_id")
+  }
+}
