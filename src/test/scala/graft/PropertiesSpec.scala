@@ -65,6 +65,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(2, 20)
+    docs <- Gen.listOfN(n, Gen.chooseNum(0, 30).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+        .map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("packing property: total, token-conserving, per-chunk docs contiguous in id order") {
+    forAll(corpusGen, n = 6) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val packed = graft.operators.Packing.packDocuments(docs, budget = 7, shards = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(packed.map(_._1).toSet === rows.map(_._1).toSet, "every doc packed exactly once")
+      // within a shard, chunk ids are non-decreasing in doc_id order
+      packed.groupBy(_._2).foreach { case (_, rs) =>
+        val chunks = rs.sortBy(_._1).map(_._3)
+        assert(chunks.zip(chunks.drop(1)).forall { case (a, b) => a <= b })
+      }
+    }
+  }
+
+  test("contamination property: an eval doc equal to a train doc is always flagged in full") {
+    forAll(corpusGen.suchThat(_.exists(_._2.split("\\s+").length >= 5)), n = 4) { rows =>
+      val candidates = rows.filter(_._2.split("\\s+").count(_.nonEmpty) >= 5)
+      val train = candidates.take(1).toDF("doc_id", "text")
+      val eval = candidates.take(1).map { case (_, t) => (999L, t) }.toDF("doc_id", "text")
+      val out = graft.operators.DataHygiene.contamination(train, eval, minCommon = 1).collect()
+      assert(out.length === 1)
+      assert(out.head.getDouble(3) === 1.0, "identical doc must be fully contaminated")
+    }
+  }
+
   test("gain invariants: positive gains, output users ⊆ both snapshots, dense ranks") {
     forAll(eventsGen) { rows =>
       val df = toDf(rows)
