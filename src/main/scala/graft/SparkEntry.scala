@@ -86,6 +86,7 @@ object SparkEntry {
       StarSchema.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "range_join" -> ((s, dir) =>
       RangeJoin.shipWindowCounts(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "interval_overlap" -> ((s, dir) => RangeJoin.windowOverlapCounts(Tables.orders(s, dir))),
     // --- LLM-training-data pipeline ops (SURVEY §7.2 step 8) ---
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -374,6 +375,16 @@ object SparkEntry {
         |       JOIN pts ON ship_day BETWEEN start_day AND end_day GROUP BY 1)
         |SELECT iv.o_orderkey, CAST(start_day AS VARCHAR) AS start_day,
         | CAST(coalesce(c.n, 0) AS BIGINT) AS n_shipped
+        |FROM iv LEFT JOIN c USING (o_orderkey) ORDER BY o_orderkey""".stripMargin,
+    "interval_overlap" ->
+      """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+        |            CAST(o_orderdate AS DATE) + 13 AS e
+        |            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+        | c AS (SELECT a.o_orderkey, count(*) AS n FROM iv a JOIN iv b
+        |       ON a.s <= b.e AND b.s <= a.e AND a.o_orderkey <> b.o_orderkey
+        |       GROUP BY 1)
+        |SELECT iv.o_orderkey, CAST(s AS VARCHAR) AS start_day,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n_overlaps
         |FROM iv LEFT JOIN c USING (o_orderkey) ORDER BY o_orderkey""".stripMargin,
     // Same oracle as customer_top_orders: the heap aggregate must
     // reproduce the window formulation exactly.

@@ -42,6 +42,48 @@ object RangeJoin {
       .drop("__cell")
   }
 
+  /** Interval-overlap join — the two-sided sibling of [[pointInInterval]]:
+    * every (left, right) pair whose [start, end] ranges intersect
+    * (`l.start <= r.end AND r.start <= l.end`). Both sides explode over
+    * their spanned grid cells; overlapping intervals share at least one
+    * cell, so the equi-join on the cell finds every candidate; a pair
+    * spanning several shared cells appears once per cell, hence the
+    * full-row dropDuplicates after the exact filter (candidate-bounded —
+    * span/granularity rows per pair, not |L|·|R|). */
+  def intervalOverlap(left: DataFrame, ls: String, le: String,
+                      right: DataFrame, rs: String, re: String,
+                      granularityDays: Int = 7): DataFrame = {
+    val lb = left.withColumn("__cell",
+      explode(sequence(bucketOf(col(ls), granularityDays), bucketOf(col(le), granularityDays))))
+    val rb = right.withColumn("__cell",
+      explode(sequence(bucketOf(col(rs), granularityDays), bucketOf(col(re), granularityDays))))
+    lb.join(rb, Seq("__cell"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .drop("__cell")
+      .dropDuplicates()
+  }
+
+  /** Fixture query: overlap degree of the top-`topN` order windows — for
+    * each window, how many OTHER top windows intersect it. Exercises
+    * [[intervalOverlap]] end-to-end with a deterministic oracle. */
+  def windowOverlapCounts(orders: DataFrame, topN: Int = 100, windowDays: Int = 14): DataFrame = {
+    val ivals = orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(topN)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")), windowDays - 1).as("e"))
+    val other = ivals.select(col("o_orderkey").as("b_key"), col("s").as("bs"), col("e").as("be"))
+    val counts = intervalOverlap(ivals, "s", "e", other, "bs", "be")
+      .filter(col("o_orderkey") =!= col("b_key"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_overlaps"))
+    ivals.join(counts, Seq("o_orderkey"), "left_outer")
+      .select(col("o_orderkey"),
+        date_format(col("s"), "yyyy-MM-dd").as("start_day"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+      .orderBy("o_orderkey")
+  }
+
   /** Fixture query: for the top-`topN` orders by total price, how many
     * lineitem shipments (any order) fell inside that order's
     * `windowDays`-day window from its order date. Zero-match intervals

@@ -51,6 +51,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(run(1) === run(7) && run(7) === run(30))
   }
 
+  test("interval overlap equals the naive overlap join, pairs deduped across shared cells") {
+    val a = Seq(
+      (1L, d("2024-01-01"), d("2024-01-31")),  // long: spans many cells
+      (2L, d("2024-02-10"), d("2024-02-12"))
+    ).toDF("a_id", "as_day", "ae_day")
+    val b = Seq(
+      (10L, d("2024-01-15"), d("2024-02-11")), // overlaps BOTH (and shares several cells with #1)
+      (11L, d("2024-03-01"), d("2024-03-02"))  // overlaps neither
+    ).toDF("b_id", "bs_day", "be_day")
+    val fast = RangeJoin.intervalOverlap(a, "as_day", "ae_day", b, "bs_day", "be_day")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.length === fast.distinct.length, "no duplicate pairs from shared cells")
+    val naive = a.crossJoin(b)
+      .filter(col("as_day") <= col("be_day") && col("bs_day") <= col("ae_day"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.toSet === naive.toSet)
+    assert(fast.toSet === Set((1L, 10L), (2L, 10L)))
+  }
+
   test("shipWindowCounts keeps zero-match intervals and is exactly topN rows") {
     val orders = Seq(
       (10L, 900.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
