@@ -134,15 +134,24 @@ object Dedup {
     // capped shingle set on both sides (sizes and intersections), mirrored
     // exactly in the oracle SQL.
     //
-    // Shape: ONE aggregation groups each shingle's sorted doc list and its
-    // df — the df filter and the pair expansion (an expression over the
-    // ≤cap-sized list) both come from it. This replaces the previous
-    // hot-set anti-join + sort-merge self-join: the full shingle table
-    // shuffles once, not three times, and per-group memory is bounded by
-    // the cap.
-    val grouped = shingles(docs).groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("df"))
+    // Shape: TWO passes over the shingle table. Pass 1 is a pure count
+    // aggregate — constant-size buffer, map-side partial agg — that finds
+    // the surviving (df ≤ cap) shingles. Pass 2 joins the shingle table to
+    // the survivors and only THEN collects each doc list, so every
+    // collect_list buffer is provably ≤ maxDocFreq elements. A single-pass
+    // collect-then-filter would materialize the FULL doc list of a hot
+    // shingle (one boilerplate phrase in 1M docs = a 1M-element array in
+    // one aggregation buffer) before discarding it — executor OOM at
+    // corpus scale. The extra shuffle is the price of the bound; both the
+    // join and the final groupBy cluster on `sh`, so the collect reuses
+    // the join's partitioning (one exchange for pass 2, not two).
+    val sh = shingles(docs)
+    val surviving = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
+    val grouped = sh.join(surviving, Seq("sh"))
+      .groupBy("sh", "df")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = grouped.filter(col("df") >= 2)
@@ -205,6 +214,15 @@ object Dedup {
       labels = materialized
       i += 1
     }
+    // Hash-to-min needs diameter rounds: a chain longer than maxIters exits
+    // here with intermediate labels. Surface that loudly instead of
+    // silently returning wrong clusters — callers must size maxIters above
+    // the expected component diameter (near-dup graphs are shallow; a
+    // pathological corpus is a configuration problem, not a silent one).
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did NOT converge within $maxIters iterations; " +
+          "labels are intermediate (component diameter exceeds maxIters) — raise maxIters")
     labels.select(col("n").as("doc_id"), col("lbl").as("keep_id")).orderBy("doc_id")
   }
 

@@ -230,9 +230,13 @@ object Snapshots {
     val scores = events
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("value").cast(DecimalType(18, 2))).as("score"))
-    val perCat = Window.partitionBy(col("event_type")).orderBy(col("score").desc, col("user_id").asc)
-    scores
-      .withColumn("cat_rank", row_number().over(perCat).cast("long"))
+    // Grouped distributed rank: a per-category Window.partitionBy would put
+    // every user of one category into ONE task's sort (parallelism =
+    // |categories| — five tasks at any scale). Same construction as the
+    // gain family's global rank, extended with the group key.
+    RankUtils
+      .groupedRowNumber(scores, Seq("event_type"),
+        Seq(col("score").desc, col("user_id").asc), "cat_rank")
       .withColumn("points", lit(1001L) - col("cat_rank"))
       .select(col("event_type"), col("user_id"), col("score").cast("double").as("score"),
         col("cat_rank"), col("points"))
@@ -243,8 +247,12 @@ object Snapshots {
     val scores = events
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("value").cast(DecimalType(18, 2))).as("score"))
-    val perCat = Window.partitionBy(col("event_type")).orderBy(col("score").desc, col("user_id").asc)
-    val pts = scores.withColumn("points", lit(1001) - row_number().over(perCat))
+    // Per-category positional points via the grouped distributed rank (see
+    // rookmasterCategories — no single-task per-category sort).
+    val pts = RankUtils
+      .groupedRowNumber(scores, Seq("event_type"),
+        Seq(col("score").desc, col("user_id").asc), "__cat_rank")
+      .withColumn("points", lit(1001L) - col("__cat_rank"))
     val totals = pts
       .groupBy("user_id")
       .agg(sum(col("points")).as("total_points"), count(lit(1)).as("n_categories"))

@@ -109,4 +109,23 @@ class DedupSpec extends SparkSpec {
     // if sizes still counted it, jaccard would come out below 1.
     assert(top((10L, 11L)) === 1.0)
   }
+
+  test("ngram collect_list buffers only df-filtered shingles (bounded-buffer plan shape)") {
+    // The memory bound is structural: the doc-list collection must sit
+    // ABOVE the df≤cap semi-join, so a hot shingle's list is never
+    // materialized in any aggregation buffer. A collect-then-filter plan
+    // (filter above the collect aggregate, no join beneath it) would buffer
+    // the full corpus-wide doc list of a boilerplate shingle before
+    // discarding it — executor OOM at scale.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = Dedup.ngramJaccardTop(docs).queryExecution.optimizedPlan
+    val collectAggs = lp.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(collectAggs.nonEmpty, "expected a collect_list aggregate in the plan")
+    collectAggs.foreach { a =>
+      assert(a.child.collect { case j: Join => j }.nonEmpty,
+        "collect_list aggregate must consume the df-filter join, not raw shingles")
+    }
+  }
 }

@@ -26,4 +26,51 @@ class RankUtilsSpec extends SparkSpec {
       .select("rank").collect().map(_.getLong(0)).sorted
     assert(ranks.toSeq === (1L to 100L))
   }
+
+  test("grouped distributed rank equals the per-group window rank") {
+    val df = (1 to 5000).map { i =>
+      (i.toLong, s"cat${i % 5}", (i * 2654435761L % 97).toDouble) // heavy ties
+    }.toDF("id", "cat", "score").repartition(13)
+    val order = Seq(col("score").desc, col("id").asc)
+    val viaWindow = df
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("cat")).orderBy(order: _*)).cast("long"))
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUtils = RankUtils
+      .groupedRowNumber(df, Seq("cat"), order, "rank", partitions = 7)
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUtils === viaWindow)
+  }
+
+  test("rookmaster plans contain no per-category single-task rank window") {
+    // The scale hazard: row_number().over(Window.partitionBy(event_type))
+    // sorts each category in ONE task (parallelism = |categories|). Both
+    // rookmaster queries must rank via the grouped distributed
+    // construction: every WindowExec either partitions by the range
+    // partition id (__pid — distributed) or computes the tiny per-group
+    // offset cumsum (__offset — runs over the |groups|×|partitions|
+    // offsets frame, not the data).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val events = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    for (q <- Seq(operators.Snapshots.rookmaster(events),
+                  operators.Snapshots.rookmasterCategories(events))) {
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "expected rank windows in the plan")
+      wins.foreach { w =>
+        val distributed = w.partitionSpec.exists(_.toString.contains("__pid"))
+        // The offset cumsum sums the per-(group, partition) counts (__n) —
+        // it runs over the tiny offsets frame, not the data.
+        val offsetCumsum = w.windowExpression.exists(_.toString.contains("__n"))
+        assert(distributed || offsetCumsum,
+          s"single-task category window found: partitionSpec=${w.partitionSpec}")
+      }
+      assert(wins.exists(_.partitionSpec.exists(_.toString.contains("__pid"))),
+        "expected a __pid-partitioned (distributed) rank window")
+    }
+  }
 }
