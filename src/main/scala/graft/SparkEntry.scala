@@ -133,9 +133,15 @@ object SparkEntry {
   )
 
   /** Skill-points formula (X1) over the distinct level domain derived from
-    * `events`, via the codegen'd [[graft.functions.SkillPointsExpr]]. Only
-    * b=2 skills are oracle-checked (power-of-two arithmetic is exact in
-    * IEEE double on both engines); all 7 skills have golden unit tests. */
+    * `events`, via the codegen'd [[graft.functions.SkillPointsExpr]]. ALL
+    * seven skill constants are oracle-checked: b=2 via exact BIGINT
+    * power-of-two arithmetic, b=1.5 via exact HUGEINT rationals
+    * ((3/2)^k scaled by 2^k is the integer 3^k), b=1.1 via the same up to
+    * the HUGEINT range plus exact BigInt-series literals for the tail (see
+    * [[fishingTailCase]]). Verified against exact rational arithmetic that
+    * the engine's IEEE-double closed form floors identically over the whole
+    * v ∈ [10, 49] domain, so the exact-integer oracle is a valid gate for
+    * the double codegen path. */
   private def skillPointsQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SkillPoints.skill_points
     Tables.events(s, dir)
@@ -144,9 +150,24 @@ object SparkEntry {
       .select(
         col("v").cast("long").as("v"),
         skill_points(col("v"), "club").as("points_melee"),
-        skill_points(col("v"), "distance").as("points_distance"))
+        skill_points(col("v"), "distance").as("points_distance"),
+        skill_points(col("v"), "fist").as("points_fist"),
+        skill_points(col("v"), "shielding").as("points_shielding"),
+        skill_points(col("v"), "fishing").as("points_fishing"))
       .orderBy("v")
   }
+
+  /** Exact fishing points for the levels where 11^k overflows HUGEINT
+    * (k = v−10 ≥ 36; 11^39 ≈ 4e40 > 2^127): computed at SQL-generation time
+    * with arbitrary-precision BigInt over the literal geometric SERIES
+    * Σ_{j<k} 11^j·10^(k−1−j) — a different algorithm AND arithmetic from
+    * the engine's closed-form double, so the gate stays independent. */
+  private lazy val fishingTailCase: String =
+    (36 to 39).map { k =>
+      val sNum = (0 until k).map(j => BigInt(11).pow(j) * BigInt(10).pow(k - 1 - j)).sum
+      val pts = (BigInt(20) * sNum) / (BigInt(1200) * BigInt(10).pow(k - 1))
+      s"WHEN ${k + 10} THEN CAST($pts AS BIGINT)"
+    }.mkString(" ")
 
   /** Shared oracle CTE: the daily snapshot (latest value per day/user). */
   private val SnapCte =
@@ -241,12 +262,35 @@ object SparkEntry {
         | CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
         | CAST(coalesce(daily.n_users, 0) AS BIGINT) AS n_users
         |FROM cal LEFT JOIN daily ON cal.day = daily.day ORDER BY day""".stripMargin,
+    // All 7 skill constants gated in EXACT integer arithmetic — points =
+    // floor((b^k − 1)/(b−1)·a/d), k = v−10. For b = p/q the closed form
+    // over integers is (a·(p^k − q^k)) // (d·(p−q)·q^(k−1)): b=2 fits
+    // BIGINT; b=3/2 (fist/shielding) uses HUGEINT with 3^k from an exact
+    // integer `reduce` product (power() returns an inexact double above
+    // 2^53); b=11/10 (fishing) does the same while 11^k fits HUGEINT
+    // (k ≤ 35) and switches to BigInt-series literals for the 4 tail
+    // levels (fishingTailCase). No floating point anywhere in the oracle.
     "skill_points" ->
-      """WITH lv AS (SELECT DISTINCT CAST(floor(value) AS INTEGER) % 40 + 10 AS v FROM events)
-        |SELECT CAST(v AS BIGINT) AS v,
-        |       CAST((CAST(power(2, v - 10) AS BIGINT) - 1) * 50 // 1800 AS BIGINT) AS points_melee,
-        |       CAST((CAST(power(2, v - 10) AS BIGINT) - 1) * 25 // 1000 AS BIGINT) AS points_distance
-        |FROM lv ORDER BY v""".stripMargin,
+      s"""WITH lv AS (SELECT DISTINCT CAST(floor(value) AS INTEGER) % 40 + 10 AS v FROM events),
+         | p AS (SELECT v,
+         |   CASE WHEN v = 10 THEN CAST(0 AS HUGEINT)
+         |        ELSE reduce([CAST(3 AS HUGEINT) for i in range(1, v - 9)], (a,b) -> a*b) END AS p3,
+         |   CASE WHEN v = 10 OR v > 45 THEN CAST(0 AS HUGEINT)
+         |        ELSE reduce([CAST(11 AS HUGEINT) for i in range(1, v - 9)], (a,b) -> a*b) END AS p11,
+         |   (CAST(1 AS HUGEINT) << (v - 10)) AS p2,
+         |   CASE WHEN v = 10 OR v > 45 THEN CAST(0 AS HUGEINT)
+         |        ELSE reduce([CAST(10 AS HUGEINT) for i in range(1, v - 9)], (a,b) -> a*b) END AS p10
+         |   FROM lv)
+         |SELECT CAST(v AS BIGINT) AS v,
+         |       CAST((CAST(p2 AS BIGINT) - 1) * 50 // 1800 AS BIGINT) AS points_melee,
+         |       CAST((CAST(p2 AS BIGINT) - 1) * 25 // 1000 AS BIGINT) AS points_distance,
+         |       CASE WHEN v = 10 THEN 0
+         |            ELSE CAST((50 * (p3 - p2)) // (1800 * (p2 // 2)) AS BIGINT) END AS points_fist,
+         |       CASE WHEN v = 10 THEN 0
+         |            ELSE CAST((100 * (p3 - p2)) // (3600 * (p2 // 2)) AS BIGINT) END AS points_shielding,
+         |       CASE v WHEN 10 THEN 0 $fishingTailCase
+         |            ELSE CAST((20 * (p11 - p10)) // (1200 * (p10 // 10)) AS BIGINT) END AS points_fishing
+         |FROM p ORDER BY v""".stripMargin,
     "paged_scan" ->
       """SELECT CAST(rank AS BIGINT) AS rank, 'char_' || rank AS name,
         | CAST(greatest(8, 500 - (rank - 1) // 10) AS BIGINT) AS level,

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.GraftImplicitCastInputTypes
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -146,9 +147,18 @@ case class LshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
   * would diverge on negative midpoints). `scale` is the vector's max |e_i|
   * computed by the caller and stored alongside the blob. A zero-vector
   * (scale = 0) packs to all-zero bytes. */
-case class PackInt8(left: Expression, right: Expression) extends BinaryExpression {
+case class PackInt8(left: Expression, right: Expression) extends BinaryExpression
+  with GraftImplicitCastInputTypes {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pack_int8"
+
+  // Registered on the SQL surface (pack_int8), so the input contract must
+  // be analysis-time: without it, an array<int> argument silently reads
+  // int-encoded ArrayData as doubles (garbage bytes) and a non-double
+  // scale throws ClassCastException at runtime. The cast-input contract
+  // makes the analyzer insert implicit casts or reject the call.
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val e = a.asInstanceOf[ArrayData]
@@ -190,9 +200,13 @@ case class PackInt8(left: Expression, right: Expression) extends BinaryExpressio
 /** Inverse of [[PackInt8]]: dq_i = (q_i · scale) / 127 — the evaluation
   * order is part of the contract (mirrored in the DuckDB oracle so the
   * doubles are bit-identical). */
-case class UnpackInt8(left: Expression, right: Expression) extends BinaryExpression {
+case class UnpackInt8(left: Expression, right: Expression) extends BinaryExpression
+  with GraftImplicitCastInputTypes {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "unpack_int8"
+
+  // Same analysis-time contract as PackInt8 (SQL-surface function).
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val bytes = a.asInstanceOf[Array[Byte]]

@@ -46,10 +46,14 @@ object RangeJoin {
     * every (left, right) pair whose [start, end] ranges intersect
     * (`l.start <= r.end AND r.start <= l.end`). Both sides explode over
     * their spanned grid cells; overlapping intervals share at least one
-    * cell, so the equi-join on the cell finds every candidate; a pair
-    * spanning several shared cells appears once per cell, hence the
-    * full-row dropDuplicates after the exact filter (candidate-bounded —
-    * span/granularity rows per pair, not |L|·|R|). */
+    * cell, so the equi-join on the cell finds every candidate
+    * (candidate-bounded — span/granularity rows per pair, not |L|·|R|).
+    * A pair spanning several shared cells would appear once per cell, so
+    * each pair is emitted from exactly ONE canonical cell — the later of
+    * the two start cells, which is always the FIRST cell both sides share.
+    * That keeps the operator exact on duplicate input rows (a full-row
+    * dropDuplicates would collapse two identical intervals into one match,
+    * diverging from the naive overlap join) and costs no extra shuffle. */
   def intervalOverlap(left: DataFrame, ls: String, le: String,
                       right: DataFrame, rs: String, re: String,
                       granularityDays: Int = 7): DataFrame = {
@@ -59,8 +63,9 @@ object RangeJoin {
       explode(sequence(bucketOf(col(rs), granularityDays), bucketOf(col(re), granularityDays))))
     lb.join(rb, Seq("__cell"))
       .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .filter(col("__cell") ===
+        greatest(bucketOf(col(ls), granularityDays), bucketOf(col(rs), granularityDays)))
       .drop("__cell")
-      .dropDuplicates()
   }
 
   /** Fixture query: overlap degree of the top-`topN` order windows — for

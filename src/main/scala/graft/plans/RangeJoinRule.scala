@@ -93,8 +93,13 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       Explode(cells),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(ivalCell), child = ivalChild)
+    // The rewritten join's left child is always the POINT side; when the
+    // point sat on the original right, the children swap, so side-specific
+    // hints (e.g. a broadcast on the original left) must swap with them or
+    // they'd silently apply to the wrong side.
+    val sidedHint = if (pointOnLeft) hint else JoinHint(hint.rightHint, hint.leftHint)
     val joined = Join(pointSide, ivalSide, Inner,
-      Some(EqualTo(pointCell.toAttribute, ivalCell)), hint)
+      Some(EqualTo(pointCell.toAttribute, ivalCell)), sidedHint)
     // Original predicate re-checked inside cells; original output order and
     // attribute ids preserved, so downstream references stay valid.
     Project(left.output ++ right.output, Filter(cond, joined))

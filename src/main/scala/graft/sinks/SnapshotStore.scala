@@ -58,18 +58,21 @@ object SnapshotStore {
                   keep: org.apache.spark.sql.Column): Unit =
     rewriteSwap(spark, path)(_.filter(keep))
 
-  /** Shared crash-safe rewrite protocol: read the table, apply `build`,
-    * write the result to a temp sibling, then swap (delete + rename). On
-    * entry, `tmp exists && target missing` is an interrupted swap from a
-    * prior run — tmp holds the ONLY copy, so recovery COMPLETES the
-    * rename (deleting tmp there would destroy the table) and then this
-    * call's rewrite still applies; a tmp alongside an intact target is
-    * pre-swap debris and is discarded. */
-  private def rewriteSwap(spark: org.apache.spark.sql.SparkSession, path: String)
-                         (build: DataFrame => DataFrame): Unit = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(path + RetainTmpSuffix)
+  /** Shared crash-safe rewrite protocol: heal any interrupted prior swap
+    * ([[recoverInterruptedSwap]]), read the table, apply `build`, write the
+    * result to a temp sibling, then swap (delete + rename). */
+  /** Recovery half of the swap protocol, callable on its own: `tmp exists
+    * && target missing` is an interrupted swap from a prior run — tmp holds
+    * the ONLY copy, so recovery COMPLETES the rename (deleting tmp there
+    * would destroy the table); a tmp alongside an intact target is pre-swap
+    * debris and is discarded. Any reader of the store's directory layout
+    * (not just the next rewrite) must run this first — [[compactDays]]
+    * lists day partitions before rewriting and would otherwise throw
+    * FileNotFoundException on a crashed-mid-swap store that
+    * [[retainWhere]] knows how to heal. */
+  private def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     target: org.apache.hadoop.fs.Path,
+                                     tmp: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(tmp) && !fs.exists(target)) {
       if (!fs.rename(tmp, target))
         throw new java.io.IOException(
@@ -77,6 +80,13 @@ object SnapshotStore {
     } else if (fs.exists(tmp)) {
       fs.delete(tmp, true)
     }
+
+  private def rewriteSwap(spark: org.apache.spark.sql.SparkSession, path: String)
+                         (build: DataFrame => DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + RetainTmpSuffix)
+    recoverInterruptedSwap(fs, target, tmp)
     build(spark.read.parquet(path))
       .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tmp.toString)
     // The rewrite is durable on disk from here on; the source is untouched
@@ -102,6 +112,10 @@ object SnapshotStore {
                   targetBytes: Long = 128L << 20): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // Heal a crashed-mid-swap store BEFORE listing it: with tmp present and
+    // target missing, the listStatus below would throw even though the
+    // table is fully recoverable.
+    recoverInterruptedSwap(fs, target, new org.apache.hadoop.fs.Path(path + RetainTmpSuffix))
     val perDayFiles: Seq[(String, Long)] = fs.listStatus(target).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
       .map { d =>

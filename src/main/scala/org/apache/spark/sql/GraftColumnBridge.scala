@@ -13,3 +13,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Bridge for input-type contracts: `ExpectsInputTypes.inputTypes` is typed
+  * over the `private[sql]` AbstractDataType, so extension expressions
+  * outside this package cannot override it directly. They declare plain
+  * (public) [[types.DataType]]s here instead; the analyzer then inserts
+  * implicit casts or rejects mistyped calls at analysis time
+  * (ImplicitCastInputTypes), rather than mis-reading ArrayData at runtime. */
+trait GraftImplicitCastInputTypes
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  /** The public-API half of the contract: one concrete DataType per child. */
+  def declaredInputTypes: Seq[types.DataType]
+  override def inputTypes: Seq[types.AbstractDataType] = declaredInputTypes
+}

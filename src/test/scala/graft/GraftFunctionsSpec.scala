@@ -41,6 +41,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(back(2) === 0.0)
   }
 
+  test("pack_int8 input types are an analysis-time contract") {
+    // array<int> is implicitly cast to array<double> by the analyzer (the
+    // previous behavior read int-encoded ArrayData as doubles — garbage
+    // bytes at runtime); an uncastable scale fails analysis, not execution.
+    val ok = spark.sql(
+      "SELECT unpack_int8(pack_int8(array(1, -1, 0), 1.0D), 1.0D) AS back").collect().head
+    assert(ok.getSeq[Double](0) === Seq(1.0, -1.0, 0.0))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT pack_int8(array(1.0D), array(1.0D))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("pack_int8"))
+  }
+
   test("non-literal skill name is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT skill_points(20, concat('sw', 'ord'))").collect()

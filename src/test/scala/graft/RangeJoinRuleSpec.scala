@@ -47,6 +47,21 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(joined.columns.toSeq === Seq("iv_id", "start_day", "end_day", "pid", "p"))
   }
 
+  test("a broadcast hint follows its side through the reversed rewrite") {
+    // intervals.join(broadcast(points)): the hint names the original RIGHT
+    // side (points). The rewrite puts the point side on the LEFT, so the
+    // hint must swap with it — the planned broadcast build side has to be
+    // the point side, not the interval side the hint would otherwise
+    // land on.
+    val joined = ivs.join(broadcast(pts), col("p").between(col("start_day"), col("end_day")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast hash join:\n$plan")
+    assert(plan.contains("BuildLeft"),
+      s"hint must follow the point side to the rewritten join's left:\n$plan")
+    val rows = joined.select("pid", "iv_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(rows === expected)
+  }
+
   test("non-date BETWEEN joins and equi-joins are left untouched") {
     // int BETWEEN: still a nested loop (the rule is date-scoped)
     val a = Seq(1, 5, 9).toDF("x")

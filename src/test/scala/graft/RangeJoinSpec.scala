@@ -70,6 +70,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast.toSet === Set((1L, 10L), (2L, 10L)))
   }
 
+  test("interval overlap preserves legitimately duplicate input rows") {
+    // Two identical interval rows on one side must each match — the naive
+    // overlap join returns both. The canonical-cell emission keeps them (a
+    // full-row dropDuplicates would silently collapse the pair to one row).
+    val a = Seq(
+      (1L, d("2024-01-01"), d("2024-01-31")),
+      (1L, d("2024-01-01"), d("2024-01-31"))  // exact duplicate row
+    ).toDF("a_id", "as_day", "ae_day")
+    val b = Seq((10L, d("2024-01-15"), d("2024-02-11"))).toDF("b_id", "bs_day", "be_day")
+    val fast = RangeJoin.intervalOverlap(a, "as_day", "ae_day", b, "bs_day", "be_day")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.crossJoin(b)
+      .filter(col("as_day") <= col("be_day") && col("bs_day") <= col("ae_day"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sorted.toSeq === naive.sorted.toSeq)
+    assert(fast.length === 2, "both duplicate intervals must surface")
+  }
+
   test("shipWindowCounts keeps zero-match intervals and is exactly topN rows") {
     val orders = Seq(
       (10L, 900.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),

@@ -44,4 +44,26 @@ class SkillPointsSpec extends SparkSpec {
       assert(SkillPoints.points(skill, v) === expect, s"$skill($v)")
     }
   }
+
+  test("IEEE-double closed form floors identically to exact rational arithmetic over v=10..49") {
+    // The oracle gates skill_points with exact integer arithmetic; this is
+    // the in-repo proof that the engine's double path (reference-faithful,
+    // etl.dart:605) agrees with it everywhere in the query domain — i.e.
+    // no exact value sits close enough to a floor boundary for double
+    // rounding (or a 1-ulp pow difference) to flip the result. b = p/q;
+    // points = floor((b^k−1)/(b−1)·a/d) = (a·q·(p^k−q^k)) / (d·(p−q)·q^k)
+    // in BigInt — computed here with NO floating point.
+    val rationals = Map(
+      "fist" -> (3, 2), "axe" -> (2, 1), "club" -> (2, 1), "sword" -> (2, 1),
+      "distance" -> (2, 1), "shielding" -> (3, 2), "fishing" -> (11, 10))
+    for ((skill, (aD, bD, dD)) <- SkillPoints.constants; v <- 10L to 49L) {
+      val (p, q) = rationals(skill)
+      val k = (v - 10).toInt
+      val a = BigInt(aD.toLong); val d = BigInt(dD.toLong)
+      val num = a * q * (BigInt(p).pow(k) - BigInt(q).pow(k))
+      val den = d * (p - q) * BigInt(q).pow(k)
+      val exact = num / den // both positive: BigInt / == floor
+      assert(SkillPoints.points(skill, v) === exact.toLong, s"$skill($v)")
+    }
+  }
 }

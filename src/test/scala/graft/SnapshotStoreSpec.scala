@@ -146,6 +146,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 500)
   }
 
+  test("compaction recovers an interrupted swap before listing day partitions") {
+    val path = tmp()
+    SnapshotStore.appendDaily(snap("2024-01-01", 1L -> 10.0), path)
+    SnapshotStore.appendDaily(snap("2024-01-02", 2L -> 20.0), path)
+    // Crash between delete(target) and rename(tmp, target): the table lives
+    // only at tmp. compactDays must heal it first — without recovery its
+    // listStatus(target) throws FileNotFoundException on a store
+    // retainWhere knows how to repair.
+    val conf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(path + SnapshotStore.RetainTmpSuffix)
+    val fs = target.getFileSystem(conf)
+    assert(fs.rename(target, tmpPath))
+    SnapshotStore.compactDays(spark, path)
+    val rows = spark.read.parquet(path)
+      .select(col("day").cast("string"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(("2024-01-01", 1L), ("2024-01-02", 2L)))
+    assert(!fs.exists(tmpPath))
+  }
+
   test("singleton overwrite replaces the latest table wholesale (L2)") {
     val path = tmp()
     SnapshotStore.overwriteLatest(Seq((1L, 10.0)).toDF("user_id", "value"), path)
