@@ -116,6 +116,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // shards pinned to 8 here because chunk ids depend on the shard count
+    // and the oracle SQL (PackCte) hard-codes the same value — a
+    // determinism contract for the gate. At scale, size shards to the
+    // corpus instead (Packing.packDocumentsAuto / the shards knob).
     "pack_documents" -> ((s, dir) => Packing.packDocuments(Tables.documents(s, dir))),
     "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),

@@ -27,6 +27,15 @@ object Packing {
   /** Whitespace token count, matching [[TextAnalysis]]'s tokens_ws. */
   private def tokensExpr = size(TextAnalysis.wordsExpr).cast("long")
 
+  /** `shards` IS the cumsum parallelism and must scale with the corpus:
+    * each shard's running total is one task's sequential window, so at
+    * 100 TB a fixed 8 serializes the pipeline behind 8 tasks. Size it so a
+    * shard holds a bounded number of documents (and at least ~2-4× the
+    * cluster's cores for scheduling slack); [[packDocumentsAuto]] derives
+    * it from the corpus size with that rule. The oracle-checked query
+    * registration pins shards = 8 explicitly because chunk ids are a
+    * function of the shard count and the oracle SQL must agree — the pin
+    * is a determinism contract there, not a scale recommendation. */
   def packDocuments(docs: DataFrame, budget: Long = 2048, shards: Int = 8): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -41,6 +50,20 @@ object Packing {
         col("shard") * lit(1000000000L) + floor((col("cum") - col("tokens")) / lit(budget)).cast("long"))
       .select("doc_id", "shard", "chunk_id", "tokens")
       .orderBy("doc_id")
+  }
+
+  /** [[packDocuments]] with the shard count derived from the corpus size:
+    * ceil(n_docs / docsPerShard), clamped to [minShards, 1 << 20]. One
+    * metadata-cheap count chooses the parallelism; the result is still
+    * deterministic FOR a given corpus size (the count is a function of the
+    * input, not of the cluster). docsPerShard bounds each task's
+    * sequential cumsum work; minShards keeps small corpora spread over
+    * the cluster's cores. */
+  def packDocumentsAuto(docs: DataFrame, budget: Long = 2048,
+                        docsPerShard: Long = 1000000, minShards: Int = 8): DataFrame = {
+    val n = docs.count()
+    val derived = ((n + docsPerShard - 1) / docsPerShard).toInt
+    packDocuments(docs, budget, math.min(1 << 20, math.max(minShards, derived)))
   }
 
   /** Chunk-level summary: documents per chunk and the packed token count —

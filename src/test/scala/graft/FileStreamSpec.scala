@@ -92,4 +92,44 @@ class FileStreamSpec extends SparkSpec {
       ("2024-01-01", 2L, 5L),
       ("2024-01-02", 3L, 5L)))
   }
+
+  test("sf0.1: streaming merge-upsert converges to the batch daily aggregation") {
+    // The 100 TB claim under test: at-least-once file delivery + idempotent
+    // day-partition upsert = effectively-once — the streamed store must
+    // equal the BATCH answer over the full sf0.1 event log (100k events,
+    // 30 days), not just fixtures. The log is split into 6 time-bucketed
+    // chunks fed 2 files per micro-batch, so the run exercises multiple
+    // checkpointed batches, per-batch merge with days straddling chunk
+    // boundaries, and watermark advance (time-ordered chunks keep every
+    // event inside the 10-minute watermark — batch semantics drop nothing).
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("user_id"), col("ts"))
+    val in = Files.createTempDirectory("graft-sfstream-in").toString
+    val chk = Files.createTempDirectory("graft-sfstream-chk").toString
+    val store = s"${Files.createTempDirectory("graft-sfstream-store")}/table"
+    val Seq(lo, hi) = events.agg(min(col("ts")), max(col("ts"))).collect()
+      .flatMap(r => Seq(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)).toSeq
+    val nChunks = 6
+    val span = (hi - lo) / nChunks + 1
+    for (c <- 0 until nChunks) { // sequential writes => increasing mod times
+      events
+        .filter(floor((col("ts").cast("double") * 1000 - lo) / span) === c)
+        .coalesce(1).write.parquet(s"$in/c$c")
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val q = OnlineTimeStream.startToStore(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(s"$in/*"),
+      store, chk, Trigger.AvailableNow())
+    q.awaitTermination()
+    val streamed = spark.read.parquet(store)
+      .select(col("day").cast("string"), col("user_id"), col("minutes"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val batch = graft.operators.OnlineTime.daily(
+        graft.sources.Tables.events(spark, "/root/testdata/sf0.1"))
+      .select(col("day"), col("user_id"), col("minutes"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
 }

@@ -39,4 +39,36 @@ class PackingSpec extends SparkSpec {
       .map { case (shard, rows) => rows.map(_.getLong(2)).min - shard * 1000000000L }
     assert(firstChunks.forall(_ === 0L))
   }
+
+  test("totality and per-shard ordering hold for shards in {1, 8, 64}") {
+    // The shard count is the scale knob (cumsum parallelism); the packing
+    // invariants must be independent of it: every doc packed exactly once,
+    // tokens conserved, and within a shard the preceding-cumsum rule means
+    // chunk ids are non-decreasing in doc_id order.
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
+    for (shards <- Seq(1, 8, 64)) {
+      val packed = Packing.packDocuments(docs, budget = 512, shards = shards).collect()
+      assert(packed.length === nDocs, s"shards=$shards: total")
+      assert(packed.map(_.getLong(0)).distinct.length === nDocs, s"shards=$shards: unique")
+      packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+        val byDoc = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+        assert(byDoc.zip(byDoc.tail).forall { case (a, b) => a <= b },
+          s"shards=$shards: chunk ids must be non-decreasing within a shard")
+      }
+      // shard ids actually live in [0, shards)
+      assert(packed.map(_.getLong(1)).forall(s => s >= 0 && s < shards))
+    }
+  }
+
+  test("auto-sharding derives the shard count from corpus size") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // tiny corpus, tiny docsPerShard: derived count = ceil(n / 100)
+    val n = docs.count()
+    val out = Packing.packDocumentsAuto(docs, budget = 512, docsPerShard = 100, minShards = 1)
+    val shardsSeen = out.select("shard").distinct().count()
+    val expectedMax = (n + 99) / 100
+    assert(shardsSeen >= 1 && shardsSeen <= expectedMax)
+    assert(out.count() === n)
+  }
 }
