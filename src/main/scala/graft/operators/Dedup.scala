@@ -226,6 +226,72 @@ object Dedup {
     labels.select(col("n").as("doc_id"), col("lbl").as("keep_id")).orderBy("doc_id")
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the deep-graph alternative to [[connectedComponents]]: hash-to-min
+    * needs one round per unit of component DIAMETER, while star rounds
+    * contract paths doubly-exponentially (O(log n) rounds on a chain), so
+    * a pathological million-hop chain converges in ~20 rounds instead of a
+    * million. Per round it costs two phases of (groupBy + join) versus
+    * hash-to-min's one, so the shallow near-dup graphs the dedup pipeline
+    * actually produces stay on [[connectedComponents]] by default; switch
+    * here when components may be long chains (e.g. transitive URL or
+    * citation graphs).
+    *
+    * Both phases are aggregate/join only — no per-node neighbor list is
+    * ever collected, so memory per task is bounded regardless of degree:
+    *  - large-star: m(u) = min(Γ(u) ∪ u); new edges (v, m(u)) for v > u
+    *  - small-star: edges oriented high→low; m(u) = min(Γ⁻(u) ∪ u);
+    *    emit (v, m(u)) for the smaller neighbors plus (u, m(u))
+    * The final edge set is a star per component rooted at its min node;
+    * labels read straight off the edges. Same output contract as
+    * [[connectedComponents]] (doc_id, keep_id). */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m")) // v < u by canonical orientation
+      val joined = e.join(mins, Seq("u"))
+      joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(joined.select(col("u"), col("m").as("v")).distinct())
+    }
+
+    val nodes = pairs
+      .select(col("id_a").as("n")).unionByName(pairs.select(col("id_b").as("n"))).distinct()
+      .localCheckpoint()
+    var edges = canonical(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = canonical(smallStar(canonical(largeStar(edges)))).localCheckpoint()
+      converged = next.unionByName(edges).groupBy("u", "v")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar did NOT converge within $maxIters iterations")
+    nodes
+      .join(edges.select(col("u").as("n"), col("v").as("lbl")), Seq("n"), "left_outer")
+      .groupBy("n").agg(min(col("lbl")).as("lbl"))
+      .select(col("n").as("doc_id"), coalesce(col("lbl"), col("n")).as("keep_id"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster assignment for the whole corpus: docs in near-dup clusters
     * map to the cluster keeper, everything else keeps itself. `is_dup`
     * marks the rows a dedup pass would drop. */

@@ -110,6 +110,34 @@ class DedupSpec extends SparkSpec {
     assert(top((10L, 11L)) === 1.0)
   }
 
+  test("star connected components equal hash-to-min on random pair sets") {
+    import spark.implicits._
+    // deterministic pseudo-random edges over 60 nodes: mixed component
+    // shapes (stars, paths, merged blobs)
+    val pairs = (1 to 120).map { i =>
+      val a = (i * 2654435761L) % 60
+      val b = (i * 40503L + 7) % 60
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val viaHashToMin = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaHashToMin)
+  }
+
+  test("star connected components converge on a chain deeper than hash-to-min's round budget") {
+    import spark.implicits._
+    // a 60-hop path: hash-to-min needs ~60 rounds (diameter), star rounds
+    // contract it in a handful — run star with a budget hash-to-min would
+    // blow and check exact labels.
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStar(chain, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === (0L to 60L).toSet)
+    assert(comp.values.toSet === Set(0L))
+  }
+
   test("ngram collect_list buffers only df-filtered shingles (bounded-buffer plan shape)") {
     // The memory bound is structural: the doc-list collection must sit
     // ABOVE the df≤cap semi-join, so a hot shingle's list is never
