@@ -77,6 +77,7 @@ object SparkEntry {
         Seq("click", "error", "purchase", "signup", "view"))),
     "rolling_weekly_minutes" -> ((s, dir) => EventsAnalytics.rollingWeeklyMinutes(Tables.events(s, dir))),
     "asof_carryforward" -> ((s, dir) => EventsAnalytics.asofCarryForward(Tables.events(s, dir))),
+    "asof_join" -> ((s, dir) => AsofJoin.viewsWithLastPurchase(Tables.events(s, dir))),
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
     "dq_checks" -> ((s, dir) =>
       QualityChecks.lineitemSuite(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -95,6 +96,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(Tables.documents(s, dir))),
+    // Same oracle as dedup_clusters: hash-to-min and star contraction must
+    // label components identically (min id), so the recursive-CTE closure
+    // gates BOTH fixpoint algorithms.
+    "dedup_clusters_star" -> ((s, dir) => Dedup.dedupClustersStar(Tables.documents(s, dir))),
     "ngram_jaccard_top" -> ((s, dir) => Dedup.ngramJaccardTop(Tables.documents(s, dir))),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
@@ -526,23 +531,23 @@ object SparkEntry {
          |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
-    "dedup_clusters" ->
-      // Transitive closure of the minhash near-dup pairs via recursive CTE;
-      // keeper = min doc_id reachable — mirrors the label-propagation
-      // fixpoint exactly (both compute min over the connected component).
-      s"""WITH RECURSIVE $MinhashCtes,
-         | prs AS (SELECT id_a, id_b
-         |         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
-         |         WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5),
-         | e AS (SELECT id_a AS n, id_b AS m FROM prs UNION SELECT id_b, id_a FROM prs),
-         | reach AS (SELECT n, m FROM e
-         |           UNION
-         |           SELECT r.n, e2.m FROM reach r JOIN e e2 ON r.m = e2.n),
-         | comp AS (SELECT n AS doc_id, least(n, min(m)) AS keep_id FROM reach GROUP BY n)
-         |SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id,
-         | (d.doc_id <> coalesce(c.keep_id, d.doc_id)) AS is_dup
-         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_clusters" -> DedupClustersOracle,
+    "dedup_clusters_star" -> DedupClustersOracle,
+    "asof_join" ->
+      // DuckDB's NATIVE ASOF JOIN is the oracle for the composed Spark
+      // union+carry-forward formulation — two independent algorithms, one
+      // answer. Both sides compare at µs (Spark reads the ns fixture
+      // truncated to µs; CAST(ts AS TIMESTAMP) applies the same
+      // truncation), and the right side is pre-aggregated per (user, µs)
+      // by the unique event_id so tied purchase timestamps stay
+      // deterministic.
+      """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'view'),
+        | r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS pval
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.pval AS last_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "ngram_jaccard_top" ->
       // The df>100 hot-shingle cap mirrors Dedup.ngramJaccardTop exactly:
       // sizes AND intersections are both over the capped shingle set.
@@ -796,6 +801,26 @@ object SparkEntry {
       |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
       |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
       |        FROM qz z CROSS JOIN cents s) t2 WHERE rn = 1)""".stripMargin
+
+  /** Transitive closure of the minhash near-dup pairs via recursive CTE;
+    * keeper = min doc_id reachable — mirrors BOTH component fixpoints
+    * exactly (hash-to-min and star contraction each compute min over the
+    * connected component), so one oracle gates `dedup_clusters` AND
+    * `dedup_clusters_star`. */
+  private lazy val DedupClustersOracle: String =
+    s"""WITH RECURSIVE $MinhashCtes,
+       | prs AS (SELECT id_a, id_b
+       |         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+       |         WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5),
+       | e AS (SELECT id_a AS n, id_b AS m FROM prs UNION SELECT id_b, id_a FROM prs),
+       | reach AS (SELECT n, m FROM e
+       |           UNION
+       |           SELECT r.n, e2.m FROM reach r JOIN e e2 ON r.m = e2.n),
+       | comp AS (SELECT n AS doc_id, least(n, min(m)) AS keep_id FROM reach GROUP BY n)
+       |SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id,
+       | (d.doc_id <> coalesce(c.keep_id, d.doc_id)) AS is_dup
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Shared oracle CTEs: the whole MinHash+LSH candidate/verify pipeline up
     * to `inter` (pair intersection counts) + `sizes` — used by

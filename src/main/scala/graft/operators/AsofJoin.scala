@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic event-time as-of join — the two-table operator Spark has no
+  * native join type for (design-brief custom-op list, alongside the range
+  * join): for every left row, attach the value columns of the single
+  * LATEST right row with the same key and `rightTs <= leftTs` (inclusive,
+  * ASOF-LEFT semantics: left rows with no prior right row keep nulls).
+  * The single-table sibling ([[EventsAnalytics.asofCarryForward]]) carries
+  * a marker forward within one stream; this joins two streams — the
+  * trades⋈quotes shape.
+  *
+  * Re-expressed Spark-first as union + ordered carry-forward, NOT a
+  * per-left-row subquery: tag right rows 0 and left rows 1, union on a
+  * common schema, and take `last(value, ignoreNulls)` over
+  * (key ORDER BY ts, tag ROWS UNBOUNDED PRECEDING) — right rows sort
+  * before left rows at equal ts, which is exactly the inclusive `>=`.
+  * One shuffle on the key, per-key linear scan, no join fanout at all:
+  * the classic O((|L|+|R|) log) formulation that survives 100 TB (the
+  * naive `l.ts >= r.ts` join is a nested loop PLUS a per-left argmax).
+  *
+  * Requirement: `right` must be unique per (key, rightTs) — pre-aggregate
+  * ties (e.g. `max_by(value, event_id)`) or the carried value at a tied
+  * timestamp is partition-order-dependent.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, leftTs: String, rightTs: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"value columns ${valueCols.intersect(leftCols).mkString(",")} clash with left columns")
+    val l = left
+      .withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))
+      .select(col("__ts") +: col("__tag") +: leftCols.map(col) ++:
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs)).withColumn("__tag", lit(0))
+      .select(col("__ts") +: col("__tag") +:
+        leftCols.map(c =>
+          if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        valueCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__tag") === 1)
+      .drop("__ts", "__tag")
+  }
+
+  /** Fixture query: each `view` event joined to the value of the user's
+    * latest `purchase` at-or-before it (null if none yet). Right side is
+    * pre-aggregated to one row per (user, µs) with `max_by` on the unique
+    * event_id, satisfying the uniqueness requirement deterministically. */
+  def viewsWithLastPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max_by(col("value"), col("event_id")).as("last_purchase_value"))
+      .withColumnRenamed("pts", "ts_r")
+    asofJoin(views, purchases, "user_id", "ts", "ts_r", Seq("last_purchase_value"))
+      .select("event_id", "user_id", "last_purchase_value")
+      .orderBy("event_id")
+  }
+}

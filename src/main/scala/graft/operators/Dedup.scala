@@ -245,7 +245,10 @@ object Dedup {
     *    emit (v, m(u)) for the smaller neighbors plus (u, m(u))
     * The final edge set is a star per component rooted at its min node;
     * labels read straight off the edges. Same output contract as
-    * [[connectedComponents]] (doc_id, keep_id). */
+    * [[connectedComponents]] (doc_id, keep_id), with one precondition:
+    * `pairs` must be proper pairs (id_a ≠ id_b — what every near-dup
+    * detector here emits); a degenerate self-pair names no edge, so a
+    * node mentioned ONLY by a self-pair does not appear in the output. */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     def canonical(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v"))
@@ -268,11 +271,13 @@ object Dedup {
         .unionByName(joined.select(col("u"), col("m").as("v")).distinct())
     }
 
-    val nodes = pairs
-      .select(col("id_a").as("n")).unionByName(pairs.select(col("id_b").as("n"))).distinct()
-      .localCheckpoint()
+    // Materialize the pair-detection output ONCE; the node set derives
+    // from the checkpointed edges (a second checkpoint of `pairs` would
+    // re-run the whole upstream LSH pipeline).
     var edges = canonical(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint()
+    val nodes = edges
+      .select(col("u").as("n")).unionByName(edges.select(col("v").as("n"))).distinct()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -295,15 +300,22 @@ object Dedup {
   /** Cluster assignment for the whole corpus: docs in near-dup clusters
     * map to the cluster keeper, everything else keeps itself. `is_dup`
     * marks the rows a dedup pass would drop. */
-  def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val comp = connectedComponents(minhashPairs(docs, threshold))
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    assignKeepers(docs, connectedComponents(minhashPairs(docs, threshold)))
+
+  /** [[dedupClusters]] over the star-contraction components — identical
+    * output by construction (both label a component with its min id), so
+    * the same recursive-CTE oracle gates BOTH algorithms. */
+  def dedupClustersStar(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    assignKeepers(docs, connectedComponentsStar(minhashPairs(docs, threshold)))
+
+  private def assignKeepers(docs: DataFrame, comp: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
       .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("boolean"))
       .orderBy("doc_id")
-  }
 
   val SimhashBits = 60 // 15 hex chars of md5 -> fits a signed BIGINT
 

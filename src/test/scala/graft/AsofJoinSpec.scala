@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics: inclusive latest-at-or-before match, ASOF-LEFT
+  * null for rows with no prior right row, equality with the naive
+  * per-left-row argmax formulation. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, 100L, t("2024-01-01 10:00:00")), // before any right row -> null
+    (1L, 101L, t("2024-01-01 12:00:00")), // exactly at a right ts -> inclusive
+    (1L, 102L, t("2024-01-01 23:00:00")), // after two -> latest wins
+    (2L, 200L, t("2024-01-01 12:00:00"))  // other key: isolated state
+  ).toDF("k", "lid", "ts")
+
+  private lazy val right = Seq(
+    (1L, t("2024-01-01 12:00:00"), 10.0),
+    (1L, t("2024-01-01 15:00:00"), 20.0),
+    (2L, t("2024-01-01 11:00:00"), 99.0),
+    (3L, t("2024-01-01 00:00:00"), 7.0)   // key absent on the left: ignored
+  ).toDF("k", "rts", "v")
+
+  test("latest at-or-before semantics, inclusive, with ASOF-LEFT nulls") {
+    val out = AsofJoin.asofJoin(left, right, "k", "ts", "rts", Seq("v")).collect()
+      .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(
+      100L -> None,
+      101L -> Some(10.0),
+      102L -> Some(20.0),
+      200L -> Some(99.0)))
+  }
+
+  test("equals the naive per-left-row argmax on a pseudo-random fixture") {
+    val l = (1 to 300).map { i =>
+      (i % 7L, i.toLong, t(f"2024-01-01 ${i % 24}%02d:${(i * 13) % 60}%02d:00"))
+    }.toDF("k", "lid", "ts")
+    val r = (1 to 150).map { i =>
+      ((i * 3) % 7L, t(f"2024-01-01 ${(i * 5) % 24}%02d:${(i * 29) % 60}%02d:30"), i * 1.0)
+    }.toDF("k", "rts", "v")
+      // uniqueness requirement: one row per (k, rts)
+      .groupBy("k", "rts").agg(max(col("v")).as("v"))
+    val fast = AsofJoin.asofJoin(l, r, "k", "ts", "rts", Seq("v")).collect()
+      .map(x => x.getLong(1) -> Option(x.get(3))).toMap
+    val naive = l.join(r, l("k") === r("k") && col("ts") >= col("rts"), "left_outer")
+      .groupBy(l("k"), col("lid"))
+      .agg(max_by(col("v"), col("rts")).as("v"))
+      .collect().map(x => x.getLong(1) -> Option(x.get(2))).toMap
+    assert(fast === naive)
+  }
+
+  test("the plan has no nested loop (union + window, not a theta join)") {
+    val plan = AsofJoin.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
