@@ -129,6 +129,11 @@ object SparkEntry {
     "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
+    // Mixture quotas chosen against the fixture strata: en subsampled,
+    // de UP-sampled (quota > stratum size at the sf0.01 gate — exercises
+    // epoch cycling), zh subsampled, es/fr excluded (no quota).
+    "sample_mixture" -> ((s, dir) => Sampling.mixtureSample(Tables.documents(s, dir),
+      Map("en" -> 100L, "de" -> 120L, "zh" -> 30L))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     // props JSON payload extraction (X3-adjacent): JSON path on the Spark
@@ -731,6 +736,23 @@ object SparkEntry {
         | r AS (SELECT lang, doc_id,
         |   CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn FROM h)
         |SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    // Mixture: position p in [1, quota] maps to rank ((p-1) mod n) + 1 and
+    // epoch (p-1) div n — exactly quota rows per non-empty stratum; the
+    // quota literals are the query's INPUT (mirrored on both sides), not a
+    // precomputed answer.
+    "sample_mixture" ->
+      """WITH q AS (SELECT * FROM (VALUES ('de', 120), ('en', 100), ('zh', 30)) t(lang, quota)),
+        | h AS (SELECT doc_id, lang, md5('s1' || ':' || doc_id) AS h FROM documents),
+        | r AS (SELECT lang, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn FROM h),
+        | j AS (SELECT r.lang, r.doc_id, r.rn, q.quota FROM r JOIN q USING (lang)),
+        | s AS (SELECT lang, count(*) AS n FROM j GROUP BY 1),
+        | e AS (SELECT j.lang, j.doc_id, j.rn, s.n,
+        |        unnest(range(0, (quota - rn) // n + 1)) AS epoch
+        |        FROM j JOIN s USING (lang) WHERE rn <= quota)
+        |SELECT lang, CAST(rn + epoch * n AS BIGINT) AS pos, doc_id, rn,
+        | CAST(epoch AS BIGINT) AS epoch
+        |FROM e ORDER BY lang, pos""".stripMargin,
     "multimodal_frames" ->
       """WITH fr AS (SELECT doc_id, text,
         |  unnest([i for i in range(0, (length(text) + 31) // 32)]) AS frame_idx FROM documents),

@@ -26,14 +26,53 @@ object Sampling {
       .orderBy("doc_id")
 
   /** Stratified: `perStratum` docs per language, hash-ordered within each
-    * stratum — one shuffle on the stratum key. */
-  def stratifiedSample(docs: DataFrame, perStratum: Int = 20, seed: String = "s1"): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
-    docs
-      .select(col("doc_id"), col("lang"), hashKey(seed).as("h"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    * stratum. Ranks come from the grouped distributed rank, NOT a
+    * `Window.partitionBy(lang)` — languages are FEW, so a per-stratum
+    * window is a handful of single-task sorts over the whole corpus at
+    * scale (the same hazard the rookmaster family had). */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 20, seed: String = "s1"): DataFrame =
+    RankUtils
+      .groupedRowNumber(
+        docs.select(col("doc_id"), col("lang"), hashKey(seed).as("h")),
+        Seq("lang"), Seq(col("h").asc, col("doc_id").asc), "rn")
       .filter(col("rn") <= perStratum)
       .select("lang", "rn", "doc_id")
       .orderBy("lang", "rn")
+
+  /** Training-mixture construction: build a dataset with an EXACT number
+    * of rows per stratum (`quotas`, e.g. tokens-or-docs budgets per
+    * language/source), deterministically — the step that turns corpus +
+    * mixture weights into the actual training set. A stratum with more
+    * docs than quota is hash-rank subsampled; a stratum with FEWER is
+    * up-sampled by cycling its ranked docs (`epoch` = how many full
+    * passes precede the copy — the standard multi-epoch repeat of hot
+    * sources in LLM data mixtures). Position p ∈ [1, quota] maps to rank
+    * ((p−1) mod n) + 1, epoch (p−1) div n, so the output is exactly
+    * `quota` rows per non-empty stratum, reproducible across engines and
+    * partitionings. Strata without a quota entry are excluded.
+    *
+    * Scale shape: grouped distributed rank (no per-stratum window), one
+    * broadcast quota row per stratum, per-row `sequence` explode bounded
+    * by ceil(quota/n) copies — never a driver loop. */
+  def mixtureSample(docs: DataFrame, quotas: Map[String, Long],
+                    seed: String = "s1"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val quotaDf = broadcast(quotas.toSeq.sorted.toDF("lang", "quota"))
+    val ranked = RankUtils
+      .groupedRowNumber(
+        docs.select(col("doc_id"), col("lang"), hashKey(seed).as("h")),
+        Seq("lang"), Seq(col("h").asc, col("doc_id").asc), "rn")
+      .join(quotaDf, Seq("lang"))
+    val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
+    ranked
+      .join(broadcast(sizes), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("lang"), col("doc_id"), col("rn"),
+        explode(expr("sequence(0, CAST(floor((quota - rn) / n) AS INT))")).as("epoch"),
+        col("n"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("pos", col("rn") + col("epoch") * col("n"))
+      .select("lang", "pos", "doc_id", "rn", "epoch")
+      .orderBy("lang", "pos")
   }
 }
