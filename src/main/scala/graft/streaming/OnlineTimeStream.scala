@@ -104,6 +104,32 @@ object OnlineTimeStream {
       }
       .start()
 
+  /** Watermarked stream-stream inner join — the attribution shape: every
+    * `view` within `horizon` AFTER a `purchase` by the same user, both
+    * sides live streams. The time-range predicate plus watermarks on BOTH
+    * event-time columns is what lets Spark bound the join state: a
+    * buffered purchase can be evicted once the view watermark passes
+    * `p_ts + horizon`, a buffered view once the purchase watermark passes
+    * `v_ts` — without the range condition the state grows forever. The
+    * batch sibling of this shape is [[graft.operators.AsofJoin]] /
+    * [[graft.operators.RangeJoin]]; this is its online form. */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") &&
+          col("v_ts") <= col("p_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Convenience: wire [[dailyMinutes]] to a memory sink for tests/demos. */
   def startToMemory(events: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     dailyMinutes(events).writeStream

@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-quality regression gate over EVERY registered query: the scale
+  * killers (cartesian products, unintentional nested-loop joins) must
+  * never re-enter a plan silently. The PERF.md plan-audit claims are
+  * enforced here, not just documented.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is intentional and bounded:
+    *  - gain family + onlinetime_7d: non-equi join against a BROADCAST
+    *    1-row date-bounds frame (the declarative alternative to a driver
+    *    collect) — inner side is one row, so the "nested loop" is a scan.
+    *  - cosine_topk(_int8) / dedup_embedding / *_recall: deliberate
+    *    brute-force baselines or their truth branches — the broadcast side
+    *    is the small query set; the LSH/IVF siblings are the scale path.
+    *  - ann_ivf: nlist-row centroid broadcast for the argmin assignment.
+    * Anything NOT in this set that plans a nested loop is a regression. */
+  private val intentionalBnlj: Set[String] = Set(
+    "gain_1d", "gain_7d", "gain_alltime", "onlinetime_7d",
+    "cosine_topk", "cosine_topk_int8", "dedup_embedding",
+    "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf")
+
+  test("no CartesianProduct in any query plan; nested loops only where intentional") {
+    GraftFunctions.installOptimizations(spark)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val badBnlj = plan.contains("BroadcastNestedLoopJoin") && !intentionalBnlj(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (badBnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-killer plans found:\n${offenders.mkString("\n")}")
+  }
+
+  test("the intentional-BNLJ allowlist is not stale") {
+    GraftFunctions.installOptimizations(spark)
+    val actual = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn)
+          if fn(spark, dir).queryExecution.executedPlan.toString
+            .contains("BroadcastNestedLoopJoin") => name
+    }.toSet
+    // Every allowlisted query must still exist; queries that no longer
+    // plan a BNLJ should leave the allowlist so it keeps meaning something.
+    assert(actual === intentionalBnlj,
+      s"allowlist drift: actual=$actual allowlisted=$intentionalBnlj")
+  }
+}

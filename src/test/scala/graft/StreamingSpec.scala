@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches within the horizon across batches") {
+    implicit val sq = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val joined = OnlineTimeStream.attributionJoin(
+      purchases.toDF().toDF("user_id", "ts", "event_id"),
+      views.toDF().toDF("user_id", "ts", "event_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attribution_test").start()
+    try {
+      def t(day: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+      purchases.addData((1L, t(1, 10, 0), 900L), (2L, t(1, 10, 0), 901L))
+      q.processAllAvailable()
+      // views arrive in a LATER micro-batch: the buffered purchase state
+      // must still match. u1 view inside the 1h horizon; u1 view outside;
+      // u2 view before the purchase (no match); u9 view with no purchase.
+      views.addData((1L, t(1, 10, 30), 100L), (1L, t(1, 11, 30), 101L),
+        (2L, t(1, 9, 30), 102L), (9L, t(1, 10, 15), 103L))
+      q.processAllAvailable()
+      val out = spark.table("attribution_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out === Set((1L, 900L, 100L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates +5 per sighting across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Sample]
