@@ -113,6 +113,16 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "neardup_recall" -> ((s, dir) => Similarity.nearDupRecall(Tables.embeddings(s, dir))),
     "pii_redact" -> ((s, dir) => DataHygiene.redactionAudit(Tables.documents(s, dir))),
+    // End-to-end cleaning composition: corpus = even doc_ids, eval = odd
+    // (consistent with the contamination fixture). Thresholds chosen to
+    // split the fixture corpus meaningfully (quality median ≈ 0.38,
+    // rep_ratio max ≈ 0.07, shingle-overlap p50 ≈ 20).
+    "corpus_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DataHygiene.cleanCorpus(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     "doc_repetition" -> ((s, dir) => DataHygiene.repetitionScore(Tables.documents(s, dir))),
     // Decontamination fixture: even doc_ids play "train", odd play "eval".
     "contamination" -> ((s, dir) => {
@@ -538,6 +548,51 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" -> DedupClustersOracle,
     "dedup_clusters_star" -> DedupClustersOracle,
+    // The cleaning composition re-derives each flag with the SAME oracle
+    // fragments its standalone operators use (minhash closure, quality
+    // formula, repetition ratio, shingle overlap), scoped to the even/odd
+    // corpus/eval split.
+    "corpus_clean" ->
+      s"""WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         | ${minhashCtes("corpus")},
+         | prs AS (SELECT id_a, id_b
+         |         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+         |         WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5),
+         | e AS (SELECT id_a AS n, id_b AS m FROM prs UNION SELECT id_b, id_a FROM prs),
+         | reach AS (SELECT n, m FROM e
+         |           UNION
+         |           SELECT r.n, e2.m FROM reach r JOIN e e2 ON r.m = e2.n),
+         | comp AS (SELECT n AS doc_id, least(n, min(m)) AS keep_id FROM reach GROUP BY n),
+         | dupf AS (SELECT d.doc_id, (d.doc_id <> coalesce(c.keep_id, d.doc_id)) AS is_dup
+         |          FROM corpus d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         | st AS (SELECT doc_id,
+         |        CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+         |        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt
+         |        FROM wd JOIN corpus USING (doc_id)),
+         | qd AS (SELECT doc_id, (stop_cnt / n_words) * 0.5
+         |        + least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.3
+         |        + (1.0 - punct_cnt / n_chars) * 0.2 AS quality FROM st),
+         | gr AS (SELECT doc_id, CASE WHEN len(w) >= 3
+         |          THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         |          ELSE [] END AS grams FROM wd),
+         | rp AS (SELECT doc_id, CASE WHEN len(grams) > 0
+         |          THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         |          ELSE 0.0 END AS rep_ratio FROM gr),
+         | ${shinglesCte("(SELECT * FROM documents WHERE doc_id % 2 = 1)", "ev_")},
+         | evset AS (SELECT DISTINCT sh FROM ev_sh),
+         | cont AS (SELECT s.doc_id, count(*) AS n_common
+         |          FROM sh s JOIN evset t2 ON s.sh = t2.sh GROUP BY 1)
+         |SELECT d.doc_id, dupf.is_dup,
+         | (qd.quality < 0.38) AS low_quality,
+         | (rp.rep_ratio > 0.05) AS repetitive,
+         | (coalesce(cont.n_common, 0) >= 20) AS contaminated,
+         | (NOT dupf.is_dup AND NOT (qd.quality < 0.38) AND NOT (rp.rep_ratio > 0.05)
+         |  AND NOT (coalesce(cont.n_common, 0) >= 20)) AS kept
+         |FROM corpus d
+         | JOIN dupf USING (doc_id) JOIN qd USING (doc_id) JOIN rp USING (doc_id)
+         | LEFT JOIN cont USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "asof_join" ->
       // DuckDB's NATIVE ASOF JOIN is the oracle for the composed Spark
       // union+carry-forward formulation — two independent algorithms, one
@@ -848,8 +903,10 @@ object SparkEntry {
     * to `inter` (pair intersection counts) + `sizes` — used by
     * `dedup_minhash` (pair emission) and `dedup_clusters` (transitive
     * closure over the same pairs). */
-  private lazy val MinhashCtes: String =
-    s"""$ShinglesCte,
+  private lazy val MinhashCtes: String = minhashCtes("documents")
+
+  private def minhashCtes(src: String): String =
+    s"""${shinglesCte(src)},
        | hsh AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % ${Dedup.P} AS h FROM sh),
        | sig AS (SELECT doc_id, ${Dedup.hashParams.zipWithIndex
       .map { case ((a, b), j) => s"min(($a * h + $b) % ${Dedup.P}) AS h$j" }.mkString(", ")}
@@ -879,13 +936,18 @@ object SparkEntry {
       |        sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       |        FROM t)""".stripMargin
 
-  /** Shared oracle CTE: distinct word-3-gram shingles per document. */
-  private val ShinglesCte =
-    """wd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
-      | sh0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                                for i in range(1, len(w) - 1)]) AS sh
-      |         FROM wd WHERE len(w) >= 3),
-      | sh AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
+  /** Shared oracle CTE: distinct word-3-gram shingles per document —
+    * parameterized over the source relation and a CTE-name prefix so
+    * composed oracles (corpus_clean) can shingle several doc sets in one
+    * statement without name clashes. */
+  private def shinglesCte(src: String, p: String = ""): String =
+    s"""${p}wd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM $src),
+       | ${p}sh0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                for i in range(1, len(w) - 1)]) AS sh
+       |         FROM ${p}wd WHERE len(w) >= 3),
+       | ${p}sh AS (SELECT DISTINCT doc_id, sh FROM ${p}sh0)""".stripMargin
+
+  private val ShinglesCte = shinglesCte("documents")
 
   /** Shared oracle CTE: 60-bit frequency-weighted SimHash per document
     * (majority vote over md5-derived word-occurrence hashes) — mirrors

@@ -58,6 +58,43 @@ object DataHygiene {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus cleaning — the composition a training-data pipeline
+    * actually runs before a training job, as ONE declarative query: flag
+    * every corpus document as near-duplicate (MinHash clusters — keepers
+    * stay), low-quality (composite score), repetitive (Gopher dup-3-gram
+    * rule), or eval-contaminated (shingle overlap with `evalDocs`), and
+    * keep the survivors. Each flag reuses the corresponding standalone
+    * operator unchanged, so this is the integration showcase: everything
+    * joins on doc_id (hash joins, AQE-planned), nothing re-tokenizes more
+    * than its own operator already did.
+    * Output: (doc_id, is_dup, low_quality, repetitive, contaminated, kept). */
+  def cleanCorpus(corpus: DataFrame, evalDocs: DataFrame,
+                  qualityMin: Double = 0.38, repMax: Double = 0.05,
+                  dedupThreshold: Double = 0.5, minCommon: Long = 20): DataFrame = {
+    val dups = Dedup.dedupClusters(corpus, dedupThreshold)
+      .select(col("doc_id"), col("is_dup"))
+    val quality = TextAnalysis.textStats(corpus).select(col("doc_id"), col("quality"))
+    val rep = repetitionScore(corpus).select(col("doc_id"), col("rep_ratio"))
+    // contamination's first argument is the REFERENCE shingle set: here
+    // the eval set, so corpus docs carrying eval content get flagged.
+    val cont = contamination(evalDocs, corpus, minCommon)
+      .select(col("doc_id")).withColumn("__cont", lit(true))
+    corpus.select(col("doc_id"))
+      .join(dups, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("is_dup"),
+        (col("quality") < qualityMin).as("low_quality"),
+        (col("rep_ratio") > repMax).as("repetitive"),
+        coalesce(col("__cont"), lit(false)).as("contaminated"))
+      .withColumn("kept",
+        !col("is_dup") && !col("low_quality") && !col("repetitive") && !col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Train/eval contamination: eval documents sharing ≥ `minCommon`
     * word-k-gram shingles with any train document, with the contaminated
     * fraction of the eval doc's shingles. The decontamination primitive:

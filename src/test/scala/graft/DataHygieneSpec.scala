@@ -46,4 +46,31 @@ class DataHygieneSpec extends SparkSpec {
     assert(nCommon >= 3L)
     assert(frac > 0.0 && frac < 1.0)
   }
+
+  test("cleanCorpus: each flag fires on its planted document, the clean one is kept") {
+    // One doc per failure mode + one keeper; thresholds passed explicitly
+    // so the assertions do not depend on fixture statistics.
+    val corpus = Seq(
+      (0L, "the cat and the dog of the house is happy and the bird is singing near the tree and all is well"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta completely distinct vocabulary right here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta completely distinct vocabulary right here"), // dup of 2
+      (6L, "!!! ??? ;;; ,,, ... ::: !!!"),                                                            // punct-only
+      (8L, "spam spam spam spam spam spam spam spam spam spam"),                                     // repeated 3-grams
+      (10L, "the secret eval question about quantum gravity and its hidden answer keys")             // copies eval
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (1L, "the secret eval question about quantum gravity and its hidden answer keys")
+    ).toDF("doc_id", "text")
+    val out = DataHygiene.cleanCorpus(corpus, evalDocs,
+        qualityMin = 0.3, repMax = 0.3, minCommon = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(out(0L) === ((false, false, false, false, true)), "clean doc is kept")
+    assert(!out(2L)._1 && out(4L)._1, "keeper survives, duplicate flagged")
+    assert(out(6L)._2, "punctuation-only doc is low quality")
+    assert(out(8L)._3, "repeated-phrase doc is repetitive")
+    assert(out(10L)._4, "eval copy is contaminated")
+    assert(Seq(4L, 6L, 8L, 10L).forall(!out(_)._5), "every flagged doc is dropped")
+  }
 }
