@@ -134,27 +134,23 @@ object Dedup {
     // capped shingle set on both sides (sizes and intersections), mirrored
     // exactly in the oracle SQL.
     //
-    // Shape: TWO passes over the shingle table. Pass 1 is a pure count
-    // aggregate — constant-size buffer, map-side partial agg — that finds
-    // the surviving (df ≤ cap) shingles. Pass 2 joins the shingle table to
-    // the survivors and only THEN collects each doc list, so every
-    // collect_list buffer is provably ≤ maxDocFreq elements. A single-pass
-    // collect-then-filter would materialize the FULL doc list of a hot
-    // shingle (one boilerplate phrase in 1M docs = a 1M-element array in
-    // one aggregation buffer) before discarding it — executor OOM at
-    // corpus scale. The extra shuffle is the price of the bound; both the
-    // join and the final groupBy cluster on `sh`, so the collect reuses
-    // the join's partitioning (one exchange for pass 2, not two).
-    val sh = shingles(docs)
-    val surviving = sh.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-    val grouped = sh.join(surviving, Seq("sh"))
-      .groupBy("sh", "df")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    // Shape: ONE aggregation over the shingle table with a BOUNDED buffer
+    // — graft.functions.CappedCollectLongs keeps at most cap+1 doc ids per
+    // group (a truncated heap, map-side combinable) and returns NULL for
+    // groups exceeding the cap, so a corpus-wide boilerplate shingle can
+    // never materialize its full doc list in any aggregation buffer (a
+    // plain collect_list-then-filter would buffer 1M-element arrays before
+    // discarding them — executor OOM; a two-pass count→filter→collect is
+    // memory-safe but shuffles the shingle table twice). Distinctness of
+    // (sh, doc_id) rows — guaranteed by shingles() — makes the capped
+    // result COMPLETE for every surviving shingle.
+    val grouped = shingles(docs).groupBy("sh")
+      .agg(graft.functions.CappedCollectLongs
+        .capped_collect(col("doc_id"), maxDocFreq.toInt).as("ids"))
+      .filter(col("ids").isNotNull)
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = grouped.filter(col("df") >= 2)
+    val inter = grouped.filter(size(col("ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),

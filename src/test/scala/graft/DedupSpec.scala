@@ -138,22 +138,30 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet === Set(0L))
   }
 
-  test("ngram collect_list buffers only df-filtered shingles (bounded-buffer plan shape)") {
-    // The memory bound is structural: the doc-list collection must sit
-    // ABOVE the df≤cap semi-join, so a hot shingle's list is never
-    // materialized in any aggregation buffer. A collect-then-filter plan
-    // (filter above the collect aggregate, no join beneath it) would buffer
-    // the full corpus-wide doc list of a boilerplate shingle before
-    // discarding it — executor OOM at scale.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+  test("ngram doc-list aggregation uses the bounded buffer, never collect_list") {
+    // The memory bound is structural: the doc-list aggregate must be the
+    // capped heap (O(cap) per group regardless of group size, NULL on
+    // overflow), not an unbounded collect_list that would buffer a hot
+    // shingle's full corpus-wide doc list before any filter runs.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val lp = Dedup.ngramJaccardTop(docs).queryExecution.optimizedPlan
-    val collectAggs = lp.collect {
-      case a: Aggregate if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
-    }
-    assert(collectAggs.nonEmpty, "expected a collect_list aggregate in the plan")
-    collectAggs.foreach { a =>
-      assert(a.child.collect { case j: Join => j }.nonEmpty,
-        "collect_list aggregate must consume the df-filter join, not raw shingles")
-    }
+    val aggExprs = lp.collect { case a: Aggregate => a }
+      .flatMap(_.aggregateExpressions.map(_.toString))
+    assert(!aggExprs.exists(_.contains("collect_list")),
+      "unbounded collect_list must not appear in the ngram plan")
+    assert(aggExprs.exists(_.contains("capped_collect_longs")),
+      "expected the capped doc-list aggregate")
+  }
+
+  test("capped collect returns complete ascending lists under the cap, NULL above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 250L).map(v => (if (v <= 7) "small" else "big", 251L - v))
+      .toDF("g", "v").repartition(13)
+    val out = df.groupBy("g")
+      .agg(graft.functions.CappedCollectLongs.capped_collect(col("v"), 100).as("ids"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out("small") === Some(244L to 250L), "complete and ascending under the cap")
+    assert(out("big") === None, "groups above the cap collapse to NULL, not a huge array")
   }
 }
