@@ -834,7 +834,11 @@ object SparkEntry {
     * codegen expression uses; bit j of table t contributes 2^j, matching
     * LshBuckets' packing. */
   private lazy val LshBucketCte: String = {
-    val numTables = 8; val bits = 8; val dim = 64
+    // Banding constants come from the engine so the oracle always rebuilds
+    // the SHIPPED configuration.
+    val numTables = Similarity.DefaultNumTables
+    val bits = Similarity.DefaultBitsPerTable
+    val dim = 64
     val sigCols = (0 until numTables).map { t =>
       val planes = graft.operators.Similarity.planes(t, bits, dim)
       val bitSum = (0 until bits).map { j =>

@@ -34,25 +34,35 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"value columns ${valueCols.intersect(leftCols).mkString(",")} clash with left columns")
+    val reserved = Seq("__ts", "__tag", "__vals")
+    require(reserved.intersect(leftCols ++ right.columns).isEmpty,
+      s"column names ${reserved.mkString("/")} are reserved by asofJoin")
+    // The right row's value columns ride as ONE struct: the struct is
+    // non-null for every right row even when individual value fields are
+    // NULL, so `last(ignoreNulls)` carries the latest right ROW — a NULL
+    // field in the as-of row stays NULL (per-column carry would silently
+    // substitute a STALE earlier value, and with several valueCols could
+    // stitch fields from different right rows into a tuple that exists
+    // nowhere).
+    val valsType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))
-      .select(col("__ts") +: col("__tag") +: leftCols.map(col) ++:
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .select(col("__ts") +: col("__tag") +: leftCols.map(col) :+
+        lit(null).cast(valsType).as("__vals"): _*)
     val r = right
       .withColumn("__ts", col(rightTs)).withColumn("__tag", lit(0))
       .select(col("__ts") +: col("__tag") +:
         leftCols.map(c =>
-          if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        valueCols.map(col): _*)
+          if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__vals"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionByName(r)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__ts", "__tag")
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__vals.$c").as(c)): _*)
   }
 
   /** Fixture query: each `view` event joined to the value of the user's

@@ -67,17 +67,26 @@ object RankUtils {
     val perCell = Window.partitionBy(col("__pid") +: gc: _*).orderBy(order: _*)
     // Offsets frame: |groups| × |partitions| rows — the cumsum window below
     // runs over THIS frame (bounded), never over the data.
+    // Offset keys are renamed and joined NULL-SAFELY (<=>): a NULL group
+    // key is a legitimate stratum for the window formulation this replaces
+    // (Window.partitionBy puts NULLs in their own partition), and a
+    // null-unsafe equi-join would silently DROP every NULL-group row.
     val offsets = ranged
       .groupBy(col("__pid") +: gc: _*).agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(
           Window.partitionBy(gc: _*).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid") +: gc :+ col("__offset"): _*)
+      .select(col("__pid").as("__opid") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__og$i") } :+
+        col("__offset"): _*)
+    val joinCond = (col("__pid") === col("__opid")) +:
+      groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__og$i") }
     ranged
       .withColumn("__rn", row_number().over(perCell).cast("long"))
-      .join(broadcast(offsets), "__pid" +: groupCols)
+      .join(broadcast(offsets), joinCond.reduce(_ && _))
       .withColumn(rankCol, col("__rn") + col("__offset"))
-      .drop("__pid", "__rn", "__offset")
+      .drop("__pid" +: "__rn" +: "__offset" +: "__opid" +:
+        groupCols.indices.map(i => s"__og$i"): _*)
   }
 }

@@ -46,7 +46,18 @@ object Similarity {
     * before the query starts, while persist piggybacks on the first
     * branch that touches each partition. The 100 TB seam is the same
     * shape: a persisted normalized base table maintained alongside the
-    * corpus, so no query pays the normalization scan twice. */
+    * corpus, so no query pays the normalization scan twice.
+    *
+    * Lifecycle: the cache entry outlives the query (a pure
+    * DataFrame-returning API has no post-consumption hook to unpersist) —
+    * deliberate: blocks are MEMORY_AND_DISK and LRU-EVICTABLE under
+    * storage pressure, entries are a few MB per corpus, and Spark's
+    * CacheManager substitutes the cached fragment into LATER queries
+    * containing the same subtree, which is precisely the persisted-base
+    * behavior a deployment wants (bench note: per-query timings for this
+    * family are therefore session-order-dependent; totals are not). A
+    * long-lived session that wants the memory back calls
+    * `spark.catalog.clearCache()`. */
   private def sharedBase(embeddings: DataFrame): DataFrame =
     withNorm(embeddings).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -118,6 +129,15 @@ object Similarity {
   /** Quantization scale for LSH bucketing: round(x·1e6). */
   val QuantScale = 1000000L
 
+  /** The SHIPPED LSH banding — one pair of constants so the recall gates
+    * always measure the same configuration the index functions serve
+    * (a retune that only touched a default parameter would otherwise
+    * leave the gates silently grading the old banding). 8×8 targets the
+    * production near-dup regime (cos ≥ 0.8 → recall ≥ 0.94); the
+    * measured sensitivity curve is in PERF.md. */
+  val DefaultNumTables = 8
+  val DefaultBitsPerTable = 8
+
   /** Integer-valued quantized copy of the embedding, used ONLY to compute
     * LSH bucket bits. Each element is round(x·1e6) — an integer below 2^53
     * stored in a double — so the ±1-plane dot products are EXACT sums,
@@ -159,7 +179,8 @@ object Similarity {
     * where candidates stay bucket-bounded; [[nearDupRecall]] measures
     * whatever configuration ships. */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
-                          numTables: Int = 8, bitsPerTable: Int = 8): DataFrame =
+                          numTables: Int = DefaultNumTables,
+                          bitsPerTable: Int = DefaultBitsPerTable): DataFrame =
     nearDupLshOn(withNorm(embeddings), threshold, numTables, bitsPerTable)
 
   private def nearDupLshOn(base: DataFrame, threshold: Double,
@@ -190,7 +211,7 @@ object Similarity {
     // the normalization subtree is computed once, not per branch.
     val base = sharedBase(embeddings)
     val truth = nearDupOn(base, threshold).select("id_a", "id_b")
-    val found = nearDupLshOn(base, threshold, numTables = 8, bitsPerTable = 8)
+    val found = nearDupLshOn(base, threshold, DefaultNumTables, DefaultBitsPerTable)
       .select(col("id_a").as("fa"), col("id_b").as("fb"))
     truth
       .join(found, col("id_a") === col("fa") && col("id_b") === col("fb"), "left_outer")
@@ -206,7 +227,7 @@ object Similarity {
   def annRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val base = sharedBase(embeddings)
     val truth = cosineTopKOn(base, numQueries, k).select(col("qid"), col("cid"))
-    val approx = annLshOn(base, numQueries, k, numTables = 8, bitsPerTable = 8)
+    val approx = annLshOn(base, numQueries, k, DefaultNumTables, DefaultBitsPerTable)
       .select(col("qid").as("aqid"), col("cid").as("acid"))
     truth
       .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left_outer")
@@ -344,7 +365,8 @@ object Similarity {
     * equi-join on (table, bucket) against a broadcast query set, scoring
     * only colliding candidates — O(Q·N/2^bits·L) expected vs O(Q·N). */
   def annLsh(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-             numTables: Int = 8, bitsPerTable: Int = 8): DataFrame =
+             numTables: Int = DefaultNumTables,
+             bitsPerTable: Int = DefaultBitsPerTable): DataFrame =
     annLshOn(withNorm(embeddings), numQueries, k, numTables, bitsPerTable)
 
   private def annLshOn(base: DataFrame, numQueries: Int, k: Int,

@@ -55,6 +55,28 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("a NULL value in the true as-of row stays NULL (no stale substitution or stitching)") {
+    // ASOF semantics attach the latest right ROW; per-column ignoreNulls
+    // carry would skip its NULL field and leak an older value — or stitch
+    // fields of different rows when several value columns are carried.
+    val r = Seq(
+      (1L, t("2024-01-01 10:00:00"), Option(5.0), Option(50.0)),
+      (1L, t("2024-01-01 12:00:00"), Option.empty[Double], Option(70.0))
+    ).toDF("k", "rts", "a", "b")
+    val l = Seq((1L, 500L, t("2024-01-01 13:00:00"))).toDF("k", "lid", "ts")
+    val out = AsofJoin.asofJoin(l, r, "k", "ts", "rts", Seq("a", "b")).collect().head
+    assert(out.isNullAt(3), "latest row's NULL field must surface as NULL")
+    assert(out.getDouble(4) === 70.0, "both fields come from the SAME (latest) right row")
+  }
+
+  test("reserved internal column names are rejected, not silently clobbered") {
+    val l = left.withColumnRenamed("lid", "__tag")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, right, "k", "ts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("the plan has no nested loop (union + window, not a theta join)") {
     val plan = AsofJoin.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
       .queryExecution.executedPlan.toString

@@ -42,6 +42,25 @@ class RankUtilsSpec extends SparkSpec {
     assert(viaUtils === viaWindow)
   }
 
+  test("grouped rank treats a NULL group key as its own stratum (no dropped rows)") {
+    // Window.partitionBy puts NULL keys in their own partition; the
+    // replacement must too — a null-unsafe offsets join would silently
+    // DROP every NULL-group row instead.
+    val df = Seq(
+      (1L, Option("x"), 3.0), (2L, Option("x"), 1.0),
+      (3L, Option.empty[String], 9.0), (4L, Option.empty[String], 2.0)
+    ).toDF("id", "cat", "score").repartition(5)
+    val order = Seq(col("score").desc, col("id").asc)
+    val viaWindow = df
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("cat")).orderBy(order: _*)).cast("long"))
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUtils = RankUtils.groupedRowNumber(df, Seq("cat"), order, "rank", partitions = 3)
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUtils.size === 4, "NULL-group rows must not vanish")
+    assert(viaUtils === viaWindow)
+  }
+
   test("rookmaster plans contain no per-category single-task rank window") {
     // The scale hazard: row_number().over(Window.partitionBy(event_type))
     // sorts each category in ONE task (parallelism = |categories|). Both
