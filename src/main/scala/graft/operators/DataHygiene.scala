@@ -65,9 +65,16 @@ object DataHygiene {
     * rule), or eval-contaminated (shingle overlap with `evalDocs`), and
     * keep the survivors. Each flag reuses the corresponding standalone
     * operator unchanged, so this is the integration showcase: everything
-    * joins on doc_id (hash joins, AQE-planned), nothing re-tokenizes more
-    * than its own operator already did.
-    * Output: (doc_id, is_dup, low_quality, repetitive, contaminated, kept). */
+    * joins on doc_id (hash joins, AQE-planned).
+    * Output: (doc_id, is_dup, low_quality, repetitive, contaminated, kept).
+    *
+    * Known cost, accepted deliberately: the corpus is tokenized once per
+    * flag family (minhash shingles, contamination shingles, quality/
+    * repetition words) because each operator owns its tokenization. At
+    * 100 TB the shingle table becomes a MAINTAINED artifact (like the
+    * normalized embedding base) that both the dedup and contamination
+    * branches read — the operators' internal shapes are unchanged by that
+    * seam, which is why it is not pre-built here. */
   def cleanCorpus(corpus: DataFrame, evalDocs: DataFrame,
                   qualityMin: Double = 0.38, repMax: Double = 0.05,
                   dedupThreshold: Double = 0.5, minCommon: Long = 20): DataFrame = {

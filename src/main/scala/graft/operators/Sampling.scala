@@ -53,7 +53,11 @@ object Sampling {
     *
     * Scale shape: grouped distributed rank (no per-stratum window), one
     * broadcast quota row per stratum, per-row `sequence` explode bounded
-    * by ceil(quota/n) copies — never a driver loop. */
+    * by ceil(quota/n) copies — never a driver loop. The explode fanout IS
+    * the up-sample factor: a pathological quota (say 10⁶× a tiny stratum)
+    * concentrates copies on few source rows — repartition after, or cap
+    * the factor upstream; normal mixture factors (≤ ~100 epochs) are
+    * uniform per-row work. */
   def mixtureSample(docs: DataFrame, quotas: Map[String, Long],
                     seed: String = "s1"): DataFrame = {
     import docs.sparkSession.implicits._
