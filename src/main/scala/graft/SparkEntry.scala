@@ -103,6 +103,10 @@ object SparkEntry {
     "ngram_jaccard_top" -> ((s, dir) => Dedup.ngramJaccardTop(Tables.documents(s, dir))),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // Lexical retrieval: rare term ("dup", df≈25/500) + two mid-frequency
+    // terms — idf separation is what the gate checks.
+    "bm25_topk" -> ((s, dir) =>
+      Search.bm25TopK(Tables.documents(s, dir), Seq("dup", "vector", "scan"))),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "cosine_topk_int8" -> ((s, dir) => Similarity.cosineTopKInt8(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
@@ -635,6 +639,34 @@ object SparkEntry {
          |FROM sbands a JOIN sbands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
          |ORDER BY id_a, id_b""".stripMargin,
+    // BM25 mirrors the engine's arithmetic textually: ln() rounded to 6 dp
+    // immediately (the only libm call), every later op pure IEEE in the
+    // same order, per-term scores quantized to BIGINT before the per-doc
+    // sum (order-independent exact aggregation). DECIMAL-literal trap:
+    // DuckDB numeric literals are DECIMAL, so every divisor/operand is
+    // CAST to DOUBLE explicitly.
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |              FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        WHERE term IN ('dup', 'vector', 'scan') GROUP BY 1, 2),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |        round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+        |        tf.tf, dl.dl, corpus.avgdl
+        |        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        | st AS (SELECT doc_id,
+        |        CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2) /
+        |             (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |             * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS score_q
+        |        FROM sc),
+        | agg AS (SELECT doc_id, sum(score_q) AS score_q, count(*) AS n_terms_hit FROM st GROUP BY 1
+        |         ORDER BY score_q DESC, doc_id LIMIT 20)
+        |SELECT doc_id, round(CAST(score_q AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS score,
+        | CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+        |FROM agg ORDER BY score DESC, doc_id""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 10),

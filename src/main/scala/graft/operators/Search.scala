@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus — the keyword complement to
+  * the vector-similarity family ([[Similarity]]): classic BM25 scoring of
+  * a term query, top-k by relevance. A data platform serving an
+  * LLM-training corpus needs both retrieval modes (lexical for exact
+  * terminology, vector for semantics); this one is pure aggregation —
+  * no index structure, one tokenization pass, candidate rows bounded by
+  * documents actually containing a query term.
+  *
+  * Scale shape: token explode → per-doc length aggregate (partial agg);
+  * the tf table is FILTERED to query terms before its shuffle, so its
+  * size is |docs containing any query term|, not the posting list of the
+  * whole corpus; df and corpus stats are broadcast 1-row/|terms|-row
+  * frames.
+  *
+  * Determinism (hash-gateable like the ANN family): the only
+  * transcendental, ln(·) in the idf, is rounded to 6 dp immediately
+  * (a 1-ulp libm difference between engines cannot survive the
+  * rounding); everything after is IEEE arithmetic in mirrored textual
+  * order, and per-term scores are quantized to integers
+  * (round(score·1e9)) before the per-doc sum, so the aggregation is
+  * order-independent and exact — the DuckDB oracle reproduces scores
+  * bit-for-bit.
+  */
+object Search {
+
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // avgdl as exact-long sum / exact count, divided once in double —
+    // identical on both engines (a running double mean would not be).
+    val corpus = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val withIdf = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(corpus)
+      // BM25+ style idf (the +1 keeps it positive for df > n/2); rounded
+      // at once so the ln() is the ONLY engine-sensitive step.
+      .withColumn("idf",
+        round(log(
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+      .withColumn("score_t",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("score_q", round(col("score_t") * lit(1e9)).cast("long"))
+    withIdf.groupBy("doc_id")
+      .agg(sum(col("score_q")).as("score_q"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        round(col("score_q").cast("double") / lit(1e9), 6).as("score"),
+        col("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Search
+
+/** BM25 semantics: rare terms outrank common ones, term frequency
+  * saturates, documents without query terms never appear, k caps the
+  * output. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "needle in a haystack of common words common words common words"),
+    (2L, "common words common words common words common words"),
+    (3L, "needle needle needle common words"),
+    (4L, "entirely unrelated content right here"),
+    (5L, "common needle words")
+  ).toDF("doc_id", "text")
+
+  test("rare-term hits outrank common-term-only docs; no-hit docs are absent") {
+    val out = Search.bm25TopK(docs, Seq("needle", "common"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val ids = out.map(_._1)
+    assert(!ids.contains(4L), "doc without any query term must not appear")
+    val score = out.map(x => x._1 -> x._2).toMap
+    // docs containing the rare 'needle' beat the common-only doc 2
+    assert(score(3L) > score(2L) && score(1L) > score(2L) && score(5L) > score(2L))
+    // tf saturation: doc 3 (needle x3) still beats doc 5 (needle x1)
+    assert(score(3L) > score(5L))
+    // both-term docs hit 2 terms
+    assert(out.find(_._1 == 1L).get._3 === 2L)
+  }
+
+  test("k caps the result and ordering is score desc with doc_id tiebreak") {
+    val out = Search.bm25TopK(docs, Seq("common"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 2)
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("scores are invariant under input partitioning (quantized aggregation)") {
+    val a = Search.bm25TopK(docs.repartition(7), Seq("needle", "common")).collect().toSeq
+    val b = Search.bm25TopK(docs.coalesce(1), Seq("needle", "common")).collect().toSeq
+    assert(a === b)
+  }
+}
