@@ -141,6 +141,7 @@ object SparkEntry {
     // corpus instead (Packing.packDocumentsAuto / the shards knob).
     "pack_documents" -> ((s, dir) => Packing.packDocuments(Tables.documents(s, dir))),
     "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
+    "doc_chunks" -> ((s, dir) => Packing.slidingWindows(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     // Mixture quotas chosen against the fixture strata: en subsampled,
@@ -539,6 +540,18 @@ object SparkEntry {
          |SELECT shard, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(tokens) AS BIGINT) AS packed_tokens
          |FROM asg GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens_doc FROM t),
+        | c AS (SELECT doc_id, w, n_tokens_doc,
+        |        unnest(range(0, CASE WHEN n_tokens_doc <= 128 THEN 1
+        |                             ELSE (n_tokens_doc - 128 + 96 - 1) // 96 + 1 END)) AS chunk_idx
+        |        FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(chunk_idx * 96 + 1 AS BIGINT) AS start_token,
+        | CAST(least(128, n_tokens_doc - chunk_idx * 96) AS BIGINT) AS n_tokens,
+        | md5(array_to_string(w[(chunk_idx * 96 + 1):(chunk_idx * 96 + least(128, n_tokens_doc - chunk_idx * 96))], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
         | count(*) AS n_docs, min(doc_id) AS keep_id

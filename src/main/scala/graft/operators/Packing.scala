@@ -66,6 +66,34 @@ object Packing {
     packDocuments(docs, budget, math.min(1 << 20, math.max(minShards, derived)))
   }
 
+  /** Sliding-window chunking — the SPLITTING counterpart to
+    * [[packDocuments]]'s concatenation: long documents become overlapping
+    * `size`-token windows advancing by `stride` (overlap = size − stride
+    * preserves context across boundaries — the standard long-document
+    * prep for a fixed context length). Chunk count is exact integer
+    * arithmetic ((n − size + stride − 1) div stride + 1 for n > size,
+    * else 1), all per-row expressions (sequence + explode + slice), no
+    * shuffle; fanout per doc is bounded by ~n/stride. Output: one row per
+    * chunk with its 1-based start token, length, and an md5 of the chunk
+    * text (the compact content witness the oracle compares). */
+  def slidingWindows(docs: DataFrame, windowSize: Int = 128, stride: Int = 96): DataFrame = {
+    require(windowSize > 0 && stride > 0 && stride <= windowSize,
+      s"need 0 < stride <= windowSize, got windowSize=$windowSize stride=$stride")
+    docs
+      .select(col("doc_id"), TextAnalysis.wordsExpr.as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens_doc"))
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0, IF(n_tokens_doc <= $windowSize, 0, CAST((n_tokens_doc - $windowSize + $stride - 1) div $stride AS INT)))")))
+      .withColumn("start_token", col("chunk_idx").cast("long") * stride + 1)
+      .withColumn("n_tokens",
+        least(lit(windowSize.toLong), col("n_tokens_doc") - col("chunk_idx").cast("long") * stride))
+      .withColumn("chunk_md5",
+        md5(expr(s"concat_ws(' ', slice(w, start_token, n_tokens))")))
+      .select("doc_id", "chunk_idx", "start_token", "n_tokens", "chunk_md5")
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Chunk-level summary: documents per chunk and the packed token count —
     * the fill-efficiency view (chunks fill to ≥ budget − max_doc_tokens
     * except each shard's tail chunk). */

@@ -61,6 +61,22 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("sliding windows: full coverage with stride overlap; short docs are one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, size 4 stride 3
+      (2L, "a b c")                                   // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = Packing.slidingWindows(docs, windowSize = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 4, 7 — the window at 7 reaches token 10, so no tail chunk
+    // is needed; every token covered exactly once or in an overlap
+    assert(d1.map(x => (x._3, x._4)).toSeq === Seq((1L, 4L), (4L, 4L), (7L, 4L)))
+    val covered = d1.flatMap(x => x._3 until (x._3 + x._4)).toSet
+    assert(covered === (1L to 10L).toSet)
+    assert(out.filter(_._1 == 2L).map(x => (x._2, x._3, x._4)).toSeq === Seq((0L, 1L, 3L)))
+  }
+
   test("auto-sharding derives the shard count from corpus size") {
     val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
     // tiny corpus, tiny docsPerShard: derived count = ceil(n / 100)
