@@ -128,6 +128,8 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1))
     }),
     "doc_repetition" -> ((s, dir) => DataHygiene.repetitionScore(Tables.documents(s, dir))),
+    "quality_gate_adaptive" -> ((s, dir) =>
+      DataHygiene.adaptiveQualityFilter(Tables.documents(s, dir))),
     // Decontamination fixture: even doc_ids play "train", odd play "eval".
     "contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -515,6 +517,22 @@ object SparkEntry {
         |      THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
         |      ELSE 0.0 END AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    // Quality formula identical to text_stats; threshold = exact
+    // interpolated quantile (quantile_cont ≡ Spark percentile, proven by
+    // the price_percentiles gate); compare on UNROUNDED doubles.
+    "quality_gate_adaptive" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | s AS (SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |   CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt
+        | FROM t),
+        | q AS (SELECT doc_id, (stop_cnt / n_words) * 0.5
+        |       + least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.3
+        |       + (1.0 - punct_cnt / n_chars) * 0.2 AS quality FROM s),
+        | thr AS (SELECT quantile_cont(quality, 0.25) AS q_thr FROM q)
+        |SELECT doc_id, round(quality, 6) AS quality, round(q_thr, 6) AS q_thr
+        |FROM q, thr WHERE quality >= q_thr ORDER BY doc_id""".stripMargin,
     "contamination" ->
       s"""WITH $ShinglesCte,
          | tsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),

@@ -58,6 +58,25 @@ object DataHygiene {
       .orderBy("doc_id")
   }
 
+  /** Corpus-ADAPTIVE quality gate: keep documents at or above the `pct`
+    * quantile of the corpus's own quality distribution — how real
+    * pipelines set thresholds (a fixed constant goes stale as the corpus
+    * mix shifts). Exact linear-interpolated percentile (deterministic —
+    * an order statistic, no float summation), broadcast as a 1-row bound
+    * and compared against the unrounded scores, so the cut is
+    * reproducible across engines. Output keeps the applied threshold as
+    * an audit column. */
+  def adaptiveQualityFilter(docs: DataFrame, pct: Double = 0.25): DataFrame = {
+    val stats = TextAnalysis.textStats(docs).select(col("doc_id"), col("quality"))
+    val thr = broadcast(stats.agg(expr(s"percentile(quality, $pct)").as("q_thr")))
+    stats.crossJoin(thr)
+      .filter(col("quality") >= col("q_thr"))
+      .select(col("doc_id"),
+        round(col("quality"), 6).as("quality"),
+        round(col("q_thr"), 6).as("q_thr"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus cleaning — the composition a training-data pipeline
     * actually runs before a training job, as ONE declarative query: flag
     * every corpus document as near-duplicate (MinHash clusters — keepers

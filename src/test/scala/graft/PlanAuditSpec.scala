@@ -17,14 +17,14 @@ class PlanAuditSpec extends SparkSpec {
     *    brute-force baselines or their truth branches — the broadcast side
     *    is the small query set; the LSH/IVF siblings are the scale path.
     *  - ann_ivf: nlist-row centroid broadcast for the argmin assignment.
-    *  - bm25_topk: crossJoin against the BROADCAST 1-row corpus-stats
-    *    frame (n_docs, avgdl).
+    *  - bm25_topk / quality_gate_adaptive: crossJoin against a BROADCAST
+    *    1-row stats/threshold frame.
     * Anything NOT in this set that plans a nested loop is a regression. */
   private val intentionalBnlj: Set[String] = Set(
     "gain_1d", "gain_7d", "gain_alltime", "onlinetime_7d",
     "cosine_topk", "cosine_topk_int8", "dedup_embedding",
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf",
-    "bm25_topk")
+    "bm25_topk", "quality_gate_adaptive")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
