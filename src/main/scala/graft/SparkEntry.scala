@@ -81,6 +81,20 @@ object SparkEntry {
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
     "dq_checks" -> ((s, dir) =>
       QualityChecks.lineitemSuite(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // The salted hot-key join must be ROW-IDENTICAL to the plain join it
+    // replaces — the oracle is the plain join, so the salt/replicate/drop
+    // machinery itself is hash-gated, not just spec'd.
+    "skew_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      SkewUtils.saltedJoin(ev, cust, "user_id", buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
     "customer_top_orders" -> ((s, dir) => StarSchema.customerTopOrders(Tables.orders(s, dir))),
     "customer_topk_agg" -> ((s, dir) => StarSchema.customerTopOrdersAgg(Tables.orders(s, dir))),
     "customers_without_orders" -> ((s, dir) =>
@@ -432,6 +446,11 @@ object SparkEntry {
         |UNION ALL SELECT 'orphan_lineitems', n FROM orph
         |UNION ALL SELECT 'quantity_range', quantity_range FROM rc
         |ORDER BY check_name""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "customer_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
