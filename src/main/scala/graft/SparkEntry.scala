@@ -121,6 +121,7 @@ object SparkEntry {
     // terms — idf separation is what the gate checks.
     "bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("dup", "vector", "scan"))),
+    "tfidf_top_terms" -> ((s, dir) => Search.topTermsPerDoc(Tables.documents(s, dir))),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "cosine_topk_int8" -> ((s, dir) => Similarity.cosineTopKInt8(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
@@ -717,6 +718,23 @@ object SparkEntry {
         |SELECT doc_id, round(CAST(score_q AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS score,
         | CAST(n_terms_hit AS BIGINT) AS n_terms_hit
         |FROM agg ORDER BY score DESC, doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |              FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT doc_id, term, tf,
+        |        CAST(round(CAST(tf AS DOUBLE) *
+        |             round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) *
+        |             CAST(1000000 AS DOUBLE)) AS BIGINT) AS score_q
+        |        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        | r AS (SELECT doc_id, term, tf, score_q,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS BIGINT) AS rank
+        |       FROM sc)
+        |SELECT doc_id, rank, term, tf,
+        | round(CAST(score_q AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 10),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval over the document corpus — the keyword complement to
@@ -64,5 +65,30 @@ object Search {
         round(col("score_q").cast("double") / lit(1e9), 6).as("score"),
         col("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  /** Per-document keyword extraction: top-`k` terms by tf·idf — corpus
+    * tagging / topic surfacing over training data. Same determinism
+    * construction as [[bm25TopK]] (idf's ln rounded at once, score
+    * quantized to integers, term tiebreak); the per-doc rank window
+    * partitions on doc_id — |docs| groups, so parallelism scales with the
+    * corpus (unlike a per-category window). */
+  def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(n)
+      .withColumn("idf",
+        round(log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("score_q",
+        round(col("tf").cast("double") * col("idf") * lit(1e6)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        round(col("score_q").cast("double") / lit(1e6), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
   }
 }

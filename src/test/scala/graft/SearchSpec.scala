@@ -37,6 +37,17 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("tf-idf keyword extraction surfaces the distinctive term first") {
+    val out = Search.topTermsPerDoc(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 3: 'needle' appears in 3/5 docs, 'common'/'words' in 4/5 — the
+    // rarer, repeated term must rank first.
+    assert(out.filter(_._1 == 3L).minBy(_._2)._3 === "needle")
+    assert(out.count(_._1 == 3L) === 2)
+    // every doc yields at most k rows and ranks start at 1
+    assert(out.groupBy(_._1).values.forall(rs => rs.map(_._2).min == 1L && rs.length <= 2))
+  }
+
   test("scores are invariant under input partitioning (quantized aggregation)") {
     val a = Search.bm25TopK(docs.repartition(7), Seq("needle", "common")).collect().toSeq
     val b = Search.bm25TopK(docs.coalesce(1), Seq("needle", "common")).collect().toSeq
