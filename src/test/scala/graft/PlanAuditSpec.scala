@@ -39,6 +39,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-killer plans found:\n${offenders.mkString("\n")}")
   }
 
+  test("column pruning reaches the parquet scans (ReadSchema narrowed)") {
+    // "Push down and prune" enforced, not just documented: a scan that
+    // reads all columns for a narrow projection is a silent 100 TB
+    // regression even when results stay correct.
+    def schemas(q: String): Seq[String] =
+      "ReadSchema: [^\\n]+".r
+        .findAllIn(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString)
+        .toList
+    // events carries event_type + props; the snapshot family needs neither
+    assert(schemas("snapshot_daily").forall(s => !s.contains("props") && !s.contains("event_type")),
+      "snapshot_daily must not read the JSON props / event_type columns")
+    // the gain family's broadcast date-bound subtree scans ONLY ts
+    assert(schemas("gain_1d").exists(_.endsWith("struct<ts:bigint>")),
+      "gain_1d's date-bound scan must prune to the ts column alone")
+    // TPC-H Q1 touches 7 of lineitem's 16 columns
+    assert(schemas("q1_pricing").forall(s => !s.contains("l_orderkey") && !s.contains("l_partkey")),
+      "q1_pricing must not read join keys it never uses")
+    // per-row text ops read exactly (doc_id, text)
+    assert(schemas("token_count").forall(_.endsWith("struct<doc_id:bigint,text:string>")),
+      "token_count must read exactly doc_id and text")
+  }
+
   test("the intentional-BNLJ allowlist is not stale") {
     GraftFunctions.installOptimizations(spark)
     val actual = SparkEntry.queries.toSeq.sortBy(_._1).collect {
