@@ -104,6 +104,25 @@ object OnlineTimeStream {
       }
       .start()
 
+  /** Event-time SESSION windows over the sample stream — the streaming
+    * form of the batch gap-sessionization
+    * ([[graft.operators.EventsAnalytics.sessionize]]): activity separated
+    * by less than `gap` merges into one session per user; a quiet `gap`
+    * closes it. `session_window` keeps per-key open-session state that the
+    * watermark bounds and finalizes — sessions emit exactly once (Append)
+    * when the watermark passes their end, so downstream consumers see
+    * complete sessions only. */
+  def sessionMinutes(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg((lit(5) * count(lit(1))).as("minutes"))
+      .select(
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("user_id"), col("minutes"))
+
   /** Watermarked stream-stream inner join — the attribution shape: every
     * `view` within `horizon` AFTER a `purchase` by the same user, both
     * sides live streams. The time-range predicate plus watermarks on BOTH

@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap, split across it, finalize on watermark") {
+    implicit val sq = spark.sqlContext
+    def tm(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.sessionMinutes(input.toDF(), gap = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("session_minutes_test").start()
+    try {
+      // u1: 10:00, 10:20 (merge — 20min gap), 11:30 (new session);
+      // u2: one lone sample
+      input.addData(Sample(1L, tm(10, 0)), Sample(1L, tm(10, 20)), Sample(2L, tm(10, 5)))
+      q.processAllAvailable()
+      input.addData(Sample(1L, tm(11, 30)))
+      q.processAllAvailable()
+      input.addData(Sample(9L, tm(14, 0))) // advance watermark past 11:30+30m+10m
+      q.processAllAvailable()
+      val out = spark.table("session_minutes_test").collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0), r.getLong(3)))
+      val u1 = out.filter(_._1 == 1L).sortBy(_._2.getTime)
+      assert(u1.map(_._3).toSeq === Seq(10L, 5L), "merged 2-sample session, then a new one")
+      assert(u1.head._2 === tm(10, 0) && u1.last._2 === tm(11, 30))
+      assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq(5L))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches within the horizon across batches") {
     implicit val sq = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp, Long)]
