@@ -65,7 +65,15 @@ object DataHygiene {
     * an order statistic, no float summation), broadcast as a 1-row bound
     * and compared against the unrounded scores, so the cut is
     * reproducible across engines. Output keeps the applied threshold as
-    * an audit column. */
+    * an audit column.
+    *
+    * Scale seam: EXACT percentile merges every distinct quality value
+    * into one final aggregation buffer — near-all-distinct doubles make
+    * that O(|corpus|) on a single task at 100 TB. This gate keeps exact
+    * because the hash oracle demands it; a deployment swaps in
+    * `approx_percentile(quality, pct, accuracy)` (mergeable bounded
+    * sketch) — the threshold moves by at most the sketch error and
+    * everything downstream is unchanged. */
   def adaptiveQualityFilter(docs: DataFrame, pct: Double = 0.25): DataFrame = {
     val stats = TextAnalysis.textStats(docs).select(col("doc_id"), col("quality"))
     val thr = broadcast(stats.agg(expr(s"percentile(quality, $pct)").as("q_thr")))

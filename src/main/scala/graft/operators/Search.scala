@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   * a term query, top-k by relevance. A data platform serving an
   * LLM-training corpus needs both retrieval modes (lexical for exact
   * terminology, vector for semantics); this one is pure aggregation —
-  * no index structure, one tokenization pass, candidate rows bounded by
-  * documents actually containing a query term.
+  * no index structure, candidate rows bounded by documents actually
+  * containing a query term. The doc-length and term-frequency branches
+  * are separate aggregations over the token explode, so the corpus
+  * tokenizes twice per query — at 100 TB the (doc_id, term, tf) posting
+  * table and per-doc lengths become maintained artifacts (the lexical
+  * sibling of the persisted embedding base) and both branches read them
+  * instead.
   *
   * Scale shape: token explode → per-doc length aggregate (partial agg);
   * the tf table is FILTERED to query terms before its shuffle, so its

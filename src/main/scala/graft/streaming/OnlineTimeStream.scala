@@ -107,8 +107,9 @@ object OnlineTimeStream {
   /** Event-time SESSION windows over the sample stream — the streaming
     * form of the batch gap-sessionization
     * ([[graft.operators.EventsAnalytics.sessionize]]): activity separated
-    * by less than `gap` merges into one session per user; a quiet `gap`
-    * closes it. `session_window` keeps per-key open-session state that the
+    * by AT MOST `gap` merges into one session per user (an exactly-gap
+    * pause still merges — verified; matches the batch rule's
+    * `diff > gap` split); a longer quiet period closes it. `session_window` keeps per-key open-session state that the
     * watermark bounds and finalizes — sessions emit exactly once (Append)
     * when the watermark passes their end, so downstream consumers see
     * complete sessions only. */

@@ -17,8 +17,8 @@ class PlanAuditSpec extends SparkSpec {
     *    brute-force baselines or their truth branches — the broadcast side
     *    is the small query set; the LSH/IVF siblings are the scale path.
     *  - ann_ivf: nlist-row centroid broadcast for the argmin assignment.
-    *  - bm25_topk / quality_gate_adaptive: crossJoin against a BROADCAST
-    *    1-row stats/threshold frame.
+    *  - bm25_topk / quality_gate_adaptive / tfidf_top_terms: crossJoin
+    *    against a BROADCAST 1-row stats/threshold/corpus-count frame.
     * Anything NOT in this set that plans a nested loop is a regression. */
   private val intentionalBnlj: Set[String] = Set(
     "gain_1d", "gain_7d", "gain_alltime", "onlinetime_7d",
