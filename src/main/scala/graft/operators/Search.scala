@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   * terminology, vector for semantics); this one is pure aggregation —
   * no index structure, candidate rows bounded by documents actually
   * containing a query term. The doc-length and term-frequency branches
-  * are separate aggregations over the token explode, so the corpus
-  * tokenizes twice per query — at 100 TB the (doc_id, term, tf) posting
-  * table and per-doc lengths become maintained artifacts (the lexical
-  * sibling of the persisted embedding base) and both branches read them
-  * instead.
+  * both read ONE lazily persisted token explode (same pattern as
+  * [[Similarity]]'s shared base), so the corpus tokenizes once per
+  * query; at 100 TB the (doc_id, term) posting table becomes a
+  * maintained artifact — the lexical sibling of the persisted embedding
+  * base.
   *
   * Scale shape: token explode → per-doc length aggregate (partial agg);
   * the tf table is FILTERED to query terms before its shuffle, so its
@@ -38,6 +38,7 @@ object Search {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must not be empty")
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     // avgdl as exact-long sum / exact count, divided once in double —
     // identical on both engines (a running double mean would not be).
