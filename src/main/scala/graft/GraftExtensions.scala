@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot}
+import graft.functions.{CappedCollectLongs, PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §2.10):
   * makes `skill_points`, `vec_dot` and `top_k` callable from
@@ -73,6 +73,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "unpack_int8(bytes, scale)")
         UnpackInt8(args.head, args(1))
+      }),
+    ("capped_collect_longs",
+      new ExpressionInfo(classOf[CappedCollectLongs].getName, "capped_collect_longs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "capped_collect_longs(value, cap)")
+        CappedCollectLongs(args.head, intArg(args(1), "capped_collect_longs"))
+          .toAggregateExpression()
       }))
 
   /** Register into a live session's function registry. */

@@ -41,6 +41,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(back(2) === 0.0)
   }
 
+  test("capped_collect_longs from SQL: complete list under the cap, NULL above") {
+    Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v").createOrReplaceTempView("cc")
+    val r = spark.sql(
+      "SELECT g, capped_collect_longs(v, 3) AS ids FROM cc GROUP BY g ORDER BY g").collect()
+    assert(r(0).getSeq[Long](1) === Seq(1L, 2L, 3L))
+    assert(r(1).isNullAt(1), "over-cap group collapses to NULL")
+  }
+
   test("pack_int8 input types are an analysis-time contract") {
     // array<int> is implicitly cast to array<double> by the analyzer (the
     // previous behavior read int-encoded ArrayData as doubles — garbage
