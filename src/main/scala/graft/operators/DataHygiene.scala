@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-hygiene operators for LLM training data: PII redaction,
   * within-document repetition scoring (the Gopher-rule family), and
@@ -67,17 +68,46 @@ object DataHygiene {
     * reproducible across engines. Output keeps the applied threshold as
     * an audit column.
     *
-    * Scale seam: EXACT percentile merges every distinct quality value
-    * into one final aggregation buffer — near-all-distinct doubles make
-    * that O(|corpus|) on a single task at 100 TB. This gate keeps exact
-    * because the hash oracle demands it; a deployment swaps in
-    * `approx_percentile(quality, pct, accuracy)` (mergeable bounded
-    * sketch) — the threshold moves by at most the sketch error and
-    * everything downstream is unchanged. */
+    * The quantile is computed by DISTRIBUTED ORDER-STATISTIC SELECTION,
+    * not Spark's exact `percentile` aggregate: that aggregate merges every
+    * distinct quality value into ONE final aggregation buffer, and quality
+    * scores are near-all-distinct doubles — O(|corpus|) on a single task
+    * at 100 TB. Here the corpus is range-partition ranked on (quality,
+    * doc_id) via [[RankUtils.globalRowNumber]] (parallelism = partition
+    * count, no global buffer), the two bracketing order statistics at
+    * ranks ⌊h⌋+1 / ⌈h⌉+1 for h = pct·(n−1) are picked by rank, and the
+    * threshold linearly interpolates between them with EXACTLY the
+    * arithmetic of Spark's `Percentile.getPercentile` — (⌈h⌉−h)·v_lo +
+    * (h−⌊h⌋)·v_hi, with the integral-position and tied-value cases
+    * returning v_lo — so the result is bit-identical to the aggregate it
+    * replaces (and to DuckDB's quantile_cont, proven by the hash gate). */
   def adaptiveQualityFilter(docs: DataFrame, pct: Double = 0.25): DataFrame = {
     val stats = TextAnalysis.textStats(docs).select(col("doc_id"), col("quality"))
-    val thr = broadcast(stats.agg(expr(s"percentile(quality, $pct)").as("q_thr")))
-    stats.crossJoin(thr)
+    // One computation of the per-row stats feeds the n-count, the bracket
+    // probe, and the final filter (lazy persist — the measured pattern
+    // from the similarity family's shared base).
+    val ranked = RankUtils
+      .globalRowNumber(stats, Seq(col("quality"), col("doc_id")), "__rk")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // n = max rank (1-row frame); h, ⌊h⌋, ⌈h⌉ derived once. Spark's floor/
+    // ceil on double return LONG, matching Percentile's .floor.toLong.
+    val bounds = broadcast(
+      ranked.agg(max(col("__rk")).as("__n"))
+        .select((lit(pct) * (col("__n") - lit(1L)).cast("double")).as("__h"))
+        .select(col("__h"), floor(col("__h")).as("__fl"), ceil(col("__h")).as("__ce")))
+    // The ≤2 bracketing order statistics, picked by rank — a broadcast-
+    // bounds filter over the ranked corpus, never a global sort-to-one.
+    val bracket = ranked.crossJoin(bounds)
+      .filter(col("__rk") === col("__fl") + lit(1L) || col("__rk") === col("__ce") + lit(1L))
+    val thr = broadcast(
+      bracket.groupBy("__h", "__fl", "__ce")
+        .agg(min(col("quality")).as("__vlo"), max(col("quality")).as("__vhi"))
+        .select(
+          when(col("__fl") === col("__ce") || col("__vlo") === col("__vhi"), col("__vlo"))
+            .otherwise((col("__ce") - col("__h")) * col("__vlo")
+              + (col("__h") - col("__fl")) * col("__vhi"))
+            .as("q_thr")))
+    ranked.crossJoin(thr)
       .filter(col("quality") >= col("q_thr"))
       .select(col("doc_id"),
         round(col("quality"), 6).as("quality"),

@@ -61,6 +61,27 @@ class PlanAuditSpec extends SparkSpec {
       "token_count must read exactly doc_id and text")
   }
 
+  test("no exact-Percentile aggregate outside the low-cardinality allowlist") {
+    // Exact `percentile` merges every distinct input value into ONE final
+    // aggregation buffer — O(|corpus|) on a single task when values are
+    // near-all-distinct doubles. quality_gate_adaptive was rebuilt on
+    // distributed order-statistic selection (RankUtils) for exactly this
+    // reason; this gate keeps the aggregate from re-entering a plan
+    // silently. price_percentiles is allowlisted deliberately: it
+    // aggregates l_quantity (~50 distinct values), where the buffer is
+    // bounded by the value domain, not the corpus.
+    GraftFunctions.installOptimizations(spark)
+    val allowed = Set("price_percentiles")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn)
+          if !allowed(name) && "(?i)\\bpercentile\\(".r
+            .findFirstIn(fn(spark, dir).queryExecution.executedPlan.toString)
+            .isDefined => name
+    }
+    assert(offenders.isEmpty,
+      s"exact Percentile aggregate found in: ${offenders.mkString(", ")}")
+  }
+
   test("the intentional-BNLJ allowlist is not stale") {
     GraftFunctions.installOptimizations(spark)
     val actual = SparkEntry.queries.toSeq.sortBy(_._1).collect {
