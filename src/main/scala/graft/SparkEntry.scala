@@ -78,6 +78,49 @@ object SparkEntry {
     "rolling_weekly_minutes" -> ((s, dir) => EventsAnalytics.rollingWeeklyMinutes(Tables.events(s, dir))),
     "asof_carryforward" -> ((s, dir) => EventsAnalytics.asofCarryForward(Tables.events(s, dir))),
     "asof_join" -> ((s, dir) => AsofJoin.viewsWithLastPurchase(Tables.events(s, dir))),
+    // Batch paths of the streaming-only operators (event-time session
+    // windows, stream-stream attribution join): the SAME transforms the
+    // streaming tier runs (withWatermark is a no-op in batch), so the
+    // session/attribution semantics are hash-gated, not just spec'd —
+    // matching how streaming_daily_minutes gates dailyMinutes.
+    "session_minutes" -> ((s, dir) =>
+      graft.streaming.OnlineTimeStream.sessionMinutes(Tables.events(s, dir))
+        .select(
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("user_id"), col("minutes"))
+        .orderBy("user_id", "session_start")),
+    "attribution_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.OnlineTimeStream.attributionJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"))
+        .select(col("user_id"), col("purchase_id"), col("view_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("v_ts"))
+        .orderBy("purchase_id", "view_id")
+    }),
+    // NULL-seeded gate queries: the fixture corpus contains no NULLs, which
+    // is exactly where two real operator bugs hid (as-of stale-carry, NULL-
+    // group rank drop — commit 350399f, caught by review, not the gate).
+    // These run the generic operators over a deterministically NULL-seeded
+    // events view (mirrored textually in the oracle CTEs) so NULL carried
+    // values, NULL group keys, and the full-outer/coalesce paths are
+    // hash-gated from here on.
+    "null_asof_join" -> ((s, dir) => AsofJoin.viewsWithLastPurchase(nulledEvents(s, dir))),
+    "null_group_rank" -> ((s, dir) => {
+      val ev = nulledEvents(s, dir)
+        .select(
+          when(col("event_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("grp"),
+          col("event_id"), col("value"))
+      RankUtils.groupedRowNumber(ev, Seq("grp"),
+          Seq(col("value").desc_nulls_last, col("event_id").asc), "rnk")
+        .filter(col("rnk") <= 5)
+        .select(col("grp"), col("event_id"), col("value"), col("rnk"))
+        .orderBy(col("grp").asc_nulls_first, col("rnk"))
+    }),
+    "null_state_merge" -> ((s, dir) => Snapshots.stateMerge(nulledEvents(s, dir))),
     "segment_stats" -> ((s, dir) => StarSchema.segmentStats(Tables.customer(s, dir))),
     "dq_checks" -> ((s, dir) =>
       QualityChecks.lineitemSuite(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -214,6 +257,18 @@ object SparkEntry {
       val pts = (BigInt(20) * sNum) / (BigInt(1200) * BigInt(10).pow(k - 1))
       s"WHEN ${k + 10} THEN CAST($pts AS BIGINT)"
     }.mkString(" ")
+
+  /** Deterministic NULL seeding for the null_* gate queries: `value` is
+    * nulled on the event_id % 7 slice (≈14% of rows, including max-of-group
+    * rows, so NULL values reach every carry/merge path). Spark's `max_by`
+    * is row-faithful to a NULL value, while DuckDB's `arg_max(value, ...)`
+    * SKIPS NULL-valued rows — the null_* oracles therefore wrap the value
+    * in a struct (`arg_max({'v': value}, ...)`) so both engines keep the
+    * latest ROW and preserve its NULL field. */
+  private def nulledEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("value",
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
 
   /** Shared oracle CTE: the daily snapshot (latest value per day/user). */
   private val SnapCte =
@@ -663,6 +718,69 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, r.pval AS last_purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // session_window semantics: events at MOST `gap` apart merge (an
+    // exactly-gap pause still merges), window end = last event + gap. The
+    // gap rule is the same `diff > gap` split the sessionize oracle proves
+    // expressible; timestamps compare and format at µs on both sides.
+    "session_minutes" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | d AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+        | f AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL
+        |   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM d),
+        | g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        | user_id, CAST(5 * count(*) AS BIGINT) AS minutes
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "attribution_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |       FROM events WHERE event_type = 'view')
+        |SELECT p.user_id AS user_id, purchase_id, view_id,
+        | strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+        | strftime(v_ts, '%Y-%m-%d %H:%M:%S.%f') AS v_ts
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND v_ts >= p_ts AND v_ts <= p_ts + INTERVAL 1 HOUR
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    // null_* oracles: same algorithms as their green siblings, over the
+    // NULL-seeded events view. arg_max carries the value inside a struct —
+    // see nulledEvents for why (DuckDB arg_max skips NULL values; Spark
+    // max_by is row-faithful).
+    "null_asof_join" ->
+      """WITH ne AS (SELECT user_id, event_id, ts, event_type,
+        |   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value FROM events),
+        | l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |       FROM ne WHERE event_type = 'view'),
+        | r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        (arg_max({'v': value}, event_id)).v AS pval
+        |       FROM ne WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.pval AS last_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "null_group_rank" ->
+      """WITH ne AS (SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS grp,
+        |   event_id,
+        |   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value FROM events),
+        | r AS (SELECT grp, event_id, value,
+        |        CAST(row_number() OVER (PARTITION BY grp
+        |          ORDER BY value DESC NULLS LAST, event_id) AS BIGINT) AS rnk FROM ne)
+        |SELECT grp, event_id, value, rnk FROM r WHERE rnk <= 5
+        |ORDER BY grp NULLS FIRST, rnk""".stripMargin,
+    "null_state_merge" ->
+      """WITH ne AS (SELECT user_id, event_id, ts,
+        |   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value FROM events),
+        | snap AS (SELECT CAST(ts AS DATE) AS day, user_id,
+        |           (arg_max({'v': value}, event_id)).v AS value FROM ne GROUP BY 1, 2),
+        | mx AS (SELECT max(day) AS end_day FROM snap),
+        | t AS (SELECT user_id AS uid_t, value AS v_today FROM snap, mx WHERE day = end_day),
+        | y AS (SELECT user_id AS uid_y, value AS v_yesterday FROM snap, mx WHERE day = end_day - 1)
+        |SELECT coalesce(uid_t, uid_y) AS user_id,
+        | coalesce(v_today, v_yesterday) AS value,
+        | CASE WHEN uid_t IS NOT NULL AND uid_y IS NOT NULL THEN 'updated'
+        |      WHEN uid_t IS NOT NULL THEN 'new' ELSE 'carried' END AS status
+        |FROM t FULL JOIN y ON uid_t = uid_y ORDER BY user_id""".stripMargin,
     "ngram_jaccard_top" ->
       // The df>100 hot-shingle cap mirrors Dedup.ngramJaccardTop exactly:
       // sizes AND intersections are both over the capped shingle set.
