@@ -125,13 +125,16 @@ object DataHygiene {
     * joins on doc_id (hash joins, AQE-planned).
     * Output: (doc_id, is_dup, low_quality, repetitive, contaminated, kept).
     *
-    * Known cost, accepted deliberately: the corpus is tokenized once per
+    * Known cost, accepted on MEASUREMENT: the corpus is tokenized once per
     * flag family (minhash shingles, contamination shingles, quality/
-    * repetition words) because each operator owns its tokenization. At
-    * 100 TB the shingle table becomes a MAINTAINED artifact (like the
-    * normalized embedding base) that both the dedup and contamination
-    * branches read — the operators' internal shapes are unchanged by that
-    * seam, which is why it is not pre-built here. */
+    * repetition words). An in-session persist of the shingle subtree was
+    * A/B-tested at sf0.1 and made the dedup branch ~1 s slower (racing
+    * columnar cache builds inside the components checkpoint job — see
+    * Dedup.sharedShingles); contamination's eval side, where the reuse is
+    * real, does persist. At 100 TB the shingle table becomes a MAINTAINED
+    * artifact (like the normalized embedding base) that both the dedup and
+    * contamination branches read — the operators' internal shapes are
+    * unchanged by that seam, which is why it is not pre-built here. */
   def cleanCorpus(corpus: DataFrame, evalDocs: DataFrame,
                   qualityMin: Double = 0.38, repMax: Double = 0.05,
                   dedupThreshold: Double = 0.5, minCommon: Long = 20): DataFrame = {
@@ -166,8 +169,11 @@ object DataHygiene {
     * (candidate-bounded like the dedup family), never doc×doc. */
   def contamination(train: DataFrame, eval: DataFrame,
                     minCommon: Long = 3): DataFrame = {
+    // eval shingles feed BOTH the per-doc sizes and the overlap join —
+    // the lazy persist computes the tokenization once (measured 1.36→0.75 s
+    // at sf0.1). The train side is read once; no persist.
     val tsh = Dedup.shingles(train).select(col("sh")).distinct()
-    val esh = Dedup.shingles(eval)
+    val esh = Dedup.sharedShingles(eval)
     val sizes = esh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     esh.join(tsh, Seq("sh")) // semi-shaped: only shingles seen in train
       .groupBy("doc_id")

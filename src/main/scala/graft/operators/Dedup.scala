@@ -43,6 +43,22 @@ object Dedup {
           s"array_distinct(transform(sequence(0, size(w)-$k), i -> concat_ws(' ', $gram)))")).as("sh"))
   }
 
+  /** Lazily persisted shingle frame — the lexical sibling of the
+    * similarity family's normalized-embedding base (Similarity.sharedBase).
+    * Used ONLY where a measured reuse exists (contamination's eval side,
+    * read by both its sizes and overlap branches: 1.36→0.75 s at sf0.1,
+    * replicated 2×). Deliberately NOT used in [[minhashPairs]], where the
+    * shingle subtree appears 4× per plan and a persist looks obvious:
+    * measured A/B at sf0.1 (2 runs each) made dedup_clusters ~1 s SLOWER —
+    * the connected-components checkpoint job's branches race to build the
+    * columnar cache (every branch computes the subtree anyway, then also
+    * pays the string-columnar write), so the persist adds cost exactly
+    * where the fan-out is. At 100 TB the right artifact is a MAINTAINED
+    * shingle TABLE written once and read by the whole family (the
+    * documented seam), not an in-session cache. */
+  private[operators] def sharedShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    shingles(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   val NumHashes = 16
   // 8 bands x 2 rows: candidate threshold ~ (1/b)^(1/r) = 0.35, the right
   // sensitivity for a 0.5 Jaccard cut (4x4 banding missed ~40% of
