@@ -142,6 +142,28 @@ object SparkEntry {
     "customer_topk_agg" -> ((s, dir) => StarSchema.customerTopOrdersAgg(Tables.orders(s, dir))),
     "customers_without_orders" -> ((s, dir) =>
       StarSchema.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q16_supplier_parts" -> ((s, dir) =>
+      StarSchema.supplierPartStats(Tables.part(s, dir), Tables.lineitem(s, dir),
+        Tables.supplier(s, dir))),
+    "q4_order_priority" -> ((s, dir) =>
+      StarSchema.latePriorityCounts(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // O4 conditional re-rank under oracle gating: seed true ranks, null the
+    // odd-user slice, and let rankIfMissing repair — the repaired column
+    // must equal the full recomputed ranking.
+    "rank_repair" -> ((s, dir) => {
+      val snap = Snapshots.dailySnapshot(Tables.events(s, dir))
+      val latest = snap
+        .join(broadcast(snap.agg(max(col("day")).as("end_day"))),
+          col("day") === col("end_day"))
+        .select(col("user_id"), col("value"))
+      val order = Seq(col("value").desc, col("user_id").asc)
+      val seeded = RankUtils.globalRowNumber(latest, order, "rank")
+        .withColumn("rank",
+          when(col("user_id") % 2 === 0, col("rank")).otherwise(lit(null).cast("long")))
+      Snapshots.rankIfMissing(seeded, order)
+        .select(col("user_id"), col("value"), col("rank"))
+        .orderBy("rank")
+    }),
     "range_join" -> ((s, dir) =>
       RangeJoin.shipWindowCounts(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "interval_overlap" -> ((s, dir) => RangeJoin.windowOverlapCounts(Tables.orders(s, dir))),
@@ -164,6 +186,21 @@ object SparkEntry {
     // terms — idf separation is what the gate checks.
     "bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("dup", "vector", "scan"))),
+    // Same query over the MAINTAINED posting-table artifact: the index is
+    // built once per sf dir (idempotent overwrite; skipped when present),
+    // then the query reads term-bucket-pruned postings instead of
+    // re-tokenizing the corpus. Shares bm25_topk's oracle — the stored
+    // index must reproduce the recompute-from-text answer exactly.
+    "bm25_postings" -> ((s, dir) => {
+      val idx = "/tmp/graft_lexindex_" + java.security.MessageDigest
+        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/postings")))
+        Search.writeLexicalIndex(Tables.documents(s, dir), idx)
+      Search.bm25TopKFromIndex(s, idx, Seq("dup", "vector", "scan"))
+    }),
     "tfidf_top_terms" -> ((s, dir) => Search.topTermsPerDoc(Tables.documents(s, dir))),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "cosine_topk_int8" -> ((s, dir) => Similarity.cosineTopKInt8(Tables.embeddings(s, dir))),
@@ -269,6 +306,32 @@ object SparkEntry {
     Tables.events(s, dir).withColumn("value",
       when(col("event_id") % 7 === 0, lit(null).cast("double"))
         .otherwise(col("value")))
+
+  /** Shared by bm25_topk AND bm25_postings: the stored posting table must
+    * reproduce the recompute-from-text answer bit-for-bit, so one oracle
+    * gates both paths. */
+  private val Bm25Sql =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |              FROM documents),
+      | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      | corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |        WHERE term IN ('dup', 'vector', 'scan') GROUP BY 1, 2),
+      | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      | sc AS (SELECT tf.doc_id,
+      |        round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+      |        tf.tf, dl.dl, corpus.avgdl
+      |        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+      | st AS (SELECT doc_id,
+      |        CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2) /
+      |             (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |             * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS score_q
+      |        FROM sc),
+      | agg AS (SELECT doc_id, sum(score_q) AS score_q, count(*) AS n_terms_hit FROM st GROUP BY 1
+      |         ORDER BY score_q DESC, doc_id LIMIT 20)
+      |SELECT doc_id, round(CAST(score_q AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS score,
+      | CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+      |FROM agg ORDER BY score DESC, doc_id""".stripMargin
 
   /** Shared oracle CTE: the daily snapshot (latest value per day/user). */
   private val SnapCte =
@@ -516,6 +579,28 @@ object SparkEntry {
     "customers_without_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+    "q16_supplier_parts" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 HAVING count(DISTINCT l_suppkey) >= 5
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rankIfMissing repairs the nulled slice with freshly computed ranks, so
+    // the oracle is simply the full recomputed ranking.
+    "rank_repair" ->
+      s"""WITH $SnapCte, $MaxDayCte,
+         | t AS (SELECT user_id, value FROM snap, mx WHERE day = end_day)
+         |SELECT user_id, value,
+         | CAST(row_number() OVER (ORDER BY value DESC, user_id) AS BIGINT) AS rank
+         |FROM t ORDER BY rank""".stripMargin,
     "range_join" ->
       """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_day,
         |            CAST(o_orderdate AS DATE) + 13 AS end_day
@@ -814,28 +899,9 @@ object SparkEntry {
     // sum (order-independent exact aggregation). DECIMAL-literal trap:
     // DuckDB numeric literals are DECIMAL, so every divisor/operand is
     // CAST to DOUBLE explicitly.
-    "bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        |              FROM documents),
-        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        | corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |        WHERE term IN ('dup', 'vector', 'scan') GROUP BY 1, 2),
-        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        | sc AS (SELECT tf.doc_id,
-        |        round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
-        |        tf.tf, dl.dl, corpus.avgdl
-        |        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
-        | st AS (SELECT doc_id,
-        |        CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2) /
-        |             (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-        |             * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS score_q
-        |        FROM sc),
-        | agg AS (SELECT doc_id, sum(score_q) AS score_q, count(*) AS n_terms_hit FROM st GROUP BY 1
-        |         ORDER BY score_q DESC, doc_id LIMIT 20)
-        |SELECT doc_id, round(CAST(score_q AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS score,
-        | CAST(n_terms_hit AS BIGINT) AS n_terms_hit
-        |FROM agg ORDER BY score DESC, doc_id""".stripMargin,
+    "bm25_topk" -> Bm25Sql,
+    // The stored-posting-table variant must give the recompute answer.
+    "bm25_postings" -> Bm25Sql,
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         |              FROM documents),

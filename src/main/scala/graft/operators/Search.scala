@@ -40,13 +40,24 @@ object Search {
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, dl, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the recompute-from-text path and the
+    * maintained-posting-table path: takes the (doc_id, term, tf) rows
+    * already restricted to the query terms plus the per-doc length table,
+    * and is therefore oblivious to WHERE they came from — which is what
+    * makes the stored-index variant hash-identical to the recompute by
+    * construction. */
+  private def scoreBm25(tf: DataFrame, dl: DataFrame, k: Int,
+                        k1: Double, b: Double): DataFrame = {
     // avgdl as exact-long sum / exact count, divided once in double —
     // identical on both engines (a running double mean would not be).
     val corpus = broadcast(dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val withIdf = tf
       .join(broadcast(dfreq), Seq("term"))
@@ -71,6 +82,61 @@ object Search {
         round(col("score_q").cast("double") / lit(1e9), 6).as("score"),
         col("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  /** Number of hash buckets the stored posting table is partitioned into. */
+  val PostingBuckets = 64
+
+  /** Bucket id of a term — md5-derived so the WRITER (a Spark column
+    * expression) and the READER (driver-side literal for partition pruning)
+    * agree byte-for-byte: first 2 md5 bytes mod [[PostingBuckets]]. */
+  private[operators] def termBucketCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(term), 1, 4), 16, 10).cast("int") % PostingBuckets).as("bucket")
+
+  private[operators] def termBucket(term: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(term.getBytes("UTF-8"))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % PostingBuckets
+  }
+
+  /** Materialize the lexical index the documented "tokenizes per query"
+    * seam calls for: the (doc_id, term, tf) posting table — hash-bucketed
+    * by term so a query's scan prunes to its terms' buckets — plus the
+    * per-doc length table, written once and read by every subsequent
+    * lexical query ([[bm25TopKFromIndex]]). This is the lexical sibling of
+    * the persisted embedding base: at 100 TB the posting table is ~|corpus
+    * tokens| rows wide-shuffled ONCE at build time, and each query then
+    * touches |terms| buckets instead of re-tokenizing the corpus. Layout is
+    * plain partitioned parquet via the same overwrite semantics as
+    * [[graft.sinks.SnapshotStore.overwriteLatest]] (L2): rebuilding the
+    * index is idempotent. */
+  def writeLexicalIndex(docs: DataFrame, path: String): Unit = {
+    val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.sinks.SnapshotStore.overwriteLatest(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")), s"$path/doclen")
+    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucketCol(col("term")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$path/postings")
+    toks.unpersist()
+  }
+
+  /** [[bm25TopK]] over a stored lexical index: the posting scan is pruned
+    * to the query terms' buckets (partition pruning on the bucket column,
+    * then a pushed term filter inside each bucket) — no corpus
+    * tokenization at query time. Hash-identical to the recompute path by
+    * construction (same [[scoreBm25]] tail over the same tf/dl rows). */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queryTerms: Seq[String], k: Int = 20,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    val buckets = queryTerms.map(termBucket).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select("doc_id", "term", "tf")
+    val dl = spark.read.parquet(s"$path/doclen")
+    scoreBm25(tf, dl, k, k1, b)
   }
 
   /** Per-document keyword extraction: top-`k` terms by tf·idf — corpus

@@ -173,4 +173,47 @@ object StarSchema {
       .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
+
+  /** TPC-H Q16 shape adapted to the fixture's columns (no partsupp table;
+    * lineitem is the part↔supplier association, s_acctbal < 0 stands in for
+    * the complaints predicate): distinct-supplier counts per (brand, size)
+    * for a filtered part slice, excluding flagged suppliers, with a HAVING
+    * floor. Scale shape: the part dimension is filtered then BROADCAST into
+    * the fact scan (no fact shuffle for the join), the flagged-supplier
+    * exclusion is a broadcast anti join, and the only fact-sized shuffle is
+    * the (brand, size, suppkey) distinct-aggregate. */
+  def supplierPartStats(part: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                        excludeBrand: String = "Brand#1", maxSize: Int = 25,
+                        minSuppliers: Long = 5): DataFrame = {
+    val dims = broadcast(
+      part.filter(col("p_brand") =!= excludeBrand && col("p_size") <= maxSize)
+        .select("p_partkey", "p_brand", "p_size"))
+    val flagged = supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(dims, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .filter(col("supplier_cnt") >= minSuppliers)
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_size").asc)
+  }
+
+  /** TPC-H Q4 shape adapted (no commit/receipt dates; "late" = a line item
+    * shipped more than `lagDays` after the order date): order counts per
+    * priority over a date window, EXISTS expressed as a LEFT SEMI join with
+    * a non-equi lateness condition — the semi join keeps the fact scan
+    * one-pass and never fans out multi-line orders. */
+  def latePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                         start: String = "1996-01-01", end: String = "1996-04-01",
+                         lagDays: Int = 60): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(start).cast("timestamp") &&
+        col("o_orderdate") < lit(end).cast("timestamp"))
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lagDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
 }

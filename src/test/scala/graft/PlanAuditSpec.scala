@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "gain_1d", "gain_7d", "gain_alltime", "onlinetime_7d",
     "cosine_topk", "cosine_topk_int8", "dedup_embedding",
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf",
-    "bm25_topk", "quality_gate_adaptive", "tfidf_top_terms")
+    "bm25_topk", "bm25_postings", "quality_gate_adaptive", "tfidf_top_terms",
+    "rank_repair")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)

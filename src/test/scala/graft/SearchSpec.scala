@@ -53,4 +53,30 @@ class SearchSpec extends SparkSpec {
     val b = Search.bm25TopK(docs.coalesce(1), Seq("needle", "common")).collect().toSeq
     assert(a === b)
   }
+
+  test("stored posting-table path equals the recompute path and prunes to term buckets") {
+    val idx = java.nio.file.Files.createTempDirectory("lexidx").toString
+    try {
+      Search.writeLexicalIndex(docs, idx)
+      val terms = Seq("needle", "common")
+      val fromIndex = Search.bm25TopKFromIndex(spark, idx, terms)
+      assert(fromIndex.collect().toSeq === Search.bm25TopK(docs, terms).collect().toSeq)
+      // rebuild is idempotent (L2 overwrite semantics)
+      Search.writeLexicalIndex(docs, idx)
+      assert(Search.bm25TopKFromIndex(spark, idx, terms).collect().toSeq
+        === fromIndex.collect().toSeq)
+      // the posting scan is PARTITION-PRUNED to the query terms' buckets:
+      // the bucket predicate must land in PartitionFilters (pruned at
+      // planning), not in the row-level data filters.
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+        s"bucket filter must be a partition filter, plan:\n$plan")
+      val postingDirs = new java.io.File(s"$idx/postings").listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+      assert(postingDirs.size > 2,
+        s"fixture should spread terms over >2 buckets, got $postingDirs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }
+  }
 }
