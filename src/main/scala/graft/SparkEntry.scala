@@ -248,6 +248,28 @@ object SparkEntry {
       Map("en" -> 100L, "de" -> 120L, "zh" -> 30L))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // HyperLogLog distinct sketch vs exact — BOTH estimator branches gated:
+    // per-type user counts (~150 « 1280) land in the linear-counting
+    // correction, the global event_id count (10k per sf0.01) in the raw
+    // harmonic-mean regime. The md5/integer-register construction makes the
+    // approximate estimate itself hash-exact across engines.
+    "hll_distinct_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(Sketches.hllDistinct(ev, Seq("event_type"), "user_id"), Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_hll"),
+          round(abs(col("n_hll") - col("n_exact")).cast("double")
+            / col("n_exact").cast("double"), 4).as("err_pct"))
+        .orderBy("event_type")
+    }),
+    "hll_distinct_events" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.agg(countDistinct(col("event_id")).as("n_exact"))
+        .crossJoin(broadcast(Sketches.hllDistinct(ev, Seq.empty, "event_id")))
+        .select(col("n_exact"), col("n_hll"),
+          round(abs(col("n_hll") - col("n_exact")).cast("double")
+            / col("n_exact").cast("double"), 4).as("err_pct"))
+    }),
     // props JSON payload extraction (X3-adjacent): JSON path on the Spark
     // side, regexp on the oracle side, same values.
     "props_sum" -> ((s, dir) =>
@@ -306,6 +328,32 @@ object SparkEntry {
     Tables.events(s, dir).withColumn("value",
       when(col("event_id") % 7 === 0, lit(null).cast("double"))
         .otherwise(col("value")))
+
+  /** HLL register pipeline shared by both hll_* oracles, parameterized by
+    * source/key/grouping. The estimator numerator is embedded as a literal
+    * double (round-trip-exact toString) so both engines divide the SAME
+    * IEEE value by the SAME exact integer register sum. */
+  private def hllSql(keyExpr: String, groupCol: Option[String]): String = {
+    val gsel = groupCol.map(c => s"$c,").getOrElse("")
+    val grpBy1 = groupCol.map(_ => "GROUP BY 1").getOrElse("")
+    val grpBy12 = groupCol.map(_ => "GROUP BY 1, 2").getOrElse("GROUP BY 1")
+    s"""WITH h AS (SELECT ${gsel} CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM events),
+       | b AS (SELECT ${gsel} h & ${Sketches.HllM - 1} AS idx, h >> ${Sketches.HllP} AS w FROM h),
+       | rr AS (SELECT ${gsel} idx, max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS r
+       |        FROM b $grpBy12),
+       | s AS (SELECT ${gsel} count(*) AS n_present, sum(CAST(1 AS BIGINT) << (52 - r)) AS s_present
+       |       FROM rr $grpBy1),
+       | e AS (SELECT ${gsel} s_present + (${Sketches.HllM} - n_present) * CAST(4503599627370496 AS BIGINT) AS sr,
+       |       ${Sketches.HllM} - n_present AS v FROM s),
+       | est AS (SELECT ${gsel} CAST('${Sketches.HllNumerator}' AS DOUBLE) / CAST(sr AS DOUBLE) AS raw, v FROM e),
+       | fin AS (SELECT ${gsel} CASE WHEN raw <= CAST(${2.5 * Sketches.HllM} AS DOUBLE) AND v > 0
+       |         THEN CAST(${Sketches.HllM} AS DOUBLE) * round(ln(CAST(${Sketches.HllM} AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+       |         ELSE raw END AS est FROM est),
+       | ex AS (SELECT ${gsel} CAST(count(DISTINCT $keyExpr) AS BIGINT) AS n_exact FROM events $grpBy1)
+       |SELECT ${groupCol.map(c => s"ex.$c AS $c, ").getOrElse("")}n_exact, CAST(round(est) AS BIGINT) AS n_hll,
+       | round(CAST(abs(CAST(round(est) AS BIGINT) - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS err_pct
+       |FROM ex ${groupCol.map(c => s"JOIN fin USING ($c) ORDER BY $c").getOrElse("CROSS JOIN fin")}""".stripMargin
+  }
 
   /** Shared by bm25_topk AND bm25_postings: the stored posting table must
     * reproduce the recompute-from-text answer bit-for-bit, so one oracle
@@ -829,6 +877,8 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         | AND v_ts >= p_ts AND v_ts <= p_ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, view_id""".stripMargin,
+    "hll_distinct_users" -> hllSql("user_id", Some("event_type")),
+    "hll_distinct_events" -> hllSql("event_id", None),
     // null_* oracles: same algorithms as their green siblings, over the
     // NULL-seeded events view. arg_max carries the value inside a struct —
     // see nulledEvents for why (DuckDB arg_max skips NULL values; Spark
