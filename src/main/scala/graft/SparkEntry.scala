@@ -270,6 +270,23 @@ object SparkEntry {
           round(abs(col("n_hll") - col("n_exact")).cast("double")
             / col("n_exact").cast("double"), 4).as("err_pct"))
     }),
+    // Count-min term-frequency sketch vs exact occurrence counts — the
+    // heavy-hitter sibling of the HLL gate. Counters are exact integer
+    // sums, so the one-sided overcount itself is hash-gated.
+    "cms_term_counts" -> ((s, dir) => {
+      val terms = Seq("dup", "vector", "scan", "the")
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wordsExpr).as("term"))
+      val exact = toks.filter(col("term").isin(terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsEstimate(Sketches.cmsCounters(toks, "term"), terms)
+        .join(exact, Seq("term"), "left_outer")
+        .select(col("term"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          col("cms_count"),
+          (col("cms_count") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+        .orderBy("term")
+    }),
     // props JSON payload extraction (X3-adjacent): JSON path on the Spark
     // side, regexp on the oracle side, same values.
     "props_sum" -> ((s, dir) =>
@@ -879,6 +896,26 @@ object SparkEntry {
         |ORDER BY purchase_id, view_id""".stripMargin,
     "hll_distinct_users" -> hllSql("user_id", Some("event_type")),
     "hll_distinct_events" -> hllSql("event_id", None),
+    "cms_term_counts" ->
+      s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |              FROM documents),
+         | cells AS (SELECT j,
+         |        CAST('0x' || substring(md5('r' || CAST(j AS VARCHAR) || '_' || term), 1, 15) AS BIGINT)
+         |          % ${Sketches.CmsW} AS idx
+         |        FROM toks, generate_series(0, ${Sketches.CmsD - 1}) t(j)),
+         | counters AS (SELECT j, idx, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         | q AS (SELECT term FROM (VALUES ('dup'), ('vector'), ('scan'), ('the')) v(term)),
+         | probes AS (SELECT term, j,
+         |        CAST('0x' || substring(md5('r' || CAST(j AS VARCHAR) || '_' || term), 1, 15) AS BIGINT)
+         |          % ${Sketches.CmsW} AS idx
+         |        FROM q, generate_series(0, ${Sketches.CmsD - 1}) t(j)),
+         | est AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_count
+         |         FROM probes LEFT JOIN counters USING (j, idx) GROUP BY 1),
+         | ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+         |        WHERE term IN ('dup', 'vector', 'scan', 'the') GROUP BY 1)
+         |SELECT est.term AS term, coalesce(n_exact, CAST(0 AS BIGINT)) AS n_exact, cms_count,
+         | cms_count - coalesce(n_exact, CAST(0 AS BIGINT)) AS overcount
+         |FROM est LEFT JOIN ex USING (term) ORDER BY term""".stripMargin,
     // null_* oracles: same algorithms as their green siblings, over the
     // NULL-seeded events view. arg_max carries the value inside a struct —
     // see nulledEvents for why (DuckDB arg_max skips NULL values; Spark

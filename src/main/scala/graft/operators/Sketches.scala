@@ -83,4 +83,47 @@ object Sketches {
           .otherwise(col("__raw")))
       .select(gc :+ round(col("__est")).cast("long").as("n_hll"): _*)
   }
+
+  /** Count-min sketch depth (independent hash rows) and width (counters per
+    * row). 4×1024 counters ≈ overcount ≤ e·N/1024 with prob 1−e⁻⁴. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** Count-min counter table over a token column: d salted md5 hashes per
+    * occurrence, summed into (row, idx) cells — the aggregate state is
+    * AT MOST d·w rows regardless of corpus size (map-side combined), which
+    * is the whole point: frequency estimates for an unbounded vocabulary in
+    * 4 KB of counters, no per-term shuffle. Counters are exact integer
+    * sums, so the sketch — unlike a sampled frequency table — is fully
+    * deterministic and mergeable by cell-wise addition. */
+  def cmsCounters(toks: DataFrame, termCol: String): DataFrame =
+    toks.select(explode(expr(
+        s"""transform(sequence(0, ${CmsD - 1}), j -> named_struct(
+           |  'j', j,
+           |  'idx', CAST(conv(substring(md5(concat('r', CAST(j AS STRING), '_', $termCol)), 1, 15), 16, 10) AS BIGINT) % $CmsW))""".stripMargin)).as("c"))
+      .select(col("c.j").as("j"), col("c.idx").as("idx"))
+      .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch for `terms`: estimate = min over the d cells a
+    * term hashes to (classic CMS upper bound — never undercounts). The
+    * probe indices are computed DRIVER-side with the same md5 construction
+    * as the column expression; the ≤ d·w-row counter table broadcasts
+    * under the probe frame (left-outer keeps never-hashed cells at 0). */
+  def cmsEstimate(counters: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must not be empty")
+    val spark = counters.sparkSession
+    import spark.implicits._
+    val probes = terms.flatMap { t =>
+      (0 until CmsD).map { j =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"r${j}_$t".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        (t, j, java.lang.Long.parseLong(hex, 16) % CmsW)
+      }
+    }.toDF("term", "j", "idx")
+    probes
+      .join(broadcast(counters), Seq("j", "idx"), "left_outer")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
 }

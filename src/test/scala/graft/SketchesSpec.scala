@@ -30,6 +30,33 @@ class SketchesSpec extends SparkSpec {
     assert(mergedRegs === unionRegs)
   }
 
+  test("CMS never undercounts, and is exact for terms without cell collisions") {
+    val words = (1L to 2000L).map(i => s"w${i % 97}").toDF("term")
+    val counters = Sketches.cmsCounters(words, "term")
+    val est = Sketches.cmsEstimate(counters, Seq("w0", "w1", "w96", "missing"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (t <- Seq("w0", "w1", "w96"))
+      assert(est(t) >= exact(t), s"$t undercounted: ${est(t)} < ${exact(t)}")
+    assert(est("missing") >= 0L)
+    // 97 distinct terms over 4×1024 cells: collisions are possible but the
+    // min over 4 independent rows must stay tight — within 2× here.
+    for (t <- Seq("w0", "w96")) assert(est(t) <= 2 * exact(t))
+  }
+
+  test("CMS counter tables merge by cell-wise addition") {
+    val a = (1L to 1000L).map(i => s"t${i % 31}").toDF("term")
+    val b = (1L to 500L).map(i => s"t${i % 13}").toDF("term")
+    val merged = Sketches.cmsCounters(a, "term")
+      .unionByName(Sketches.cmsCounters(b, "term"))
+      .groupBy("j", "idx").agg(sum(col("cnt")).as("cnt"))
+      .orderBy("j", "idx").collect().toSeq
+    val whole = Sketches.cmsCounters(a.unionByName(b), "term")
+      .orderBy("j", "idx").collect().toSeq
+    assert(merged === whole)
+  }
+
   test("error stays within ~5% at 50k distinct (raw-harmonic regime)") {
     val n = 50000L
     val df = (1L to n).map(i => ("k", i)).toDF("g", "v")
