@@ -187,17 +187,18 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("dup", "vector", "scan"))),
     // Same query over the MAINTAINED posting-table artifact: the index is
-    // built once per sf dir (idempotent overwrite; skipped when present),
-    // then the query reads term-bucket-pruned postings instead of
-    // re-tokenizing the corpus. Shares bm25_topk's oracle — the stored
-    // index must reproduce the recompute-from-text answer exactly.
+    // built once per JVM per sf dir, then the query reads term-bucket-
+    // pruned postings instead of re-tokenizing the corpus. Cached-build
+    // reuse is scoped to the process (not a bare exists() on /tmp): a
+    // pre-existing path from an earlier process or regenerated fixture data
+    // is REBUILT, and writeLexicalIndex's build-then-publish rename means a
+    // crashed build can never leave a half-index behind. Shares bm25_topk's
+    // oracle — the stored index must reproduce the recompute answer.
     "bm25_postings" -> ((s, dir) => {
       val idx = "/tmp/graft_lexindex_" + java.security.MessageDigest
         .getInstance("MD5").digest(dir.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      val fs = new org.apache.hadoop.fs.Path(idx)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/postings")))
+      if (builtLexIndexes.add(idx))
         Search.writeLexicalIndex(Tables.documents(s, dir), idx)
       Search.bm25TopKFromIndex(s, idx, Seq("dup", "vector", "scan"))
     }),
@@ -275,8 +276,10 @@ object SparkEntry {
     // sums, so the one-sided overcount itself is hash-gated.
     "cms_term_counts" -> ((s, dir) => {
       val terms = Seq("dup", "vector", "scan", "the")
+      // one tokenization feeds the sketch counters AND the exact branch
       val toks = Tables.documents(s, dir)
         .select(explode(TextAnalysis.wordsExpr).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = toks.filter(col("term").isin(terms: _*))
         .groupBy("term").agg(count(lit(1)).as("n_exact"))
       Sketches.cmsEstimate(Sketches.cmsCounters(toks, "term"), terms)
@@ -333,6 +336,11 @@ object SparkEntry {
       val pts = (BigInt(20) * sNum) / (BigInt(1200) * BigInt(10).pow(k - 1))
       s"WHEN ${k + 10} THEN CAST($pts AS BIGINT)"
     }.mkString(" ")
+
+  /** Lexical-index roots already (re)built by THIS process — the freshness
+    * unit for bm25_postings' cached build. */
+  private val builtLexIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Deterministic NULL seeding for the null_* gate queries: `value` is
     * nulled on the event_id % 7 slice (≈14% of rows, including max-of-group

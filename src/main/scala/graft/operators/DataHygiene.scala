@@ -82,7 +82,14 @@ object DataHygiene {
     * returning v_lo — so the result is bit-identical to the aggregate it
     * replaces (and to DuckDB's quantile_cont, proven by the hash gate). */
   def adaptiveQualityFilter(docs: DataFrame, pct: Double = 0.25): DataFrame = {
-    val stats = TextAnalysis.textStats(docs).select(col("doc_id"), col("quality"))
+    // NULL qualities (empty/NULL text makes punct_ratio NULL) are excluded
+    // BEFORE ranking: the exact percentile aggregate this replaces ignored
+    // NULL inputs, and an unfiltered rank would count them into n (shifted
+    // bracket ranks; a NULL bracketing value would null the threshold and
+    // empty the output). The final >= filter already excluded them.
+    val stats = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("quality"))
+      .filter(col("quality").isNotNull)
     // One computation of the per-row stats feeds the n-count, the bracket
     // probe, and the final filter (lazy persist — the measured pattern
     // from the similarity family's shared base).

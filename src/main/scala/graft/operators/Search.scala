@@ -110,15 +110,31 @@ object Search {
     * [[graft.sinks.SnapshotStore.overwriteLatest]] (L2): rebuilding the
     * index is idempotent. */
   def writeLexicalIndex(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // Build-then-publish: BOTH tables are written under a temp root and the
+    // root is renamed into place in one metadata op, so a reader can never
+    // observe half an index (doclen from one corpus version, postings from
+    // another) or a crashed partial write — the same crash-safety stance as
+    // SnapshotStore.rewriteSwap. A leftover tmp from a dead build is debris
+    // (the target, if present, is still complete) and is discarded.
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__build_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.sinks.SnapshotStore.overwriteLatest(
-      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")), s"$path/doclen")
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")), s"$tmp/doclen")
     toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucketCol(col("term")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$path/postings")
+      .partitionBy("bucket").parquet(s"$tmp/postings")
     toks.unpersist()
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"writeLexicalIndex: failed to remove $target for publish")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"writeLexicalIndex: publish rename $tmp -> $target failed; new index intact at $tmp")
   }
 
   /** [[bm25TopK]] over a stored lexical index: the posting scan is pruned

@@ -38,7 +38,15 @@ object TextAnalysis {
       .withColumn("avg_word_len",
         (col("n_chars") - col("n_words") + lit(1)) / col("n_words"))
       .withColumn("stop_ratio", col("stop_cnt") / col("n_words"))
-      .withColumn("punct_ratio", col("punct_cnt") / col("n_chars"))
+      // Guarded: an EMPTY text has n_chars = 0, and under ANSI mode (Spark 4
+      // default) the bare division throws DIVIDE_BY_ZERO instead of nulling.
+      // NULL here (→ NULL quality) matches DuckDB's x/0 → NULL, so both
+      // engines agree on degenerate docs; adaptiveQualityFilter excludes
+      // NULL-quality rows from its order statistics like the percentile
+      // aggregate it replaced. n_words cannot be 0 (split('') = ['']), so
+      // stop_ratio/avg_word_len need no guard.
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("punct_cnt") / col("n_chars")))
       .withColumn("quality",
         col("stop_ratio") * lit(0.5)
           + least(lit(1.0), col("n_words") / lit(100.0)) * lit(0.3)

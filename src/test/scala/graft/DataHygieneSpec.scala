@@ -20,6 +20,28 @@ class DataHygieneSpec extends SparkSpec {
     assert(out(3L) === ("nothing sensitive here", 0L, 0L))
   }
 
+  test("adaptive quality gate ignores NULL-quality docs like the percentile it replaced") {
+    // An empty-text doc gets quality = NULL (punct_ratio divides by
+    // n_chars = 0). The exact `percentile` aggregate ignored NULL inputs;
+    // the order-statistic selection must too — an unfiltered rank would
+    // inflate n, shift the bracket, and (if a bracket rank landed on a
+    // NULL row) null the threshold and empty the output.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away today",
+      "a plain sentence of seven common words here",
+      "short words only in this one line of text",
+      "is this a good document with the usual stopwords in it",
+      "to be or not to be is the question of the day")
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, "")).toDF("doc_id", "text")
+    val clean = docs.filter($"doc_id" =!= 99L)
+    val withNull = DataHygiene.adaptiveQualityFilter(docs).collect().toSeq
+    val without = DataHygiene.adaptiveQualityFilter(clean).collect().toSeq
+    assert(withNull === without,
+      "a NULL-quality doc must not change the threshold or the output")
+    assert(withNull.nonEmpty)
+  }
+
   test("repetition score: repeated 3-grams raise the ratio, short docs are 0") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),     // all 3-grams identical
