@@ -907,16 +907,14 @@ object SparkEntry {
     "cms_term_counts" ->
       s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
          |              FROM documents),
-         | cells AS (SELECT j,
-         |        CAST('0x' || substring(md5('r' || CAST(j AS VARCHAR) || '_' || term), 1, 15) AS BIGINT)
-         |          % ${Sketches.CmsW} AS idx
-         |        FROM toks, generate_series(0, ${Sketches.CmsD - 1}) t(j)),
+         | th AS (SELECT CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM toks),
+         | cells AS (SELECT j, ((h & 1073741823) + j * (h >> 30)) % ${Sketches.CmsW} AS idx
+         |        FROM th, generate_series(0, ${Sketches.CmsD - 1}) t(j)),
          | counters AS (SELECT j, idx, count(*) AS cnt FROM cells GROUP BY 1, 2),
          | q AS (SELECT term FROM (VALUES ('dup'), ('vector'), ('scan'), ('the')) v(term)),
-         | probes AS (SELECT term, j,
-         |        CAST('0x' || substring(md5('r' || CAST(j AS VARCHAR) || '_' || term), 1, 15) AS BIGINT)
-         |          % ${Sketches.CmsW} AS idx
-         |        FROM q, generate_series(0, ${Sketches.CmsD - 1}) t(j)),
+         | qh AS (SELECT term, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM q),
+         | probes AS (SELECT term, j, ((h & 1073741823) + j * (h >> 30)) % ${Sketches.CmsW} AS idx
+         |        FROM qh, generate_series(0, ${Sketches.CmsD - 1}) t(j)),
          | est AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_count
          |         FROM probes LEFT JOIN counters USING (j, idx) GROUP BY 1),
          | ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM toks

@@ -89,18 +89,27 @@ object Sketches {
   val CmsD = 4
   val CmsW = 1024
 
-  /** Count-min counter table over a token column: d salted md5 hashes per
-    * occurrence, summed into (row, idx) cells — the aggregate state is
-    * AT MOST d·w rows regardless of corpus size (map-side combined), which
-    * is the whole point: frequency estimates for an unbounded vocabulary in
-    * 4 KB of counters, no per-term shuffle. Counters are exact integer
-    * sums, so the sketch — unlike a sampled frequency table — is fully
-    * deterministic and mergeable by cell-wise addition. */
+  /** Count-min counter table over a token column, summed into (row, idx)
+    * cells — the aggregate state is AT MOST d·w rows regardless of corpus
+    * size (map-side combined), which is the whole point: frequency
+    * estimates for an unbounded vocabulary in 4 KB of counters, no
+    * per-term shuffle. Counters are exact integer sums, so the sketch —
+    * unlike a sampled frequency table — is fully deterministic and
+    * mergeable by cell-wise addition.
+    *
+    * Row hashes come from ONE md5 per occurrence via Kirsch–Mitzenmacher
+    * double hashing — idx_j = (h1 + j·h2) mod w with h1/h2 the low/high 30
+    * bits of the 60-bit digest (measured: the 4-independent-md5 form spent
+    * 4× the hashing for no accuracy the ε–δ bound needs). The digest binds
+    * to a lambda variable (transform over a 1-element array) so it
+    * evaluates once even after CollapseProject inlining. */
   def cmsCounters(toks: DataFrame, termCol: String): DataFrame =
     toks.select(explode(expr(
-        s"""transform(sequence(0, ${CmsD - 1}), j -> named_struct(
-           |  'j', j,
-           |  'idx', CAST(conv(substring(md5(concat('r', CAST(j AS STRING), '_', $termCol)), 1, 15), 16, 10) AS BIGINT) % $CmsW))""".stripMargin)).as("c"))
+        s"""flatten(transform(
+           |  array(CAST(conv(substring(md5($termCol), 1, 15), 16, 10) AS BIGINT)),
+           |  h -> transform(sequence(0, ${CmsD - 1}), j -> named_struct(
+           |    'j', j,
+           |    'idx', ((h & 1073741823) + j * shiftright(h, 30)) % $CmsW))))""".stripMargin)).as("c"))
       .select(col("c.j").as("j"), col("c.idx").as("idx"))
       .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
 
@@ -114,12 +123,11 @@ object Sketches {
     val spark = counters.sparkSession
     import spark.implicits._
     val probes = terms.flatMap { t =>
-      (0 until CmsD).map { j =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"r${j}_$t".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 15)
-        (t, j, java.lang.Long.parseLong(hex, 16) % CmsW)
-      }
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (0 until CmsD).map(j => (t, j, ((h & 1073741823L) + j * (h >> 30)) % CmsW))
     }.toDF("term", "j", "idx")
     probes
       .join(broadcast(counters), Seq("j", "idx"), "left_outer")
