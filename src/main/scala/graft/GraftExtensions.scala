@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

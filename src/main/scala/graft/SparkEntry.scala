@@ -78,6 +78,13 @@ object SparkEntry {
     "rolling_weekly_minutes" -> ((s, dir) => EventsAnalytics.rollingWeeklyMinutes(Tables.events(s, dir))),
     "asof_carryforward" -> ((s, dir) => EventsAnalytics.asofCarryForward(Tables.events(s, dir))),
     "asof_join" -> ((s, dir) => AsofJoin.viewsWithLastPurchase(Tables.events(s, dir))),
+    // Same fixture through the custom physical operator (AsofJoinNode /
+    // AsofJoinExec: cluster+sort both sides, per-partition two-pointer
+    // merge). Shares asof_join's DuckDB NATIVE ASOF oracle — three
+    // independent algorithms (composed window, custom exec, DuckDB), one
+    // hash.
+    "asof_join_native" -> ((s, dir) =>
+      AsofJoin.viewsWithLastPurchaseNative(Tables.events(s, dir))),
     // Batch paths of the streaming-only operators (event-time session
     // windows, stream-stream attribution join): the SAME transforms the
     // streaming tier runs (withWatermark is a no-op in batch), so the
@@ -405,6 +412,22 @@ object SparkEntry {
       |SELECT doc_id, round(CAST(score_q AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS score,
       | CAST(n_terms_hit AS BIGINT) AS n_terms_hit
       |FROM agg ORDER BY score DESC, doc_id""".stripMargin
+
+  /** DuckDB's NATIVE ASOF JOIN — one oracle shared by asof_join (the
+    * composed union+carry-forward window formulation) and asof_join_native
+    * (the custom AsofJoinExec physical operator): three independent
+    * algorithms, one answer. Both sides compare at µs (Spark reads the ns
+    * fixture truncated to µs; CAST(ts AS TIMESTAMP) applies the same
+    * truncation), and the right side is pre-aggregated per (user, µs) by
+    * the unique event_id so tied purchase timestamps stay deterministic. */
+  private val AsofSql =
+    """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'view'),
+      | r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS pval
+      |       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, r.pval AS last_purchase_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
 
   /** Shared oracle CTE: the daily snapshot (latest value per day/user). */
   private val SnapCte =
@@ -861,21 +884,9 @@ object SparkEntry {
          | JOIN dupf USING (doc_id) JOIN qd USING (doc_id) JOIN rp USING (doc_id)
          | LEFT JOIN cont USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
-    "asof_join" ->
-      // DuckDB's NATIVE ASOF JOIN is the oracle for the composed Spark
-      // union+carry-forward formulation — two independent algorithms, one
-      // answer. Both sides compare at µs (Spark reads the ns fixture
-      // truncated to µs; CAST(ts AS TIMESTAMP) applies the same
-      // truncation), and the right side is pre-aggregated per (user, µs)
-      // by the unique event_id so tied purchase timestamps stay
-      // deterministic.
-      """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
-        |           FROM events WHERE event_type = 'view'),
-        | r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS pval
-        |       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT l.event_id, l.user_id, r.pval AS last_purchase_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin,
+    "asof_join" -> AsofSql,
+    // Same oracle for the custom-physical-operator formulation.
+    "asof_join_native" -> AsofSql,
     // session_window semantics: events at MOST `gap` apart merge (an
     // exactly-gap pause still merges), window end = last event + gap. The
     // gap rule is the same `diff > gap` split the sessionize oracle proves

@@ -65,18 +65,63 @@ object AsofJoin {
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"__vals.$c").as(c)): _*)
   }
 
+  /** Native-operator formulation of [[asofJoin]] via the custom
+    * [[graft.plans.AsofJoinNode]] / [[graft.plans.AsofJoinExec]] plan
+    * (hash-cluster + sort both sides, per-partition two-pointer merge —
+    * no union, no window). Same contract as [[asofJoin]]; NULL keys match
+    * nothing (SQL semantics — see the exec's scaladoc).
+    *
+    * The right side is re-projected through fresh aliases so the custom
+    * binary node never sees duplicate expression ids when both sides
+    * derive from the same source (the self-join dedup the analyzer does
+    * for built-in Join nodes, done here by construction). */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+                     key: String, leftTs: String, rightTs: String,
+                     valueCols: Seq[String]): DataFrame = {
+    require(valueCols.intersect(left.columns.toSeq).isEmpty,
+      s"value columns clash with left columns")
+    val spark = left.sparkSession
+    graft.plans.AsofJoinStrategy.install(spark)
+    val rFresh = right.select(
+      (key +: rightTs +: valueCols.toList).map(c => col(c).as(c + "__r")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rFresh.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = graft.plans.AsofJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key + "__r"),
+      attr(lPlan, leftTs), attr(rPlan, rightTs + "__r"),
+      valueCols.map(c => attr(rPlan, c + "__r")))
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(c + "__r").as(c)): _*)
+  }
+
   /** Fixture query: each `view` event joined to the value of the user's
     * latest `purchase` at-or-before it (null if none yet). Right side is
     * pre-aggregated to one row per (user, µs) with `max_by` on the unique
     * event_id, satisfying the uniqueness requirement deterministically. */
-  def viewsWithLastPurchase(events: DataFrame): DataFrame = {
+  def viewsWithLastPurchase(events: DataFrame): DataFrame =
+    viewsWithLastPurchaseVia(events, asofJoin)
+
+  /** [[viewsWithLastPurchase]] through the native custom operator — gated
+    * against the same DuckDB ASOF oracle as the composed formulation. */
+  def viewsWithLastPurchaseNative(events: DataFrame): DataFrame =
+    viewsWithLastPurchaseVia(events, asofJoinNative)
+
+  private def viewsWithLastPurchaseVia(
+      events: DataFrame,
+      join: (DataFrame, DataFrame, String, String, String, Seq[String]) => DataFrame): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id"), col("ts"))
     val purchases = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts").as("pts"))
       .agg(max_by(col("value"), col("event_id")).as("last_purchase_value"))
       .withColumnRenamed("pts", "ts_r")
-    asofJoin(views, purchases, "user_id", "ts", "ts_r", Seq("last_purchase_value"))
+    join(views, purchases, "user_id", "ts", "ts_r", Seq("last_purchase_value"))
       .select("event_id", "user_id", "last_purchase_value")
       .orderBy("event_id")
   }

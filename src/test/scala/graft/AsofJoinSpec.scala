@@ -83,4 +83,49 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("native exec matches the composed operator on the semantic fixtures") {
+    val out = AsofJoin.asofJoinNative(left, right, "k", "ts", "rts", Seq("v")).collect()
+      .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(
+      100L -> None,
+      101L -> Some(10.0),
+      102L -> Some(20.0),
+      200L -> Some(99.0)))
+    // NULL value in the as-of row stays NULL; sibling field from SAME row
+    val r2 = Seq(
+      (1L, t("2024-01-01 10:00:00"), Option(5.0), Option(50.0)),
+      (1L, t("2024-01-01 12:00:00"), Option.empty[Double], Option(70.0))
+    ).toDF("k", "rts", "a", "b")
+    val l2 = Seq((1L, 500L, t("2024-01-01 13:00:00"))).toDF("k", "lid", "ts")
+    val row = AsofJoin.asofJoinNative(l2, r2, "k", "ts", "rts", Seq("a", "b")).collect().head
+    assert(row.isNullAt(3) && row.getDouble(4) === 70.0)
+  }
+
+  test("native exec equals the composed operator on a pseudo-random fixture, any partitioning") {
+    val l = (1 to 300).map { i =>
+      (i % 7L, i.toLong, t(f"2024-01-01 ${i % 24}%02d:${(i * 13) % 60}%02d:00"))
+    }.toDF("k", "lid", "ts")
+    val r = (1 to 150).map { i =>
+      ((i * 3) % 7L, t(f"2024-01-01 ${(i * 5) % 24}%02d:${(i * 29) % 60}%02d:30"), i * 1.0)
+    }.toDF("k", "rts", "v")
+      .groupBy("k", "rts").agg(max(col("v")).as("v"))
+    def result(lf: org.apache.spark.sql.DataFrame) =
+      AsofJoin.asofJoinNative(lf, r, "k", "ts", "rts", Seq("v")).collect()
+        .map(x => x.getLong(1) -> Option(x.get(3))).toMap
+    val composed = AsofJoin.asofJoin(l, r, "k", "ts", "rts", Seq("v")).collect()
+      .map(x => x.getLong(1) -> Option(x.get(3))).toMap
+    assert(result(l.repartition(13)) === composed)
+    assert(result(l.coalesce(1)) === composed)
+  }
+
+  test("native exec plans one exchange + sort per side: no window, no union") {
+    val plan = AsofJoin.asofJoinNative(left, right, "k", "ts", "rts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing from:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"native path must not fall back to the window formulation:\n$plan")
+    assert(!plan.contains("Union"), s"native path must not union the sides:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
