@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CappedCollectLongs, PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot}
+import graft.functions.{CappedCollectLongs, PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot, ZOrderKey}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §2.10):
   * makes `skill_points`, `vec_dot` and `top_k` callable from
@@ -74,6 +74,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "unpack_int8(bytes, scale)")
         UnpackInt8(args.head, args(1))
+      }),
+    ("zorder_key",
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "zorder_key(a, b)")
+        ZOrderKey(args.head, args(1))
       }),
     ("capped_collect_longs",
       new ExpressionInfo(classOf[CappedCollectLongs].getName, "capped_collect_longs"),

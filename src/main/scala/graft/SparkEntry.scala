@@ -278,6 +278,18 @@ object SparkEntry {
           round(abs(col("n_hll") - col("n_exact")).cast("double")
             / col("n_exact").cast("double"), 4).as("err_pct"))
     }),
+    // Morton/Z-order layout key over (user, day) — the multi-dim
+    // data-layout lever (sort by this before writing → row-group min/max
+    // pruning works for BOTH dimensions). The fused shift-mask codegen is
+    // gated against the oracle's definitional 32-term bit sum.
+    "zorder_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          graft.functions.ZOrder.zorder_key(
+            col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long"))
+            .as("zkey"))
+        .orderBy("event_id")),
     // Count-min term-frequency sketch vs exact occurrence counts — the
     // heavy-hitter sibling of the HLL gate. Counters are exact integer
     // sums, so the one-sided overcount itself is hash-gated.
@@ -915,6 +927,14 @@ object SparkEntry {
         |ORDER BY purchase_id, view_id""".stripMargin,
     "hll_distinct_users" -> hllSql("user_id", Some("event_type")),
     "hll_distinct_events" -> hllSql("event_id", None),
+    "zorder_events" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num
+        |   FROM events)
+        |SELECT event_id,
+        | CAST(list_sum([(((user_id >> j) & 1) << (2*j)) + (((day_num >> j) & 1) << (2*j + 1))
+        |                for j in range(0, 32)]) AS BIGINT) AS zkey
+        |FROM e ORDER BY event_id""".stripMargin,
     "cms_term_counts" ->
       s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
          |              FROM documents),

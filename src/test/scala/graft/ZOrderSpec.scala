@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.ZOrder.zorder_key
+import org.apache.spark.sql.functions._
+
+/** Z-order key: the fused shift-mask interleave equals the definitional
+  * bit loop, the SQL surface works, and — the reason the expression
+  * exists — sorting by the key bounds BOTH dimensions within every chunk,
+  * where a single-column sort leaves the second dimension unbounded. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(a: Long, b: Long): Long = {
+    var z = 0L
+    for (j <- 0 until 32)
+      z |= (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))
+    z
+  }
+
+  test("fused interleave equals the definitional bit loop") {
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (123456L, 789012L),
+      (0xFFFFFFFFL, 0xFFFFFFFFL), (0x12345678L, 0x0FEDCBA9L))
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), zorder_key(col("a"), col("b")).as("z"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(2) === reference(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("zorder_key is callable from SQL") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder_key(3L, 5L)").collect().head.getLong(0) === 39L)
+  }
+
+  test("z-order chunks bound BOTH dimensions; a single-dim sort leaves one unbounded") {
+    // The full 64x64 grid chunked into 16 runs of 256 rows ("row groups").
+    // What min/max pruning sees is each chunk's value RANGE per column: a
+    // scan predicated on b skips chunks whose b-range excludes the value.
+    // Sorted by `a` alone, every chunk spans the full b domain (nothing
+    // prunable); sorted by the z-key, chunks are 16x16 tiles, so a point
+    // predicate on EITHER dimension hits only 4 of 16 chunks.
+    val pts = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    def bSpans(sorted: Seq[(Long, Long)]): Seq[Long] =
+      sorted.grouped(256).map { c => c.map(_._2).max - c.map(_._2).min + 1 }.toSeq
+    val byZ = pts.toDF("a", "b")
+      .withColumn("z", zorder_key(col("a"), col("b")))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byA = pts.sortBy(identity)
+    assert(bSpans(byA).forall(_ === 64L), "a-sorted chunks span the whole b domain")
+    assert(bSpans(byZ).forall(_ === 16L), s"z-sorted chunks must be 16-wide in b: ${bSpans(byZ)}")
+    // and the a-dimension stays bounded too (16x16 tiles, not slivers)
+    assert(byZ.grouped(256).forall { c => c.map(_._1).max - c.map(_._1).min + 1 === 16L })
+  }
+}
