@@ -60,6 +60,18 @@ class PlanAuditSpec extends SparkSpec {
     // per-row text ops read exactly (doc_id, text)
     assert(schemas("token_count").forall(_.endsWith("struct<doc_id:bigint,text:string>")),
       "token_count must read exactly doc_id and text")
+    // the layout-key projection reads neither props nor value nor event_type
+    assert(schemas("zorder_events").forall(s =>
+      !s.contains("props") && !s.contains("value") && !s.contains("event_type")),
+      "zorder_events must read only (event_id, ts, user_id)")
+    // the session aggregation needs only (ts, user_id)
+    assert(schemas("session_minutes").forall(s =>
+      !s.contains("props") && !s.contains("event_type") && !s.contains("value")),
+      "session_minutes must read only (ts, user_id)")
+    // the HLL register pipeline reads only its group + key columns
+    assert(schemas("hll_distinct_users").forall(s =>
+      !s.contains("props") && !s.contains("value") && !s.contains("ts:")),
+      "hll_distinct_users must read only (event_type, user_id)")
   }
 
   test("no exact-Percentile aggregate outside the low-cardinality allowlist") {

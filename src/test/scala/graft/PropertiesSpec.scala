@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.operators.{Dedup, Snapshots}
+import graft.operators.{AsofJoin, Dedup, Snapshots}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -42,6 +42,44 @@ class PropertiesSpec extends SparkSpec {
       len <- Gen.chooseNum(0, 45)
     } yield (start, start + len))
   } yield (points, ivals)
+
+  test("asof property: native exec ≡ composed window on random NULL-bearing streams") {
+    // Non-null keys only — on NULL keys the two formulations legitimately
+    // differ (the composed window groups NULLs like Window.partitionBy;
+    // the native exec follows SQL join semantics), a difference documented
+    // on AsofJoinNode. NULL VALUES, tied timestamps, and keys missing on
+    // either side are all generated.
+    val asofGen: Gen[(List[(Long, Long, Int)], List[(Long, Int, Option[Double])])] = for {
+      nl <- Gen.chooseNum(1, 40)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.chooseNum(1L, 5L)
+        ts <- Gen.chooseNum(0, 50)
+      } yield (k, 0L, ts))
+      nr <- Gen.chooseNum(0, 30)
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.chooseNum(1L, 6L)
+        ts <- Gen.chooseNum(0, 50)
+        v <- Gen.option(Gen.chooseNum(1, 999).map(_.toDouble))
+      } yield (k, ts, v))
+    } yield (left.zipWithIndex.map { case ((k, _, ts), i) => (k, i.toLong, ts) }, right)
+
+    forAll(asofGen, n = 6) { case (lRows, rRows) =>
+      val l = lRows.map { case (k, id, ts) =>
+        (k, id, Timestamp.valueOf(f"2024-01-01 00:${ts / 60}%02d:${ts % 60}%02d"))
+      }.toDF("k", "lid", "ts")
+      val r = rRows.map { case (k, ts, v) =>
+        (k, Timestamp.valueOf(f"2024-01-01 00:${ts / 60}%02d:${ts % 60}%02d"), v)
+      }.toDF("k", "rts", "v")
+        // uniqueness requirement: one row per (k, rts), deterministically
+        .groupBy("k", "rts")
+        .agg(org.apache.spark.sql.functions.max("v").as("v"))
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(x => x.getLong(1) -> Option(x.get(3))).toMap
+      val composed = asMap(AsofJoin.asofJoin(l, r, "k", "ts", "rts", Seq("v")))
+      val native = asMap(AsofJoin.asofJoinNative(l, r, "k", "ts", "rts", Seq("v")))
+      assert(native === composed)
+    }
+  }
 
   test("range join property: bucketized result equals naive for random intervals/granularities") {
     import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
