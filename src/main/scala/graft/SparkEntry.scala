@@ -97,6 +97,18 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
           col("user_id"), col("minutes"))
         .orderBy("user_id", "session_start")),
+    // mapGroupsWithState on the batch path (a single micro-batch): the
+    // keyed-state accumulator's one-batch totals equal a plain grouped
+    // count — gating the state-function arithmetic itself.
+    "running_minutes" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.OnlineTimeStream.runningMinutes(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"))
+          .as[graft.streaming.OnlineTimeStream.Sample])
+        .toDF()
+        .orderBy("user_id")
+    }),
     "attribution_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.streaming.OnlineTimeStream.attributionJoin(
@@ -914,6 +926,9 @@ object SparkEntry {
         | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         | user_id, CAST(5 * count(*) AS BIGINT) AS minutes
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "running_minutes" ->
+      """SELECT user_id, CAST(5 * count(*) AS BIGINT) AS minutes
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "attribution_join" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
         |           FROM events WHERE event_type = 'purchase'),
