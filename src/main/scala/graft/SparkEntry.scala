@@ -170,10 +170,8 @@ object SparkEntry {
     // odd-user slice, and let rankIfMissing repair — the repaired column
     // must equal the full recomputed ranking.
     "rank_repair" -> ((s, dir) => {
-      val snap = Snapshots.dailySnapshot(Tables.events(s, dir))
-      val latest = snap
-        .join(broadcast(snap.agg(max(col("day")).as("end_day"))),
-          col("day") === col("end_day"))
+      val latest = Snapshots
+        .latestSlice(Snapshots.dailySnapshot(Tables.events(s, dir)))
         .select(col("user_id"), col("value"))
       val order = Seq(col("value").desc, col("user_id").asc)
       val seeded = RankUtils.globalRowNumber(latest, order, "rank")
@@ -217,8 +215,7 @@ object SparkEntry {
       val idx = "/tmp/graft_lexindex_" + java.security.MessageDigest
         .getInstance("MD5").digest(dir.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      if (builtLexIndexes.add(idx))
-        Search.writeLexicalIndex(Tables.documents(s, dir), idx)
+      Search.ensureLexicalIndex(Tables.documents(s, dir), idx)
       Search.bm25TopKFromIndex(s, idx, Seq("dup", "vector", "scan"))
     }),
     "tfidf_top_terms" -> ((s, dir) => Search.topTermsPerDoc(Tables.documents(s, dir))),
@@ -368,11 +365,6 @@ object SparkEntry {
       s"WHEN ${k + 10} THEN CAST($pts AS BIGINT)"
     }.mkString(" ")
 
-  /** Lexical-index roots already (re)built by THIS process — the freshness
-    * unit for bm25_postings' cached build. */
-  private val builtLexIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Deterministic NULL seeding for the null_* gate queries: `value` is
     * nulled on the event_id % 7 slice (≈14% of rows, including max-of-group
     * rows, so NULL values reach every carry/merge path). Spark's `max_by`
@@ -399,7 +391,7 @@ object SparkEntry {
        |        FROM b $grpBy12),
        | s AS (SELECT ${gsel} count(*) AS n_present, sum(CAST(1 AS BIGINT) << (52 - r)) AS s_present
        |       FROM rr $grpBy1),
-       | e AS (SELECT ${gsel} s_present + (${Sketches.HllM} - n_present) * CAST(4503599627370496 AS BIGINT) AS sr,
+       | e AS (SELECT ${gsel} s_present + (${Sketches.HllM} - n_present) * CAST(${Sketches.HllRegScale} AS BIGINT) AS sr,
        |       ${Sketches.HllM} - n_present AS v FROM s),
        | est AS (SELECT ${gsel} CAST('${Sketches.HllNumerator}' AS DOUBLE) / CAST(sr AS DOUBLE) AS raw, v FROM e),
        | fin AS (SELECT ${gsel} CASE WHEN raw <= CAST(${2.5 * Sketches.HllM} AS DOUBLE) AND v > 0

@@ -79,7 +79,7 @@ object AsofJoin {
                      key: String, leftTs: String, rightTs: String,
                      valueCols: Seq[String]): DataFrame = {
     require(valueCols.intersect(left.columns.toSeq).isEmpty,
-      s"value columns clash with left columns")
+      s"value columns ${valueCols.intersect(left.columns.toSeq).mkString(",")} clash with left columns")
     val spark = left.sparkSession
     graft.plans.AsofJoinStrategy.install(spark)
     val rFresh = right.select(

@@ -109,6 +109,16 @@ object Search {
     * plain partitioned parquet via the same overwrite semantics as
     * [[graft.sinks.SnapshotStore.overwriteLatest]] (L2): rebuilding the
     * index is idempotent. */
+  /** Index roots already (re)built by THIS process — the freshness unit
+    * for cached builds: a pre-existing path from an earlier process or
+    * regenerated source data is rebuilt, never trusted on existence. */
+  private val builtIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Build the lexical index at `path` unless this process already did. */
+  def ensureLexicalIndex(docs: DataFrame, path: String): Unit =
+    if (builtIndexes.add(path)) writeLexicalIndex(docs, path)
+
   def writeLexicalIndex(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)

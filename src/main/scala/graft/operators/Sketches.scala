@@ -38,13 +38,16 @@ object Sketches {
   val HllP = 9
   val HllM: Int = 1 << HllP
 
+  /** Register-contribution scale 2^52: r ∈ [1, 52] ⇒ 2^(52−r) stays
+    * integral and the 512-register total stays below 2^63 (exact BIGINT
+    * sums on both engines). */
+  val HllRegScale: Long = 1L << 52
+
   /** alpha_m · m² · 2^52 — the estimator numerator, precomputed to ONE
-    * double so the estimate is a single literal-over-integer division.
-    * 2^52 is the register-contribution scaling (r ∈ [1, 52] ⇒ 2^(52−r)
-    * stays integral and the 512-register total stays below 2^63). */
+    * double so the estimate is a single literal-over-integer division. */
   val HllNumerator: Double =
     (0.7213 / (1.0 + 1.079 / (1 << HllP).toDouble)) *
-      (1 << HllP).toDouble * (1 << HllP).toDouble * 4503599627370496.0
+      (1 << HllP).toDouble * (1 << HllP).toDouble * HllRegScale.toDouble
 
   /** HLL register table: one row per (group, register) with the max rank —
     * the mergeable sketch state (merge = groupBy + max again). */
@@ -74,7 +77,7 @@ object Sketches {
         sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - __r)")).as("__s_present"))
       // absent registers (never hit) each contribute 2^(52-0) = 2^52
       .withColumn("__s",
-        col("__s_present") + (lit(HllM.toLong) - col("__n_present")) * lit(4503599627370496L))
+        col("__s_present") + (lit(HllM.toLong) - col("__n_present")) * lit(HllRegScale))
       .withColumn("__v", lit(HllM.toLong) - col("__n_present"))
       .withColumn("__raw", lit(HllNumerator) / col("__s").cast("double"))
       .withColumn("__est",

@@ -49,6 +49,11 @@ object Snapshots {
   private def endDay(snap: DataFrame): DataFrame =
     broadcast(snap.agg(max(col("day")).as("end_day")))
 
+  /** The latest day's slice of a snapshot frame (keeps the end_day bound
+    * column for callers that need it). */
+  def latestSlice(snap: DataFrame): DataFrame =
+    snap.join(endDay(snap), col("day") === col("end_day"))
+
   /** Flagship diff query (E2 / J1): gain per user between the snapshot
     * `lookbackDays` before the latest day and the latest day.
     * Inner join ≡ the reference's `firstWhere` because the snapshot builder
