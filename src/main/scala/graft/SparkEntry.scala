@@ -97,6 +97,13 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
           col("user_id"), col("minutes"))
         .orderBy("user_id", "session_start")),
+    // The streaming HLL keyed state on the batch path: one batch folds the
+    // whole day, so the state-side register update + pure estimator must
+    // reproduce the declarative register pipeline's estimates exactly.
+    "hll_distinct_daily" -> ((s, dir) =>
+      graft.streaming.OnlineTimeStream.streamingDistinctUsers(Tables.events(s, dir))
+        .toDF()
+        .orderBy("day")),
     // mapGroupsWithState on the batch path (a single micro-batch): the
     // keyed-state accumulator's one-batch totals equal a plain grouped
     // count — gating the state-function arithmetic itself.
@@ -377,30 +384,40 @@ object SparkEntry {
       when(col("event_id") % 7 === 0, lit(null).cast("double"))
         .otherwise(col("value")))
 
-  /** HLL register pipeline shared by both hll_* oracles, parameterized by
-    * source/key/grouping. The estimator numerator is embedded as a literal
+  /** HLL register pipeline shared by the hll_* oracles, parameterized by
+    * key, group column (alias → SQL expression), and whether the exact
+    * count rides along. The estimator numerator is embedded as a literal
     * double (round-trip-exact toString) so both engines divide the SAME
     * IEEE value by the SAME exact integer register sum. */
-  private def hllSql(keyExpr: String, groupCol: Option[String]): String = {
-    val gsel = groupCol.map(c => s"$c,").getOrElse("")
-    val grpBy1 = groupCol.map(_ => "GROUP BY 1").getOrElse("")
-    val grpBy12 = groupCol.map(_ => "GROUP BY 1, 2").getOrElse("GROUP BY 1")
-    s"""WITH h AS (SELECT ${gsel} CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM events),
-       | b AS (SELECT ${gsel} h & ${Sketches.HllM - 1} AS idx, h >> ${Sketches.HllP} AS w FROM h),
-       | rr AS (SELECT ${gsel} idx, max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS r
-       |        FROM b $grpBy12),
-       | s AS (SELECT ${gsel} count(*) AS n_present, sum(CAST(1 AS BIGINT) << (52 - r)) AS s_present
-       |       FROM rr $grpBy1),
-       | e AS (SELECT ${gsel} s_present + (${Sketches.HllM} - n_present) * CAST(${Sketches.HllRegScale} AS BIGINT) AS sr,
-       |       ${Sketches.HllM} - n_present AS v FROM s),
-       | est AS (SELECT ${gsel} CAST('${Sketches.HllNumerator}' AS DOUBLE) / CAST(sr AS DOUBLE) AS raw, v FROM e),
-       | fin AS (SELECT ${gsel} CASE WHEN raw <= CAST(${2.5 * Sketches.HllM} AS DOUBLE) AND v > 0
-       |         THEN CAST(${Sketches.HllM} AS DOUBLE) * round(ln(CAST(${Sketches.HllM} AS DOUBLE) / CAST(v AS DOUBLE)), 6)
-       |         ELSE raw END AS est FROM est),
-       | ex AS (SELECT ${gsel} CAST(count(DISTINCT $keyExpr) AS BIGINT) AS n_exact FROM events $grpBy1)
-       |SELECT ${groupCol.map(c => s"ex.$c AS $c, ").getOrElse("")}n_exact, CAST(round(est) AS BIGINT) AS n_hll,
-       | round(CAST(abs(CAST(round(est) AS BIGINT) - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS err_pct
-       |FROM ex ${groupCol.map(c => s"JOIN fin USING ($c) ORDER BY $c").getOrElse("CROSS JOIN fin")}""".stripMargin
+  private def hllSql(keyExpr: String, group: Option[(String, String)],
+                     withExact: Boolean = true): String = {
+    val gFirst = group.map { case (a, e) => s"$e AS $a," }.getOrElse("")
+    val gsel = group.map { case (a, _) => s"$a," }.getOrElse("")
+    val grpBy1 = group.map(_ => "GROUP BY 1").getOrElse("")
+    val grpBy12 = group.map(_ => "GROUP BY 1, 2").getOrElse("GROUP BY 1")
+    val core =
+      s"""WITH h AS (SELECT ${gFirst} CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM events),
+         | b AS (SELECT ${gsel} h & ${Sketches.HllM - 1} AS idx, h >> ${Sketches.HllP} AS w FROM h),
+         | rr AS (SELECT ${gsel} idx, max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS r
+         |        FROM b $grpBy12),
+         | s AS (SELECT ${gsel} count(*) AS n_present, sum(CAST(1 AS BIGINT) << (52 - r)) AS s_present
+         |       FROM rr $grpBy1),
+         | e AS (SELECT ${gsel} s_present + (${Sketches.HllM} - n_present) * CAST(${Sketches.HllRegScale} AS BIGINT) AS sr,
+         |       ${Sketches.HllM} - n_present AS v FROM s),
+         | est AS (SELECT ${gsel} CAST('${Sketches.HllNumerator}' AS DOUBLE) / CAST(sr AS DOUBLE) AS raw, v FROM e),
+         | fin AS (SELECT ${gsel} CASE WHEN raw <= CAST(${2.5 * Sketches.HllM} AS DOUBLE) AND v > 0
+         |         THEN CAST(${Sketches.HllM} AS DOUBLE) * round(ln(CAST(${Sketches.HllM} AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+         |         ELSE raw END AS est FROM est)""".stripMargin
+    if (!withExact)
+      s"""$core
+         |SELECT ${gsel} CAST(round(est) AS BIGINT) AS n_hll
+         |FROM fin ${group.map { case (a, _) => s"ORDER BY $a" }.getOrElse("")}""".stripMargin
+    else
+      s"""$core,
+         | ex AS (SELECT ${gFirst} CAST(count(DISTINCT $keyExpr) AS BIGINT) AS n_exact FROM events $grpBy1)
+         |SELECT ${group.map { case (a, _) => s"ex.$a AS $a, " }.getOrElse("")}n_exact, CAST(round(est) AS BIGINT) AS n_hll,
+         | round(CAST(abs(CAST(round(est) AS BIGINT) - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS err_pct
+         |FROM ex ${group.map { case (a, _) => s"JOIN fin USING ($a) ORDER BY $a" }.getOrElse("CROSS JOIN fin")}""".stripMargin
   }
 
   /** Shared by bm25_topk AND bm25_postings: the stored posting table must
@@ -932,8 +949,12 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         | AND v_ts >= p_ts AND v_ts <= p_ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, view_id""".stripMargin,
-    "hll_distinct_users" -> hllSql("user_id", Some("event_type")),
+    "hll_distinct_users" -> hllSql("user_id", Some(("event_type", "event_type"))),
     "hll_distinct_events" -> hllSql("event_id", None),
+    // The streaming keyed-state sketch run as one batch: per-day register
+    // folds must equal the declarative register aggregation.
+    "hll_distinct_daily" -> hllSql("user_id",
+      Some(("day", "CAST(CAST(ts AS DATE) AS VARCHAR)")), withExact = false),
     "zorder_events" ->
       """WITH e AS (SELECT event_id, user_id,
         |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num

@@ -87,6 +87,47 @@ object Sketches {
       .select(gc :+ round(col("__est")).cast("long").as("n_hll"): _*)
   }
 
+  /** Row-side register update for the STREAMING keyed-state path — the
+    * same md5/idx/rho construction as [[hllRegisters]]'s columns (md5 of
+    * the string value, 15 hex chars = 60 bits, low p bits index, rho =
+    * 52 − bit-length of the 51-bit tail), so a register vector folded row
+    * by row in `mapGroupsWithState` is bit-identical to the batch
+    * aggregate's. regs(idx) holds max rho; 0 = never hit. */
+  def updateRegisters(regs: Array[Int], value: String): Unit = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val idx = (h & (HllM - 1)).toInt
+    val w = h >> HllP
+    val rho = if (w == 0) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > regs(idx)) regs(idx) = rho
+  }
+
+  /** Pure estimator over a register vector — the same arithmetic as
+    * [[hllDistinct]]'s column pipeline (exact integer harmonic sum, one
+    * literal-over-integer division, linear-counting branch with its ln
+    * rounded to 6 dp), shared by the streaming path so stream state and
+    * batch sketch agree exactly. */
+  def estimateFromRegisters(regs: Array[Int]): Long = {
+    var s = 0L
+    var v = 0L
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) == 0) v += 1
+      s += 1L << (52 - regs(i))
+      i += 1
+    }
+    val raw = HllNumerator / s.toDouble
+    val est =
+      if (raw <= 2.5 * HllM && v > 0)
+        HllM.toDouble * BigDecimal(math.log(HllM.toDouble / v))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else raw
+    // positive, so HALF_UP ≡ Spark round()'s half-away-from-zero
+    BigDecimal(est).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
   /** Count-min sketch depth (independent hash rows) and width (counters per
     * row). 4×1024 counters ≈ overcount ≤ e·N/1024 with prob 1−e⁻⁴. */
   val CmsD = 4

@@ -104,6 +104,35 @@ object OnlineTimeStream {
       }
       .start()
 
+  final case class DaySample(day: String, user_id: Long)
+  final case class DayDistinct(day: String, n_hll: Long)
+
+  /** Streaming distinct-user estimation: the per-day HyperLogLog register
+    * vector lives in keyed state ([[graft.operators.Sketches]]) and each
+    * micro-batch folds its rows in by register max — 512 ints per day
+    * REGARDLESS of traffic, where exact streaming distinct would grow
+    * state by every unseen user. Emits the day's updated estimate every
+    * batch it is touched. The register update and estimator are the SAME
+    * arithmetic as the batch sketch, so the stream converges to exactly
+    * the batch answer ([[graft.operators.Sketches.hllDistinct]]) — the
+    * sketch tier's stream-equals-batch gate. */
+  def streamingDistinctUsers(events: DataFrame): Dataset[DayDistinct] = {
+    import events.sparkSession.implicits._
+    events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .as[DaySample]
+      .groupByKey(_.day)
+      .mapGroupsWithState[Array[Int], DayDistinct](GroupStateTimeout.NoTimeout) {
+        (day: String, batch: Iterator[DaySample], state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(
+            new Array[Int](graft.operators.Sketches.HllM))
+          batch.foreach(s =>
+            graft.operators.Sketches.updateRegisters(regs, s.user_id.toString))
+          state.update(regs)
+          DayDistinct(day, graft.operators.Sketches.estimateFromRegisters(regs))
+      }
+  }
+
   /** Event-time SESSION windows over the sample stream — the streaming
     * form of the batch gap-sessionization
     * ([[graft.operators.EventsAnalytics.sessionize]]): activity separated

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.OnlineTimeStream
 import graft.streaming.OnlineTimeStream.{Sample, UserMinutes}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, date_format}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming semantics (SURVEY.md §2.9): windowed daily accumulation and
@@ -30,6 +31,35 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains(("2024-01-01", 1L, 10L)))
       assert(out.contains(("2024-01-01", 2L, 5L)))
       assert(out.contains(("2024-01-02", 1L, 5L)))
+    } finally q.stop()
+  }
+
+  test("streaming HLL state converges to exactly the batch sketch estimate") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.streamingDistinctUsers(input.toDF())
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hll_stream_test").start()
+    val all = (1 to 2).flatMap { b =>
+      (1 to 40).map(i => Sample((b * 100 + i * 7 % 60).toLong, ts(1, i % 23)))
+    }
+    try {
+      input.addData(all.take(40): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(40): _*)
+      q.processAllAvailable()
+      // registers only grow, so the estimate is non-decreasing across
+      // batches — the final state's emission is the max
+      val streamed = spark.table("hll_stream_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+        .map { case (d, rows) => d -> rows.map(_._2).max }
+      val batchDf = all.toDF("user_id", "ts")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val batch = graft.operators.Sketches.hllDistinct(batchDf, Seq("day"), "user_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        "per-day register state folded across micro-batches must equal the batch sketch")
     } finally q.stop()
   }
 
