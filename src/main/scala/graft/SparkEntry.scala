@@ -325,6 +325,26 @@ object SparkEntry {
           (col("cms_count") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
         .orderBy("term")
     }),
+    // Bloom-filter runtime prefilter: the fact side is bloom-filtered on
+    // the join key BEFORE the exact join (classic runtime-filter shape —
+    // fact shuffle volume drops to matches + false positives). The bloom
+    // machinery is proven RESULT-INVISIBLE: this query shares the plain
+    // join's oracle, like skew_salted_join gates its salt.
+    "bloom_prefilter_join" -> ((s, dir) => {
+      val hot = Tables.orders(s, dir).filter(col("o_totalprice") > 490000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bloom = broadcast(Sketches.bloomBuild(hot, "o_orderkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+        .crossJoin(bloom)
+        .filter(Sketches.bloomMightContain("l_orderkey"))
+        .drop("bloom_words")
+      hot.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_qty"))
+        .orderBy("o_orderpriority")
+    }),
     // props JSON payload extraction (X3-adjacent): JSON path on the Spark
     // side, regexp on the oracle side, same values.
     "props_sum" -> ((s, dir) =>
@@ -949,6 +969,13 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         | AND v_ts >= p_ts AND v_ts <= p_ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // The bloom prefilter must not change the join's answer.
+    "bloom_prefilter_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_totalprice > 490000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hll_distinct_users" -> hllSql("user_id", Some(("event_type", "event_type"))),
     "hll_distinct_events" -> hllSql("event_id", None),
     // The streaming keyed-state sketch run as one batch: per-day register

@@ -157,6 +157,50 @@ object Sketches {
       .select(col("c.j").as("j"), col("c.idx").as("idx"))
       .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
 
+  /** Bloom-filter bits (m) and hash count (d). 8192 bits / 3 hashes give
+    * ~1.5% false positives at 1k keys — the runtime-prefilter regime. */
+  val BloomBits = 8192
+  val BloomHashes = 3
+  private val BloomWords = BloomBits / 64
+
+  /** SQL text for the d bit positions of a key column — Kirsch–Mitzenmacher
+    * over one md5, same construction as the CMS rows; array<bigint>. */
+  private def bloomPositionsSql(keyCol: String): String =
+    s"""flatten(transform(
+       |  array(CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 15), 16, 10) AS BIGINT)),
+       |  h -> transform(sequence(0, ${BloomHashes - 1}),
+       |       j -> ((h & 1073741823) + j * shiftright(h, 30)) % $BloomBits)))""".stripMargin
+
+  /** Build a Bloom filter over `keys` as ONE row holding the word array —
+    * declaratively: keys explode to d bit positions, positions aggregate
+    * to per-word OR masks (≤ m/64 = $BloomWords rows regardless of key
+    * count, map-side combined), and the words assemble into a dense array
+    * via a map lookup. Broadcast the result and pre-filter a fact table
+    * with [[bloomMightContain]] BEFORE an exact join — the runtime-filter
+    * pattern that cuts the fact side's shuffle volume to (matches + false
+    * positives) at 100 TB. Exact integer bit math end to end: the filter
+    * is deterministic and its effect provably result-invisible (the exact
+    * join afterwards removes false positives; the gate query shares the
+    * plain join's oracle). */
+  def bloomBuild(keys: DataFrame, keyCol: String): DataFrame =
+    keys.select(explode(expr(bloomPositionsSql(keyCol))).as("pos"))
+      .select(expr("CAST(pos div 64 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask")))).as("mp"))
+      .select(expr(
+        s"transform(sequence(0, ${BloomWords - 1}), w -> coalesce(element_at(mp, w), CAST(0 AS BIGINT)))")
+        .as("bloom_words"))
+
+  /** Membership probe against the `bloom_words` column of a broadcast
+    * [[bloomBuild]] row: all d bits set. False positives possible (callers
+    * follow with the exact join), false negatives impossible. */
+  def bloomMightContain(keyCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""forall(${bloomPositionsSql(keyCol)},
+         |  p -> (element_at(bloom_words, CAST(p div 64 AS INT) + 1)
+         |        & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)""".stripMargin)
+
   /** Point-query the sketch for `terms`: estimate = min over the d cells a
     * term hashes to (classic CMS upper bound — never undercounts). The
     * probe indices are computed DRIVER-side with the same md5 construction

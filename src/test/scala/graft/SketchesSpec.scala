@@ -57,6 +57,19 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("bloom filter: zero false negatives, low false-positive rate, real selectivity") {
+    val keys = (1L to 500L).map(k => k * 13).toDF("k")
+    val bloom = broadcast(Sketches.bloomBuild(keys, "k"))
+    val probes = (1L to 40000L).toDF("k")
+      .crossJoin(bloom)
+      .withColumn("hit", Sketches.bloomMightContain("k"))
+    val hits = probes.filter(col("hit")).select("k").collect().map(_.getLong(0)).toSet
+    val truth = (1L to 500L).map(_ * 13).toSet
+    assert(truth.subsetOf(hits), "a bloom filter may never miss a true member")
+    val fp = (hits -- truth).size.toDouble / (40000 - truth.size)
+    assert(fp < 0.02, s"false-positive rate $fp too high for 500 keys in 8192 bits")
+  }
+
   test("error stays within ~5% at 50k distinct (raw-harmonic regime)") {
     val n = 50000L
     val df = (1L to n).map(i => ("k", i)).toDF("g", "v")
