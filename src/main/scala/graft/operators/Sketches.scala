@@ -93,11 +93,19 @@ object Sketches {
     * 52 − bit-length of the 51-bit tail), so a register vector folded row
     * by row in `mapGroupsWithState` is bit-identical to the batch
     * aggregate's. regs(idx) holds max rho; 0 = never hit. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def updateRegisters(regs: Array[Int], value: String): Unit = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(value.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    val h = java.lang.Long.parseLong(hex, 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(value.getBytes("UTF-8"))
+    // first 15 hex chars = 60 bits: 7 full bytes + the high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
     val idx = (h & (HllM - 1)).toInt
     val w = h >> HllP
     val rho = if (w == 0) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(w))
