@@ -264,6 +264,7 @@ object SparkEntry {
     "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => Packing.slidingWindows(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
+    "sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
     // Mixture quotas chosen against the fixture strata: en subsampled,
     // de UP-sampled (quota > stratum size at the sf0.01 gate — exercises
@@ -1249,6 +1250,17 @@ object SparkEntry {
         | SELECT doc_id, lang, md5('s1' || ':' || doc_id) AS h FROM documents
         | ORDER BY md5('s1' || ':' || doc_id), doc_id LIMIT 100) s
         |ORDER BY doc_id""".stripMargin,
+    // A-ES weighted sample: ln rounded at once (the BM25 rule), every
+    // later op identical IEEE arithmetic; u = (md5_60(doc_id)+1)/2^60.
+    "sample_weighted" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS DOUBLE) + 1.0 AS w,
+        |   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+        |     / CAST(1152921504606846976 AS BIGINT) AS u
+        |   FROM documents),
+        | k AS (SELECT doc_id, w, -round(ln(u), 6) / w AS es_key FROM b
+        |       ORDER BY es_key, doc_id LIMIT 100)
+        |SELECT doc_id, CAST(w AS BIGINT) AS weight, round(es_key, 9) AS es_key
+        |FROM k ORDER BY es_key, doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, md5('s1' || ':' || doc_id) AS h FROM documents),
         | r AS (SELECT lang, doc_id,

@@ -39,6 +39,30 @@ object Sampling {
       .select("lang", "rn", "doc_id")
       .orderBy("lang", "rn")
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws a deterministic uniform u from its md5 (60 bits →
+    * (h+1)/2^60 ∈ (0, 1]) and competes on key = −round(ln u, 6)/w — the
+    * k SMALLEST keys are the weighted sample, inclusion probability
+    * proportional to weight. The quality- or length-weighted subsampling
+    * step of a data mixture, deterministic and engine-reproducible: the
+    * one transcendental is rounded to 6 dp immediately (the BM25 rule),
+    * everything after is IEEE arithmetic both engines perform identically.
+    * Weight here = n_chars + 1 (strictly positive). Plans as
+    * TakeOrderedAndProject like the uniform sampler — per-partition top-k,
+    * no global sort. */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (length(col("text")).cast("double") + lit(1.0)).as("w"),
+        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          + lit(1L)).cast("double").as("hu"))
+      .withColumn("es_key", -round(log(col("hu") / lit(1152921504606846976.0)), 6) / col("w"))
+      .orderBy(col("es_key").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("w").cast("long").as("weight"),
+        round(col("es_key"), 9).as("es_key"))
+      .orderBy(col("es_key").asc, col("doc_id").asc)
+
   /** Training-mixture construction: build a dataset with an EXACT number
     * of rows per stratum (`quotas`, e.g. tokens-or-docs budgets per
     * language/source), deterministically — the step that turns corpus +

@@ -36,6 +36,23 @@ class SamplingSpec extends SparkSpec {
     assert(bb.forall(x => rankToDoc(x._4) === x._3), "every epoch repeats the same doc per rank")
   }
 
+  test("weighted sample favors heavy docs, is partition-invariant, never duplicates") {
+    // 100 heavy docs (weight ~2001) vs 100 light ones (weight ~11): with
+    // inclusion odds ∝ weight, a k=50 A-ES sample should be nearly all
+    // heavy. Deterministic, so the exact composition is fixed — assert a
+    // conservative floor and reproducibility across partitionings.
+    val corpus = ((1L to 100L).map(i => (i, "x" * 2000)) ++
+      (101L to 200L).map(i => (i, "y" * 10))).toDF("doc_id", "text")
+    val sample = Sampling.weightedSample(corpus, k = 50).collect()
+    val ids = sample.map(_.getLong(0))
+    assert(ids.distinct.length === 50, "sampling is without replacement")
+    val heavy = ids.count(_ <= 100L)
+    assert(heavy >= 45, s"expected heavy docs to dominate, got $heavy/50")
+    val repartitioned = Sampling.weightedSample(corpus.repartition(7), k = 50)
+      .collect().map(_.getLong(0))
+    assert(repartitioned.toSeq === ids.toSeq, "sample must not depend on partitioning")
+  }
+
   test("mixture is invariant under input partitioning") {
     val a = Sampling.mixtureSample(docs.repartition(7), quotas).collect().toSeq
     val b = Sampling.mixtureSample(docs.coalesce(1), quotas).collect().toSeq
