@@ -204,6 +204,10 @@ object SparkEntry {
     // gates BOTH fixpoint algorithms.
     "dedup_clusters_star" -> ((s, dir) => Dedup.dedupClustersStar(Tables.documents(s, dir))),
     "ngram_jaccard_top" -> ((s, dir) => Dedup.ngramJaccardTop(Tables.documents(s, dir))),
+    // Prefix-filtering set-similarity join — the EXACT threshold join
+    // (complete candidates, no approximation), gated against the naive
+    // all-token-pairs oracle: the pruning is proven answer-preserving.
+    "setjoin_pairs" -> ((s, dir) => SetJoin.similarPairs(Tables.documents(s, dir))),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // Lexical retrieval: rare term ("dup", df≈25/500) + two mid-frequency
@@ -1060,6 +1064,20 @@ object SparkEntry {
          | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
          |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+    // The naive all-shingle-pairs join IS the oracle: prefix filtering must
+    // reproduce the full threshold join exactly (completeness, not recall).
+    // Same shingle sets and threshold as dedup_minhash — the exact join is
+    // the ground truth its LSH sibling approximates.
+    "setjoin_pairs" ->
+      s"""WITH $ShinglesCte,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+         | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "simhash" ->
       s"""WITH $SimhashCte
          |SELECT sb.doc_id AS doc_id, CAST(simhash AS BIGINT) AS simhash, CAST(n.n_words AS BIGINT) AS n_words

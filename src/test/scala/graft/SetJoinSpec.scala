@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Dedup, SetJoin}
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtering completeness: the pruned join must equal the naive
+  * all-pairs threshold join — exactness is the operator's whole claim. */
+class SetJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val sh = Dedup.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .filter(col("c") / (col("na.n") + col("nb.n") - col("c")) >= t)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  test("prefix-filtered pairs equal the brute-force threshold join") {
+    // Vocabulary drawn from a small pool so docs share shingles at varied
+    // similarity; a planted near-dup pair must always be found.
+    val words = Array("red", "blue", "green", "stone", "tree", "water", "sun", "moon")
+    val docs = ((1 to 40).map { i =>
+      val n = 6 + i % 9
+      (i.toLong, (0 until n).map(j => words((i * 7 + j * 3) % words.length)).mkString(" "))
+    } :+ (100L -> "red blue green stone tree water")
+      :+ (101L -> "red blue green stone tree water sun")).toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val fast = SetJoin.similarPairs(docs, t).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = brute(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === naive, s"threshold $t")
+    }
+    val at06 = SetJoin.similarPairs(docs, 0.6).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at06.contains((100L, 101L)), "planted near-dup pair must be found")
+  }
+}
