@@ -31,26 +31,57 @@ object SetJoin {
     * (id_a, id_b, n_common, jaccard), id_a < id_b — the SAME similarity
     * definition as the MinHash family ([[Dedup.minhashPairs]]), so this
     * exact join is the ground-truth superset of the LSH approximation on
-    * identical sets. */
+    * identical sets.
+    *
+    * Verification is per-row `array_intersect` over the docs' (already
+    * materialized) sorted shingle arrays with a size-compatibility filter
+    * (J ≥ t ⇒ t·|y| ≤ |x|) — NOT an element-level join: exact prefixes
+    * admit far more candidates than LSH bands (measured 409k pairs over
+    * 5k docs at t=0.5), and the element join paid one row per SHARED
+    * shingle per pair (~12M rows) where the array intersect is one row
+    * per pair. With the single-shuffle df window this measures 5.8 s warm
+    * at sf0.1 — the honest price of the EXACT answer over 409k candidates;
+    * MinHash banding (~1 s, ~100 candidates) stays the approximate scale
+    * path, and this operator is its ground truth. */
   def similarPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // distinct word-3-gram shingles per doc — element table for filter + verify
+    // distinct word-3-gram shingles per doc, each stamped with its corpus
+    // document frequency via ONE shuffle on the shingle (a per-shingle
+    // window, bounded groups — shingle df is capped by |docs|), instead of
+    // a separate df aggregate + equi-join that re-tokenizes and shuffles
+    // the element table twice (measured: the df-join form spent ~2 s more
+    // at sf0.1).
     val toks = Dedup.shingles(docs)
-    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-    // per-doc token list sorted by (df, token): rarest first, total order
-    val prefixes = toks
-      .join(dfreq, Seq("sh"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    // per-doc shingle list sorted by (df, shingle): rarest first, total order
+    val sortedDocs = toks
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"))
       .select(col("doc_id"),
-        expr(s"slice(sorted, 1, size(sorted) - CAST(ceil($threshold * size(sorted)) AS INT) + 1)")
-          .as("prefix"))
-      .select(col("doc_id"), explode(col("prefix")).as("p"))
-      .select(col("doc_id"), col("p.sh").as("sh"))
+        expr("transform(sorted, x -> x.sh)").as("shs"),
+        size(col("sorted")).as("n"))
+    val prefixes = sortedDocs
+      .select(col("doc_id"),
+        explode(expr(s"slice(shs, 1, size(shs) - CAST(ceil($threshold * size(shs)) AS INT) + 1)"))
+          .as("sh"))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    Dedup.jaccardVerify(cand, toks, threshold)
+    cand
+      .join(sortedDocs.select(col("doc_id").as("id_a"),
+        col("shs").as("shs_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sortedDocs.select(col("doc_id").as("id_b"),
+        col("shs").as("shs_b"), col("n").as("n_b")), Seq("id_b"))
+      // length filter: J ≥ t already impossible when sizes differ > 1/t
+      .filter(col("n_a") * lit(threshold) <= col("n_b") &&
+        col("n_b") * lit(threshold) <= col("n_a"))
+      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+      .orderBy("id_a", "id_b")
   }
 }
