@@ -993,7 +993,7 @@ object SparkEntry {
         |   FROM events)
         |SELECT event_id,
         | CAST(list_sum([(((user_id >> j) & 1) << (2*j)) + (((day_num >> j) & 1) << (2*j + 1))
-        |                for j in range(0, 32)]) AS BIGINT) AS zkey
+        |                for j in range(0, 31)]) AS BIGINT) AS zkey
         |FROM e ORDER BY event_id""".stripMargin,
     "cms_term_counts" ->
       s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term

@@ -14,7 +14,7 @@ object ZOrder {
       ZOrderKey(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
-/** Morton (Z-order) interleave of two 32-bit dimension values: bit j of `a`
+/** Morton (Z-order) interleave of two 31-bit dimension values: bit j of `a`
   * lands at position 2j, bit j of `b` at 2j+1. Sorting a table by this key
   * before writing clusters rows so that EVERY parquet row group covers a
   * small rectangle in (a, b) space — min/max pruning then works for
@@ -24,13 +24,14 @@ object ZOrder {
   * `events.orderBy(zorder_key(user_id, day))` makes both per-user scans
   * and per-day scans skip most row groups.
   *
-  * Inputs are LONGs whose LOW 32 BITS are used (callers pre-bucket wider
-  * domains); both must be non-negative for the key to order
-  * lexicographically in the interleaved space. Codegen'd with the standard
-  * O(log w) shift-mask spreading, one per side — no loops, no branches.
-  * The DuckDB oracle reproduces the key with an explicit 32-term bit sum,
-  * so the fused magic-number form is verified against the definitional
-  * one. */
+  * Inputs are LONGs whose LOW 31 BITS are used (callers pre-bucket wider
+  * domains) — 31, not 32, so the 62-bit key is ALWAYS non-negative and
+  * sorts in interleaved order: a 32nd `b` bit would land on the sign bit
+  * and make large-`b` rows sort FIRST, silently destroying the locality
+  * the key exists for. Codegen'd with the standard O(log w) shift-mask
+  * spreading, one per side — no loops, no branches. The DuckDB oracle
+  * reproduces the key with an explicit 31-term bit sum, so the fused
+  * magic-number form is verified against the definitional one. */
 case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpression
   with GraftImplicitCastInputTypes {
 
@@ -39,7 +40,7 @@ case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpressi
   override def declaredInputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   @inline private def spread(x0: Long): Long = {
-    var x = x0 & 0xFFFFFFFFL
+    var x = x0 & 0x7FFFFFFFL
     x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
     x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
     x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
@@ -56,7 +57,7 @@ case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpressi
       val xa = ctx.freshName("xa")
       val xb = ctx.freshName("xb")
       def spreadCode(v: String): String =
-        s"""$v &= 0xFFFFFFFFL;
+        s"""$v &= 0x7FFFFFFFL;
            |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
            |$v = ($v | ($v << 8)) & 0x00FF00FF00FF00FFL;
            |$v = ($v | ($v << 4)) & 0x0F0F0F0F0F0F0F0FL;

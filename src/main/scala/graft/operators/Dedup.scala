@@ -115,10 +115,9 @@ object Dedup {
     jaccardVerify(cand, sh, threshold)
   }
 
-  /** Exact Jaccard on candidate pairs via a set-element equi-join (touches
-    * only candidates — the verification step of LSH and of the
-    * prefix-filtering join). `sh` is any (doc_id, sh) element table. */
-  private[operators] def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  /** Exact Jaccard on candidate pairs via a shingle equi-join (touches only
+    * candidates — the verification step of LSH). */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))

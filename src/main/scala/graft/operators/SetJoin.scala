@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * per-token fanout is small by construction (the hot corpus-wide tokens
   * land at the back of every list and never generate candidates).
   *
-  * Scale shape: one df aggregate over the token table, one per-doc
-  * sort_array (bounded by the document's own length — a per-row cost, not
-  * an aggregation-buffer hazard), a prefix-token equi-join for candidates,
-  * then [[Dedup.jaccardVerify]] touches candidates only. At 100 TB this is
-  * the exact-answer path; MinHash stays the cheaper approximate one.
+  * Scale shape: one per-shingle df window over the element table, one
+  * per-doc sort_array (bounded by the document's own length — a per-row
+  * cost, not an aggregation-buffer hazard), a prefix-token equi-join for
+  * candidates, then per-pair array-intersect verification touches
+  * candidates only. At 100 TB this is the exact-answer path; MinHash
+  * stays the cheaper approximate one.
   */
 object SetJoin {
 
@@ -60,9 +61,16 @@ object SetJoin {
       .select(col("doc_id"),
         expr("transform(sorted, x -> x.sh)").as("shs"),
         size(col("sorted")).as("n"))
+    // Prefix bound with ONE TOKEN of slack: the textbook length is
+    // n − ⌈t·n⌉ + 1, but ⌈·⌉ over the IEEE product can land one above the
+    // operational requirement (t=0.14, n=50: fl(0.14·50)=7.000…001, ceil=8,
+    // yet a 7-shingle subset passes the final double comparison J >= t —
+    // the pair would never become a candidate). One extra prefix token
+    // absorbs any ulp-level discrepancy; verification is exact, so the
+    // slack costs only a few candidates, never correctness.
     val prefixes = sortedDocs
       .select(col("doc_id"),
-        explode(expr(s"slice(shs, 1, size(shs) - CAST(ceil($threshold * size(shs)) AS INT) + 1)"))
+        explode(expr(s"slice(shs, 1, size(shs) - CAST(ceil($threshold * size(shs)) AS INT) + 2)"))
           .as("sh"))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -74,9 +82,10 @@ object SetJoin {
         col("shs").as("shs_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sortedDocs.select(col("doc_id").as("id_b"),
         col("shs").as("shs_b"), col("n").as("n_b")), Seq("id_b"))
-      // length filter: J ≥ t already impossible when sizes differ > 1/t
-      .filter(col("n_a") * lit(threshold) <= col("n_b") &&
-        col("n_b") * lit(threshold) <= col("n_a"))
+      // length filter with the same one-unit slack: J ≥ t is impossible
+      // when sizes differ by more than 1/t, up to IEEE boundary wiggle
+      .filter(col("n_a") * lit(threshold) <= col("n_b") + lit(1) &&
+        col("n_b") * lit(threshold) <= col("n_a") + lit(1))
       .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))

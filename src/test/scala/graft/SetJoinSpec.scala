@@ -41,4 +41,22 @@ class SetJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(at06.contains((100L, 101L)), "planted near-dup pair must be found")
   }
+
+  test("IEEE boundary thresholds keep completeness (prefix slack regression)") {
+    // t = 0.14, |x| = 50, y ⊂ x with 7 shingles: real J = 7/50 = 0.14 and
+    // the double comparison J >= t passes, but fl(0.14·50) = 7.000…001 so
+    // ceil gives 8 — without the one-token prefix slack, x's prefix
+    // excluded all 7 shared shingles and the pair was silently dropped.
+    val words = (0 until 60).map(i => s"w$i")
+    // doc x: 52 words → 50 distinct shingles; doc y: first 9 words → 7
+    val x = (1L, words.take(52).mkString(" "))
+    val y = (2L, words.take(9).mkString(" "))
+    val docs = Seq(x, y).toDF("doc_id", "text")
+    val fast = SetJoin.similarPairs(docs, 0.14).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = brute(docs, 0.14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.contains((1L, 2L)), "fixture must actually sit on the boundary")
+    assert(fast === naive, "prefix filtering must not drop the boundary pair")
+  }
 }

@@ -12,20 +12,24 @@ class ZOrderSpec extends SparkSpec {
 
   private def reference(a: Long, b: Long): Long = {
     var z = 0L
-    for (j <- 0 until 32)
+    for (j <- 0 until 31)
       z |= (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))
     z
   }
 
-  test("fused interleave equals the definitional bit loop") {
+  test("fused interleave equals the definitional bit loop; key never negative") {
     val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (123456L, 789012L),
-      (0xFFFFFFFFL, 0xFFFFFFFFL), (0x12345678L, 0x0FEDCBA9L))
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (0x12345678L, 0x0FEDCBA9L),
+      // out-of-contract high bits are MASKED, not allowed to reach the
+      // sign bit (a negative key would sort large-b rows first)
+      (0xFFFFFFFFL, 0xFFFFFFFFL))
     val out = pairs.toDF("a", "b")
       .select(col("a"), col("b"), zorder_key(col("a"), col("b")).as("z"))
       .collect()
     out.foreach { r =>
       assert(r.getLong(2) === reference(r.getLong(0), r.getLong(1)),
         s"(${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getLong(2) >= 0L, "z-key must be non-negative for ordering")
     }
   }
 
