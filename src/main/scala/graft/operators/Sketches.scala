@@ -136,8 +136,10 @@ object Sketches {
     BigDecimal(est).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
   }
 
-  /** Count-min sketch depth (independent hash rows) and width (counters per
-    * row). 4×1024 counters ≈ overcount ≤ e·N/1024 with prob 1−e⁻⁴. */
+  /** Count-min sketch (Cormode & Muthukrishnan, "An Improved Data Stream
+    * Summary: The Count-Min Sketch and its Applications") depth
+    * (independent hash rows) and width (counters per row). 4×1024
+    * counters ≈ overcount ≤ e·N/1024 with prob 1−e⁻⁴. */
   val CmsD = 4
   val CmsW = 1024
 
@@ -165,8 +167,10 @@ object Sketches {
       .select(col("c.j").as("j"), col("c.idx").as("idx"))
       .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
 
-  /** Bloom-filter bits (m) and hash count (d). 8192 bits / 3 hashes give
-    * ~1.5% false positives at 1k keys — the runtime-prefilter regime. */
+  /** Bloom filter (Bloom 1970, "Space/Time Trade-offs in Hash Coding with
+    * Allowable Errors") bits (m) and hash count (d). 8192 bits / 3 hashes
+    * give ~1.5% false positives at 1k keys — the runtime-prefilter
+    * regime. */
   val BloomBits = 8192
   val BloomHashes = 3
   private val BloomWords = BloomBits / 64
