@@ -173,6 +173,9 @@ object SparkEntry {
         Tables.supplier(s, dir))),
     "q4_order_priority" -> ((s, dir) =>
       StarSchema.latePriorityCounts(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q7_nation_volume" -> ((s, dir) =>
+      StarSchema.nationVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
     // O4 conditional re-rank under oracle gating: seed true ranks, null the
     // odd-user slice, and let rankIfMissing repair — the repaired column
     // must equal the full recomputed ranking.
@@ -740,6 +743,19 @@ object SparkEntry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2 HAVING count(DISTINCT l_suppkey) >= 5
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         | CAST(sum($Revenue) AS DOUBLE) AS revenue
+         |FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         | JOIN orders o ON o.o_orderkey = l.l_orderkey
+         | JOIN customer c ON c.c_custkey = o.o_custkey
+         | JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         | JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders o

@@ -198,6 +198,45 @@ object StarSchema {
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_size").asc)
   }
 
+  /** TPC-H Q7 shape — the widest join in the engine (lineitem ⋈ orders ⋈
+    * customer ⋈ supplier ⋈ nation ⋈ nation): bilateral shipping revenue
+    * between two nations by year. Scale shape: the nation predicate is
+    * pushed INTO the supplier/customer dimensions BEFORE any fact join
+    * (each reduced dim is a few % of its table and broadcasts), the
+    * shipdate range prunes the fact scan, and only the two fact⋈fact
+    * edges (lineitem⋈orders on orderkey, then ⋈customer on custkey)
+    * shuffle — AQE-planned, never forced broadcast. */
+  def nationVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                   supplier: DataFrame, nation: DataFrame,
+                   nationA: String = "NATION_3", nationB: String = "NATION_7",
+                   start: String = "1996-01-01", end: String = "1998-01-01"): DataFrame = {
+    val nations = nation.filter(col("n_name").isin(nationA, nationB))
+    val supp = broadcast(supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation"))
+    val cust = broadcast(customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(nations.select(col("n_nationkey").as("n_nationkey2"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey2"))
+      .select("c_custkey", "cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(start).cast("timestamp") &&
+        col("l_shipdate") < lit(end).cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** TPC-H Q4 shape adapted (no commit/receipt dates; "late" = a line item
     * shipped more than `lagDays` after the order date): order counts per
     * priority over a date window, EXISTS expressed as a LEFT SEMI join with
