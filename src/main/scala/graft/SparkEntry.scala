@@ -302,6 +302,23 @@ object SparkEntry {
           round(abs(col("n_hll") - col("n_exact")).cast("double")
             / col("n_exact").cast("double"), 4).as("err_pct"))
     }),
+    // NULL-seeded HLL key gate (null_* family): the sketch must agree with
+    // count(DISTINCT), which ignores NULL keys — the register pipeline
+    // filters NULLs up front (a NULL md5 row would silently skew one
+    // register), and this query proves it against a key column nulled on
+    // the event_id % 7 slice. BIGINT key so the cross-engine string cast
+    // stays canonical (never seed a DOUBLE key: engines format doubles
+    // differently).
+    "null_hll_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("nuser",
+        when(col("event_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")))
+      ev.agg(countDistinct(col("nuser")).as("n_exact"))
+        .crossJoin(broadcast(Sketches.hllDistinct(ev, Seq.empty, "nuser")))
+        .select(col("n_exact"), col("n_hll"),
+          round(abs(col("n_hll") - col("n_exact")).cast("double")
+            / col("n_exact").cast("double"), 4).as("err_pct"))
+    }),
     // Morton/Z-order layout key over (user, day) — the multi-dim
     // data-layout lever (sort by this before writing → row-group min/max
     // pruning works for BOTH dimensions). The fused shift-mask codegen is
@@ -413,18 +430,21 @@ object SparkEntry {
         .otherwise(col("value")))
 
   /** HLL register pipeline shared by the hll_* oracles, parameterized by
-    * key, group column (alias → SQL expression), and whether the exact
-    * count rides along. The estimator numerator is embedded as a literal
-    * double (round-trip-exact toString) so both engines divide the SAME
-    * IEEE value by the SAME exact integer register sum. */
+    * key, group column (alias → SQL expression), whether the exact count
+    * rides along, and the source relation (a table name or a parenthesized
+    * derived table — the null_hll_distinct gate feeds a NULL-seeded one).
+    * The register CTE filters NULL keys exactly as [[Sketches.hllRegisters]]
+    * does (count(DISTINCT) semantics). The estimator numerator is embedded
+    * as a literal double (round-trip-exact toString) so both engines divide
+    * the SAME IEEE value by the SAME exact integer register sum. */
   private def hllSql(keyExpr: String, group: Option[(String, String)],
-                     withExact: Boolean = true): String = {
+                     withExact: Boolean = true, source: String = "events"): String = {
     val gFirst = group.map { case (a, e) => s"$e AS $a," }.getOrElse("")
     val gsel = group.map { case (a, _) => s"$a," }.getOrElse("")
     val grpBy1 = group.map(_ => "GROUP BY 1").getOrElse("")
     val grpBy12 = group.map(_ => "GROUP BY 1, 2").getOrElse("GROUP BY 1")
     val core =
-      s"""WITH h AS (SELECT ${gFirst} CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM events),
+      s"""WITH h AS (SELECT ${gFirst} CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM $source WHERE ($keyExpr) IS NOT NULL),
          | b AS (SELECT ${gsel} h & ${Sketches.HllM - 1} AS idx, h >> ${Sketches.HllP} AS w FROM h),
          | rr AS (SELECT ${gsel} idx, max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS r
          |        FROM b $grpBy12),
@@ -442,7 +462,7 @@ object SparkEntry {
          |FROM fin ${group.map { case (a, _) => s"ORDER BY $a" }.getOrElse("")}""".stripMargin
     else
       s"""$core,
-         | ex AS (SELECT ${gFirst} CAST(count(DISTINCT $keyExpr) AS BIGINT) AS n_exact FROM events $grpBy1)
+         | ex AS (SELECT ${gFirst} CAST(count(DISTINCT $keyExpr) AS BIGINT) AS n_exact FROM $source $grpBy1)
          |SELECT ${group.map { case (a, _) => s"ex.$a AS $a, " }.getOrElse("")}n_exact, CAST(round(est) AS BIGINT) AS n_hll,
          | round(CAST(abs(CAST(round(est) AS BIGINT) - n_exact) AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS err_pct
          |FROM ex ${group.map { case (a, _) => s"JOIN fin USING ($a) ORDER BY $a" }.getOrElse("CROSS JOIN fin")}""".stripMargin
@@ -999,6 +1019,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hll_distinct_users" -> hllSql("user_id", Some(("event_type", "event_type"))),
     "hll_distinct_events" -> hllSql("event_id", None),
+    "null_hll_distinct" -> hllSql("nuser", None, source =
+      "(SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS nuser FROM events)"),
     // The streaming keyed-state sketch run as one batch: per-day register
     // folds must equal the declarative register aggregation.
     "hll_distinct_daily" -> hllSql("user_id",

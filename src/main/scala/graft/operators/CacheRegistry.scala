@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded, session-scoped registry for the operators' lazy shared-subtree
+  * persists (adaptive-quality ranking, contamination's eval shingles, …).
+  *
+  * A pure DataFrame-returning operator has no post-consumption hook to
+  * unpersist, so a bare `.persist()` per call accumulates MEMORY_AND_DISK
+  * entries without bound in a long-lived session (each call constructs a
+  * fresh frame, so Spark's CacheManager cannot dedupe them all). This
+  * registry bounds the accumulation two ways:
+  *  - REUSE: a call whose plan `sameResult`s an already-registered frame
+  *    returns the registered frame, so repeated queries over the same
+  *    input share ONE cache entry instead of stacking duplicates;
+  *  - EVICTION: at most [[MaxEntries]] live entries — registering past the
+  *    cap unpersists the least-recently-used entry (safe mid-query:
+  *    unpersist of an in-use frame just recomputes its blocks).
+  * Entries are keyed per SparkSession so a stopped session's frames never
+  * leak into its successor's registry hits.
+  */
+object CacheRegistry {
+
+  /** Live-entry cap: a handful of shared bases (quality rank, shingle
+    * frames, token explodes) per session is the working set; anything past
+    * that is churn from varied inputs, which is exactly the leak. */
+  val MaxEntries = 8
+
+  private final case class Entry(session: Object, plan: LogicalPlan, df: DataFrame)
+
+  /** Most-recently-used at the END; evict from the front. */
+  private val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+
+  /** Lazily persist `df` (MEMORY_AND_DISK) under the bounded registry; see
+    * class doc. Returns the registered frame — the caller's `df` itself,
+    * or the earlier same-result frame already persisted. */
+  def persistBounded(df: DataFrame): DataFrame = synchronized {
+    val session = df.sparkSession
+    val plan = df.queryExecution.analyzed
+    val i = entries.indexWhere(e => (e.session eq session) && e.plan.sameResult(plan))
+    if (i >= 0) {
+      val e = entries.remove(i)
+      entries += e // refresh LRU position
+      e.df
+    } else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      entries += Entry(session, plan, p)
+      while (entries.length > MaxEntries) {
+        val victim = entries.remove(0)
+        victim.df.unpersist(blocking = false)
+      }
+      p
+    }
+  }
+
+  /** Number of live registered entries — test hook for the bound. */
+  def liveCount: Int = synchronized(entries.length)
+
+  /** Unpersist and forget everything — test isolation hook. */
+  def clear(): Unit = synchronized {
+    entries.foreach(_.df.unpersist(blocking = false))
+    entries.clear()
+  }
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Corpus-hygiene operators for LLM training data: PII redaction,
   * within-document repetition scoring (the Gopher-rule family), and
@@ -92,10 +91,10 @@ object DataHygiene {
       .filter(col("quality").isNotNull)
     // One computation of the per-row stats feeds the n-count, the bracket
     // probe, and the final filter (lazy persist — the measured pattern
-    // from the similarity family's shared base).
-    val ranked = RankUtils
-      .globalRowNumber(stats, Seq(col("quality"), col("doc_id")), "__rk")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // from the similarity family's shared base), registered in the bounded
+    // CacheRegistry so repeated calls don't accumulate cache entries.
+    val ranked = CacheRegistry.persistBounded(
+      RankUtils.globalRowNumber(stats, Seq(col("quality"), col("doc_id")), "__rk"))
     // n = max rank (1-row frame); h, ⌊h⌋, ⌈h⌉ derived once. Spark's floor/
     // ceil on double return LONG, matching Percentile's .floor.toLong.
     val bounds = broadcast(

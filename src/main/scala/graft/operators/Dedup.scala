@@ -55,9 +55,11 @@ object Dedup {
     * pays the string-columnar write), so the persist adds cost exactly
     * where the fan-out is. At 100 TB the right artifact is a MAINTAINED
     * shingle TABLE written once and read by the whole family (the
-    * documented seam), not an in-session cache. */
+    * documented seam), not an in-session cache. Persisted via the bounded
+    * [[CacheRegistry]] so repeated calls in a long session reuse one entry
+    * instead of accumulating cached frames. */
   private[operators] def sharedShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    shingles(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.persistBounded(shingles(docs, k))
 
   val NumHashes = 16
   // 8 bands x 2 rows: candidate threshold ~ (1/b)^(1/r) = 0.35, the right

@@ -50,10 +50,19 @@ object Sketches {
       (1 << HllP).toDouble * (1 << HllP).toDouble * HllRegScale.toDouble
 
   /** HLL register table: one row per (group, register) with the max rank —
-    * the mergeable sketch state (merge = groupBy + max again). */
+    * the mergeable sketch state (merge = groupBy + max again).
+    *
+    * NULL keys are dropped up front, matching `count(DISTINCT key)` (which
+    * ignores NULLs) and the streaming path (whose non-nullable encoder
+    * rejects them loudly): without the filter, md5(NULL) makes a NULL-index
+    * register row that inflates `__n_present` while adding NULL to the
+    * harmonic sum — a silent one-register skew. The oracle SQL mirrors the
+    * filter (`WHERE key IS NOT NULL`), and `null_hll_distinct` gates the
+    * path with a NULL-seeded key column. */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val gc = groupCols.map(col)
-    df.select(gc :+ expr(
+    df.filter(col(valueCol).isNotNull)
+      .select(gc :+ expr(
         s"CAST(conv(substring(md5(CAST($valueCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
         .as("__h"): _*)
       .select(gc ++ Seq(
@@ -224,9 +233,9 @@ object Sketches {
     * codegen'd arithmetic/array ops, no per-position lambda dispatch. */
   def bloomMightContain(keyCol: String): org.apache.spark.sql.Column = {
     // Flat conjuncts, no higher-order lambda: the whole predicate stays in
-    // whole-stage codegen. xxhash64 is re-inlined per reference, which is
-    // cheaper than one interpreted forall dispatch per row (measured on a
-    // 600k-row probe: md5+forall 1.62 s → xxhash64+forall 1.02 s → flat
+    // whole-stage codegen, and xxhash64 is re-inlined per reference, which
+    // is cheaper than one interpreted forall dispatch per row (measured on
+    // a 600k-row probe: md5+forall 1.62 s → xxhash64+forall 1.02 s → flat
     // xxhash64 conjuncts 0.74 s, vs 0.35 s for the bare scan+join).
     val h = bloomHashSql(keyCol)
     val conds = (0 until BloomHashes).map { j =>
