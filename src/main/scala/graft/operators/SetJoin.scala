@@ -19,12 +19,35 @@ import org.apache.spark.sql.functions._
   * per-token fanout is small by construction (the hot corpus-wide tokens
   * land at the back of every list and never generate candidates).
   *
-  * Scale shape: one per-shingle df window over the element table, one
-  * per-doc sort_array (bounded by the document's own length — a per-row
-  * cost, not an aggregation-buffer hazard), a prefix-token equi-join for
-  * candidates, then per-pair array-intersect verification touches
-  * candidates only. At 100 TB this is the exact-answer path; MinHash
-  * stays the cheaper approximate one.
+  * Df source — why an aggregate + join, not a window (and not a sketch):
+  * a `count(*) over (partition by sh)` window hash-partitions EVERY row of
+  * one shingle into ONE task, and skewed WINDOW partitions get no AQE
+  * splitting — a boilerplate shingle appearing in a double-digit fraction
+  * of a 100 TB corpus is one straggler buffering billions of rows while
+  * the stage idles. The `groupBy(sh).count` + equi-join form shuffles the
+  * element table a second time on the same key, but joins DO get AQE skew
+  * splitting, so the hot key spreads across tasks; the shingle frame is
+  * persisted (bounded [[CacheRegistry]]) so the corpus tokenizes once.
+  * A broadcast count-min df estimate (zero extra shuffle, and sound —
+  * completeness of prefix filtering holds under ANY consistent total
+  * token order, so approximate df is safe) was measured and REJECTED:
+  * with |vocabulary| ≫ sketch width the e·N/w overcount (~1300 at sf0.1,
+  * where true df is 1-5) flattens the rarest-first ordering into hash
+  * noise, candidates explode, and the verify stage pays for it
+  * (9.9 s warm at sf0.1 vs 4.1-5.6 s for this form — which also beats
+  * the 5.8 s window it replaces, the persist having removed the second
+  * tokenization the old A/B charged the join form for) — a fixed-size
+  * sketch cannot discriminate a corpus-scaled vocabulary, at ANY size.
+  *
+  * Scale shape: one map-side-combined df aggregate (|vocabulary| rows
+  * out) + one AQE-skew-splittable equi-join to stamp it, one per-doc
+  * sort_array (bounded by the document's own length — a per-row cost, not
+  * an aggregation-buffer hazard), a prefix-token equi-join for candidates,
+  * then per-pair array-intersect verification touches candidates only. At
+  * 100 TB this is the exact-answer path; MinHash stays the cheaper
+  * approximate one. With a maintained shingle artifact
+  * ([[ShingleStore]]) the tokenization and df stamp are read, not
+  * recomputed — [[similarPairsFromShingles]] is that entry point.
   */
 object SetJoin {
 
@@ -40,20 +63,22 @@ object SetJoin {
     * admit far more candidates than LSH bands (measured 409k pairs over
     * 5k docs at t=0.5), and the element join paid one row per SHARED
     * shingle per pair (~12M rows) where the array intersect is one row
-    * per pair. With the single-shuffle df window this measures 5.8 s warm
-    * at sf0.1 — the honest price of the EXACT answer over 409k candidates;
-    * MinHash banding (~1 s, ~100 candidates) stays the approximate scale
-    * path, and this operator is its ground truth. */
+    * per pair. */
   def similarPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // distinct word-3-gram shingles per doc, each stamped with its corpus
-    // document frequency via ONE shuffle on the shingle (a per-shingle
-    // window, bounded groups — shingle df is capped by |docs|), instead of
-    // a separate df aggregate + equi-join that re-tokenizes and shuffles
-    // the element table twice (measured: the df-join form spent ~2 s more
-    // at sf0.1).
-    val toks = Dedup.shingles(docs)
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    // Persisted so the df aggregate and the stamp join read ONE
+    // tokenization of the corpus (bounded registry — no cache leak).
+    val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
+    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+    similarPairsFromShingles(toks.join(dfreq, Seq("sh")), threshold)
+  }
+
+  /** The join itself, over pre-stamped (doc_id, sh, df) rows — shared by
+    * the self-contained [[similarPairs]] (CMS-approximate df) and the
+    * maintained-artifact path (exact df read from [[ShingleStore]]'s
+    * table). Any CONSISTENT df gives the identical result; only the
+    * candidate count varies. */
+  private[operators] def similarPairsFromShingles(toks: DataFrame,
+                                                  threshold: Double): DataFrame = {
     // per-doc shingle list sorted by (df, shingle): rarest first, total order
     val sortedDocs = toks
       .groupBy("doc_id")

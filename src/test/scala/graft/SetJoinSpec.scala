@@ -42,6 +42,18 @@ class SetJoinSpec extends SparkSpec {
     assert(at06.contains((100L, 101L)), "planted near-dup pair must be found")
   }
 
+  test("df stamping plans no per-shingle window (hot-key straggler gate)") {
+    // A count(*) over Window.partitionBy(sh) puts EVERY row of one shingle
+    // into ONE task — and skewed WINDOW partitions get no AQE splitting, so
+    // a boilerplate shingle at corpus scale is a straggler buffering
+    // billions of rows. The CMS probe stamps df with zero shuffle; this
+    // gate keeps the window form from re-entering the plan silently.
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plan = SetJoin.similarPairs(docs, 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "similarPairs must not plan a window for df stamping")
+  }
+
   test("IEEE boundary thresholds keep completeness (prefix slack regression)") {
     // t = 0.14, |x| = 50, y ⊂ x with 7 shingles: real J = 7/50 = 0.14 and
     // the double comparison J >= t passes, but fl(0.14·50) = 7.000…001 so
