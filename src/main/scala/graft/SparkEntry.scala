@@ -201,6 +201,18 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
+    // The MAINTAINED SHINGLE TABLE (the dedup family's stored artifact —
+    // the seam every scaladoc named "the 100 TB answer"): built once per
+    // corpus via ShingleStore (ArtifactStore rename-publish, fingerprint-
+    // keyed rebuild like the lexical index), then the *_stored variants
+    // read (doc_id, sh, df) instead of re-tokenizing. Each shares its
+    // recompute sibling's oracle — the artifact must reproduce the
+    // recompute answer exactly.
+    "dedup_minhash_stored" -> ((s, dir) => {
+      val p = shingleStorePath(dir)
+      ShingleStore.ensure(Tables.documents(s, dir), p)
+      Dedup.minhashPairsFromShingles(ShingleStore.read(s, p).select("doc_id", "sh"))
+    }),
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(Tables.documents(s, dir))),
     // Same oracle as dedup_clusters: hash-to-min and star contraction must
     // label components identically (min id), so the recursive-CTE closure
@@ -211,6 +223,14 @@ object SparkEntry {
     // (complete candidates, no approximation), gated against the naive
     // all-token-pairs oracle: the pruning is proven answer-preserving.
     "setjoin_pairs" -> ((s, dir) => SetJoin.similarPairs(Tables.documents(s, dir))),
+    // Same exact join over the stored shingle table: tokenization AND the
+    // df stamp are parquet reads (the artifact's df column is the same
+    // exact agg+join df the self-contained path computes per query).
+    "setjoin_pairs_stored" -> ((s, dir) => {
+      val p = shingleStorePath(dir)
+      ShingleStore.ensure(Tables.documents(s, dir), p)
+      SetJoin.similarPairsFromShingles(ShingleStore.read(s, p))
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // Lexical retrieval: rare term ("dup", df≈25/500) + two mid-frequency
@@ -262,6 +282,16 @@ object SparkEntry {
       DataHygiene.contamination(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
+    }),
+    // Both sides sliced from the stored shingle table (shingling commutes
+    // with row filters, so filter-then-shingle == shingle-then-filter).
+    "contamination_stored" -> ((s, dir) => {
+      val p = shingleStorePath(dir)
+      ShingleStore.ensure(Tables.documents(s, dir), p)
+      val sh = ShingleStore.read(s, p).select("doc_id", "sh")
+      DataHygiene.contaminationFromShingles(
+        sh.filter(col("doc_id") % 2 === 0),
+        sh.filter(col("doc_id") % 2 === 1))
     }),
     // shards pinned to 8 here because chunk ids depend on the shard count
     // and the oracle SQL (PackCte) hard-codes the same value — a
@@ -379,6 +409,12 @@ object SparkEntry {
         .agg(sum(col("k")).as("total_k"), count(col("k")).as("n_with_k"))
         .orderBy("event_type")),
   )
+
+  /** Maintained shingle-table location for a testdata sf dir — content-
+    * addressed per corpus dir like the lexical index's path. */
+  private def shingleStorePath(dir: String): String =
+    "/tmp/graft_shingles_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
   /** Skill-points formula (X1) over the distinct level domain derived from
     * `events`, via the codegen'd [[graft.functions.SkillPointsExpr]]. ALL
@@ -529,7 +565,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // Stored-artifact variants share their recompute siblings' oracles:
+    // the maintained shingle table must reproduce the recompute answer
+    // exactly (same contract as bm25_postings vs bm25_topk).
+    "dedup_minhash_stored" -> baseOracleSql("dedup_minhash"),
+    "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
+    "contamination_stored" -> baseOracleSql("contamination"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "snapshot_daily" ->
       s"WITH $SnapCte SELECT CAST(day AS VARCHAR) AS day, user_id, value FROM snap ORDER BY day, user_id",
     "gain_1d" -> gainSql("end_day - 1"),

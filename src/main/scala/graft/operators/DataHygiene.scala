@@ -174,12 +174,21 @@ object DataHygiene {
     * run before training, drop or flag the hits. Join is shingle-keyed
     * (candidate-bounded like the dedup family), never doc×doc. */
   def contamination(train: DataFrame, eval: DataFrame,
-                    minCommon: Long = 3): DataFrame = {
+                    minCommon: Long = 3): DataFrame =
     // eval shingles feed BOTH the per-doc sizes and the overlap join —
     // the lazy persist computes the tokenization once (measured 1.36→0.75 s
     // at sf0.1). The train side is read once; no persist.
-    val tsh = Dedup.shingles(train).select(col("sh")).distinct()
-    val esh = Dedup.sharedShingles(eval)
+    contaminationFromShingles(
+      Dedup.shingles(train), Dedup.sharedShingles(eval), minCommon)
+
+  /** [[contamination]] over pre-tokenized (doc_id, sh) rows — the entry
+    * point for the maintained [[ShingleStore]] artifact (parquet scans
+    * replace both tokenizations; a stored-table read is cheap enough that
+    * the eval side needs no persist). */
+  def contaminationFromShingles(trainSh: DataFrame, evalSh: DataFrame,
+                                minCommon: Long = 3): DataFrame = {
+    val tsh = trainSh.select(col("sh")).distinct()
+    val esh = evalSh
     val sizes = esh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     esh.join(tsh, Seq("sh")) // semi-shaped: only shingles seen in train
       .groupBy("doc_id")

@@ -106,8 +106,14 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: band-key equi-join for candidates, exact
     * Jaccard verification on the shingle sets, threshold filter.
     * Output: (id_a, id_b, n_common, jaccard) with id_a < id_b. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs)
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    minhashPairsFromShingles(shingles(docs), threshold)
+
+  /** [[minhashPairs]] over pre-tokenized (doc_id, sh) rows — the entry
+    * point for the maintained [[ShingleStore]] artifact: identical result
+    * by construction (shingling is deterministic), with the per-query
+    * tokenization replaced by a parquet scan. */
+  def minhashPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     val bands = minhashSignatures(sh)
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
     val cand = bands.as("a")

@@ -105,99 +105,28 @@ object Search {
     * lexical query ([[bm25TopKFromIndex]]). This is the lexical sibling of
     * the persisted embedding base: at 100 TB the posting table is ~|corpus
     * tokens| rows wide-shuffled ONCE at build time, and each query then
-    * touches |terms| buckets instead of re-tokenizing the corpus. Layout is
-    * plain partitioned parquet via the same overwrite semantics as
-    * [[graft.sinks.SnapshotStore.overwriteLatest]] (L2): rebuilding the
-    * index is idempotent. */
-  /** Index builds already performed by THIS process: path → fingerprint of
-    * the source files that fed the build. The cache is keyed on BOTH, so a
-    * pre-existing path from an earlier process is rebuilt on first use, and
-    * source data regenerated WITHIN one process (new files / lengths /
-    * mtimes → new fingerprint) triggers a rebuild instead of silently
-    * serving the stale index. In-memory frames (no input files) fingerprint
-    * to a constant — for those the guarantee degrades to per-process
-    * first-use, which is all a fileless source can offer. */
-  private val builtIndexes = scala.collection.mutable.Map[String, String]()
+    * touches |terms| buckets instead of re-tokenizing the corpus.
+    * Freshness, build caching, and crash-safe publish all ride
+    * [[graft.sinks.ArtifactStore]] (shared with the shingle table). */
+  def ensureLexicalIndex(docs: DataFrame, path: String): Unit =
+    graft.sinks.ArtifactStore.ensure(docs, path)(writeIndexTables)
 
-  /** Fingerprint of the files feeding `docs`: sorted (path, length, mtime)
-    * triples, md5'd. Metadata-only — no data scan. */
-  private def sourceFingerprint(docs: DataFrame): String = {
-    val conf = docs.sparkSession.sessionState.newHadoopConf()
-    val lines = docs.inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(lines.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  /** Unconditional rebuild + atomic publish (rebuilding is idempotent). */
+  def writeLexicalIndex(docs: DataFrame, path: String): Unit =
+    graft.sinks.ArtifactStore.publish(docs.sparkSession, path)(
+      tmp => writeIndexTables(docs, tmp))
 
-  /** Build the lexical index at `path` unless this process already built it
-    * from the SAME source data (see [[builtIndexes]]). */
-  def ensureLexicalIndex(docs: DataFrame, path: String): Unit = synchronized {
-    val fp = sourceFingerprint(docs)
-    if (!builtIndexes.get(path).contains(fp)) {
-      writeLexicalIndex(docs, path)
-      builtIndexes(path) = fp
-    }
-  }
-
-  def writeLexicalIndex(docs: DataFrame, path: String): Unit = {
-    val spark = docs.sparkSession
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    // Build-then-publish: BOTH tables are written under a temp root, the old
-    // index is renamed ASIDE (never deleted before its replacement is in
-    // place), and the temp root is renamed in — so a crash at any step
-    // leaves either the old or the new index fully recoverable, never a
-    // corrupt or half-written one. The worst a CONCURRENT reader can
-    // observe is a brief absence between the two renames (rename is not an
-    // exchange op on HDFS-style filesystems); healPublish repairs any
-    // crashed publish from the leftover state before the next build.
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__build_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".__old")
-    healPublish(fs, target, tmp, old)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+  private def writeIndexTables(docs: DataFrame, tmpRoot: String): Unit = {
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.sinks.SnapshotStore.overwriteLatest(
-      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")), s"$tmp/doclen")
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")), s"$tmpRoot/doclen")
     toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucketCol(col("term")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$tmp/postings")
+      .partitionBy("bucket").parquet(s"$tmpRoot/postings")
     toks.unpersist()
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target) && !fs.rename(target, old))
-      throw new java.io.IOException(s"writeLexicalIndex: failed to move $target aside for publish")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"writeLexicalIndex: publish rename $tmp -> $target failed; new index intact at $tmp")
-    if (fs.exists(old)) fs.delete(old, true)
   }
-
-  /** Repair a crashed publish. The protocol orders its steps so leftover
-    * state is unambiguous: the new index is COMPLETE before the old target
-    * moves aside, so `target missing ∧ tmp present` means tmp is the
-    * finished new index (complete the publish); `target missing ∧ only old
-    * present` (defensive — unreachable under the protocol) restores the
-    * old index. With target present, leftovers are debris for the caller
-    * to discard. */
-  private def healPublish(fs: org.apache.hadoop.fs.FileSystem,
-                          target: org.apache.hadoop.fs.Path,
-                          tmp: org.apache.hadoop.fs.Path,
-                          old: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.exists(target)) {
-      if (fs.exists(old) && fs.exists(tmp)) {
-        if (!fs.rename(tmp, target))
-          throw new java.io.IOException(s"healPublish: completing rename $tmp -> $target failed")
-        fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        if (!fs.rename(old, target))
-          throw new java.io.IOException(s"healPublish: restore rename $old -> $target failed")
-      }
-    }
 
   /** [[bm25TopK]] over a stored lexical index: the posting scan is pruned
     * to the query terms' buckets (partition pruning on the bucket column,

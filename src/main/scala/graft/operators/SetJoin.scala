@@ -73,12 +73,11 @@ object SetJoin {
   }
 
   /** The join itself, over pre-stamped (doc_id, sh, df) rows — shared by
-    * the self-contained [[similarPairs]] (CMS-approximate df) and the
-    * maintained-artifact path (exact df read from [[ShingleStore]]'s
-    * table). Any CONSISTENT df gives the identical result; only the
-    * candidate count varies. */
-  private[operators] def similarPairsFromShingles(toks: DataFrame,
-                                                  threshold: Double): DataFrame = {
+    * the self-contained [[similarPairs]] and the maintained-artifact path
+    * ([[ShingleStore]]'s table carries the same exact df). Any CONSISTENT
+    * df gives the identical result; only the candidate count varies. */
+  def similarPairsFromShingles(toks: DataFrame,
+                               threshold: Double = 0.5): DataFrame = {
     // per-doc shingle list sorted by (df, shingle): rarest first, total order
     val sortedDocs = toks
       .groupBy("doc_id")

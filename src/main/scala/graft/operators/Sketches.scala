@@ -228,9 +228,8 @@ object Sketches {
     * follow with the exact join), false negatives impossible.
     *
     * Probe shape is the FACT-side hot path, so the d checks are FLAT
-    * conjuncts over a hash bound once by a single-element-array lambda —
-    * not the build side's nested transforms: one md5 per row and plain
-    * codegen'd arithmetic/array ops, no per-position lambda dispatch. */
+    * conjuncts — not the build side's nested transforms: plain codegen'd
+    * xxhash64 arithmetic and array ops, no per-position lambda dispatch. */
   def bloomMightContain(keyCol: String): org.apache.spark.sql.Column = {
     // Flat conjuncts, no higher-order lambda: the whole predicate stays in
     // whole-stage codegen, and xxhash64 is re-inlined per reference, which

@@ -1,0 +1,100 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared machinery for MAINTAINED QUERY ARTIFACTS — tables built once
+  * from a source frame and read by many queries (the lexical posting
+  * index [[graft.operators.Search]], the dedup family's shingle table
+  * [[graft.operators.ShingleStore]]):
+  *
+  *  - a per-process build cache keyed on (path, source-data fingerprint),
+  *    so a pre-existing path from an earlier process is rebuilt on first
+  *    use and source data regenerated WITHIN one process triggers a
+  *    rebuild instead of silently serving a stale artifact;
+  *  - an atomic build-then-publish protocol: the artifact's tables are
+  *    all written under a temp root, the old artifact is renamed ASIDE
+  *    (never deleted before its replacement is in place), and the temp
+  *    root is renamed in — a crash at any step leaves either the old or
+  *    the new artifact fully recoverable, never a corrupt or half-written
+  *    one. The worst a CONCURRENT reader can observe is a brief absence
+  *    between the two renames (rename is not an exchange op on HDFS-style
+  *    filesystems); [[heal]] repairs any crashed publish from the
+  *    leftover state before the next build.
+  */
+object ArtifactStore {
+
+  /** Artifact builds already performed by THIS process: path → fingerprint
+    * of the source files that fed the build. */
+  private val built = scala.collection.mutable.Map[String, String]()
+
+  /** Fingerprint of the files feeding `source`: sorted (path, length,
+    * mtime) triples, md5'd. Metadata-only — no data scan. In-memory frames
+    * (no input files) fingerprint to a constant — for those the freshness
+    * guarantee degrades to per-process first-use, which is all a fileless
+    * source can offer. */
+  def sourceFingerprint(source: DataFrame): String = {
+    val conf = source.sparkSession.sessionState.newHadoopConf()
+    val lines = source.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Build the artifact at `path` via [[publish]] unless this process
+    * already built it from the SAME source data. `build(source, tmpRoot)`
+    * must write every table of the artifact under `tmpRoot`. */
+  def ensure(source: DataFrame, path: String)
+            (build: (DataFrame, String) => Unit): Unit = synchronized {
+    val fp = sourceFingerprint(source)
+    if (!built.get(path).contains(fp)) {
+      publish(source.sparkSession, path)(tmp => build(source, tmp))
+      built(path) = fp
+    }
+  }
+
+  /** Run `build(tmpRoot)` then atomically publish tmpRoot as `path` (see
+    * class doc for the protocol and its crash states). */
+  def publish(spark: org.apache.spark.sql.SparkSession, path: String)
+             (build: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__build_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    heal(fs, target, tmp, old)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    build(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"ArtifactStore: failed to move $target aside for publish")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"ArtifactStore: publish rename $tmp -> $target failed; new artifact intact at $tmp")
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Repair a crashed publish. The protocol orders its steps so leftover
+    * state is unambiguous: the new artifact is COMPLETE before the old
+    * target moves aside, so `target missing ∧ tmp present` means tmp is
+    * the finished new artifact (complete the publish); `target missing ∧
+    * only old present` (defensive — unreachable under the protocol)
+    * restores the old artifact. With target present, leftovers are debris
+    * discarded by the next [[publish]]. */
+  private def heal(fs: org.apache.hadoop.fs.FileSystem,
+                   target: org.apache.hadoop.fs.Path,
+                   tmp: org.apache.hadoop.fs.Path,
+                   old: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(target)) {
+      if (fs.exists(old) && fs.exists(tmp)) {
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"ArtifactStore: completing rename $tmp -> $target failed")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, target))
+          throw new java.io.IOException(s"ArtifactStore: restore rename $old -> $target failed")
+      }
+    }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.sinks.ArtifactStore
+
+/** The artifact publish protocol: every crash state the rename ordering
+  * can leave behind must heal to a complete artifact on the next publish.
+  * Heal runs BEFORE the new build, so a build that throws right after it
+  * makes heal's effect directly observable. */
+class ArtifactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeV(tag: String)(tmp: String): Unit =
+    Seq(tag).toDF("v").write.mode("overwrite").parquet(s"$tmp/t")
+
+  private def readV(path: String): String =
+    spark.read.parquet(s"$path/t").collect().head.getString(0)
+
+  private def fs(root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  test("crash between the two renames (old aside, tmp complete): heal COMPLETES the publish") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      val art = s"$root/art"
+      ArtifactStore.publish(spark, art)(writeV("v1"))
+      // Reproduce the exact crash state: v2 fully built at tmp, target
+      // renamed aside to old, process dies before tmp -> target.
+      val f = fs(root)
+      writeV("v2")(s"$art.__build_tmp")
+      assert(f.rename(p(art), p(s"$art.__old")))
+      // Next publish heals FIRST; the build then throws, so what we read
+      // is heal's work alone: the completed v2, old cleaned up.
+      intercept[RuntimeException] {
+        ArtifactStore.publish(spark, art)(_ => throw new RuntimeException("boom"))
+      }
+      assert(readV(art) === "v2", "heal must complete the interrupted publish")
+      assert(!f.exists(p(s"$art.__old")), "healed publish must clean the old copy")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("defensive state (only old aside, no tmp): heal RESTORES the old artifact") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      val art = s"$root/art"
+      ArtifactStore.publish(spark, art)(writeV("v1"))
+      assert(fs(root).rename(p(art), p(s"$art.__old")))
+      intercept[RuntimeException] {
+        ArtifactStore.publish(spark, art)(_ => throw new RuntimeException("boom"))
+      }
+      assert(readV(art) === "v1", "heal must restore the old artifact")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("tmp debris alongside an intact target is discarded; target untouched") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      val art = s"$root/art"
+      ArtifactStore.publish(spark, art)(writeV("v1"))
+      writeV("debris")(s"$art.__build_tmp") // crash after build, before renames
+      intercept[RuntimeException] {
+        ArtifactStore.publish(spark, art)(_ => throw new RuntimeException("boom"))
+      }
+      assert(readV(art) === "v1", "intact target must survive debris cleanup")
+      assert(!fs(root).exists(p(s"$art.__build_tmp")), "debris must be discarded")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("a failed BUILD leaves the current artifact fully readable") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      val art = s"$root/art"
+      ArtifactStore.publish(spark, art)(writeV("v1"))
+      intercept[RuntimeException] {
+        ArtifactStore.publish(spark, art)(_ => throw new RuntimeException("boom"))
+      }
+      assert(readV(art) === "v1")
+      ArtifactStore.publish(spark, art)(writeV("v3"))
+      assert(readV(art) === "v3", "a later publish proceeds normally")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
