@@ -273,6 +273,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // The decomposed composition: dedup + contamination branches read the
+    // maintained shingle table (quality/repetition stay text-derived).
+    // Shares corpus_clean's oracle — the artifact must not change a flag.
+    "corpus_clean_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val p = shingleStorePath(dir)
+      ShingleStore.ensure(docs, p)
+      val sh = ShingleStore.read(s, p).select("doc_id", "sh")
+      DataHygiene.cleanCorpusFromShingles(
+        docs.filter(col("doc_id") % 2 === 0),
+        sh.filter(col("doc_id") % 2 === 0),
+        sh.filter(col("doc_id") % 2 === 1))
+    }),
     "doc_repetition" -> ((s, dir) => DataHygiene.repetitionScore(Tables.documents(s, dir))),
     "quality_gate_adaptive" -> ((s, dir) =>
       DataHygiene.adaptiveQualityFilter(Tables.documents(s, dir))),
@@ -571,7 +584,8 @@ object SparkEntry {
     // exactly (same contract as bm25_postings vs bm25_topk).
     "dedup_minhash_stored" -> baseOracleSql("dedup_minhash"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
-    "contamination_stored" -> baseOracleSql("contamination"))
+    "contamination_stored" -> baseOracleSql("contamination"),
+    "corpus_clean_stored" -> baseOracleSql("corpus_clean"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "snapshot_daily" ->

@@ -146,12 +146,39 @@ object DataHygiene {
                   dedupThreshold: Double = 0.5, minCommon: Long = 20): DataFrame = {
     val dups = Dedup.dedupClusters(corpus, dedupThreshold)
       .select(col("doc_id"), col("is_dup"))
-    val quality = TextAnalysis.textStats(corpus).select(col("doc_id"), col("quality"))
-    val rep = repetitionScore(corpus).select(col("doc_id"), col("rep_ratio"))
     // contamination's first argument is the REFERENCE shingle set: here
     // the eval set, so corpus docs carrying eval content get flagged.
     val cont = contamination(evalDocs, corpus, minCommon)
       .select(col("doc_id")).withColumn("__cont", lit(true))
+    cleanTail(corpus, dups, cont, qualityMin, repMax)
+  }
+
+  /** [[cleanCorpus]] with the dedup and contamination branches reading the
+    * maintained shingle table ([[ShingleStore]]) instead of re-tokenizing
+    * the corpus per flag family — the decomposition the composition's own
+    * scaladoc has been naming as the 100 TB shape. `corpusSh` / `evalSh`
+    * are the (doc_id, sh) slices for the corpus and eval sets; quality and
+    * repetition stay text-derived (they tokenize WORDS, not shingles).
+    * Identical output to [[cleanCorpus]] by construction — the stored
+    * query variant shares its oracle. */
+  def cleanCorpusFromShingles(corpus: DataFrame, corpusSh: DataFrame,
+                              evalSh: DataFrame,
+                              qualityMin: Double = 0.38, repMax: Double = 0.05,
+                              dedupThreshold: Double = 0.5, minCommon: Long = 20): DataFrame = {
+    val dups = Dedup.dedupClustersFromShingles(corpus, corpusSh, dedupThreshold)
+      .select(col("doc_id"), col("is_dup"))
+    val cont = contaminationFromShingles(evalSh, corpusSh, minCommon)
+      .select(col("doc_id")).withColumn("__cont", lit(true))
+    cleanTail(corpus, dups, cont, qualityMin, repMax)
+  }
+
+  /** The flag-assembly tail shared by both corpus-clean entry points:
+    * quality + repetition flags from text, one doc_id-keyed join per
+    * flag (hash joins, AQE-planned). */
+  private def cleanTail(corpus: DataFrame, dups: DataFrame, cont: DataFrame,
+                        qualityMin: Double, repMax: Double): DataFrame = {
+    val quality = TextAnalysis.textStats(corpus).select(col("doc_id"), col("quality"))
+    val rep = repetitionScore(corpus).select(col("doc_id"), col("rep_ratio"))
     corpus.select(col("doc_id"))
       .join(dups, Seq("doc_id"))
       .join(quality, Seq("doc_id"))

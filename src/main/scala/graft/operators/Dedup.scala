@@ -329,6 +329,13 @@ object Dedup {
   def dedupClustersStar(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     assignKeepers(docs, connectedComponentsStar(minhashPairs(docs, threshold)))
 
+  /** [[dedupClusters]] over pre-tokenized (doc_id, sh) rows (the
+    * [[ShingleStore]] entry point): `docIds` supplies the corpus roster
+    * for keeper assignment (any frame with doc_id), `sh` the shingles. */
+  def dedupClustersFromShingles(docIds: DataFrame, sh: DataFrame,
+                                threshold: Double = 0.5): DataFrame =
+    assignKeepers(docIds, connectedComponents(minhashPairsFromShingles(sh, threshold)))
+
   private def assignKeepers(docs: DataFrame, comp: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")
