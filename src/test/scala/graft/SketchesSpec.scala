@@ -45,6 +45,43 @@ class SketchesSpec extends SparkSpec {
     for (t <- Seq("w0", "w96")) assert(est(t) <= 2 * exact(t))
   }
 
+  test("CMS overcount stays within the advertised e·N/w bound on adversarial streams") {
+    // The Cormode–Muthukrishnan guarantee: est(t) ≤ true(t) + ε·N with
+    // ε = e/w, failing with probability ≤ e^(-d) per query. The hash gate
+    // (cms_term_counts) proves DETERMINISM; this pins ACCURACY — the
+    // guarantee a capacity planner sizes w against. Streams chosen to
+    // stress the two classic adversaries: (a) a heavy hitter forcing every
+    // one of its cells hot, probed via RARE terms that may collide with
+    // it; (b) a wide uniform vocabulary (4× more terms than cells) where
+    // every cell carries multiple terms. With md5-derived indices the
+    // outcome is deterministic, so a pass is a pinned regression fact,
+    // not a flaky sample.
+    val bound = math.E * 1.0 / Sketches.CmsW // ε·N per unit N
+    def checkStream(words: Seq[String], probes: Seq[String], label: String): Unit = {
+      val df = words.toDF("term")
+      val n = words.size.toDouble
+      val counters = Sketches.cmsCounters(df, "term")
+      val est = Sketches.cmsEstimate(counters, probes)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = df.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      for (t <- probes) {
+        val over = est(t) - exact(t)
+        assert(over >= 0, s"[$label] $t undercounted")
+        assert(over <= bound * n,
+          s"[$label] $t overcount $over exceeds e·N/w = ${bound * n}")
+      }
+    }
+    // (a) heavy hitter: one term is 80% of a 50k stream; rare probes share
+    // cells with it only if a hash collides — the bound must still hold.
+    val heavy = Seq.fill(40000)("zipf_head") ++ (1 to 10000).map(i => s"tail${i % 500}")
+    checkStream(heavy, (0 until 20).map(i => s"tail$i") :+ "zipf_head", "heavy-hitter")
+    // (b) saturated vocabulary: 16384 distinct terms over 4096 cells —
+    // every cell averages 4 terms; min-over-d must still keep ≤ e·N/w.
+    val wide = (1 to 32768).map(i => s"v${i % 16384}")
+    checkStream(wide, (0 until 30).map(i => s"v$i"), "wide-vocab")
+  }
+
   test("CMS counter tables merge by cell-wise addition") {
     val a = (1L to 1000L).map(i => s"t${i % 31}").toDF("term")
     val b = (1L to 500L).map(i => s"t${i % 13}").toDF("term")
