@@ -413,6 +413,44 @@ object SparkEntry {
             .cast("double").as("total_qty"))
         .orderBy("o_orderpriority")
     }),
+    // The bloom prefilter's HONEST regime, measured as an A/B pair: the
+    // exact join is FORCED to shuffle (shuffle_hash hint — at 100 TB a
+    // fact-scale build side cannot broadcast; the hint models that
+    // constraint at bench scale), so the prefilter's row cut becomes a
+    // shuffle-volume saving instead of disappearing into a broadcast probe.
+    // Build side: 15k order keys at 10% fact selectivity — the 8192-bit
+    // default filter would saturate to all-pass at that key count (still
+    // CORRECT, just useless), so the filter is sized to the build side
+    // (2^18 bits, 5 hashes ≈ 0.1% FP). Both sides share one oracle: the
+    // bloom must stay result-invisible under the forced-shuffle plan too.
+    "bloom_shuffle_join" -> ((s, dir) => {
+      val hot = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bloom = broadcast(Sketches.bloomBuild(hot, "o_orderkey", bits = 1 << 18, hashes = 5))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+        .crossJoin(bloom)
+        .filter(Sketches.bloomMightContain("l_orderkey", bits = 1 << 18, hashes = 5))
+        .drop("bloom_words")
+      hot.hint("shuffle_hash").join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_qty"))
+        .orderBy("o_orderpriority")
+    }),
+    // The unfiltered forced-shuffle sibling: prices the baseline the bloom
+    // variant is cut from (the full 600k-row fact shuffle).
+    "shuffle_join_plain" -> ((s, dir) => {
+      val hot = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      hot.hint("shuffle_hash").join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_qty"))
+        .orderBy("o_orderpriority")
+    }),
     // props JSON payload extraction (X3-adjacent): JSON path on the Spark
     // side, regexp on the oracle side, same values.
     "props_sum" -> ((s, dir) =>
@@ -422,6 +460,15 @@ object SparkEntry {
         .agg(sum(col("k")).as("total_k"), count(col("k")).as("n_with_k"))
         .orderBy("event_type")),
   )
+
+  /** One oracle for both forced-shuffle join variants (bloom or not — the
+    * prefilter is result-invisible). */
+  private val ShuffleJoinSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_totalprice > 450000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Maintained shingle-table location for a testdata sf dir — content-
     * addressed per corpus dir like the lexical index's path. */
@@ -1075,6 +1122,9 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_totalprice > 490000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Forced-shuffle A/B pair: one oracle, bloom result-invisible.
+    "bloom_shuffle_join" -> ShuffleJoinSql,
+    "shuffle_join_plain" -> ShuffleJoinSql,
     "hll_distinct_users" -> hllSql("user_id", Some(("event_type", "event_type"))),
     "hll_distinct_events" -> hllSql("event_id", None),
     "null_hll_distinct" -> hllSql("nuser", None, source =

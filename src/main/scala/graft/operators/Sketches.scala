@@ -177,12 +177,15 @@ object Sketches {
       .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
 
   /** Bloom filter (Bloom 1970, "Space/Time Trade-offs in Hash Coding with
-    * Allowable Errors") bits (m) and hash count (d). 8192 bits / 3 hashes
-    * give ~1.5% false positives at 1k keys — the runtime-prefilter
-    * regime. */
+    * Allowable Errors") default bits (m) and hash count (d). 8192 bits /
+    * 3 hashes give ~1.5% false positives at 1k keys — the
+    * runtime-prefilter regime. Size m ≈ −n·ln(p)/ln²2 to the BUILD-side
+    * key count: an overloaded filter degrades to all-pass silently (the
+    * result stays correct — the exact join removes false positives — but
+    * the prefilter stops paying for itself), so callers with fact-scale
+    * key sets pass explicit bits/hashes ([[bloomBuild]] params). */
   val BloomBits = 8192
   val BloomHashes = 3
-  private val BloomWords = BloomBits / 64
 
   /** SQL text for the key's 60-bit base hash. UNLIKE the oracle-visible
     * sketches, bloom membership is result-INVISIBLE (the exact join removes
@@ -196,11 +199,11 @@ object Sketches {
 
   /** The d bit positions — Kirsch–Mitzenmacher split of the base hash,
     * as the CMS rows; array<bigint> (build side only). */
-  private def bloomPositionsSql(keyCol: String): String =
+  private def bloomPositionsSql(keyCol: String, bits: Int, hashes: Int): String =
     s"""flatten(transform(
        |  array(${bloomHashSql(keyCol)}),
-       |  h -> transform(sequence(0, ${BloomHashes - 1}),
-       |       j -> ((h & 1073741823) + j * shiftright(h, 30)) % $BloomBits)))""".stripMargin
+       |  h -> transform(sequence(0, ${hashes - 1}),
+       |       j -> ((h & 1073741823) + j * shiftright(h, 30)) % $bits)))""".stripMargin
 
   /** Build a Bloom filter over `keys` as ONE row holding the word array —
     * declaratively: keys explode to d bit positions, positions aggregate
@@ -213,14 +216,15 @@ object Sketches {
     * is deterministic and its effect provably result-invisible (the exact
     * join afterwards removes false positives; the gate query shares the
     * plain join's oracle). */
-  def bloomBuild(keys: DataFrame, keyCol: String): DataFrame =
-    keys.select(explode(expr(bloomPositionsSql(keyCol))).as("pos"))
+  def bloomBuild(keys: DataFrame, keyCol: String,
+                 bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame =
+    keys.select(explode(expr(bloomPositionsSql(keyCol, bits, hashes))).as("pos"))
       .select(expr("CAST(pos div 64 AS INT)").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
       .groupBy("word").agg(expr("bit_or(mask)").as("mask"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("mask")))).as("mp"))
       .select(expr(
-        s"transform(sequence(0, ${BloomWords - 1}), w -> coalesce(element_at(mp, w), CAST(0 AS BIGINT)))")
+        s"transform(sequence(0, ${bits / 64 - 1}), w -> coalesce(element_at(mp, w), CAST(0 AS BIGINT)))")
         .as("bloom_words"))
 
   /** Membership probe against the `bloom_words` column of a broadcast
@@ -230,15 +234,17 @@ object Sketches {
     * Probe shape is the FACT-side hot path, so the d checks are FLAT
     * conjuncts — not the build side's nested transforms: plain codegen'd
     * xxhash64 arithmetic and array ops, no per-position lambda dispatch. */
-  def bloomMightContain(keyCol: String): org.apache.spark.sql.Column = {
+  def bloomMightContain(keyCol: String,
+                        bits: Int = BloomBits,
+                        hashes: Int = BloomHashes): org.apache.spark.sql.Column = {
     // Flat conjuncts, no higher-order lambda: the whole predicate stays in
     // whole-stage codegen, and xxhash64 is re-inlined per reference, which
     // is cheaper than one interpreted forall dispatch per row (measured on
     // a 600k-row probe: md5+forall 1.62 s → xxhash64+forall 1.02 s → flat
     // xxhash64 conjuncts 0.74 s, vs 0.35 s for the bare scan+join).
     val h = bloomHashSql(keyCol)
-    val conds = (0 until BloomHashes).map { j =>
-      val pos = s"((($h & 1073741823) + $j * shiftright($h, 30)) % $BloomBits)"
+    val conds = (0 until hashes).map { j =>
+      val pos = s"((($h & 1073741823) + $j * shiftright($h, 30)) % $bits)"
       s"(element_at(bloom_words, CAST($pos div 64 AS INT) + 1)" +
         s" & shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) != 0"
     }

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "cosine_topk", "cosine_topk_int8", "dedup_embedding",
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf",
     "bm25_topk", "bm25_postings", "quality_gate_adaptive", "tfidf_top_terms",
-    "rank_repair", "hll_distinct_events", "null_hll_distinct", "bloom_prefilter_join")
+    "rank_repair", "hll_distinct_events", "null_hll_distinct",
+    "bloom_prefilter_join", "bloom_shuffle_join")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
