@@ -176,6 +176,15 @@ object SparkEntry {
     "q7_nation_volume" -> ((s, dir) =>
       StarSchema.nationVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q2 shape: correlated min-subquery as a per-part window min.
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      StarSchema.minCostSuppliers(Tables.part(s, dir), Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q20 shape: nested aggregate (per part-supplier vs per part)
+    // feeding a distinct-supplier semi join.
+    "q20_dominant_suppliers" -> ((s, dir) =>
+      StarSchema.dominantPartSuppliers(Tables.part(s, dir), Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
     // O4 conditional re-rank under oracle gating: seed true ranks, null the
     // odd-user slice, and let rankIfMissing repair — the repaired column
     // must equal the full recomputed ranking.
@@ -888,6 +897,37 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
         |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q2 shape: the oracle keeps the textbook CORRELATED min subquery —
+    // the engine's window-min formulation must reproduce it exactly
+    // (exact DECIMAL prices make the equality engine-independent).
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, n_name
+        |            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey
+        |            WHERE r_name = 'EUROPE'),
+        | offers AS (SELECT l_partkey AS p_partkey, p_name, s_suppkey, s_name, n_name,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey
+        |            JOIN rs ON l_suppkey = s_suppkey
+        |            WHERE p_type = 'PROMO')
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name,
+        | CAST(price AS DOUBLE) AS min_price
+        |FROM offers o
+        |WHERE price = (SELECT min(price) FROM offers i WHERE i.p_partkey = o.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    // Q20 shape: nested per-(part,supplier) aggregate vs per-part total,
+    // distinct dominant suppliers, outer semi join — IN-subquery form.
+    "q20_dominant_suppliers" ->
+      """WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        | ps AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |        FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM promo)
+        |        GROUP BY 1, 2),
+        | d AS (SELECT l_suppkey, qty,
+        |        sum(qty) OVER (PARTITION BY l_partkey) AS total FROM ps)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM d WHERE qty * 100 > total * 15)
+        |ORDER BY s_suppkey""".stripMargin,
     // rankIfMissing repairs the nulled slice with freshly computed ranks, so
     // the oracle is simply the full recomputed ranking.
     "rank_repair" ->

@@ -237,6 +237,85 @@ object StarSchema {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q2 shape adapted (no partsupp — lineitem is the part↔supplier
+    * price list): for every part of one type, the region's suppliers
+    * offering the MINIMUM price. Q2's correlated min-subquery
+    * (`ps_supplycost = (SELECT min(...) WHERE ps_partkey = p_partkey)`)
+    * is expressed as a per-part window min over the ALREADY-joined offer
+    * rows — one shuffle on l_partkey, instead of the subquery's second
+    * scan+aggregate+join of the same fact slice that a literal
+    * translation would plan. Window groups are bounded by per-part offer
+    * fanout (≈ lineitems per part — scale-stable, parts grow with the
+    * corpus), so no hot-partition hazard. Prices compare in
+    * DECIMAL(18,2) — exact, so `price = mn` is engine-independent; ties
+    * (several suppliers at the min) are all kept, as in Q2.
+    *
+    * Scale shape: region→nation→supplier prune+broadcast (the fact scan
+    * never shuffles for dimension edges), part-type filter broadcast into
+    * the scan, ONE fact shuffle (the window's l_partkey partition). */
+  def minCostSuppliers(part: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                       nation: DataFrame, region: DataFrame,
+                       regionName: String = "EUROPE",
+                       partType: String = "PROMO"): DataFrame = {
+    val regionNations = broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")
+      .join(broadcast(region.filter(col("r_name") === regionName).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+    val rs = broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")
+      .join(regionNations, col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name"))
+    val parts = broadcast(
+      part.filter(col("p_type") === partType).select("p_partkey", "p_name"))
+    val offers = lineitem.select(
+        col("l_partkey"), col("l_suppkey"), dec(col("l_extendedprice")).as("price"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(rs, col("l_suppkey") === col("s_suppkey"))
+    offers
+      .withColumn("mn", min(col("price")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("price") === col("mn"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("price").cast("double").as("min_price"))
+      .distinct()
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  /** TPC-H Q20 shape adapted (no partsupp availability — dominance over
+    * the part's own shipped volume stands in for the half-of-stock
+    * predicate): suppliers who DOMINATE at least one part of one type,
+    * shipping more than `sharePct`% of that part's total shipped
+    * quantity. The nested structure survives the adaptation: an inner
+    * per-(part, supplier) aggregate, a part-level total it is compared
+    * against (window sum — same partitioning as the aggregate, so AQE
+    * reuses the shuffle), a DISTINCT supplier set, and the outer
+    * supplier⋈nation lookup semi-joined against it. The share compare is
+    * exact integer-scaled DECIMAL (`qty·20 > total·3` for 15%) — no
+    * double boundary for the gate to trip on.
+    *
+    * Scale shape: part filter broadcast-semi into the fact scan, one
+    * fact shuffle on (l_partkey, l_suppkey), the window rides the same
+    * l_partkey distribution, and the final semi joins are
+    * dimension-sized. */
+  def dominantPartSuppliers(part: DataFrame, lineitem: DataFrame,
+                            supplier: DataFrame, nation: DataFrame,
+                            partType: String = "PROMO",
+                            sharePct: Int = 15): DataFrame = {
+    val promo = broadcast(part.filter(col("p_type") === partType).select("p_partkey"))
+    val perPS = lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+      .join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val dominant = perPS
+      .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty") * lit(100) > col("total") * lit(sharePct))
+      .select("l_suppkey").distinct()
+    supplier.select("s_suppkey", "s_name", "s_nationkey")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q4 shape adapted (no commit/receipt dates; "late" = a line item
     * shipped more than `lagDays` after the order date): order counts per
     * priority over a date window, EXISTS expressed as a LEFT SEMI join with
