@@ -57,4 +57,45 @@ class ZOrderSpec extends SparkSpec {
     // and the a-dimension stays bounded too (16x16 tiles, not slivers)
     assert(byZ.grouped(256).forall { c => c.map(_._1).max - c.map(_._1).min + 1 === 16L })
   }
+
+  test("written z-ordered parquet prunes on BOTH dimensions (file min/max vs a real predicate)") {
+    // The layout claim proven against ACTUAL written files, not tile math:
+    // each output file's footer min/max per column is what row-group /
+    // file pruning consults, so the fraction of files whose [min, max]
+    // overlaps a predicate IS the scan fraction after pruning. 16k rows
+    // over a 128x128 (a, b) grid, 16 range-partitioned sorted files —
+    // file == row group here; the same stats argument applies per row
+    // group inside larger files.
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      val df = spark.range(1L << 14).select(
+        (col("id") % 128).as("a"),
+        ((col("id") * 2654435761L) % 128).as("b")) // decorrelated second dim
+      df.withColumn("zk", zorder_key(col("a"), col("b")))
+        .repartitionByRange(16, col("zk")).sortWithinPartitions("zk")
+        .drop("zk").write.parquet(s"$root/byz")
+      df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+        .write.parquet(s"$root/bya")
+      // fraction of files a predicate c ∈ [lo, hi] must still read
+      def scanFrac(dir: String, c: String, lo: Long, hi: Long): Double = {
+        val st = spark.read.parquet(dir)
+          .groupBy(input_file_name()).agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .collect()
+        st.count(r => r.getLong(1) <= hi && r.getLong(2) >= lo).toDouble / st.length
+      }
+      // predicate selecting 1/8 of either domain
+      val (lo, hi) = (0L, 15L)
+      // single-column sort: leading column prunes hard…
+      assert(scanFrac(s"$root/bya", "a", lo, hi) <= 0.25,
+        "a-sorted layout must prune a-predicates to ~2/16 files")
+      // …but the other dimension reads EVERYTHING (the 100 TB failure mode)
+      assert(scanFrac(s"$root/bya", "b", lo, hi) >= 0.9,
+        "a-sorted layout cannot prune b-predicates")
+      // z-ordered: both dimensions prune to the tile bands that overlap
+      assert(scanFrac(s"$root/byz", "a", lo, hi) <= 0.5,
+        "z-layout must prune a-predicates")
+      assert(scanFrac(s"$root/byz", "b", lo, hi) <= 0.5,
+        "z-layout must prune b-predicates")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
