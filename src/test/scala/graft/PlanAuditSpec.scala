@@ -73,6 +73,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas("hll_distinct_users").forall(s =>
       !s.contains("props") && !s.contains("value") && !s.contains("ts:")),
       "hll_distinct_users must read only (event_type, user_id)")
+    // Q2's fact scan reads exactly the join keys + the price being minimized
+    assert(schemas("q2_min_cost_supplier").exists(
+      _.endsWith("struct<l_partkey:bigint,l_suppkey:bigint,l_extendedprice:double>")),
+      "q2 lineitem scan must prune to (l_partkey, l_suppkey, l_extendedprice)")
+    // Q20's fact scan reads exactly the keys + the quantity being summed
+    assert(schemas("q20_dominant_suppliers").exists(
+      _.endsWith("struct<l_partkey:bigint,l_suppkey:bigint,l_quantity:double>")),
+      "q20 lineitem scan must prune to (l_partkey, l_suppkey, l_quantity)")
   }
 
   test("no exact-Percentile aggregate outside the low-cardinality allowlist") {
