@@ -104,6 +104,27 @@ object SparkEntry {
       graft.streaming.OnlineTimeStream.streamingDistinctUsers(Tables.events(s, dir))
         .toDF()
         .orderBy("day")),
+    // The INCREMENTAL-ROLLUP primitive the sketch's merge-by-max property
+    // exists for: day d's distinct-user count over every day <= d, via a
+    // register-level running max — never a prefix rescan. n_exact rides
+    // along as a running sum of FIRST APPEARANCES (also rescan-free), so
+    // the gate pins both the merged estimate and the exact rollup.
+    "hll_running_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      val run = Sketches.hllRunningDistinct(ev, "day", "user_id")
+      val firstSeen = ev.filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      // |days|-row post-aggregation window — bounded, not corpus-sized
+      val wd = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      run.join(firstSeen, Seq("day"), "left_outer")
+        .withColumn("n_exact", sum(coalesce(col("new_users"), lit(0L))).over(wd))
+        .select(col("day"), col("n_exact"), col("n_hll"))
+        .orderBy("day")
+    }),
     // mapGroupsWithState on the batch path (a single micro-batch): the
     // keyed-state accumulator's one-batch totals equal a plain grouped
     // count — gating the state-function arithmetic itself.
@@ -1173,6 +1194,39 @@ object SparkEntry {
     // folds must equal the declarative register aggregation.
     "hll_distinct_daily" -> hllSql("user_id",
       Some(("day", "CAST(CAST(ts AS DATE) AS VARCHAR)")), withExact = false),
+    // Register-merge rollup: cumulative max per register across days must
+    // equal a from-scratch sketch of each prefix — same estimator tail as
+    // hllSql, densified (day × register) grid, NULL prefixes dropped.
+    "hll_running_daily" ->
+      s"""WITH h AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+         |            CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |           FROM events WHERE user_id IS NOT NULL),
+         | b AS (SELECT day, h & ${Sketches.HllM - 1} AS idx, h >> ${Sketches.HllP} AS w FROM h),
+         | rr AS (SELECT day, idx, max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS r
+         |        FROM b GROUP BY 1, 2),
+         | dense AS (SELECT day, idx FROM (SELECT DISTINCT day FROM rr)
+         |           CROSS JOIN (SELECT unnest(range(0, ${Sketches.HllM})) AS idx)),
+         | cum AS (SELECT dense.day, dense.idx,
+         |          max(rr.r) OVER (PARTITION BY dense.idx ORDER BY dense.day
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+         |         FROM dense LEFT JOIN rr ON rr.day = dense.day AND rr.idx = dense.idx),
+         | pres AS (SELECT day, rm AS r FROM cum WHERE rm IS NOT NULL),
+         | s AS (SELECT day, count(*) AS n_present, sum(CAST(1 AS BIGINT) << (52 - r)) AS s_present
+         |       FROM pres GROUP BY 1),
+         | e AS (SELECT day, s_present + (${Sketches.HllM} - n_present) * CAST(${Sketches.HllRegScale} AS BIGINT) AS sr,
+         |       ${Sketches.HllM} - n_present AS v FROM s),
+         | est AS (SELECT day, CAST('${Sketches.HllNumerator}' AS DOUBLE) / CAST(sr AS DOUBLE) AS raw, v FROM e),
+         | fin AS (SELECT day, CASE WHEN raw <= CAST(${2.5 * Sketches.HllM} AS DOUBLE) AND v > 0
+         |         THEN CAST(${Sketches.HllM} AS DOUBLE) * round(ln(CAST(${Sketches.HllM} AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+         |         ELSE raw END AS est FROM est),
+         | fs AS (SELECT user_id, min(day) AS day FROM h GROUP BY 1),
+         | nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1),
+         | exd AS (SELECT d.day, sum(coalesce(nu.new_users, 0))
+         |          OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_exact
+         |         FROM (SELECT DISTINCT day FROM rr) d LEFT JOIN nu ON nu.day = d.day)
+         |SELECT fin.day AS day, CAST(n_exact AS BIGINT) AS n_exact,
+         | CAST(round(est) AS BIGINT) AS n_hll
+         |FROM fin JOIN exd ON fin.day = exd.day ORDER BY day""".stripMargin,
     "zorder_events" ->
       """WITH e AS (SELECT event_id, user_id,
         |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num

@@ -77,9 +77,17 @@ object Sketches {
   /** Approximate distinct count of `valueCol` per `groupCols` (global when
     * empty): (groupCols..., n_hll). Deterministic — identical under any
     * partitioning, and bit-identical to the mirrored oracle SQL. */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    estimateRegisterTable(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The estimator over a register TABLE (groupCols..., __idx, __r) — the
+    * shared tail of [[hllDistinct]] and the register-merge rollup
+    * ([[hllRunningDistinct]]): exact-integer harmonic sum, one
+    * literal-over-integer division, linear-counting branch with its ln
+    * rounded at once (see class doc). */
+  def estimateRegisterTable(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val gc = groupCols.map(col)
-    hllRegisters(df, groupCols, valueCol)
+    regs
       .groupBy(gc: _*)
       .agg(
         count(lit(1)).as("__n_present"),
@@ -94,6 +102,38 @@ object Sketches {
           lit(HllM.toDouble) * round(log(lit(HllM.toDouble) / col("__v").cast("double")), 6))
           .otherwise(col("__raw")))
       .select(gc :+ round(col("__est")).cast("long").as("n_hll"): _*)
+  }
+
+  /** CUMULATIVE distinct count by `dayCol` — the incremental-rollup
+    * pattern the register-merge property exists for: day d's count covers
+    * every day ≤ d, computed by a register-level running MAX over the
+    * per-day sketch table, never by rescanning history. At 100 TB the
+    * per-day register tables are the stored artifact (≤ 512 rows/day);
+    * extending the rollup by one day touches yesterday's 512 registers
+    * plus the new day's — a metadata-sized merge where the exact
+    * recompute rereads the whole corpus prefix.
+    *
+    * Shape: the per-day sketch densifies to every (day, register) cell
+    * via a generated sequence (|days|·512 rows — no join, no cartesian),
+    * the running max windows PARTITION BY REGISTER (512 balanced
+    * partitions, |days| rows each — never a corpus-sized window), absent
+    * prefixes stay NULL and drop before the shared estimator tail, so a
+    * day's merged register vector is exactly the vector a from-scratch
+    * sketch of the prefix would build — same estimator, same answer,
+    * oracle-provable. */
+  def hllRunningDistinct(df: DataFrame, dayCol: String, valueCol: String): DataFrame = {
+    val daily = hllRegisters(df, Seq(dayCol), valueCol)
+    val dense = daily.select(col(dayCol)).distinct()
+      .select(col(dayCol), explode(expr(s"sequence(0, ${HllM - 1})")).as("__idx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__idx")).orderBy(col(dayCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val merged = dense.join(daily, Seq(dayCol, "__idx"), "left_outer")
+      .withColumn("__rm", max(col("__r")).over(w))
+      .filter(col("__rm").isNotNull)
+      .select(col(dayCol), col("__idx"), col("__rm").as("__r"))
+    estimateRegisterTable(merged, Seq(dayCol))
   }
 
   /** Row-side register update for the STREAMING keyed-state path — the

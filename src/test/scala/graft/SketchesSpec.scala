@@ -45,6 +45,26 @@ class SketchesSpec extends SparkSpec {
     for (t <- Seq("w0", "w96")) assert(est(t) <= 2 * exact(t))
   }
 
+  test("register-merge rollup equals a from-scratch sketch of every day prefix") {
+    // The merge-by-max property, exercised end to end: day d's merged
+    // register vector must be EXACTLY the vector a fresh sketch of all
+    // rows with day <= d builds — so the rollup's estimate per day equals
+    // the from-scratch estimate of the prefix, not merely approximates it.
+    val rows = (1L to 4000L).map { i =>
+      (f"day${i % 7}%s", s"user${(i * 2654435761L) % 900}")
+    }
+    val df = rows.toDF("day", "uid")
+    val run = Sketches.hllRunningDistinct(df, "day", "uid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val days = rows.map(_._1).distinct.sorted
+    for (d <- days) {
+      val prefix = df.filter(col("day") <= d)
+      val scratch = Sketches.hllDistinct(prefix, Seq.empty, "uid")
+        .collect().head.getLong(0)
+      assert(run(d) === scratch, s"rollup at $d must equal from-scratch prefix sketch")
+    }
+  }
+
   test("CMS overcount stays within the advertised e·N/w bound on adversarial streams") {
     // The Cormode–Muthukrishnan guarantee: est(t) ≤ true(t) + ε·N with
     // ε = e/w, failing with probability ≤ e^(-d) per query. The hash gate
