@@ -78,13 +78,15 @@ object SetJoin {
     * df gives the identical result; only the candidate count varies. */
   def similarPairsFromShingles(toks: DataFrame,
                                threshold: Double = 0.5): DataFrame = {
-    // per-doc shingle list sorted by (df, shingle): rarest first, total order
-    val sortedDocs = toks
+    // per-doc shingle list sorted by (df, shingle): rarest first, total
+    // order. Persisted: the subtree feeds the prefix explode AND both
+    // verify joins (3 evaluations of the same shuffle+sort_array).
+    val sortedDocs = CacheRegistry.persistBounded(toks
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"))
       .select(col("doc_id"),
         expr("transform(sorted, x -> x.sh)").as("shs"),
-        size(col("sorted")).as("n"))
+        size(col("sorted")).as("n")))
     // Prefix bound with ONE TOKEN of slack: the textbook length is
     // n − ⌈t·n⌉ + 1, but ⌈·⌉ over the IEEE product can land one above the
     // operational requirement (t=0.14, n=50: fl(0.14·50)=7.000…001, ceil=8,
