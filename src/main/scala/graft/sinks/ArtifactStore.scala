@@ -25,7 +25,13 @@ object ArtifactStore {
 
   /** Artifact builds already performed by THIS process: path → fingerprint
     * of the source files that fed the build. */
-  private val built = scala.collection.mutable.Map[String, String]()
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Per-path build locks: concurrent ensure() calls on the SAME path
+    * serialize (one build, the other observes the cache), while builds of
+    * UNRELATED artifacts (the lexical index and the shingle table, say)
+    * proceed in parallel instead of queuing on one global monitor. */
+  private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Fingerprint of the files feeding `source`: sorted (path, length,
     * mtime) triples, md5'd. Metadata-only — no data scan. In-memory frames
@@ -48,13 +54,14 @@ object ArtifactStore {
     * already built it from the SAME source data. `build(source, tmpRoot)`
     * must write every table of the artifact under `tmpRoot`. */
   def ensure(source: DataFrame, path: String)
-            (build: (DataFrame, String) => Unit): Unit = synchronized {
-    val fp = sourceFingerprint(source)
-    if (!built.get(path).contains(fp)) {
-      publish(source.sparkSession, path)(tmp => build(source, tmp))
-      built(path) = fp
+            (build: (DataFrame, String) => Unit): Unit =
+    pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val fp = sourceFingerprint(source)
+      if (!built.get(path).contains(fp)) {
+        publish(source.sparkSession, path)(tmp => build(source, tmp))
+        built(path) = fp
+      }
     }
-  }
 
   /** Run `build(tmpRoot)` then atomically publish tmpRoot as `path` (see
     * class doc for the protocol and its crash states). */
