@@ -23,10 +23,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheRegistry {
 
-  /** Live-entry cap: a handful of shared bases (quality rank, shingle
-    * frames, token explodes) per session is the working set; anything past
+  /** Live-entry cap: the shared bases a session works with (quality rank,
+    * shingle frames, SetJoin's tokenization + sorted-doc arrays for both
+    * the recompute and stored paths, the lexical token explode, the
+    * similarity base) — counted at ~10 distinct persistBounded sites after
+    * round 6, so the cap sits above one full working set; anything past
     * that is churn from varied inputs, which is exactly the leak. */
-  val MaxEntries = 8
+  val MaxEntries = 12
 
   private final case class Entry(session: Object, plan: LogicalPlan, df: DataFrame)
 

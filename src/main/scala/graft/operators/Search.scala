@@ -37,8 +37,12 @@ object Search {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must not be empty")
-    val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded-registry persist (the doc-length and term-frequency branches
+    // share one token explode) — a bare .persist() here accumulated an
+    // entry per query in a long-lived session, the leak class the
+    // CacheRegistry exists for.
+    val toks = CacheRegistry.persistBounded(
+      docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term")))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
