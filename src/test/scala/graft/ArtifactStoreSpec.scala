@@ -68,6 +68,31 @@ class ArtifactStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("concurrent ensure(): same path builds once; distinct paths do not serialize on one lock") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      val src = Seq("x").toDF("v")
+      // src is in-memory (no input files) → constant fingerprint, so every
+      // ensure() call after the first must observe the cache, not rebuild.
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val tasks = (1 to 8).map { i =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              ArtifactStore.ensure(src, s"$root/art${i % 2}") { (d, tmp) =>
+                builds.incrementAndGet()
+                d.write.mode("overwrite").parquet(s"$tmp/t")
+              }
+          })
+        }
+        tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      assert(builds.get() === 2, "each of the two paths must build exactly once")
+      assert(readV(root + "/art0") === "x" && readV(root + "/art1") === "x")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("a failed BUILD leaves the current artifact fully readable") {
     val root = java.nio.file.Files.createTempDirectory("artstore").toString
     try {
