@@ -288,6 +288,17 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
+    // IVF over the STORED index artifact (centroids + assignment table,
+    // ArtifactStore rename-publish like the posting/shingle tables): no
+    // Lloyd step or corpus argmin at query time. Shares ann_ivf's oracle —
+    // the stored model must reproduce the in-session answer exactly.
+    "ann_ivf_stored" -> ((s, dir) => {
+      val p = "/tmp/graft_ivfindex_" + java.security.MessageDigest
+        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      Similarity.ensureIvfIndex(Tables.embeddings(s, dir), p)
+      Similarity.annIvfFromIndex(Tables.embeddings(s, dir), p)
+    }),
     "ivf_recall" -> ((s, dir) => Similarity.ivfRecall(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
@@ -662,7 +673,8 @@ object SparkEntry {
     "dedup_minhash_stored" -> baseOracleSql("dedup_minhash"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
     "contamination_stored" -> baseOracleSql("contamination"),
-    "corpus_clean_stored" -> baseOracleSql("corpus_clean"))
+    "corpus_clean_stored" -> baseOracleSql("corpus_clean"),
+    "ann_ivf_stored" -> baseOracleSql("ann_ivf"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "snapshot_daily" ->

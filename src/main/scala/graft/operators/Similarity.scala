@@ -310,6 +310,19 @@ object Similarity {
   private def annIvfOn(base: DataFrame, numQueries: Int, k: Int,
                        nlist: Int, nprobe: Int): DataFrame = {
     val (assigned, centroids) = ivfModelOn(base, nlist)
+    ivfProbe(base, assigned.select("vec_id", "e", "nrm", "cluster"),
+      centroids, numQueries, k, nprobe)
+  }
+
+  /** The probe + exact-rescore tail shared by the in-session model path
+    * ([[annIvf]]) and the stored-index path ([[annIvfFromIndex]]): takes
+    * (vec_id, e, nrm, cluster) assignments and (cluster, c) centroids —
+    * oblivious to whether they were just computed or read from the
+    * artifact, which is what makes the stored variant hash-identical by
+    * construction (centroid means are integral doubles, exact through a
+    * parquet round-trip; assignments are ints). */
+  private def ivfProbe(base: DataFrame, assigned: DataFrame, centroids: DataFrame,
+                       numQueries: Int, k: Int, nprobe: Int): DataFrame = {
     // Query side reads straight from the normalized base — probing needs a
     // query's vector and the centroids, NOT its own cluster assignment, so
     // the argmin subtree is skipped for this branch.
@@ -333,6 +346,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "cid", "cos_sim", "rank")
       .orderBy("qid", "rank")
+  }
+
+  /** Materialize the IVF coarse-quantizer model — centroids (nlist rows)
+    * plus the corpus assignment table — as a stored artifact
+    * ([[graft.sinks.ArtifactStore]]: fingerprint-keyed rebuild,
+    * crash-safe rename publish), closing the similarity family's
+    * build-the-model-per-query seam the way the posting and shingle
+    * tables closed the lexical and dedup ones. At 100 TB the assignment
+    * table is the expensive piece (an argmin scan of every vector); the
+    * stored index turns each ANN query into a broadcast of nlist
+    * centroids + an assignment-table join — no Lloyd step, no corpus
+    * argmin. */
+  def ensureIvfIndex(embeddings: DataFrame, path: String, nlist: Int = 16): Unit =
+    graft.sinks.ArtifactStore.ensure(embeddings, path) { (df, tmp) =>
+      val (assigned, centroids) = ivfModel(df, nlist)
+      graft.sinks.SnapshotStore.overwriteLatest(centroids, s"$tmp/centroids")
+      graft.sinks.SnapshotStore.overwriteLatest(
+        assigned.select("vec_id", "cluster"), s"$tmp/assignments")
+      centroids.unpersist(blocking = false)
+    }
+
+  /** [[annIvf]] over a stored index: centroids and assignments are
+    * parquet reads; only the per-row normalization of the base is
+    * recomputed (at 100 TB that base is itself the maintained normalized
+    * table — see [[sharedBase]]'s scaladoc). Hash-identical to [[annIvf]]
+    * by construction — shares its oracle. */
+  def annIvfFromIndex(embeddings: DataFrame, path: String,
+                      numQueries: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = sharedBase(embeddings)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = base.join(spark.read.parquet(s"$path/assignments"), Seq("vec_id"))
+      .select("vec_id", "e", "nrm", "cluster")
+    ivfProbe(base, assigned, centroids, numQueries, k, nprobe)
   }
 
   /** Recall@k gate for [[annIvf]] — same construction as [[annRecall]]:
