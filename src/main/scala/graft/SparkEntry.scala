@@ -421,9 +421,9 @@ object SparkEntry {
     "cms_term_counts" -> ((s, dir) => {
       val terms = Seq("dup", "vector", "scan", "the")
       // one tokenization feeds the sketch counters AND the exact branch
-      val toks = Tables.documents(s, dir)
-        .select(explode(TextAnalysis.wordsExpr).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (bounded-registry persist — no per-call cache accumulation)
+      val toks = CacheRegistry.persistBounded(Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wordsExpr).as("term")))
       val exact = toks.filter(col("term").isin(terms: _*))
         .groupBy("term").agg(count(lit(1)).as("n_exact"))
       Sketches.cmsEstimate(Sketches.cmsCounters(toks, "term"), terms)

@@ -286,11 +286,12 @@ object Similarity {
     val seeds = baseQ.filter(col("vec_id") < nlist)
       .select(col("vec_id").cast("int").as("cluster"), col("q").as("c"))
     // The model is TINY (nlist rows) but its subtree (seed assignment +
-    // Lloyd update over the corpus) is expensive — cache it (lazy) so the
+    // Lloyd update over the corpus) is expensive — cache it (lazy, via the
+    // bounded registry so varied corpora don't accumulate entries) so the
     // assignment branch and every probe branch reuse the same centroids
     // instead of re-running the Lloyd step per reference.
-    val centroids = lloydUpdate(nearestCluster(baseQ.select("vec_id", "q"), seeds))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = CacheRegistry.persistBounded(
+      lloydUpdate(nearestCluster(baseQ.select("vec_id", "q"), seeds)))
     (nearestCluster(baseQ, centroids), centroids)
   }
 
@@ -360,11 +361,13 @@ object Similarity {
     * argmin. */
   def ensureIvfIndex(embeddings: DataFrame, path: String, nlist: Int = 16): Unit =
     graft.sinks.ArtifactStore.ensure(embeddings, path) { (df, tmp) =>
+      // centroids are registry-persisted inside ivfModel; the bounded LRU
+      // owns their lifecycle (no manual unpersist — a registry entry left
+      // live here is reused by any in-session annIvf over the same corpus).
       val (assigned, centroids) = ivfModel(df, nlist)
       graft.sinks.SnapshotStore.overwriteLatest(centroids, s"$tmp/centroids")
       graft.sinks.SnapshotStore.overwriteLatest(
         assigned.select("vec_id", "cluster"), s"$tmp/assignments")
-      centroids.unpersist(blocking = false)
     }
 
   /** [[annIvf]] over a stored index: centroids and assignments are
