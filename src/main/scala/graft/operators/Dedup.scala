@@ -80,16 +80,15 @@ object Dedup {
     (a, b)
   }
 
-  /** 31-bit base hash of a shingle: md5 -> first 15 hex chars -> mod P.
-    * One md5 per shingle; the 16 permutations are cheap affine arithmetic
-    * (the md5-per-permutation formulation costs 16× the hashing and
-    * dominated the whole pipeline). */
-  val baseHashSql = s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $P"
-
   /** MinHash signature: h_j = min over shingles of (a_j·h + b_j) mod P —
-    * the classic min-wise affine permutation family. */
+    * the classic min-wise affine permutation family. Base hash: the
+    * native 60-bit md5 prefix ([[graft.functions.Md5Hash60]] — no hex
+    * string per shingle) mod P; one md5 per shingle, the 16 permutations
+    * are cheap affine arithmetic (the md5-per-permutation formulation
+    * costs 16× the hashing and dominated the whole pipeline). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val base = sh.withColumn("h", expr(baseHashSql))
+    val base = sh.withColumn("h",
+      graft.functions.Md5Hash60.md5_hash60(col("sh")) % P)
     val aggs = hashParams.zipWithIndex.map { case ((a, b), j) =>
       min(expr(s"($a * h + $b) % $P")).as(s"h$j")
     }
@@ -361,7 +360,7 @@ object Dedup {
     val tok = docs
       .select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("word"))
       .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        graft.functions.Md5Hash60.md5_hash60(col("word")).as("h"))
     val bitAggs = (0 until SimhashBits).map(j => sum(expr(s"shiftright(h, $j) & 1")).as(s"b$j"))
     val counts = tok.groupBy("doc_id")
       .agg(bitAggs.head, (bitAggs.tail :+ count(lit(1)).as("n_tok")): _*)

@@ -42,9 +42,10 @@ object Packing {
     docs
       .select(col("doc_id"), tokensExpr.as("tokens"))
       // md5-derived shard: first 15 hex chars fit a BIGINT exactly; both
-      // engines compute the identical value (hash() would not reproduce).
+      // engines compute the identical value (hash() would not reproduce;
+      // the native Md5Hash60 prefix equals the hex parse bit-for-bit).
       .withColumn("shard",
-        expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $shards"))
+        graft.functions.Md5Hash60.md5_hash60(col("doc_id").cast("string")) % shards)
       .withColumn("cum", sum(col("tokens")).over(w))
       .withColumn("chunk_id",
         col("shard") * lit(1000000000L) + floor((col("cum") - col("tokens")) / lit(budget)).cast("long"))

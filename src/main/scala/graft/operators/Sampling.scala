@@ -54,7 +54,7 @@ object Sampling {
     docs
       .select(col("doc_id"),
         (length(col("text")).cast("double") + lit(1.0)).as("w"),
-        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        (graft.functions.Md5Hash60.md5_hash60(col("doc_id").cast("string"))
           + lit(1L)).cast("double").as("hu"))
       .withColumn("es_key", -round(log(col("hu") / lit(1152921504606846976.0)), 6) / col("w"))
       .orderBy(col("es_key").asc, col("doc_id").asc)

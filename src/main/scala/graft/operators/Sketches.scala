@@ -62,9 +62,8 @@ object Sketches {
   def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val gc = groupCols.map(col)
     df.filter(col(valueCol).isNotNull)
-      .select(gc :+ expr(
-        s"CAST(conv(substring(md5(CAST($valueCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        .as("__h"): _*)
+      .select(gc :+ graft.functions.Md5Hash60
+        .md5_hash60(col(valueCol).cast("string")).as("__h"): _*)
       .select(gc ++ Seq(
         expr(s"__h & ${HllM - 1}").as("__idx"),
         expr(s"shiftright(__h, $HllP)").as("__w")): _*)
@@ -137,24 +136,13 @@ object Sketches {
   }
 
   /** Row-side register update for the STREAMING keyed-state path — the
-    * same md5/idx/rho construction as [[hllRegisters]]'s columns (md5 of
-    * the string value, 15 hex chars = 60 bits, low p bits index, rho =
-    * 52 − bit-length of the 51-bit tail), so a register vector folded row
-    * by row in `mapGroupsWithState` is bit-identical to the batch
-    * aggregate's. regs(idx) holds max rho; 0 = never hit. */
-  private val md5Local =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
+    * same 60-bit digest ([[graft.functions.Md5Hash60.hash60]], the ONE
+    * shared byte-assembly definition batch SQL also compiles to), low p
+    * bits index, rho = 52 − bit-length of the 51-bit tail — so a register
+    * vector folded row by row in `mapGroupsWithState` is bit-identical to
+    * the batch aggregate's. regs(idx) holds max rho; 0 = never hit. */
   def updateRegisters(regs: Array[Int], value: String): Unit = {
-    val md = md5Local.get()
-    md.reset()
-    val d = md.digest(value.getBytes("UTF-8"))
-    // first 15 hex chars = 60 bits: 7 full bytes + the high nibble of byte 7
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+    val h = graft.functions.Md5Hash60.hash60(value.getBytes("UTF-8"))
     val idx = (h & (HllM - 1)).toInt
     val w = h >> HllP
     val rho = if (w == 0) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(w))
@@ -203,18 +191,21 @@ object Sketches {
     * Row hashes come from ONE md5 per occurrence via Kirsch–Mitzenmacher
     * double hashing — idx_j = (h1 + j·h2) mod w with h1/h2 the low/high 30
     * bits of the 60-bit digest (measured: the 4-independent-md5 form spent
-    * 4× the hashing for no accuracy the ε–δ bound needs). The digest binds
-    * to a lambda variable (transform over a 1-element array) so it
+    * 4× the hashing for no accuracy the ε–δ bound needs). The digest is
+    * the native [[graft.functions.Md5Hash60]] prefix (no hex string) and
+    * binds to a lambda variable (transform over a 1-element array) so it
     * evaluates once even after CollapseProject inlining. */
-  def cmsCounters(toks: DataFrame, termCol: String): DataFrame =
-    toks.select(explode(expr(
-        s"""flatten(transform(
-           |  array(CAST(conv(substring(md5($termCol), 1, 15), 16, 10) AS BIGINT)),
-           |  h -> transform(sequence(0, ${CmsD - 1}), j -> named_struct(
-           |    'j', j,
-           |    'idx', ((h & 1073741823) + j * shiftright(h, 30)) % $CmsW))))""".stripMargin)).as("c"))
+  def cmsCounters(toks: DataFrame, termCol: String): DataFrame = {
+    val cells = flatten(transform(
+      array(graft.functions.Md5Hash60.md5_hash60(col(termCol))),
+      h => transform(sequence(lit(0), lit(CmsD - 1)),
+        j => struct(j.as("j"),
+          ((h.bitwiseAND(lit(1073741823L)) + j.cast("long") * shiftright(h, 30))
+            % lit(CmsW.toLong)).as("idx")))))
+    toks.select(explode(cells).as("c"))
       .select(col("c.j").as("j"), col("c.idx").as("idx"))
       .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Bloom filter (Bloom 1970, "Space/Time Trade-offs in Hash Coding with
     * Allowable Errors") default bits (m) and hash count (d). 8192 bits /
