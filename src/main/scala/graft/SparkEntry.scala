@@ -301,6 +301,22 @@ object SparkEntry {
     }),
     "ivf_recall" -> ((s, dir) => Similarity.ivfRecall(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
+    // SEMANTIC dedup clusters — the embedding-side twin of dedup_clusters:
+    // LSH near-dup pairs feed the same hash-to-min component labeling, so
+    // transitively-linked vectors collapse to one keeper. Oracle: recursive
+    // transitive closure over the SAME LSH pair SQL that gates
+    // dedup_embedding_lsh.
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.embeddingNearDupLsh(emb).select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      emb.select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
+        .withColumn("is_dup", (col("vec_id") =!= col("keep_id")).cast("boolean"))
+        .orderBy("vec_id")
+    }),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "neardup_recall" -> ((s, dir) => Similarity.nearDupRecall(Tables.embeddings(s, dir))),
     "pii_redact" -> ((s, dir) => DataHygiene.redactionAudit(Tables.documents(s, dir))),
@@ -1490,6 +1506,24 @@ object SparkEntry {
          | s AS (SELECT id_a, id_b, round(list_cosine_similarity(ae.e, be.e), 6) AS cos_sim
          |       FROM cand JOIN emb ae ON ae.vec_id = id_a JOIN emb be ON be.vec_id = id_b)
          |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // Same LSH pairs, closed transitively — the semantic dedup decision.
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE $LshBucketCte,
+         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |                                AND a.vec_id < b.vec_id),
+         | prs AS (SELECT id_a, id_b
+         |         FROM cand JOIN emb ae ON ae.vec_id = id_a JOIN emb be ON be.vec_id = id_b
+         |         WHERE round(list_cosine_similarity(ae.e, be.e), 6) >= 0.4),
+         | eg AS (SELECT id_a AS n, id_b AS m FROM prs UNION SELECT id_b, id_a FROM prs),
+         | reach AS (SELECT n, m FROM eg
+         |           UNION
+         |           SELECT r.n, e2.m FROM reach r JOIN eg e2 ON r.m = e2.n),
+         | comp AS (SELECT n AS vec_id, least(n, min(m)) AS keep_id FROM reach GROUP BY n)
+         |SELECT em.vec_id AS vec_id, coalesce(c.keep_id, em.vec_id) AS keep_id,
+         | (em.vec_id <> coalesce(c.keep_id, em.vec_id)) AS is_dup
+         |FROM embeddings em LEFT JOIN comp c ON c.vec_id = em.vec_id
+         |ORDER BY em.vec_id""".stripMargin,
     "neardup_recall" ->
       s"""WITH $LshBucketCte,
          | truth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
