@@ -36,10 +36,10 @@ object SnapshotJson {
       .withColumn("entries", from_json(col(dataCol), blobSchema))
       .filter(col("entries").isNotNull)
       .select(
-        docs.columns.filter(_ != dataCol).map(col) :+
+        docs.columns.filter(_ != dataCol).map(col).toIndexedSeq :+
           explode(col("entries")).as("entry"): _*)
       .select(
-        docs.columns.filter(_ != dataCol).map(col) :+
+        docs.columns.filter(_ != dataCol).map(col).toIndexedSeq :+
           col("entry.rank").as("rank") :+ col("entry.name").as("name") :+
           col("entry.level").as("level") :+ col("entry.value").as("value") :+
           col("entry.world").as("world") :+ col("entry.vocation").as("vocation"): _*)
@@ -95,7 +95,7 @@ object SnapshotJson {
     * guard semantics as [[explodeBlob]]. */
   def explodeBlobExpanded(docs: DataFrame, dataCol: String = "data",
                           skills: Seq[String] = ExpandedSkills): DataFrame = {
-    val keep = docs.columns.filter(_ != dataCol).map(col)
+    val keep = docs.columns.filter(_ != dataCol).map(col).toIndexedSeq
     docs
       .filter(validBlob(col(dataCol)))
       .withColumn("entries", from_json(col(dataCol), blobSchemaExpanded(skills)))
@@ -114,7 +114,7 @@ object SnapshotJson {
   def explodeSkills(rows: DataFrame, skills: Seq[String] = ExpandedSkills): DataFrame = {
     val branches = skills.map(s => s"'$s', expanded.`$s`").mkString(", ")
     rows
-      .select(rows.columns.filter(_ != "expanded").map(col) :+
+      .select(rows.columns.filter(_ != "expanded").map(col).toIndexedSeq :+
         expr(s"stack(${skills.length}, $branches)").as(Seq("skill", "st")): _*)
       .filter(col("st").isNotNull)
       .withColumn("skill_value", col("st.value"))

@@ -96,7 +96,7 @@ object AsofJoin {
       attr(lPlan, leftTs), attr(rPlan, rightTs + "__r"),
       valueCols.map(c => attr(rPlan, c + "__r")))
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
-      .select(left.columns.map(col) ++
+      .select(left.columns.map(col).toIndexedSeq ++
         valueCols.map(c => col(c + "__r").as(c)): _*)
   }
 

@@ -248,7 +248,7 @@ object Similarity {
       .withColumn("dist",
         vec_dot(col("q"), col("q")) - lit(2.0) * vec_dot(col("q"), col("c")) +
           vec_dot(col("c"), col("c")))
-      .groupBy(frame.columns.map(col): _*)
+      .groupBy(frame.columns.map(col).toIndexedSeq: _*)
       .agg(min(struct(col("dist"), col("cluster"))).as("m"))
       .withColumn("cluster", col("m.cluster"))
       .drop("m")
