@@ -206,6 +206,31 @@ object SparkEntry {
     "q20_dominant_suppliers" -> ((s, dir) =>
       StarSchema.dominantPartSuppliers(Tables.part(s, dir), Tables.lineitem(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q13 shape: predicate inside the left-outer join, then a
+    // histogram over per-customer counts (zero bucket preserved).
+    "q13_order_distribution" -> ((s, dir) =>
+      StarSchema.customerOrderDistribution(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q17 shape: correlated per-part avg decorrelated to a window,
+    // exact-decimal 0.2*avg compare.
+    "q17_small_qty_revenue" -> ((s, dir) =>
+      StarSchema.smallQuantityRevenue(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q18 shape: HAVING on a fact-wide aggregate joined back to detail.
+    "q18_large_orders" -> ((s, dir) =>
+      StarSchema.largeOrders(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // TPC-H Q19 shape: disjunctive cross-table predicate with a
+    // hand-derived quantity envelope pushed to the fact scan.
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      StarSchema.disjunctiveRevenue(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation as a
+    // semi/anti join pair over one shared distinct late set.
+    "q21_waiting_suppliers" -> ((s, dir) =>
+      StarSchema.waitingSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // TPC-H Q22 shape: broadcast scalar-aggregate threshold + anti join
+    // against the date-pruned orders scan.
+    "q22_dormant_customers" -> ((s, dir) =>
+      StarSchema.dormantCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
     // O4 conditional re-rank under oracle gating: seed true ranks, null the
     // odd-user slice, and let rankIfMissing repair — the repaired column
     // must equal the full recomputed ranking.
@@ -977,6 +1002,69 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM d WHERE qty * 100 > total * 15)
         |ORDER BY s_suppkey""".stripMargin,
+    // Q13 shape: count(o_orderkey) counts only matched rows, so the
+    // zero-order bucket survives the left outer join in both engines.
+    "q13_order_distribution" ->
+      """SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q17 shape: the oracle mirrors the window decorrelation; the
+    // 0.2*avg compare is the same exact integer-scaled DECIMAL predicate.
+    "q17_small_qty_revenue" ->
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |            CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |            sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS sum_qty,
+        |            count(*) OVER (PARTITION BY l_partkey) AS cnt
+        |           FROM lineitem)
+        |SELECT p_brand, CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM l JOIN part ON l_partkey = p_partkey
+        |WHERE qty * 5 * cnt < sum_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT CAST(sum($Revenue) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q21 shape: the oracle keeps the textbook EXISTS / NOT EXISTS double
+    // correlation; the engine's semi/anti pair must reproduce it exactly.
+    "q21_waiting_suppliers" ->
+      """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              WHERE o_orderstatus = 'F'
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    // Q22 shape: the oracle keeps the scalar subquery as a 1-row CTE; the
+    // above-average compare is the same exact bal*n > sum predicate.
+    "q22_dormant_customers" ->
+      """WITH slice AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |               FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+        | stats AS (SELECT sum(bal) AS s, count(*) AS n FROM slice WHERE bal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(bal) AS DOUBLE) AS total_acctbal
+        |FROM slice, stats
+        |WHERE bal * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // rankIfMissing repairs the nulled slice with freshly computed ranks, so
     // the oracle is simply the full recomputed ranking.
     "rank_repair" ->

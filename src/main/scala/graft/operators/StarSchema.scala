@@ -334,4 +334,162 @@ object StarSchema {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
+
+  /** TPC-H Q13 shape (order priority stands in for the comment filter):
+    * distribution of customers by qualifying-order count INCLUDING the
+    * zero-order bucket. The priority predicate lives on the orders side
+    * BEFORE the left-outer join — the join-condition placement Q13
+    * mandates; a post-join WHERE would silently turn the join inner and
+    * drop the zero bucket. `count(o_orderkey)` counts only matched rows,
+    * so unmatched customers aggregate to 0. Double aggregation: the outer
+    * join + per-customer count shuffle on custkey (both sides fact-sized
+    * at TPC-H scale, AQE-planned); the histogram over counts is
+    * |distinct counts| rows — trivially small. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+                                excludePriority: String = "1-URGENT"): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q17 shape generalized per brand: revenue from "small" line
+    * items — quantity below 20% of the part's average. The correlated avg
+    * subquery is decorrelated to window aggregates over ONE l_partkey
+    * shuffle (per-part groups are offer-fanout-bounded, scale-stable),
+    * and the 0.2·avg compare is exact integer-scaled DECIMAL
+    * (`qty·5·cnt < sum_qty`) — no double average for engines to disagree
+    * on. The brand dim joins AFTER the filter, broadcast, over the ~10%
+    * of rows that survive. */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem.select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("price"))
+      .withColumn("sum_qty", sum(col("qty")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("qty") * lit(5) * col("cnt") < col("sum_qty"))
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg((sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q18 shape: large-quantity orders — a HAVING filter on a
+    * fact-wide aggregate joined back into order+customer detail, top-K.
+    * Scale shape: ONE fact shuffle (the per-order quantity sum); the
+    * filtered survivors are a small fraction, so the joins back to orders
+    * and customer are AQE-planned (broadcast when the survivor set fits);
+    * sort+limit plans as TakeOrderedAndProject. The HAVING compare is
+    * exact DECIMAL. */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  minQty: Int = 200, k: Int = 100): DataFrame = {
+    val big = lineitem.select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q19 shape: disjunctive join predicate — three (brand, size,
+    * quantity-band) disjuncts over the part⋈lineitem equi join. The join
+    * stays a single broadcast hash join on partkey with the OR as a
+    * residual filter, and the hand-derived quantity ENVELOPE (the union
+    * of the three bands) is applied as a scan-level conjunct so the fact
+    * scan prunes rows no disjunct can accept — a derived pushdown
+    * Catalyst won't infer across a cross-table disjunction. */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bands = Seq(("Brand#12", 15, 1, 11), ("Brand#23", 25, 10, 20),
+      ("Brand#5", 35, 20, 30))
+    val envelope = col("l_quantity").between(
+      bands.map(_._3).min, bands.map(_._4).max)
+    val residual = bands.map { case (brand, maxSize, lo, hi) =>
+      col("p_brand") === brand && col("p_size").between(1, maxSize) &&
+        col("l_quantity").between(lo, hi)
+    }.reduce(_ || _)
+    lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .filter(envelope)
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(residual)
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q21 shape adapted (lateness = shipped more than `lagDays`
+    * after the order date, as in [[latePriorityCounts]]): suppliers who
+    * were the SOLE late supplier on a finished multi-supplier order.
+    * Q21's double correlation — EXISTS another supplier's line, NOT
+    * EXISTS another supplier's LATE line — becomes a left-semi and a
+    * left-anti join, both equi on orderkey with the supplier inequality
+    * as residual; the anti side re-reads the same distinct late set, so
+    * the lateness subtree is computed once. Scale shape: one fact⋈fact
+    * join (lineitem⋈orders on orderkey) feeds a distinct, then
+    * order-key-partitioned semi/anti joins — no fanout; supplier is a
+    * broadcast dim. */
+  def waitingSuppliers(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       lagDays: Int = 60, k: Int = 25): DataFrame = {
+    val late = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lagDays DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = lineitem.select("l_orderkey", "l_suppkey").toDF("o2", "s2")
+    val lateOthers = late.toDF("o3", "s3")
+    late
+      .join(others,
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q22 shape adapted (nation keys stand in for phone country
+    * codes; dormancy = no orders since `cutoff`, because this fixture has
+    * no order-free customers): positive-balance stats of above-average
+    * customers with no recent orders. Q22's scalar subquery (the global
+    * average balance) is a 1-row aggregate broadcast-cross-joined into
+    * the row filter — the declarative alternative to a driver collect —
+    * and the above-average compare is exact integer-scaled DECIMAL
+    * (`bal·n > sum`): a double average would put boundary customers at
+    * the mercy of summation order. The no-recent-orders correlation is a
+    * left-anti join against the date-pruned orders scan. */
+  def dormantCustomers(customer: DataFrame, orders: DataFrame,
+                       nationKeys: Seq[Int] = Seq(1, 3, 5, 7, 9, 11, 13),
+                       cutoff: String = "2000-01-01"): DataFrame = {
+    val slice = customer.filter(col("c_nationkey").isin(nationKeys: _*))
+      .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
+    val stats = broadcast(slice.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("s"), count(lit(1)).as("n")))
+    slice
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(stats)
+      .filter(col("bal") * col("n") > col("s"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("total_acctbal"))
+      .orderBy("c_nationkey")
+  }
 }

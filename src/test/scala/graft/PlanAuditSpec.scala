@@ -17,8 +17,9 @@ class PlanAuditSpec extends SparkSpec {
     *    brute-force baselines or their truth branches — the broadcast side
     *    is the small query set; the LSH/IVF siblings are the scale path.
     *  - ann_ivf: nlist-row centroid broadcast for the argmin assignment.
-    *  - bm25_topk / quality_gate_adaptive / tfidf_top_terms: crossJoin
-    *    against a BROADCAST 1-row stats/threshold/corpus-count frame.
+    *  - bm25_topk / quality_gate_adaptive / tfidf_top_terms /
+    *    q22_dormant_customers: crossJoin against a BROADCAST 1-row
+    *    stats/threshold/corpus-count frame (Q22's scalar subquery).
     * Anything NOT in this set that plans a nested loop is a regression. */
   private val intentionalBnlj: Set[String] = Set(
     "gain_1d", "gain_7d", "gain_alltime", "onlinetime_7d",
@@ -26,7 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf", "ann_ivf_stored",
     "bm25_topk", "bm25_postings", "quality_gate_adaptive", "tfidf_top_terms",
     "rank_repair", "hll_distinct_events", "null_hll_distinct",
-    "bloom_prefilter_join", "bloom_shuffle_join")
+    "bloom_prefilter_join", "bloom_shuffle_join", "q22_dormant_customers")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
@@ -81,6 +82,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas("q20_dominant_suppliers").exists(
       _.endsWith("struct<l_partkey:bigint,l_suppkey:bigint,l_quantity:double>")),
       "q20 lineitem scan must prune to (l_partkey, l_suppkey, l_quantity)")
+    // Q17's fact scan reads exactly the part key + the two measures
+    assert(schemas("q17_small_qty_revenue").exists(
+      _.endsWith("struct<l_partkey:bigint,l_quantity:double,l_extendedprice:double>")),
+      "q17 lineitem scan must prune to (l_partkey, l_quantity, l_extendedprice)")
+    // Q18's per-order aggregate scans only (l_orderkey, l_quantity)
+    assert(schemas("q18_large_orders").exists(
+      _.endsWith("struct<l_orderkey:bigint,l_quantity:double>")),
+      "q18 lineitem scan must prune to (l_orderkey, l_quantity)")
+  }
+
+  test("q19's hand-derived quantity envelope is pushed to the fact scan") {
+    // The disjunctive (brand, size, quantity) predicate spans both join
+    // sides, so Catalyst cannot push any of it into the lineitem scan on
+    // its own — the quantity ENVELOPE (union of the three bands) is
+    // derived by hand in StarSchema.disjunctiveRevenue precisely so the
+    // scan can skip row groups no disjunct could accept. This gate keeps
+    // that envelope from being refactored away silently.
+    GraftFunctions.installOptimizations(spark)
+    val plan = SparkEntry.queries("q19_disjunctive_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_quantity") &&
+      plan.contains("LessThanOrEqual(l_quantity"),
+      "q19's quantity envelope must reach the scan's PushedFilters")
   }
 
   test("no exact-Percentile aggregate outside the low-cardinality allowlist") {
