@@ -46,6 +46,12 @@ object SparkEntry {
       graft.streaming.OnlineTimeStream.dailyMinutes(Tables.events(s, dir))
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day", "user_id")),
+    // The hopping-window (sliding) variant: every event expands into
+    // width/slide = 2 windows before the aggregation.
+    "hopping_minutes" -> ((s, dir) =>
+      graft.streaming.OnlineTimeStream.hoppingMinutes(Tables.events(s, dir))
+        .withColumn("wstart", date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("wstart", "user_id")),
     "onlinetime_7d" -> ((s, dir) => OnlineTime.period(Tables.events(s, dir), 7)),
     "skill_points" -> ((s, dir) => skillPointsQuery(s, dir)),
     "category_union" -> ((s, dir) =>
@@ -781,6 +787,17 @@ object SparkEntry {
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
         | CAST(5 * count(*) AS BIGINT) AS minutes
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Hopping windows re-derived definitionally: an event at t belongs to
+    // the two epoch-aligned 12h buckets b(t) and b(t)-12h (width 1 day =
+    // 2 slides, window [s, s+1d) contains t for exactly those starts).
+    "hopping_minutes" ->
+      """WITH e AS (SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/43200)*43200 AS BIGINT)) AS b,
+        |            user_id FROM events),
+        | x AS (SELECT b AS wstart, user_id FROM e
+        |       UNION ALL SELECT b - INTERVAL 12 HOUR AS wstart, user_id FROM e)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, user_id,
+        | CAST(5 * count(*) AS BIGINT) AS minutes
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "daily_gapfill" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |               count(DISTINCT user_id) AS n_users FROM events GROUP BY 1),

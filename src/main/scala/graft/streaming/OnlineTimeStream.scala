@@ -30,6 +30,25 @@ object OnlineTimeStream {
         col("user_id"),
         col("minutes"))
 
+  /** Hopping-window accumulation — the SLIDING shape [[dailyMinutes]]'s
+    * tumbling window can't express (a rolling "minutes in the last day,
+    * refreshed every 12 hours" engagement feed): `window(ts, width,
+    * slide)` assigns every event to width/slide = 2 epoch-aligned
+    * windows by ROW EXPANSION before the aggregation, so the shuffle
+    * carries 2× rows but per-group state stays bounded and the watermark
+    * evicts each window independently. Works on a streaming OR batch
+    * DataFrame with (ts, user_id); per-(window, user) output keeps the
+    * aggregation single-phase — streaming-legal in every output mode
+    * (a per-window distinct would need a second stateful aggregation,
+    * which Structured Streaming disallows). */
+  def hoppingMinutes(events: DataFrame,
+                     width: String = "1 day", slide: String = "12 hours"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), width, slide).as("win"), col("user_id"))
+      .agg((lit(5) * count(lit(1))).as("minutes"))
+      .select(col("win.start").as("wstart"), col("user_id"), col("minutes"))
+
   final case class Sample(user_id: Long, ts: java.sql.Timestamp)
   final case class UserMinutes(user_id: Long, minutes: Long)
 

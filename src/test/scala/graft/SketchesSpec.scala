@@ -102,6 +102,24 @@ class SketchesSpec extends SparkSpec {
     checkStream(wide, (0 until 30).map(i => s"v$i"), "wide-vocab")
   }
 
+  test("HLL estimate stays within 3 standard errors across cardinality regimes") {
+    // Flajolet's guarantee: σ ≈ 1.04/√m relative (m = 512 → ~4.6%). The
+    // hash gates (hll_distinct_*) prove DETERMINISM — the same registers
+    // everywhere; this pins ACCURACY, the number a capacity planner sizes
+    // m against, across the estimator's regimes: linear counting (most
+    // registers empty), the corrected crossover (~2.5·m), and raw HLL.
+    // With md5-derived register indices the outcome is deterministic, so
+    // a pass is a pinned regression fact, not a flaky sample.
+    val se = 1.04 / math.sqrt(Sketches.HllM.toDouble)
+    for (n <- Seq(100, 1300, 20000, 100000)) {
+      val df = (1 to n).map(i => s"user_${i}_x").toDF("uid")
+      val est = Sketches.hllDistinct(df, Seq.empty, "uid").collect().head.getLong(0)
+      val rel = math.abs(est - n.toDouble) / n
+      assert(rel <= 3 * se,
+        f"n=$n est=$est rel=$rel%.4f exceeds 3σ = ${3 * se}%.4f (m=${Sketches.HllM})")
+    }
+  }
+
   test("CMS counter tables merge by cell-wise addition") {
     val a = (1L to 1000L).map(i => s"t${i % 31}").toDF("term")
     val b = (1L to 500L).map(i => s"t${i % 13}").toDF("term")

@@ -34,6 +34,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows credit every event to exactly two slides, stream equals batch") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.hoppingMinutes(input.toDF())
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hopping_minutes_test").start()
+    // 01:00 lands in [D-1 12:00, D0 12:00) and [D0 00:00, D1 00:00);
+    // 13:00 lands in [D0 00:00, ...) and [D0 12:00, ...): the 00:00
+    // window accumulates BOTH events, split across micro-batches.
+    val all = Seq(Sample(1L, ts(1, 1)), Sample(1L, ts(1, 13)), Sample(2L, ts(1, 13)))
+    try {
+      input.addData(all.head)
+      q.processAllAvailable()
+      input.addData(all.tail: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hopping_minutes_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === Set(
+        ("2023-12-31 12:00:00.0", 1L, 5L),
+        ("2024-01-01 00:00:00.0", 1L, 10L),
+        ("2024-01-01 12:00:00.0", 1L, 5L),
+        ("2024-01-01 00:00:00.0", 2L, 5L),
+        ("2024-01-01 12:00:00.0", 2L, 5L)))
+      // the same transform on the same rows as a BATCH frame agrees
+      val batch = OnlineTimeStream.hoppingMinutes(
+          all.toDF().select(col("ts"), col("user_id")))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(batch === streamed, "hopping windows must unify batch and stream")
+    } finally q.stop()
+  }
+
   test("streaming HLL state converges to exactly the batch sketch estimate") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Sample]
