@@ -76,6 +76,8 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "top_orders" -> ((s, dir) => StarSchema.topOrders(Tables.orders(s, dir))),
     "pricing_rollup" -> ((s, dir) => StarSchema.pricingRollup(Tables.lineitem(s, dir))),
+    // CUBE + GROUPING markers: all four grouping sets in one aggregate.
+    "pricing_cube" -> ((s, dir) => StarSchema.pricingCube(Tables.lineitem(s, dir))),
     "price_percentiles" -> ((s, dir) => StarSchema.pricePercentiles(Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => EventsAnalytics.sessionize(Tables.events(s, dir))),
     "daily_type_pivot" -> ((s, dir) =>
@@ -237,6 +239,40 @@ object SparkEntry {
     // against the date-pruned orders scan.
     "q22_dormant_customers" -> ((s, dir) =>
       StarSchema.dormantCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q6 shape: the pure pushed-down scan aggregate (zero joins).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      StarSchema.forecastRevenue(Tables.lineitem(s, dir))),
+    // TPC-H Q8 shape: CASE-inside-sum market share, exact-decimal
+    // accumulators, one double divide at the boundary.
+    "q8_market_share" -> ((s, dir) =>
+      StarSchema.marketShare(Tables.part(s, dir), Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q9 shape: name-pattern part slice, exact-decimal profit
+    // (revenue minus retailprice*qty cost stand-in) by nation and year.
+    "q9_product_profit" -> ((s, dir) =>
+      StarSchema.productTypeProfit(Tables.part(s, dir), Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q10 shape: returned-item revenue per customer, aggregate
+    // before detail join, top-k.
+    "q10_returned_customers" -> ((s, dir) =>
+      StarSchema.returnedItemCustomers(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q11 shape: scalar-subquery total over a cached per-part
+    // aggregate, integer-scaled exact share compare.
+    "q11_important_parts" -> ((s, dir) =>
+      StarSchema.importantParts(Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir))),
+    // TPC-H Q12 shape: dual conditional counts of late lines by status.
+    "q12_late_priority" -> ((s, dir) =>
+      StarSchema.latePriorityModes(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q14 shape: promo revenue share, both sums in one aggregate.
+    "q14_promo_share" -> ((s, dir) =>
+      StarSchema.promoRevenueShare(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q15 shape: max-revenue supplier via a 1-row broadcast
+    // re-aggregate of the cached per-supplier view (ties kept, exact).
+    "q15_top_supplier" -> ((s, dir) =>
+      StarSchema.topSupplier(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     // O4 conditional re-rank under oracle gating: seed true ranks, null the
     // odd-user slice, and let rankIfMissing repair — the repaired column
     // must equal the full recomputed ranking.
@@ -890,6 +926,14 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "pricing_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag ASC, g_status ASC,
+        | l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "price_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         | quantile_cont(l_quantity, 0.95) AS p95, count(*) AS n
@@ -1082,6 +1126,89 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Q8 shape: the engine's region SEMI join matches the 1:1 inner-join
+    // chain customer→nation→region here.
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         | CAST(sum(CASE WHEN ns.n_name = 'NATION_3' THEN $Revenue
+         |              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |  / CAST(sum($Revenue) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ns ON s_nationkey = ns.n_nationkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation nc ON c_nationkey = nc.n_nationkey
+         | JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         | CAST(sum($Revenue
+         |   - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q10_returned_customers" ->
+      s"""SELECT c_custkey, c_name, CAST(sum($Revenue) AS DOUBLE) AS revenue,
+         | c_acctbal, n_name
+         |FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY 1, 2, 4, 5
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        |            FROM lineitem
+        |             JOIN supplier ON l_suppkey = s_suppkey
+        |             JOIN nation ON s_nationkey = n_nationkey
+        |            WHERE n_name = 'NATION_3' GROUP BY 1),
+        | t AS (SELECT sum(value) AS total FROM pp)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM pp, t WHERE value * 1000 > total
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $Revenue
+         |                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |  / CAST(sum($Revenue) AS DOUBLE) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH ps AS (SELECT l_suppkey, sum($Revenue) AS total_rev
+         |            FROM lineitem
+         |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |              AND l_shipdate < TIMESTAMP '1996-04-01'
+         |            GROUP BY 1),
+         | m AS (SELECT max(total_rev) AS mx FROM ps)
+         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         |FROM ps CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = mx ORDER BY s_suppkey""".stripMargin,
     // rankIfMissing repairs the nulled slice with freshly computed ranks, so
     // the oracle is simply the full recomputed ranking.
     "rank_repair" ->

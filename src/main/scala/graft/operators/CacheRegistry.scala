@@ -26,10 +26,11 @@ object CacheRegistry {
   /** Live-entry cap: the shared bases a session works with (quality rank,
     * shingle frames, SetJoin's tokenization + sorted-doc arrays for both
     * the recompute and stored paths, the lexical token explode, the
-    * similarity base) — counted at ~10 distinct persistBounded sites after
-    * round 6, so the cap sits above one full working set; anything past
-    * that is churn from varied inputs, which is exactly the leak. */
-  val MaxEntries = 12
+    * similarity base, Q11/Q15's scalar-subquery aggregates) — counted at
+    * ~12 distinct persistBounded sites after round 6, so the cap sits
+    * above one full working set; anything past that is churn from varied
+    * inputs, which is exactly the leak. */
+  val MaxEntries = 14
 
   private final case class Entry(session: Object, plan: LogicalPlan, df: DataFrame)
 

@@ -101,6 +101,24 @@ object StarSchema {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE aggregation — [[pricingRollup]]'s hierarchical subtotals plus
+    * the cross subtotal (status-only) rollup cannot produce: all four
+    * grouping sets expand inside ONE hash aggregate (no union of scans).
+    * `grouping()` markers distinguish "NULL because subtotal" from a
+    * genuinely NULL group value — without them cube output is ambiguous
+    * and unordered-able; with them the sort is total and
+    * engine-independent. */
+  def pricingCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag").asc, col("g_status").asc,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact percentiles per group (beyond the reference's surface): Spark's
     * `percentile` and DuckDB's `quantile_cont` share the standard
     * linear-interpolation definition, so results match bit-for-bit. At
@@ -462,6 +480,263 @@ object StarSchema {
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(k)
+  }
+
+  /** TPC-H Q8 shape: national market share — of one region's customers'
+    * spending on one part type, the fraction supplied by one nation, by
+    * order year. Q8's CASE-inside-sum survives verbatim: the nation
+    * revenue and the total ride the SAME hash aggregate as two exact
+    * DECIMAL accumulators, and only the final share is a double divide
+    * (IEEE-deterministic on exact inputs). Scale shape: the part-type
+    * filter broadcasts into the fact scan (joining the smallest edge
+    * FIRST shrinks every later shuffle to the type's ~1/6 slice); the
+    * supplier⋈nation name lookup broadcasts the tiny nation side into
+    * supplier, and the supplier edge itself is AQE-planned (supplier is
+    * fact-sized at TPC-H scale — never force-broadcast); the
+    * region-membership test on the customer side is a broadcast SEMI
+    * join (only membership matters, no customer columns survive); the
+    * two fact⋈fact edges (orders, customer) shuffle on their keys. */
+  def marketShare(part: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+                  region: DataFrame,
+                  regionName: String = "ASIA", targetNation: String = "NATION_3",
+                  partType: String = "PROMO",
+                  start: String = "1996-01-01", end: String = "1998-01-01"): DataFrame = {
+    val regionKeys = broadcast(nation
+      .join(broadcast(region.filter(col("r_name") === regionName).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey"))
+    val supp = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(part.filter(col("p_type") === partType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit(start).cast("timestamp") &&
+            col("o_orderdate") < lit(end).cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey")
+          .join(regionKeys, col("c_nationkey") === col("n_nationkey"), "left_semi"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === targetNation, rev).otherwise(dec(lit(0))))
+          .cast("double") /
+          sum(rev).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape adapted (no partsupp — `p_retailprice · quantity`
+    * stands in for the supply cost): per-(supplier-nation, order-year)
+    * profit on parts whose name matches a pattern. The profit expression
+    * is exact end-to-end: DECIMAL revenue minus a DECIMAL(18,2)×(18,2)
+    * product (widened by Spark and DuckDB to the same exact type), cast
+    * to double only at the output. Scale shape: the name-pattern part
+    * slice broadcasts into the fact scan FIRST (every later edge moves
+    * only matching rows); supplier⋈nation broadcasts nation and leaves
+    * the supplier edge to AQE; lineitem⋈orders shuffles on orderkey —
+    * the one unavoidable fact⋈fact edge, carrying just (orderkey,
+    * orderdate). */
+  def productTypeProfit(part: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        namePattern: String = "%widget%"): DataFrame = {
+    val supp = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = revenue(col("l_extendedprice"), col("l_discount")) -
+      dec(col("p_retailprice")) * dec(col("l_quantity"))
+    lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape: returned-item reporting — the top-k customers by
+    * revenue lost to returns in one quarter. Aggregation BEFORE detail:
+    * the per-customer revenue sum is computed over just (custkey,
+    * revenue) — ONE fact shuffle carrying two columns — and only then
+    * joined to customer attributes and the broadcast nation name, so the
+    * wide customer row never rides the fact shuffle. Scale shape: date
+    * window prunes orders, the returnflag filter prunes lineitem at the
+    * scan, orders⋈lineitem is the AQE-planned fact⋈fact edge, and the
+    * survivors⋈customer join moves |filtered customers| rows;
+    * sort+limit plans as TakeOrderedAndProject. */
+  def returnedItemCustomers(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame, nation: DataFrame,
+                            start: String = "1996-04-01", end: String = "1996-07-01",
+                            k: Int = 20): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderdate") >= lit(start).cast("timestamp") &&
+        col("o_orderdate") < lit(end).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(lineitem.filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+    perCust
+      .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q11 shape adapted (no partsupp — shipped value
+    * `sum(l_extendedprice)` by one nation's suppliers stands in for
+    * stock value): parts whose value exceeds `1/fractionDen` of the
+    * nation's total. Q11's scalar subquery re-runs the whole
+    * group-by under a sum; here the per-part aggregate is computed ONCE
+    * (bounded [[CacheRegistry]] persist — it is dimension-sized), and
+    * the total is a 1-row re-aggregate of those cached rows
+    * broadcast-cross-joined into the filter. The share compare is exact
+    * integer-scaled DECIMAL (`value · fractionDen > total`) — no double
+    * boundary. Scale shape: the nation's supplier keys broadcast-SEMI
+    * into the fact scan (~1/|nations| of rows survive), one fact shuffle
+    * on partkey, and everything after operates on |parts| rows. */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+                     nationName: String = "NATION_3",
+                     fractionDen: Long = 1000L): DataFrame = {
+    val supp = broadcast(supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey"))
+    val perPart = CacheRegistry.persistBounded(
+      lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("value")))
+    val total = broadcast(perPart.agg(sum(col("value")).as("total")))
+    perPart
+      .crossJoin(total)
+      .filter(col("value") * lit(fractionDen) > col("total"))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  /** TPC-H Q15 shape: the top supplier — per-supplier revenue over one
+    * quarter, keeping the supplier(s) achieving the maximum. Q15's
+    * revenue VIEW is evaluated twice in the textbook form (once under
+    * max, once in the outer query); here it is computed ONCE into the
+    * bounded [[CacheRegistry]] (it is |suppliers|-sized) and the max is
+    * a 1-row re-aggregate broadcast-cross-joined back — the declarative
+    * form of the scalar subquery, with no single-partition window. The
+    * max-equality compare happens in exact DECIMAL, so ties (all kept,
+    * as Q15 specifies) are engine-independent. Scale shape: date window
+    * pruned at the fact scan, ONE fact shuffle (the suppkey aggregate),
+    * then supplier-dimension-sized work. */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  start: String = "1996-01-01", end: String = "1996-04-01"): DataFrame = {
+    val perSupp = CacheRegistry.persistBounded(
+      lineitem
+        .filter(col("l_shipdate") >= lit(start).cast("timestamp") &&
+          col("l_shipdate") < lit(end).cast("timestamp"))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .groupBy("l_suppkey")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("total_rev")))
+    val mx = broadcast(perSupp.agg(max(col("total_rev")).as("mx")))
+    perSupp
+      .crossJoin(mx)
+      .filter(col("total_rev") === col("mx"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q6 shape: the pure scan-side aggregate — a conjunction of
+    * range predicates (shipdate window, discount band, quantity cap) over
+    * ONE global sum, zero joins. Every predicate is a plain column
+    * comparison, so the whole WHERE reaches the parquet scan as
+    * PushedFilters and prunes row groups by min/max statistics — at
+    * 100 TB this is the query that reads almost nothing. The discount
+    * band compares the RAW double column (parquet float bits are
+    * identical across engines and IEEE literal parsing is standardized,
+    * so the band is engine-independent AND stays pushable — a
+    * DECIMAL-cast band would be exact too but casts don't push);
+    * the summed product is exact DECIMAL. */
+  def forecastRevenue(lineitem: DataFrame,
+                      start: String = "1996-01-01", end: String = "1997-01-01",
+                      discLo: Double = 0.05, discHi: Double = 0.07,
+                      maxQty: Int = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(start).cast("timestamp") &&
+        col("l_shipdate") < lit(end).cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q12 shape adapted (l_linestatus stands in for l_shipmode, and
+    * lateness = shipped more than `lagDays` after the order date, the
+    * fixture's established commit-date stand-in): per-status counts of
+    * late lines split by order priority — the dual conditional aggregate
+    * (CASE WHEN inside count) over one fact⋈fact equi join on orderkey
+    * with the lateness inequality as a residual. Scale shape: the date
+    * window prunes the orders scan, the join is AQE-planned on orderkey,
+    * and the conditional split costs nothing extra — both counts ride the
+    * same 2-group hash aggregate. */
+  def latePriorityModes(orders: DataFrame, lineitem: DataFrame,
+                        start: String = "1996-01-01", end: String = "1997-01-01",
+                        lagDays: Int = 60): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(start).cast("timestamp") &&
+        col("o_orderdate") < lit(end).cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(lineitem.select("l_orderkey", "l_linestatus", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lagDays DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** TPC-H Q14 shape: promotion-revenue share — 100 · promo revenue /
+    * total revenue over one shipdate month. Both sums are exact DECIMAL
+    * accumulated in the SAME hash aggregate (the CASE puts promo rows in
+    * one accumulator without a second scan or join); only the final
+    * ratio is a double divide of two exact values, which IEEE 754 makes
+    * engine-independent. Scale shape: date window pruned at the fact
+    * scan, part joined broadcast (3 columns), zero extra shuffles —
+    * the aggregate is global, so the map-side partial collapses
+    * everything to one row per task. */
+  def promoRevenueShare(part: DataFrame, lineitem: DataFrame,
+                        start: String = "1996-09-01", end: String = "1996-10-01"): DataFrame = {
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(start).cast("timestamp") &&
+        col("l_shipdate") < lit(end).cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0)))).cast("double") /
+          sum(rev).cast("double")).as("promo_revenue"))
   }
 
   /** TPC-H Q22 shape adapted (nation keys stand in for phone country

@@ -18,8 +18,11 @@ class PlanAuditSpec extends SparkSpec {
     *    is the small query set; the LSH/IVF siblings are the scale path.
     *  - ann_ivf: nlist-row centroid broadcast for the argmin assignment.
     *  - bm25_topk / quality_gate_adaptive / tfidf_top_terms /
-    *    q22_dormant_customers: crossJoin against a BROADCAST 1-row
-    *    stats/threshold/corpus-count frame (Q22's scalar subquery).
+    *    q22_dormant_customers / q11_important_parts: crossJoin against a
+    *    BROADCAST 1-row stats/threshold/total frame (the Q22/Q11 scalar
+    *    subquery). q15_top_supplier is deliberately absent: its
+    *    cross+filter is an EQUALITY (total_rev = mx), which Catalyst
+    *    rewrites into a broadcast hash join.
     * Anything NOT in this set that plans a nested loop is a regression. */
   private val intentionalBnlj: Set[String] = Set(
     "gain_1d", "gain_7d", "gain_alltime", "onlinetime_7d",
@@ -27,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf", "ann_ivf_stored",
     "bm25_topk", "bm25_postings", "quality_gate_adaptive", "tfidf_top_terms",
     "rank_repair", "hll_distinct_events", "null_hll_distinct",
-    "bloom_prefilter_join", "bloom_shuffle_join", "q22_dormant_customers")
+    "bloom_prefilter_join", "bloom_shuffle_join", "q22_dormant_customers",
+    "q11_important_parts")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
@@ -90,6 +94,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas("q18_large_orders").exists(
       _.endsWith("struct<l_orderkey:bigint,l_quantity:double>")),
       "q18 lineitem scan must prune to (l_orderkey, l_quantity)")
+    // Q10's fact shuffle carries only the keys + the two revenue inputs
+    assert(schemas("q10_returned_customers").exists(
+      _.endsWith("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double,l_returnflag:string>")),
+      "q10 lineitem scan must prune to (l_orderkey, l_extendedprice, l_discount, l_returnflag)")
+    // Q12 reads only the join key, the group column, and the lateness date
+    assert(schemas("q12_late_priority").exists(
+      _.endsWith("struct<l_orderkey:bigint,l_linestatus:string,l_shipdate:timestamp_ntz>")),
+      "q12 lineitem scan must prune to (l_orderkey, l_linestatus, l_shipdate)")
+  }
+
+  test("q6's entire predicate reaches the fact scan; q11/q15 compute their fact aggregate once") {
+    GraftFunctions.installOptimizations(spark)
+    // Q6 is THE pushdown query — zero joins, one aggregate; every
+    // predicate is a plain column comparison precisely so all of them
+    // land in PushedFilters and prune row groups by min/max stats. (The
+    // discount band compares the raw double, not a DECIMAL cast, for
+    // this reason — a cast would keep the band out of the scan.)
+    // plan toString TRUNCATES long PushedFilters lists ("GreaterThanOrEqual(
+    // l_shipda..."), so this gate reads the formatted explain, which prints
+    // the scan details in full.
+    val q6 = SparkEntry.queries("q6_forecast_revenue")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (pushed <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24"))
+      assert(q6.contains(pushed), s"q6 must push '$pushed' to the parquet scan")
+    // Q11/Q15's scalar-subquery totals re-read the CacheRegistry-persisted
+    // per-group aggregate instead of re-scanning the fact table: the plan
+    // must show the cached relation on BOTH branches (textbook Q11/Q15
+    // evaluate their inner view twice).
+    for (q <- Seq("q11_important_parts", "q15_top_supplier")) {
+      val n = "InMemoryTableScan".r
+        .findAllIn(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString)
+        .length
+      assert(n >= 2, s"$q must read its persisted per-group aggregate on both branches (saw $n)")
+    }
   }
 
   test("q19's hand-derived quantity envelope is pushed to the fact scan") {

@@ -130,4 +130,94 @@ class StarShapesSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(got === 150.0)
   }
+
+  test("q6 discount band is inclusive at both ends, quantity cut is strict") {
+    val in = ts("1996-06-01")
+    val lineitem = Seq(
+      (in, 0.05, 10.0, 100.0),          // lower band edge → kept
+      (in, 0.07, 10.0, 100.0),          // upper band edge → kept
+      (in, 0.04, 10.0, 999.0),          // below band → dropped
+      (in, 0.08, 10.0, 999.0),          // above band → dropped
+      (in, 0.06, 24.0, 999.0),          // quantity AT the cap → dropped (strict <)
+      (in, 0.06, 23.0, 100.0),          // under the cap → kept
+      (ts("1997-01-01"), 0.06, 1.0, 999.0)) // window end is exclusive → dropped
+      .toDF("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    val got = StarSchema.forecastRevenue(lineitem).collect().head.getDouble(0)
+    // 100·0.05 + 100·0.07 + 100·0.06 = 18.0
+    assert(got === 18.0)
+  }
+
+  test("q12 counts only LATE lines and splits them by priority, not by volume") {
+    val orders = Seq(
+      (1L, ts("1996-02-01"), "1-URGENT"),
+      (2L, ts("1996-03-01"), "5-LOW"),
+      (3L, ts("1997-06-01"), "1-URGENT")) // outside the order-date window
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, "F", ts("1996-05-01")),  // late (89 days > 60) → high bucket
+      (1L, "F", ts("1996-02-15")),  // on time → counts NOWHERE
+      (2L, "F", ts("1996-06-01")),  // late → low bucket
+      (2L, "O", ts("1996-08-01")),  // late, other status → low bucket of O
+      (3L, "F", ts("1997-12-01")))  // late but order outside window → dropped
+      .toDF("l_orderkey", "l_linestatus", "l_shipdate")
+    val got = StarSchema.latePriorityModes(orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("F", 1L, 1L), ("O", 0L, 1L)))
+  }
+
+  test("q11 share threshold is strict at the exact fraction boundary") {
+    // Values 1.00 and 999.00 → total 1000.00 with fractionDen=1000:
+    // part A sits EXACTLY at value·1000 = total and must be excluded
+    // (strict >, the textbook Q11 comparison); B clears it.
+    val lineitem = Seq(
+      (1L, 1L, 1.0), (2L, 1L, 999.0),
+      (3L, 9L, 500.0)) // other-nation supplier → out of scope entirely
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supplier = Seq((1L, 3), (9L, 9)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((3, "NATION_3"), (9, "NATION_9")).toDF("n_nationkey", "n_name")
+    val got = StarSchema.importantParts(lineitem, supplier, nation)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got === Array((2L, 999.0)))
+  }
+
+  test("q15 keeps ALL suppliers tied at the exact maximum revenue") {
+    // s1 and s2 both total 200.00 in-window (via different row splits —
+    // the DECIMAL sum makes the tie exact, which a double sum could
+    // break by addition order); s3 trails; s4's revenue is out-of-window.
+    val lineitem = Seq(
+      (1L, 200.0, 0.0, ts("1996-02-01")),
+      (2L, 100.0, 0.0, ts("1996-02-01")), (2L, 100.0, 0.0, ts("1996-03-01")),
+      (3L, 199.0, 0.0, ts("1996-02-01")),
+      (4L, 999.0, 0.0, ts("1996-04-01")))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"), (4L, "s4"))
+      .toDF("s_suppkey", "s_name")
+    val got = StarSchema.topSupplier(supplier, lineitem)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got === Array((1L, "s1", 200.0), (2L, "s2", 200.0)))
+  }
+
+  test("q8 market share is 0.0 (not NULL) in years the target nation supplied nothing") {
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((3, "NATION_3", 0), (5, "NATION_5", 0), (7, "NATION_7", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, 3), (2L, 7)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((10L, 3), (11L, 5)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((100L, "PROMO"), (101L, "LARGE")).toDF("p_partkey", "p_type")
+    val orders = Seq(
+      (1000L, 1L, ts("1996-05-01")),  // ASIA customer, 1996
+      (1001L, 1L, ts("1997-05-01")),  // ASIA customer, 1997
+      (1002L, 2L, ts("1996-06-01")))  // EUROPE customer → out of scope
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (1000L, 100L, 10L, 100.0, 0.0), // 1996, target nation supplies all
+      (1000L, 101L, 11L, 999.0, 0.0), // non-PROMO part → out of scope
+      (1001L, 100L, 11L, 50.0, 0.0),  // 1997, only the OTHER nation → share 0
+      (1002L, 100L, 10L, 999.0, 0.0)) // EUROPE order → out of scope
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val got = StarSchema.marketShare(part, lineitem, orders, customer, supplier,
+        nation, region)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === Map(1996L -> 1.0, 1997L -> 0.0))
+  }
 }
