@@ -119,7 +119,13 @@ object Sketches {
     * prefixes stay NULL and drop before the shared estimator tail, so a
     * day's merged register vector is exactly the vector a from-scratch
     * sketch of the prefix would build — same estimator, same answer,
-    * oracle-provable. */
+    * oracle-provable.
+    *
+    * PRECONDITION: `dayCol`'s natural sort order must be chronological —
+    * ISO 'yyyy-MM-dd' strings, DATE, or numeric epoch days all qualify;
+    * ambiguous formats like 'M/d/yyyy' do NOT (the running max would merge
+    * a lexical, not temporal, prefix). Callers with such a column must
+    * normalize (`to_date`) before calling. */
   def hllRunningDistinct(df: DataFrame, dayCol: String, valueCol: String): DataFrame = {
     val daily = hllRegisters(df, Seq(dayCol), valueCol)
     val dense = daily.select(col(dayCol)).distinct()
@@ -248,7 +254,13 @@ object Sketches {
     * join afterwards removes false positives; the gate query shares the
     * plain join's oracle). */
   def bloomBuild(keys: DataFrame, keyCol: String,
-                 bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame =
+                 bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame = {
+    // bits must be word-aligned: a position p with p/64 ≥ bits/64 would fall
+    // off the truncated word array, element_at would return NULL, and the
+    // probe would silently drop genuinely-present keys — a false NEGATIVE,
+    // the one failure mode a Bloom filter must never have.
+    require(bits > 0 && bits % 64 == 0, s"bloom bits must be a positive multiple of 64, got $bits")
+    require(hashes > 0, s"bloom hashes must be positive, got $hashes")
     keys.select(explode(expr(bloomPositionsSql(keyCol, bits, hashes))).as("pos"))
       .select(expr("CAST(pos div 64 AS INT)").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
@@ -257,6 +269,7 @@ object Sketches {
       .select(expr(
         s"transform(sequence(0, ${bits / 64 - 1}), w -> coalesce(element_at(mp, w), CAST(0 AS BIGINT)))")
         .as("bloom_words"))
+  }
 
   /** Membership probe against the `bloom_words` column of a broadcast
     * [[bloomBuild]] row: all d bits set. False positives possible (callers
@@ -268,6 +281,11 @@ object Sketches {
   def bloomMightContain(keyCol: String,
                         bits: Int = BloomBits,
                         hashes: Int = BloomHashes): org.apache.spark.sql.Column = {
+    // Same word-alignment guard as bloomBuild — a mismatched or unaligned
+    // bits here would index past the build side's word array (NULL lookup →
+    // dropped present keys).
+    require(bits > 0 && bits % 64 == 0, s"bloom bits must be a positive multiple of 64, got $bits")
+    require(hashes > 0, s"bloom hashes must be positive, got $hashes")
     // Flat conjuncts, no higher-order lambda: the whole predicate stays in
     // whole-stage codegen, and xxhash64 is re-inlined per reference, which
     // is cheaper than one interpreted forall dispatch per row (measured on

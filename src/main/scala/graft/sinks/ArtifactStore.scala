@@ -64,23 +64,65 @@ object ArtifactStore {
     }
 
   /** Run `build(tmpRoot)` then atomically publish tmpRoot as `path` (see
-    * class doc for the protocol and its crash states). */
+    * class doc for the protocol and its crash states).
+    *
+    * Cross-PROCESS exclusion: pathLocks/built only serialize builds within
+    * one JVM, but artifact paths are shared content-addressed locations, so
+    * two processes publishing the same path could delete each other's
+    * `__build_tmp` mid-build or interleave the rename sequence. A
+    * filesystem-level lock (atomic create of `path.__lock`) serializes the
+    * whole build+publish across processes; a lock older than
+    * [[LockStaleMs]] is presumed abandoned by a crashed process and broken. */
   def publish(spark: org.apache.spark.sql.SparkSession, path: String)
              (build: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__build_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".__old")
-    heal(fs, target, tmp, old)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    build(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target) && !fs.rename(target, old))
-      throw new java.io.IOException(s"ArtifactStore: failed to move $target aside for publish")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"ArtifactStore: publish rename $tmp -> $target failed; new artifact intact at $tmp")
-    if (fs.exists(old)) fs.delete(old, true)
+    val lock = new org.apache.hadoop.fs.Path(path + ".__lock")
+    acquireLock(fs, lock)
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".__build_tmp")
+      val old = new org.apache.hadoop.fs.Path(path + ".__old")
+      heal(fs, target, tmp, old)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      build(tmp.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(target) && !fs.rename(target, old))
+        throw new java.io.IOException(s"ArtifactStore: failed to move $target aside for publish")
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"ArtifactStore: publish rename $tmp -> $target failed; new artifact intact at $tmp")
+      if (fs.exists(old)) fs.delete(old, true)
+    } finally fs.delete(lock, false)
+  }
+
+  /** A publish lock file untouched for this long is treated as abandoned
+    * (its holder crashed between acquire and the `finally` delete) and
+    * broken. Builds are minutes even at large corpus sizes; 30 min is far
+    * outside any live build's silence window. */
+  private val LockStaleMs = 30L * 60 * 1000
+
+  /** Acquire `lock` via atomic create-exclusive (`FileSystem.create` with
+    * overwrite=false — atomic on local and HDFS-style filesystems). On
+    * contention, poll until the holder releases or the lock goes stale. */
+  private def acquireLock(fs: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path): Unit = {
+    val deadline = System.currentTimeMillis() + 2 * LockStaleMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.create(lock, false).close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          try {
+            val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+            if (age > LockStaleMs) fs.delete(lock, false)
+          } catch { case _: java.io.FileNotFoundException => () } // holder just released
+          if (!acquired && System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(s"ArtifactStore: timed out waiting for publish lock $lock")
+          Thread.sleep(200)
+      }
+    }
   }
 
   /** Repair a crashed publish. The protocol orders its steps so leftover

@@ -93,6 +93,40 @@ class ArtifactStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("publish lock: released on success AND on build failure; stale lock broken; live lock waited out") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      val art = s"$root/art"
+      val f = fs(root)
+      val lock = p(s"$art.__lock")
+      // Success path releases the lock.
+      ArtifactStore.publish(spark, art)(writeV("v1"))
+      assert(!f.exists(lock), "lock must be released after a successful publish")
+      // Failure path releases the lock too (else the path deadlocks until stale).
+      intercept[RuntimeException] {
+        ArtifactStore.publish(spark, art)(_ => throw new RuntimeException("boom"))
+      }
+      assert(!f.exists(lock), "lock must be released when the build throws")
+      // A stale lock (abandoned by a crashed process) is broken, not waited on.
+      f.create(lock, false).close()
+      f.setTimes(lock, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+      ArtifactStore.publish(spark, art)(writeV("v2"))
+      assert(readV(art) === "v2", "stale lock must not block a publish")
+      assert(!f.exists(lock))
+      // A LIVE lock held by a concurrent publisher delays this publish until
+      // released — simulate the release from another thread.
+      f.create(lock, false).close()
+      val releaser = new Thread(() => { Thread.sleep(800); f.delete(lock, false) })
+      releaser.start()
+      val t0 = System.nanoTime()
+      ArtifactStore.publish(spark, art)(writeV("v3"))
+      releaser.join()
+      assert(readV(art) === "v3")
+      assert((System.nanoTime() - t0) / 1e6 >= 500,
+        "publish must have waited for the live lock's release")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("a failed BUILD leaves the current artifact fully readable") {
     val root = java.nio.file.Files.createTempDirectory("artstore").toString
     try {

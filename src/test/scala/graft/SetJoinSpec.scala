@@ -46,8 +46,11 @@ class SetJoinSpec extends SparkSpec {
     // A count(*) over Window.partitionBy(sh) puts EVERY row of one shingle
     // into ONE task — and skewed WINDOW partitions get no AQE splitting, so
     // a boilerplate shingle at corpus scale is a straggler buffering
-    // billions of rows. The CMS probe stamps df with zero shuffle; this
-    // gate keeps the window form from re-entering the plan silently.
+    // billions of rows. similarPairs instead stamps df via groupBy(sh)
+    // .count + equi-join over one persisted tokenization — a shuffle AQE
+    // can skew-split; this gate keeps the window form from re-entering the
+    // plan silently. (A zero-shuffle broadcast-CMS df estimate was measured
+    // and rejected — collision noise flattens rarest-first ordering.)
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plan = SetJoin.similarPairs(docs, 0.5).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),

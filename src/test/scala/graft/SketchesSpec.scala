@@ -145,6 +145,18 @@ class SketchesSpec extends SparkSpec {
     assert(fp < 0.02, s"false-positive rate $fp too high for 500 keys in 8192 bits")
   }
 
+  test("bloom sizing guards: unaligned bits or zero hashes are rejected up front") {
+    // bits not divisible by 64 would truncate the word array and turn the
+    // overflow positions into NULL lookups — silent FALSE NEGATIVES. The
+    // guard makes the misuse loud at build/probe construction time.
+    val keys = Seq(1L, 2L).toDF("k")
+    intercept[IllegalArgumentException](Sketches.bloomBuild(keys, "k", bits = 100))
+    intercept[IllegalArgumentException](Sketches.bloomBuild(keys, "k", bits = 0))
+    intercept[IllegalArgumentException](Sketches.bloomBuild(keys, "k", hashes = 0))
+    intercept[IllegalArgumentException](Sketches.bloomMightContain("k", bits = 100))
+    intercept[IllegalArgumentException](Sketches.bloomMightContain("k", hashes = -1))
+  }
+
   test("error stays within ~5% at 50k distinct (raw-harmonic regime)") {
     val n = 50000L
     val df = (1L to n).map(i => ("k", i)).toDF("g", "v")
