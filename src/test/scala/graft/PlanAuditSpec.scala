@@ -102,6 +102,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas("q12_late_priority").exists(
       _.endsWith("struct<l_orderkey:bigint,l_linestatus:string,l_shipdate:timestamp_ntz>")),
       "q12 lineitem scan must prune to (l_orderkey, l_linestatus, l_shipdate)")
+    // Q8's fact scan reads exactly the three join keys + the two revenue
+    // inputs — the widest shuffle in the suite's deepest join tree must
+    // carry no dead columns.
+    assert(schemas("q8_market_share").exists(
+      _.endsWith("struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>")),
+      "q8 lineitem scan must prune to (l_orderkey, l_partkey, l_suppkey, l_extendedprice, l_discount)")
+    // Q21 scans lineitem twice (the filtered late set and the all-supplier
+    // set); both must carry at most (l_orderkey, l_suppkey, l_shipdate).
+    assert(schemas("q21_waiting_suppliers").filter(_.contains("l_orderkey")).nonEmpty &&
+      schemas("q21_waiting_suppliers").filter(_.contains("l_orderkey")).forall(s =>
+        s.endsWith("struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:timestamp_ntz>") ||
+        s.endsWith("struct<l_orderkey:bigint,l_suppkey:bigint>")),
+      "q21 lineitem scans must prune to (l_orderkey, l_suppkey [, l_shipdate])")
+  }
+
+  test("q9's six-column fact scan is pruned exactly (formatted explain — toString truncates it)") {
+    // Q9's lineitem scan needs the three join keys plus quantity /
+    // extendedprice / discount; the plan's toString truncates a schema
+    // this wide ("l_extendedprice:doub..."), so the gate reads the
+    // formatted explain, which prints scan details in full.
+    GraftFunctions.installOptimizations(spark)
+    val q9 = SparkEntry.queries("q9_product_profit")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(q9.contains("struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint," +
+        "l_quantity:double,l_extendedprice:double,l_discount:double>"),
+      "q9 lineitem scan must prune to exactly its 3 join keys + 3 measures")
+    assert(!q9.contains("l_shipdate") && !q9.contains("l_returnflag"),
+      "q9 must not read lineitem columns it never uses")
   }
 
   test("q6's entire predicate reaches the fact scan; q11/q15 compute their fact aggregate once") {
