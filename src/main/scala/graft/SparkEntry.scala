@@ -447,6 +447,11 @@ object SparkEntry {
       Map("en" -> 100L, "de" -> 120L, "zh" -> 30L))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // REAL codec both directions: bytes → genuine grayscale PNG →
+    // javax.imageio decode; features come from the DECODED raster, the
+    // oracle recomputes them from the source text — lossless round trip
+    // proven cross-engine, no stub in the path.
+    "multimodal_image_roundtrip" -> ((s, dir) => Multimodal.imageRoundtrip(Tables.documents(s, dir))),
     // HyperLogLog distinct sketch vs exact — BOTH estimator branches gated:
     // per-type user counts (~150 « 1280) land in the linear-counting
     // correction, the global event_id count (10k per sf0.01) in the raw
@@ -1781,6 +1786,17 @@ object SparkEntry {
         | CAST(ascii(substr(d.text, length(d.text), 1)) AS BIGINT) AS tail_byte,
         | CAST(agg.checksum AS BIGINT) AS checksum
         |FROM documents d JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
+    // img_w/img_h come from the decoded PNG header (fixed 16-wide raster,
+    // row-major, zero-padded last row); checksum from the decoded samples.
+    "multimodal_image_roundtrip" ->
+      """WITH ch AS (SELECT doc_id, unnest([ascii(substr(text, i, 1))
+        |                                   for i in range(1, length(text) + 1)]) AS c
+        |            FROM documents),
+        | agg AS (SELECT doc_id, count(*) AS n, sum(c) % 997 AS checksum FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(16 AS INT) AS img_w,
+        | CAST(ceil(n / 16.0) AS INT) AS img_h,
+        | CAST(n AS BIGINT) AS n_bytes, CAST(checksum AS BIGINT) AS checksum
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "sample_uniform" ->
       """SELECT * FROM (
         | SELECT doc_id, lang, md5('s1' || ':' || doc_id) AS h FROM documents

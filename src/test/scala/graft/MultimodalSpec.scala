@@ -26,4 +26,50 @@ class MultimodalSpec extends SparkSpec {
     assert(a.getAs[Long]("n_bytes") === 2L)
     assert(a.getAs[String]("media_type") === "application/x-fake")
   }
+
+  /** A real image fixture: known per-pixel values, encoded by the JDK's
+    * own writer — both PNG and BMP readers ship with javax.imageio. */
+  private def fixture(w: Int, h: Int, format: String,
+                      rgb: (Int, Int) => Int): (Array[Byte], java.awt.image.BufferedImage) = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"JDK must ship a $format writer")
+    (bos.toByteArray, img)
+  }
+
+  test("REAL decode: a JDK-decoded PNG and BMP report true dims + the source raster's pixel hash") {
+    val (pngBytes, pngImg) = fixture(5, 4, "png", (x, y) => (x * 37 + y * 11) % 0xffffff)
+    val (bmpBytes, bmpImg) = fixture(3, 7, "bmp", (x, y) => (x * 101 + y * 53 + 9) % 0xffffff)
+    val docsLike = Seq((1L, pngBytes), (2L, bmpBytes), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(docsLike).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // PNG and BMP are lossless: the decoded pixel hash must equal the hash
+    // of the PRE-encode raster, computed independently of the decode path.
+    assert(out(1L).getInt(1) === 5 && out(1L).getInt(2) === 4)
+    assert(out(1L).getLong(4) === Multimodal.ImageCodec.pixelHash(pngImg))
+    assert(out(1L).getBoolean(5), "PNG payload must take the real-decode path")
+    assert(out(2L).getInt(1) === 3 && out(2L).getInt(2) === 7)
+    assert(out(2L).getLong(4) === Multimodal.ImageCodec.pixelHash(bmpImg))
+    assert(out(2L).getBoolean(5), "BMP payload must take the real-decode path")
+    // Unrecognized bytes degrade to the flagged stub features, never drop.
+    assert(!out(3L).getBoolean(5) && out(3L).getInt(1) === -1)
+    assert(out(3L).getLong(4) ===
+      "not an image".getBytes("UTF-8").foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997))
+  }
+
+  test("REAL round trip: encode→imageio-decode recovers every byte (checksum from decoded raster)") {
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"), (2L, "short")).toDF("doc_id", "text")
+    val out = Multimodal.imageRoundtrip(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 36 bytes at width 16 → 16×3 raster; 5 bytes → 16×1.
+    assert(out(1L).getInt(1) === 16 && out(1L).getInt(2) === 3 && out(1L).getLong(3) === 36L)
+    assert(out(2L).getInt(1) === 16 && out(2L).getInt(2) === 1 && out(2L).getLong(3) === 5L)
+    // The checksum is computed from the DECODED samples; lossless codec ⇒
+    // it must equal the source-byte checksum the oracle derives from text.
+    for ((id, text) <- Seq(1L -> "abcdefghijklmnopqrstuvwxyz0123456789", 2L -> "short"))
+      assert(out(id).getLong(4) ===
+        text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997))
+  }
 }
