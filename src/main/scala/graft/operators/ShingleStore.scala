@@ -55,4 +55,61 @@ object ShingleStore {
     * `Dedup.shingles(docs.filter(p))` plus the df stamp. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/shingles")
+
+  /** INCREMENTAL ingest — the append path the class doc names: shingle
+    * ONLY `newDocs` (per-row work proportional to the batch, not the
+    * corpus) and append their rows to the published table.
+    *
+    * Df stamping keeps the one property prefix filtering actually needs —
+    * CONSISTENCY (every row of a shingle carries the SAME df, so all docs
+    * sort by one global (df, sh) total order; completeness of the prefix
+    * filter holds under ANY consistent order, stale or not):
+    *  - a shingle already in the table keeps the STORED df (stale — the
+    *    appended occurrences are not counted until [[refreshDf]]);
+    *  - a brand-new shingle (only the batch has it) is stamped with its
+    *    batch-internal df, trivially consistent.
+    * Stale df can therefore change candidate COUNTS (ordering quality)
+    * but never results — the property [[refreshDf]] restores is
+    * pruning power, not correctness (spec-gated).
+    *
+    * The caller owns corpus versioning on this path: append marks the
+    * artifact's per-process build record stale
+    * ([[graft.sinks.ArtifactStore.invalidate]]), so a later `ensure`
+    * with ANY source rebuilds rather than trusting a pre-append record. */
+  def append(newDocs: DataFrame, path: String): Unit = {
+    val stored = read(newDocs.sparkSession, path)
+    // df is consistent per shingle by construction, so max == the value.
+    val storedDf = stored.groupBy("sh").agg(max(col("df")).as("df_stored"))
+    val toks = CacheRegistry.persistBounded(Dedup.shingles(newDocs))
+    val batchDf = toks.groupBy("sh").agg(count(lit(1)).as("df_batch"))
+    toks
+      .join(batchDf, Seq("sh"))
+      .join(storedDf, Seq("sh"), "left_outer")
+      .select(col("doc_id"), col("sh"),
+        coalesce(col("df_stored"), col("df_batch")).as("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/shingles")
+    graft.sinks.ArtifactStore.invalidate(path)
+  }
+
+  /** Periodic df refresh after one or more [[append]]s: recount df over
+    * the stored (doc_id, sh) rows — never re-tokenizing any document —
+    * and republish atomically. append + refreshDf ≡ a full rebuild over
+    * the union corpus (spec-gated), at the cost of one shuffle over the
+    * shingle table instead of a corpus re-shingle. */
+  def refreshDf(spark: SparkSession, path: String): Unit = {
+    graft.sinks.ArtifactStore.publish(spark, path) { tmp =>
+      // The build's write action fully materializes while the current
+      // artifact is still in place (publish renames only after the build
+      // returns), so reading the target path here is safe.
+      val rows = CacheRegistry.persistBounded(
+        read(spark, path).select("doc_id", "sh"))
+      val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      rows.join(dfreq, Seq("sh"))
+        .select("doc_id", "sh", "df")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmp/shingles")
+    }
+    graft.sinks.ArtifactStore.invalidate(path)
+  }
 }

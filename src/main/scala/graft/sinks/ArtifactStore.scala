@@ -50,6 +50,13 @@ object ArtifactStore {
       .map("%02x".format(_)).mkString
   }
 
+  /** Drop the per-process build record for `path` — called by artifact
+    * owners whose IN-PLACE maintenance (e.g. an incremental append) makes
+    * the recorded source fingerprint meaningless, so the next [[ensure]]
+    * rebuilds from whatever source it is given instead of trusting a
+    * record that predates the mutation. */
+  def invalidate(path: String): Unit = built.remove(path)
+
   /** Build the artifact at `path` via [[publish]] unless this process
     * already built it from the SAME source data. `build(source, tmpRoot)`
     * must write every table of the artifact under `tmpRoot`. */

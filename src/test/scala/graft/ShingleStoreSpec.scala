@@ -61,6 +61,66 @@ class ShingleStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  /** A second batch arriving after the initial build: overlaps fixture
+    * shingles (so stored df goes stale for them), brings brand-new
+    * shingles, and plants a near-dup PAIR ACROSS the batch boundary (7 ≈
+    * 1) that only a correct incremental path can find. */
+  private val batch = Seq(
+    (7L, "red blue green stone tree water sun moon rock"),
+    (8L, "entirely different words live in this document here today"),
+    (9L, "fresh unseen vocabulary appears only in the second batch"))
+
+  test("append + refreshDf equals a full rebuild over the union corpus") {
+    val root = java.nio.file.Files.createTempDirectory("shstore").toString
+    try {
+      writeDocs(s"$root/docsA", fixture)
+      writeDocs(s"$root/docsB", batch)
+      writeDocs(s"$root/docsAll", fixture ++ batch)
+      ShingleStore.ensure(spark.read.parquet(s"$root/docsA"), s"$root/inc")
+      ShingleStore.append(spark.read.parquet(s"$root/docsB"), s"$root/inc")
+      ShingleStore.refreshDf(spark, s"$root/inc")
+      ShingleStore.ensure(spark.read.parquet(s"$root/docsAll"), s"$root/full")
+      def rows(p: String) = ShingleStore.read(spark, p)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows(s"$root/inc") === rows(s"$root/full"),
+        "append + refreshDf must reproduce the full rebuild exactly, df included")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("stale df after append changes candidates only, never setjoin results") {
+    val root = java.nio.file.Files.createTempDirectory("shstore").toString
+    try {
+      writeDocs(s"$root/docsA", fixture)
+      writeDocs(s"$root/docsB", batch)
+      writeDocs(s"$root/docsAll", fixture ++ batch)
+      ShingleStore.ensure(spark.read.parquet(s"$root/docsA"), s"$root/inc")
+      ShingleStore.append(spark.read.parquet(s"$root/docsB"), s"$root/inc")
+      // NO refreshDf: overlapped shingles still carry the pre-append df.
+      val stale = ShingleStore.read(spark, s"$root/inc")
+      ShingleStore.ensure(spark.read.parquet(s"$root/docsAll"), s"$root/full")
+      val fresh = ShingleStore.read(spark, s"$root/full")
+      // Staleness is real: at least one shingle's stored df undercounts.
+      val undercounted = stale.as("s")
+        .join(fresh.as("f"), Seq("doc_id", "sh"))
+        .filter(col("s.df") < col("f.df")).count()
+      assert(undercounted > 0, "fixture must actually exercise a stale df")
+      // …and df rows stay CONSISTENT per shingle (one value per sh), the
+      // property prefix-filter completeness rides on.
+      assert(stale.select("sh", "df").distinct().groupBy("sh").count()
+        .filter(col("count") > 1).count() === 0,
+        "every row of one shingle must carry the same df")
+      // The exact join's RESULTS are identical under the stale order.
+      def pairs(t: org.apache.spark.sql.DataFrame) =
+        SetJoin.similarPairsFromShingles(t).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val staleRes = pairs(stale)
+      assert(staleRes === pairs(fresh),
+        "stale df may change candidate counts, never the threshold-join result")
+      assert(staleRes.exists { case (a, b, _) => a == 1L && b == 7L },
+        "the planted cross-batch near-dup pair must be found")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("ensure() skips rebuild for unchanged source, rebuilds on regenerated data") {
     val root = java.nio.file.Files.createTempDirectory("shstore").toString
     try {
