@@ -79,6 +79,12 @@ object SparkEntry {
     // CUBE + GROUPING markers: all four grouping sets in one aggregate.
     "pricing_cube" -> ((s, dir) => StarSchema.pricingCube(Tables.lineitem(s, dir))),
     "price_percentiles" -> ((s, dir) => StarSchema.pricePercentiles(Tables.lineitem(s, dir))),
+    // Deterministic KLL quantile sketch, self-certifying: within_bound
+    // verifies |trueRank(est) − sketchRank(est)| ≤ the sketch's tracked
+    // certificate B against the corpus; exact_v is the exact order
+    // statistic at ⌈q·n⌉ via distributed selection (DuckDB-replicable).
+    "kll_quantiles" -> ((s, dir) => Kll.quantileGate(
+      Tables.lineitem(s, dir), "l_extendedprice", Seq("l_orderkey", "l_linenumber"))),
     "sessionize" -> ((s, dir) => EventsAnalytics.sessionize(Tables.events(s, dir))),
     "daily_type_pivot" -> ((s, dir) =>
       EventsAnalytics.dailyTypePivot(Tables.events(s, dir),
@@ -943,6 +949,20 @@ object SparkEntry {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         | quantile_cont(l_quantity, 0.95) AS p95, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The sketch estimate is engine-internal; what the oracle pins is the
+    // exact order statistic at the same ⌈q·n⌉ target and the bound check's
+    // verdict (1 unless the certificate is violated — a broken sketch
+    // flips the hash).
+    "kll_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS value FROM lineitem),
+        | nn AS (SELECT count(*) AS n FROM v),
+        | r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+        | qq AS (SELECT unnest(CAST([0.01, 0.25, 0.5, 0.75, 0.99] AS DOUBLE[])) AS q),
+        | t AS (SELECT qq.q AS q, CAST(greatest(1, ceil(qq.q * nn.n)) AS BIGINT) AS target,
+        |        CAST(nn.n AS BIGINT) AS n FROM qq, nn)
+        |SELECT t.q AS q, r.value AS exact_v, t.n AS n,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM t JOIN r ON r.rn = t.target ORDER BY q""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events),

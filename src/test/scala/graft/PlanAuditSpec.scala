@@ -31,7 +31,11 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_topk", "bm25_postings", "quality_gate_adaptive", "tfidf_top_terms",
     "rank_repair", "hll_distinct_events", "null_hll_distinct",
     "bloom_prefilter_join", "bloom_shuffle_join", "q22_dormant_customers",
-    "q11_important_parts")
+    "q11_important_parts",
+    // kll_quantiles: the 1-row broadcast estimate frame fans out over the
+    // fact scan for the true-rank certificate check — same scalar-subquery
+    // shape as bm25_topk/quality_gate_adaptive.
+    "kll_quantiles")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
