@@ -118,6 +118,17 @@ object SparkEntry {
       graft.streaming.OnlineTimeStream.streamingDistinctUsers(Tables.events(s, dir))
         .toDF()
         .orderBy("day")),
+    // Streaming × sketch composition: the sliding-window row expansion of
+    // hopping_minutes feeding the keyed HLL register state of
+    // hll_distinct_daily — per-window distinct users, state bounded at
+    // 512 ints per open window. One batch folds everything, so the
+    // keyed-state fold must reproduce the declarative register pipeline
+    // over the same expanded rows (and the stream-slicing invariance is
+    // StreamingSpec-gated).
+    "hopping_hll_distinct" -> ((s, dir) =>
+      graft.streaming.OnlineTimeStream.hoppingDistinctUsers(Tables.events(s, dir))
+        .toDF()
+        .orderBy("wstart")),
     // The INCREMENTAL-ROLLUP primitive the sketch's merge-by-max property
     // exists for: day d's distinct-user count over every day <= d, via a
     // register-level running max — never a prefix rescan. n_exact rides
@@ -1479,6 +1490,15 @@ object SparkEntry {
     // folds must equal the declarative register aggregation.
     "hll_distinct_daily" -> hllSql("user_id",
       Some(("day", "CAST(CAST(ts AS DATE) AS VARCHAR)")), withExact = false),
+    // hopping_minutes' definitional window expansion (an event belongs to
+    // buckets b(t) and b(t)-12h) feeding hllSql's register arithmetic —
+    // the oracle for the streaming keyed-state fold run as one batch.
+    "hopping_hll_distinct" -> hllSql("user_id",
+      Some(("wstart", "strftime(wstart, '%Y-%m-%d %H:%M:%S')")),
+      withExact = false, source =
+        """(SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/43200)*43200 AS BIGINT)) AS wstart, user_id FROM events
+          | UNION ALL
+          | SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/43200)*43200 - 43200 AS BIGINT)) AS wstart, user_id FROM events)""".stripMargin),
     // Register-merge rollup: cumulative max per register across days must
     // equal a from-scratch sketch of each prefix — same estimator tail as
     // hllSql, densified (day × register) grid, NULL prefixes dropped.

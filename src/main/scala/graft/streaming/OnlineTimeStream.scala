@@ -152,6 +152,46 @@ object OnlineTimeStream {
       }
   }
 
+  final case class WinSample(wstart: String, user_id: Long)
+  final case class WinDistinct(wstart: String, n_hll: Long)
+
+  /** Hopping-window DISTINCT-user estimation — the streaming × sketch
+    * composition: [[hoppingMinutes]]'s sliding `window(ts, width, slide)`
+    * row expansion (each event → width/slide epoch-aligned windows)
+    * feeds the SAME per-key HLL register state as
+    * [[streamingDistinctUsers]]. A per-window exact distinct would be a
+    * second stateful aggregation (illegal in Structured Streaming) or
+    * per-key unbounded user sets; the register vector is 512 ints per
+    * OPEN window regardless of traffic, and the fold
+    * ([[graft.operators.Sketches.updateRegisters]] /
+    * [[graft.operators.Sketches.estimateFromRegisters]]) is the same
+    * arithmetic as the batch register pipeline
+    * ([[graft.operators.Sketches.hllDistinct]]), so any micro-batch
+    * slicing converges to exactly the batch answer (spec-gated), and the
+    * batch run of this very function is DuckDB-oracle-gated
+    * (`hopping_hll_distinct`). Works on a streaming OR batch DataFrame
+    * with (ts, user_id). */
+  def hoppingDistinctUsers(events: DataFrame,
+                           width: String = "1 day", slide: String = "12 hours"): Dataset[WinDistinct] = {
+    import events.sparkSession.implicits._
+    events
+      .select(
+        date_format(window(col("ts"), width, slide)("start"),
+          "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("user_id"))
+      .as[WinSample]
+      .groupByKey(_.wstart)
+      .mapGroupsWithState[Array[Int], WinDistinct](GroupStateTimeout.NoTimeout) {
+        (wstart: String, batch: Iterator[WinSample], state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(
+            new Array[Int](graft.operators.Sketches.HllM))
+          batch.foreach(s =>
+            graft.operators.Sketches.updateRegisters(regs, s.user_id.toString))
+          state.update(regs)
+          WinDistinct(wstart, graft.operators.Sketches.estimateFromRegisters(regs))
+      }
+  }
+
   /** Event-time SESSION windows over the sample stream — the streaming
     * form of the batch gap-sessionization
     * ([[graft.operators.EventsAnalytics.sessionize]]): activity separated

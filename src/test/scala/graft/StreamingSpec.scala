@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.OnlineTimeStream
 import graft.streaming.OnlineTimeStream.{Sample, UserMinutes}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, date_format}
+import org.apache.spark.sql.functions.{col, date_format, window}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming semantics (SURVEY.md §2.9): windowed daily accumulation and
@@ -91,6 +91,39 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(streamed === batch,
         "per-day register state folded across micro-batches must equal the batch sketch")
+    } finally q.stop()
+  }
+
+  test("hopping-window HLL state across micro-batches equals the batch register pipeline") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.hoppingDistinctUsers(input.toDF())
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hopping_hll_test").start()
+    // users straddle the 12:00 slide boundary and repeat across batches,
+    // so windows accumulate registers from BOTH micro-batches
+    val all = (1 to 80).map(i => Sample((i * 13 % 37).toLong, ts(1 + i % 2, i % 23)))
+    try {
+      input.addData(all.take(37): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(37): _*)
+      q.processAllAvailable()
+      // registers only grow → per-window estimates are non-decreasing;
+      // the last emission per window is the final state's
+      val streamed = spark.table("hopping_hll_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+        .map { case (w, rows) => w -> rows.map(_._2).max }
+      // the SAME window expansion, declaratively, through the batch
+      // register aggregation — must agree exactly
+      val expanded = all.toDF("user_id", "ts").select(
+        date_format(window(col("ts"), "1 day", "12 hours")("start"),
+          "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("user_id"))
+      val batch = graft.operators.Sketches.hllDistinct(expanded, Seq("wstart"), "user_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        "per-window register state folded across micro-batches must equal the batch sketch")
     } finally q.stop()
   }
 
