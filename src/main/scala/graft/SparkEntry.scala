@@ -78,6 +78,10 @@ object SparkEntry {
     "pricing_rollup" -> ((s, dir) => StarSchema.pricingRollup(Tables.lineitem(s, dir))),
     // CUBE + GROUPING markers: all four grouping sets in one aggregate.
     "pricing_cube" -> ((s, dir) => StarSchema.pricingCube(Tables.lineitem(s, dir))),
+    // Mixed GROUPING SETS list ((flag,status),(flag),(status)) — margins
+    // without the grand total; inexpressible as one cube or rollup.
+    "pricing_grouping_sets" -> ((s, dir) =>
+      StarSchema.pricingGroupingSets(Tables.lineitem(s, dir))),
     "price_percentiles" -> ((s, dir) => StarSchema.pricePercentiles(Tables.lineitem(s, dir))),
     // Deterministic KLL quantile sketch, self-certifying: within_bound
     // verifies |trueRank(est) − sketchRank(est)| ≤ the sketch's tracked
@@ -954,6 +958,15 @@ object SparkEntry {
         | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
         | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag ASC, g_status ASC,
+        | l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "pricing_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY g_flag ASC, g_status ASC,
         | l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "price_percentiles" ->

@@ -119,6 +119,27 @@ object StarSchema {
       .orderBy(col("g_flag").asc, col("g_status").asc,
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the CUBE/ROLLUP generalization, with a set
+    * list NEITHER can express: ((flag, status), (flag), (status)) — both
+    * one-dimension margins but no grand total (cube adds (), rollup can't
+    * produce the (status) margin). Same single-hash-aggregate expansion
+    * and `grouping()` disambiguation as [[pricingCube]]; the set list is
+    * planner metadata, not extra scans, so cost is rows × |sets| inside
+    * one Expand — scale-identical to cube. */
+  def pricingGroupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag").asc, col("g_status").asc,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact percentiles per group (beyond the reference's surface): Spark's
     * `percentile` and DuckDB's `quantile_cont` share the standard
     * linear-interpolation definition, so results match bit-for-bit. At
