@@ -364,9 +364,7 @@ object SparkEntry {
     // crashed build can never leave a half-index behind. Shares bm25_topk's
     // oracle — the stored index must reproduce the recompute answer.
     "bm25_postings" -> ((s, dir) => {
-      val idx = "/tmp/graft_lexindex_" + java.security.MessageDigest
-        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+      val idx = artifactPath("lexindex", dir)
       Search.ensureLexicalIndex(Tables.documents(s, dir), idx)
       Search.bm25TopKFromIndex(s, idx, Seq("dup", "vector", "scan"))
     }),
@@ -381,9 +379,7 @@ object SparkEntry {
     // Lloyd step or corpus argmin at query time. Shares ann_ivf's oracle —
     // the stored model must reproduce the in-session answer exactly.
     "ann_ivf_stored" -> ((s, dir) => {
-      val p = "/tmp/graft_ivfindex_" + java.security.MessageDigest
-        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+      val p = artifactPath("ivfindex", dir)
       Similarity.ensureIvfIndex(Tables.embeddings(s, dir), p)
       Similarity.annIvfFromIndex(Tables.embeddings(s, dir), p)
     }),
@@ -620,11 +616,27 @@ object SparkEntry {
       |WHERE o_totalprice > 450000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Content-addressed artifact location for a testdata sf dir (one md5
+    * digest of the dir per artifact family). */
+  private def artifactPath(prefix: String, dir: String): String =
+    s"/tmp/graft_${prefix}_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
   /** Maintained shingle-table location for a testdata sf dir — content-
     * addressed per corpus dir like the lexical index's path. */
-  private def shingleStorePath(dir: String): String =
-    "/tmp/graft_shingles_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  private def shingleStorePath(dir: String): String = artifactPath("shingles", dir)
+
+  /** Build every maintained stored artifact (shingle table, lexical
+    * posting index, IVF centroid model) for `dir` if absent — the
+    * once-per-ingest cost the `*_stored` queries amortize. Bench calls
+    * this BEFORE its timed pass so one-time builds are priced as ingest,
+    * not query latency; at 100 TB these are the pipeline's materialization
+    * jobs, not part of any query. */
+  def ensureStoredArtifacts(s: SparkSession, dir: String): Unit = {
+    ShingleStore.ensure(Tables.documents(s, dir), shingleStorePath(dir))
+    Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
+    Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
+  }
 
   /** Skill-points formula (X1) over the distinct level domain derived from
     * `events`, via the codegen'd [[graft.functions.SkillPointsExpr]]. ALL

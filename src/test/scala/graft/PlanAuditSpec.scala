@@ -119,6 +119,21 @@ class PlanAuditSpec extends SparkSpec {
         s.endsWith("struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:timestamp_ntz>") ||
         s.endsWith("struct<l_orderkey:bigint,l_suppkey:bigint>")),
       "q21 lineitem scans must prune to (l_orderkey, l_suppkey [, l_shipdate])")
+    // grouping-sets expands rows, not columns: the scan stays 3-wide
+    assert(schemas("pricing_grouping_sets").exists(
+      _.endsWith("struct<l_quantity:double,l_returnflag:string,l_linestatus:string>")),
+      "pricing_grouping_sets must read exactly (l_quantity, l_returnflag, l_linestatus)")
+    // every kll_quantiles lineitem scan reads at most the value + the two
+    // shard-key columns; the rank-check scan prunes to the value ALONE
+    assert(schemas("kll_quantiles").filter(_.contains("l_")).nonEmpty &&
+      schemas("kll_quantiles").filter(_.contains("l_")).forall(s =>
+        s.endsWith("struct<l_extendedprice:double>") ||
+        s.endsWith("struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>")),
+      "kll_quantiles lineitem scans must prune to (l_extendedprice) or (l_orderkey, l_linenumber, l_extendedprice)")
+    // the hopping HLL expansion carries only (ts, user_id)
+    assert(schemas("hopping_hll_distinct").forall(s =>
+      !s.contains("props") && !s.contains("event_type") && !s.contains("value")),
+      "hopping_hll_distinct must read only (ts, user_id)")
   }
 
   test("q9's six-column fact scan is pruned exactly (formatted explain — toString truncates it)") {
