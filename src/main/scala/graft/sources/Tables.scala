@@ -27,16 +27,23 @@ object Tables {
   /** Event/sample log — stands in for the reference's daily-snapshot and
     * 5-minute online-sample time series (SURVEY.md §1.4, FIXTURES.md §A).
     *
-    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos as a raw long
-    * (legacy conf, runtime-settable) and rebuild a µs TimestampType column —
-    * the ns→µs truncation is harmless because all "latest" semantics order
-    * by the unique `event_id`, never by raw ts (SURVEY.md §1.2). */
+    * `ts` has shipped in two physical encodings: parquet TIMESTAMP(NANOS)
+    * (which Spark 4 refuses by default — PARQUET_TYPE_ILLEGAL — so we read
+    * the nanos as a raw long via the runtime-settable legacy conf and
+    * rebuild µs) and native TIMESTAMP(MICROS) without UTC adjustment (which
+    * Spark reads directly as TIMESTAMP_NTZ). This loader is the ONE place
+    * that knows about encodings: downstream operators always see a
+    * TIMESTAMP_NTZ `ts` carrying the event's UTC wall-clock. The native
+    * path stays cast-free above the scan, so column pruning AND any literal
+    * ts predicates reach the parquet reader untouched; the legacy ns→µs
+    * truncation is harmless because all "latest" semantics order by the
+    * unique `event_id`, never by raw ts (SURVEY.md §1.2). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = rd(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case _        => raw
     }
   }

@@ -107,13 +107,19 @@ class FileStreamSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft-sfstream-in").toString
     val chk = Files.createTempDirectory("graft-sfstream-chk").toString
     val store = s"${Files.createTempDirectory("graft-sfstream-store")}/table"
+    // ts is TIMESTAMP_NTZ from Tables.events (LocalDateTime in a Row);
+    // legacy fixtures surfaced TimestampType — accept both encodings.
+    def epochMs(v: Any): Long = v match {
+      case t: java.sql.Timestamp      => t.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
     val Seq(lo, hi) = events.agg(min(col("ts")), max(col("ts"))).collect()
-      .flatMap(r => Seq(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)).toSeq
+      .flatMap(r => Seq(epochMs(r.get(0)), epochMs(r.get(1)))).toSeq
     val nChunks = 6
     val span = (hi - lo) / nChunks + 1
     for (c <- 0 until nChunks) { // sequential writes => increasing mod times
       events
-        .filter(floor((col("ts").cast("double") * 1000 - lo) / span) === c)
+        .filter(floor((col("ts").cast("timestamp").cast("double") * 1000 - lo) / span) === c)
         .coalesce(1).write.parquet(s"$in/c$c")
     }
     val schema = StructType(Seq(

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas("snapshot_daily").forall(s => !s.contains("props") && !s.contains("event_type")),
       "snapshot_daily must not read the JSON props / event_type columns")
     // the gain family's broadcast date-bound subtree scans ONLY ts
-    assert(schemas("gain_1d").exists(_.endsWith("struct<ts:bigint>")),
+    // ts has shipped as both raw NANOS-long and native µs/NTZ (see
+    // Tables.events) — the gate is "ts ALONE", not its physical type
+    assert(schemas("gain_1d").exists(s =>
+      s.endsWith("struct<ts:bigint>") || s.endsWith("struct<ts:timestamp_ntz>")),
       "gain_1d's date-bound scan must prune to the ts column alone")
     // TPC-H Q1 touches 7 of lineitem's 16 columns
     assert(schemas("q1_pricing").forall(s => !s.contains("l_orderkey") && !s.contains("l_partkey")),
