@@ -337,6 +337,24 @@ object SparkEntry {
     // gates BOTH fixpoint algorithms.
     "dedup_clusters_star" -> ((s, dir) => Dedup.dedupClustersStar(Tables.documents(s, dir))),
     "ngram_jaccard_top" -> ((s, dir) => Dedup.ngramJaccardTop(Tables.documents(s, dir))),
+    // Span-granularity dedup (Lee et al. ACL 2022 re-expressed as
+    // shuffle-by-key + doc-bounded windows): the maximal cross-document
+    // duplicate token runs, and the per-document boilerplate rollup.
+    "dup_spans" -> ((s, dir) =>
+      DupSpans.spans(Tables.documents(s, dir)).orderBy("doc_id", "span_start")),
+    "dup_profile" -> ((s, dir) =>
+      DupSpans.docDupProfile(Tables.documents(s, dir)).orderBy("doc_id")),
+    // KMV/theta sketch set algebra: estimated distinct/union/intersection/
+    // Jaccard of the two source-half shingle vocabularies, with the exact
+    // answers and a 4σ accuracy certificate riding along (kll_quantiles
+    // house style). The estimator is deterministic — k smallest md5-60
+    // hashes are a pure function of the set — so DuckDB replays it
+    // bit-for-bit, k-min selection, θ, and IEEE divisions included.
+    "kmv_corpus_overlap" -> ((s, dir) => {
+      val sh = Dedup.shingles(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      Kmv.overlap(sh, substring(col("source"), 4, 10).cast("int") < 10, col("sh"), 256)
+    }),
     // Prefix-filtering set-similarity join — the EXACT threshold join
     // (complete candidates, no approximation), gated against the naive
     // all-token-pairs oracle: the pruning is proven answer-preserving.
@@ -1620,6 +1638,69 @@ object SparkEntry {
         | CASE WHEN uid_t IS NOT NULL AND uid_y IS NOT NULL THEN 'updated'
         |      WHEN uid_t IS NOT NULL THEN 'new' ELSE 'carried' END AS status
         |FROM t FULL JOIN y ON uid_t = uid_y ORDER BY user_id""".stripMargin,
+    "dup_spans" ->
+      s"""WITH $DupSpanCtes
+         |SELECT doc_id, span_start, span_end, span_grams
+         |FROM dspan ORDER BY doc_id, span_start""".stripMargin,
+    "dup_profile" ->
+      s"""WITH $DupSpanCtes,
+         | prof AS (SELECT doc_id, count(*) AS n_spans,
+         |            CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+         |            max(span_grams) AS longest_span_grams
+         |          FROM dspan GROUP BY doc_id)
+         |SELECT w.doc_id,
+         | COALESCE(n_spans, 0) AS n_spans,
+         | COALESCE(dup_tokens, 0) AS dup_tokens,
+         | COALESCE(longest_span_grams, 0) AS longest_span_grams,
+         | CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / CAST(len(w.w) AS DOUBLE) AS dup_ratio
+         |FROM dwd w LEFT JOIN prof USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    // KMV set algebra, replayed end-to-end: DuckDB rebuilds both k-min-hash
+    // sketches (row_number over the distinct 60-bit hashes), θ from the
+    // merged sketch, the sampled intersection count, and the SAME
+    // IEEE-ordered estimate arithmetic — a probabilistic estimator under a
+    // bit-exact hash gate, like the LSH/IVF indexes before it.
+    "kmv_corpus_overlap" ->
+      s"""WITH $ShinglesCte,
+         | sd AS (SELECT CAST(substr(d.source, 4, 10) AS INT) < 10 AS is_a, s.sh AS v
+         |        FROM sh s JOIN documents d USING (doc_id)),
+         | ex AS (SELECT v, max(is_a) AS in_a, max(NOT is_a) AS in_b FROM sd GROUP BY v),
+         | exagg AS (SELECT count(*) FILTER (WHERE in_a) AS exact_a,
+         |             count(*) FILTER (WHERE in_b) AS exact_b,
+         |             count(*) AS exact_union,
+         |             count(*) FILTER (WHERE in_a AND in_b) AS exact_inter FROM ex),
+         | hh AS (SELECT DISTINCT is_a, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h FROM sd),
+         | mk AS (SELECT is_a, h, row_number() OVER (PARTITION BY is_a ORDER BY h) AS rn FROM hh),
+         | ka AS (SELECT h FROM mk WHERE is_a AND rn <= 256),
+         | kb AS (SELECT h FROM mk WHERE NOT is_a AND rn <= 256),
+         | sa AS (SELECT max(h) AS hk, count(*) AS n FROM ka),
+         | sb AS (SELECT max(h) AS hk, count(*) AS n FROM kb),
+         | un AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |        FROM (SELECT h FROM ka UNION SELECT h FROM kb) q),
+         | uagg AS (SELECT count(*) AS nu FROM un),
+         | th AS (SELECT CASE WHEN (SELECT nu FROM uagg) < 256 THEN 9223372036854775807
+         |               ELSE (SELECT h FROM un WHERE rn = 256) END AS theta),
+         | cc AS (SELECT count(*) AS c FROM ka JOIN kb USING (h) CROSS JOIN th WHERE h < theta),
+         | es AS (SELECT
+         |   CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+         |        ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(sa.hk AS DOUBLE) END AS est_a,
+         |   CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+         |        ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(sb.hk AS DOUBLE) END AS est_b,
+         |   CASE WHEN uagg.nu < 256 THEN CAST(uagg.nu AS DOUBLE)
+         |        ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(th.theta AS DOUBLE) END AS est_union,
+         |   CASE WHEN uagg.nu < 256 THEN CAST(cc.c AS DOUBLE)
+         |        ELSE CAST(cc.c AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(th.theta AS DOUBLE) END AS est_inter,
+         |   CAST(cc.c AS DOUBLE) / 255.0 AS est_jaccard,
+         |   exact_a, exact_b, exact_union, exact_inter
+         |  FROM exagg, sa, sb, uagg, th, cc)
+         |SELECT est_a, est_b, est_union, est_inter, est_jaccard,
+         | exact_a, exact_b, exact_union, exact_inter,
+         | (abs(est_a - exact_a) <= (4.0 / sqrt(254.0)) * exact_a
+         |  AND abs(est_b - exact_b) <= (4.0 / sqrt(254.0)) * exact_b
+         |  AND abs(est_union - exact_union) <= (4.0 / sqrt(254.0)) * exact_union
+         |  AND abs(est_inter - exact_inter) <=
+         |    (4.0 * sqrt(est_jaccard * (1.0 - est_jaccard) / 256.0) + 0.02) * exact_union)
+         |  AS within_bound
+         |FROM es""".stripMargin,
     "ngram_jaccard_top" ->
       // The df>100 hot-shingle cap mirrors Dedup.ngramJaccardTop exactly:
       // sizes AND intersections are both over the capped shingle set.
@@ -2044,6 +2125,25 @@ object SparkEntry {
        | ${p}sh AS (SELECT DISTINCT doc_id, sh FROM ${p}sh0)""".stripMargin
 
   private val ShinglesCte = shinglesCte("documents")
+
+  /** Shared oracle CTEs for the duplicate-span family — word 5-gram
+    * occurrences WITH positions (0-based, matching posexplode), hashes
+    * shared across ≥2 docs, islands-and-gaps run assembly. Mirrors
+    * [[graft.operators.DupSpans.spans]]. */
+  private val DupSpanCtes =
+    """dwd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+      | dp AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos, w FROM dwd WHERE len(w) >= 5),
+      | dg AS (SELECT doc_id, pos,
+      |          CAST('0x' || substr(md5(w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3] || ' ' ||
+      |                                  w[pos+4] || ' ' || w[pos+5]), 1, 15) AS BIGINT) AS h
+      |        FROM dp),
+      | dsh AS (SELECT h FROM dg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      | dr AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM dg JOIN dsh USING (h)),
+      | dspan AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+      |             count(*) AS span_grams
+      |           FROM dr GROUP BY doc_id, grp)""".stripMargin
 
   /** Shared oracle CTE: 60-bit frequency-weighted SimHash per document
     * (majority vote over md5-derived word-occurrence hashes) — mirrors

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Md5Hash60.md5_hash60
+
+/** Duplicate-substring span detection — the span-granularity dedup of
+  * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+  * (ACL 2022): instead of dropping whole near-duplicate documents, find
+  * the exact token runs that are shared across documents (boilerplate,
+  * licenses, templated headers) so a pipeline can excise just those.
+  *
+  * The reference paper builds a suffix array — inherently sequential and
+  * memory-resident. The Spark-native re-expression: every word n-gram
+  * occurrence `(doc_id, pos, h)` is a row; an n-gram whose hash occurs in
+  * ≥ 2 distinct documents is "shared"; maximal runs of consecutive shared
+  * positions within a document are the duplicated spans (a run of m
+  * consecutive shared n-grams ⇔ a shared substring of m + n - 1 tokens,
+  * modulo hash collisions at 2^-60). Every step is a shuffle-by-key or a
+  * doc-bounded window:
+  *
+  *  - gram table: posexplode over the shared word split — row count =
+  *    Σ tokens, the same scale the tokenizer already touches;
+  *  - sharedness: groupBy(h) count-distinct-docs (map-side combining,
+  *    AQE-skew-splittable) + equi-join back — the SetJoin df-stamping
+  *    shape, NEVER a per-hash window;
+  *  - span assembly: the islands trick (pos − row_number) inside a window
+  *    PARTITIONED BY doc_id — state bounded by one document's length.
+  *
+  * No all-pairs comparison anywhere: cost scales with corpus tokens, not
+  * document pairs.
+  */
+object DupSpans {
+
+  /** Word-n-gram occurrences: (doc_id, pos, h) with pos 0-based over the
+    * shared [[TextAnalysis.wordsExpr]] split — positions are NOT
+    * deduplicated (spans need every occurrence, unlike [[Dedup.shingles]]). */
+  private[operators] def gramOccurrences(docs: DataFrame, n: Int): DataFrame = {
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    docs
+      .select(col("doc_id"), graft.operators.TextAnalysis.wordsExpr.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', $gram))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5_hash60(col("gram")).as("h"))
+  }
+
+  /** Maximal cross-document duplicate spans: one row per (doc_id, maximal
+    * run of consecutive positions whose n-gram appears in ≥ `minDocs`
+    * distinct documents). `span_start`/`span_end` are inclusive 0-based
+    * token indexes (`span_end` covers the last gram's final token);
+    * `span_grams` is the run length in grams. */
+  def spans(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = gramOccurrences(docs, n)
+    val shared = grams
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val hits = grams.join(shared, "h") // equi-join on the hash, shuffle-by-key
+    val island = col("pos") - row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    hits
+      .withColumn("grp", island)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("span_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_grams"))
+  }
+
+  /** Per-document duplication profile: how much of each document sits
+    * inside a cross-document duplicate span — the "what fraction of my
+    * corpus is boilerplate" rollup a dedup pipeline reports. Token count
+    * from the same split keeps the ratio internally consistent. */
+  def docDupProfile(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val perDoc = spans(docs, n, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + lit(1)).as("dup_tokens"),
+        max(col("span_grams")).as("longest_span_grams"))
+    docs
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.wordsExpr).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span_grams"), lit(0L)).as("longest_span_grams"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .as("dup_ratio"))
+  }
+}

@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
     // kll_quantiles: the 1-row broadcast estimate frame fans out over the
     // fact scan for the true-rank certificate check — same scalar-subquery
     // shape as bm25_topk/quality_gate_adaptive.
-    "kll_quantiles")
+    "kll_quantiles",
+    // kmv_corpus_overlap: three 1-row frames (two sketches + the exact
+    // certificate aggregate) cross-joined into the single output row.
+    "kmv_corpus_overlap")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
