@@ -344,6 +344,11 @@ object SparkEntry {
       DupSpans.spans(Tables.documents(s, dir)).orderBy("doc_id", "span_start")),
     "dup_profile" -> ((s, dir) =>
       DupSpans.docDupProfile(Tables.documents(s, dir)).orderBy("doc_id")),
+    // The ACT step: re-emit every document with its duplicate-span tokens
+    // excised (excise-everywhere policy; fully-boilerplate docs come back
+    // empty, not dropped). Gated on the md5 of the reassembled text.
+    "corpus_excised" -> ((s, dir) =>
+      DupSpans.excise(Tables.documents(s, dir)).orderBy("doc_id")),
     // KMV/theta sketch set algebra: estimated distinct/union/intersection/
     // Jaccard of the two source-half shingle vocabularies, with the exact
     // answers and a 4σ accuracy certificate riding along (kll_quantiles
@@ -1654,6 +1659,20 @@ object SparkEntry {
          | COALESCE(longest_span_grams, 0) AS longest_span_grams,
          | CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / CAST(len(w.w) AS DOUBLE) AS dup_ratio
          |FROM dwd w LEFT JOIN prof USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    "corpus_excised" ->
+      s"""WITH $DupSpanCtes,
+         | tok AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM dwd),
+         | tok2 AS (SELECT doc_id, pos, w[pos+1] AS tok FROM tok),
+         | keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok2 t
+         |          WHERE NOT EXISTS (SELECT 1 FROM dspan s
+         |                            WHERE s.doc_id = t.doc_id
+         |                              AND t.pos BETWEEN s.span_start AND s.span_end)),
+         | kag AS (SELECT doc_id, count(*) AS n_kept,
+         |           string_agg(tok, ' ' ORDER BY pos) AS txt
+         |         FROM keep GROUP BY doc_id)
+         |SELECT w.doc_id, COALESCE(n_kept, 0) AS n_kept,
+         | md5(COALESCE(txt, '')) AS clean_md5
+         |FROM dwd w LEFT JOIN kag USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     // KMV set algebra, replayed end-to-end: DuckDB rebuilds both k-min-hash
     // sketches (row_number over the distinct 60-bit hashes), θ from the
     // merged sketch, the sampled intersection count, and the SAME

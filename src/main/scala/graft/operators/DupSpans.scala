@@ -73,6 +73,43 @@ object DupSpans {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_grams"))
   }
 
+  /** Span excision — the ACT step after detection: re-emit each document
+    * with every token inside a cross-document duplicate span removed.
+    *
+    * Policy: excise in EVERY document (the simplest deterministic policy;
+    * a keep-one-copy policy needs a global "which doc owns this span"
+    * assignment — at scale that's a second groupBy over span hashes, same
+    * shapes, deliberately out of scope here). Documents that are 100%
+    * boilerplate come back with empty text and `n_kept = 0` rather than
+    * disappearing — dropping is a separate, explicit filter.
+    *
+    * Shape: tokens posexplode (corpus-token-scale rows), an equi-join on
+    * doc_id with the span containment as residual (per-doc span counts are
+    * bounded, so the residual fan-out is bounded), and one per-doc ordered
+    * re-assembly via sort_array(collect_list(struct(pos, token))) — group
+    * state bounded by one document's length, like the islands window. */
+  def excise(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(graft.operators.TextAnalysis.wordsExpr).as(Seq("pos", "tok")))
+    val sp = spans(docs, n, minDocs)
+      .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
+    val kept = toks.join(sp,
+      col("doc_id") === col("sp_doc") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    docs.select(col("doc_id"))
+      .join(
+        kept.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ordered")),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(size(col("ordered")), lit(0)).cast("long").as("n_kept"),
+        md5(coalesce(
+          array_join(expr("transform(ordered, x -> x.tok)"), " "),
+          lit(""))).as("clean_md5"))
+  }
+
   /** Per-document duplication profile: how much of each document sits
     * inside a cross-document duplicate span — the "what fraction of my
     * corpus is boilerplate" rollup a dedup pipeline reports. Token count

@@ -51,6 +51,32 @@ class DupSpansSpec extends SparkSpec {
     assert(p2.getDouble(4) === 12.0 / 15.0)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("excision removes exactly the span tokens, keeps order, keeps clean docs whole") {
+    val out = DupSpans.excise(docs).orderBy("doc_id").collect()
+    // doc 1: tokens 3..14 excised from 17 -> "alpha beta gamma tail one"
+    assert(out(0).getLong(1) === 5L)
+    assert(out(0).getString(2) === md5hex("alpha beta gamma tail one"))
+    // doc 2: tokens 0..11 excised from 15 -> "different ending here"
+    assert(out(1).getLong(1) === 3L)
+    assert(out(1).getString(2) === md5hex("different ending here"))
+    // doc 3: untouched, hash of its own (lowercased) text
+    assert(out(2).getLong(1) === 10L)
+    assert(out(2).getString(2) ===
+      md5hex("entirely unrelated content with no duplication at all whatsoever ok"))
+  }
+
+  test("a fully-boilerplate document comes back empty, not dropped") {
+    val pair = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val out = DupSpans.excise(pair).orderBy("doc_id").collect()
+    assert(out.length === 2, "both docs present")
+    assert(out.forall(_.getLong(1) === 0L))
+    assert(out.forall(_.getString(2) === md5hex("")))
+  }
+
   test("plan: sharedness is aggregate+join on the gram hash, never a per-hash window") {
     val plan = DupSpans.spans(docs).queryExecution.executedPlan.toString
     val windows = "Window".r.findAllIn(plan).length
