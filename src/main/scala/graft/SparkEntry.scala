@@ -492,6 +492,10 @@ object SparkEntry {
     // oracle recomputes them from the source text — lossless round trip
     // proven cross-engine, no stub in the path.
     "multimodal_image_roundtrip" -> ((s, dir) => Multimodal.imageRoundtrip(Tables.documents(s, dir))),
+    // Real WAV encode+decode through the JDK's javax.sound reader — the
+    // audio twin of the PNG round trip; 8-bit PCM losslessness makes the
+    // decoded-sample checksum oracle-checkable from the text.
+    "multimodal_audio_roundtrip" -> ((s, dir) => Multimodal.audioRoundtrip(Tables.documents(s, dir))),
     // HyperLogLog distinct sketch vs exact — BOTH estimator branches gated:
     // per-type user counts (~150 « 1280) land in the linear-counting
     // correction, the global event_id count (10k per sf0.01) in the raw
@@ -1961,6 +1965,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(16 AS INT) AS img_w,
         | CAST(ceil(n / 16.0) AS INT) AS img_h,
         | CAST(n AS BIGINT) AS n_bytes, CAST(checksum AS BIGINT) AS checksum
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // sample_rate/duration come from the decoded WAV header+stream; the
+    // checksum from decoded 8-bit PCM samples ≡ source text bytes.
+    "multimodal_audio_roundtrip" ->
+      """WITH ch AS (SELECT doc_id, unnest([ascii(substr(text, i, 1))
+        |                                   for i in range(1, length(text) + 1)]) AS c
+        |            FROM documents),
+        | agg AS (SELECT doc_id, count(*) AS n, sum(c) % 997 AS checksum FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        | CAST(checksum AS BIGINT) AS checksum
         |FROM agg ORDER BY doc_id""".stripMargin,
     "sample_uniform" ->
       """SELECT * FROM (

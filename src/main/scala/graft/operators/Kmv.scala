@@ -87,7 +87,10 @@ object Kmv {
         count_if(col("in_a") && col("in_b")).as("exact_inter"))
 
     // 1-row × 1-row broadcasts — the allowlisted scalar-frame pattern.
-    val est = a.crossJoin(b).crossJoin(exact)
+    // The sketch frames are filter+agg subtrees with no usable size
+    // stats, so an unhinted crossJoin degenerates to CartesianProduct;
+    // the explicit hints pin the BroadcastNestedLoopJoin shape.
+    val est = broadcast(a).crossJoin(broadcast(b)).crossJoin(broadcast(exact))
       .withColumn("unionk", slice(array_sort(array_union(col("akmv"), col("bkmv"))), 1, k))
       .withColumn("theta",
         when(size(col("unionk")) < k, lit(Long.MaxValue))

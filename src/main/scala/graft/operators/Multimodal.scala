@@ -110,6 +110,79 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on `javax.sound.sampled` — the JDK ships a WAV
+    * reader, so like [[ImageCodec]] this needs zero external libraries.
+    * 8-bit unsigned PCM mono is lossless: the decoded sample stream IS the
+    * source byte stream, which is what lets a real encode+decode pair be
+    * oracle-gated end to end ([[audioRoundtrip]]). */
+  object WavCodec {
+    val BatchSize = 64
+
+    /** Fixed nominal rate for [[encodePcmWav]] — 8 kHz telephony mono. */
+    val SampleRate = 8000
+
+    /** Encode raw bytes as a genuine RIFF/WAVE payload: 44-byte canonical
+      * header + the bytes as 8-bit unsigned PCM samples. */
+    def encodePcmWav(bytes: Array[Byte], sampleRate: Int = SampleRate): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + bytes.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + bytes.length)
+      bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16).putShort(1).putShort(1) // PCM, mono
+      bb.putInt(sampleRate).putInt(sampleRate) // byte rate = rate · 1 ch · 1 B
+      bb.putShort(1).putShort(8) // block align, bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(bytes.length).put(bytes)
+      bb.array()
+    }
+
+    /** Decode through the JDK's real WAV reader: format + raw sample
+      * bytes, or None if the payload isn't a recognized audio container
+      * (the caller falls back to [[FakeDecoder]]). */
+    def decode(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try Some((in.getFormat, in.readAllBytes())) finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One decoded audio row — features from the DECODED stream only. */
+  final case class AudioRow(
+      doc_id: Long, sample_rate: Long, n_samples: Long, duration_ms: Long,
+      checksum: Long)
+
+  /** Oracle-provable REAL-codec audio round trip, the WAV twin of
+    * [[imageRoundtrip]]: bytes → genuine RIFF/WAVE → decoded back through
+    * `javax.sound.sampled`, every emitted feature taken from the decoded
+    * side (rate/length from the reader, checksum over the decoded
+    * samples). Losslessness of 8-bit PCM makes the checksum equal the
+    * source bytes' [[FakeDecoder]] checksum, which DuckDB recomputes from
+    * the text — gating a real audio decode without any external codec. */
+  def audioRoundtrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    assets(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(WavCodec.BatchSize).flatMap { batch =>
+          batch.iterator.map { a =>
+            val wav = WavCodec.encodePcmWav(a.payload)
+            val (fmt, samples) = WavCodec.decode(wav).getOrElse(
+              throw new IllegalStateException(s"JDK WAV reader failed on doc ${a.doc_id}"))
+            val rate = fmt.getSampleRate.toLong
+            var sum = 0L
+            var i = 0
+            while (i < samples.length) { sum = (sum + (samples(i) & 0xff)) % 997; i += 1 }
+            AudioRow(a.doc_id, rate, samples.length.toLong,
+              samples.length.toLong * 1000L / rate, sum)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** One decoded image row. Non-image payloads take the [[FakeDecoder]]
     * fallback: dims −1, `pixel_hash` the fake checksum, `decoded` false. */
   final case class ImageFeatures(

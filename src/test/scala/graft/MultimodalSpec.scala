@@ -72,4 +72,30 @@ class MultimodalSpec extends SparkSpec {
       assert(out(id).getLong(4) ===
         text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997))
   }
+
+  test("REAL WAV codec: encode→javax.sound-decode recovers every byte, incl. 0x00/0xFF") {
+    val bytes = (Array(0x00, 0xff, 0x80, 0x7f) ++ "wave-data!".getBytes("UTF-8").map(_ & 0xff))
+      .map(_.toByte)
+    val wav = Multimodal.WavCodec.encodePcmWav(bytes)
+    val Some((fmt, samples)) = Multimodal.WavCodec.decode(wav)
+    assert(fmt.getSampleRate === 8000f)
+    assert(fmt.getSampleSizeInBits === 8)
+    assert(fmt.getChannels === 1)
+    assert(fmt.getEncoding === javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+    assert(samples.toSeq === bytes.toSeq, "8-bit PCM must be lossless")
+    // Unrecognized bytes are a None, not an exception (fallback seam).
+    assert(Multimodal.WavCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("REAL audio round trip: decoded-sample checksum equals the source-byte checksum") {
+    val docs = Seq((1L, "some audio worthy text"), (2L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.audioRoundtrip(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 8000L)
+    assert(out(1L).getLong(2) === 22L) // n_samples = byte length
+    assert(out(1L).getLong(3) === 22L * 1000L / 8000L)
+    for ((id, text) <- Seq(1L -> "some audio worthy text", 2L -> "x"))
+      assert(out(id).getLong(4) ===
+        text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997))
+  }
 }
