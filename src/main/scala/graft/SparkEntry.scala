@@ -122,6 +122,14 @@ object SparkEntry {
       graft.streaming.OnlineTimeStream.streamingDistinctUsers(Tables.events(s, dir))
         .toDF()
         .orderBy("day")),
+    // The theta-sketch sibling of hll_distinct_daily: per-day distinct
+    // users via KMV keyed state (≤ k longs per day), same insertion as
+    // the batch MinKAgg, same IEEE estimator — and unlike HLL the day
+    // sketches stay mergeable into intersection estimates.
+    "kmv_distinct_daily" -> ((s, dir) =>
+      graft.streaming.OnlineTimeStream.kmvDistinctUsers(Tables.events(s, dir))
+        .toDF()
+        .orderBy("day")),
     // Streaming × sketch composition: the sliding-window row expansion of
     // hopping_minutes feeding the keyed HLL register state of
     // hll_distinct_daily — per-window distinct users, state bounded at
@@ -1542,6 +1550,22 @@ object SparkEntry {
     // folds must equal the declarative register aggregation.
     "hll_distinct_daily" -> hllSql("user_id",
       Some(("day", "CAST(CAST(ts AS DATE) AS VARCHAR)")), withExact = false),
+    // KMV k-min selection + estimate replayed per day; the 150-user
+    // fixture keeps every day below k, so this also pins the exact-regime
+    // branch (estimate ≡ true distinct) — the ≥k regime is pinned by
+    // kmv_corpus_overlap and KmvSpec.
+    "kmv_distinct_daily" ->
+      """WITH h AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |           FROM events),
+        | mk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM h),
+        | agg AS (SELECT day, count(*) AS n,
+        |           max(CASE WHEN rn <= 256 THEN h END) AS hk FROM mk GROUP BY day)
+        |SELECT day,
+        | CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |      ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE) END
+        |   AS est_distinct
+        |FROM agg ORDER BY day""".stripMargin,
     // hopping_minutes' definitional window expansion (an event belongs to
     // buckets b(t) and b(t)-12h) feeding hllSql's register arithmetic —
     // the oracle for the streaming keyed-state fold run as one batch.

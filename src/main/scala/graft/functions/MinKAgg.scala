@@ -38,19 +38,14 @@ case class MinKAgg(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    if (buf.size < k) { buf.add(v); () }
-    else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
-  }
-
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v.asInstanceOf[Long])
+    if (v != null) MinKAgg.offer(buf, v.asInstanceOf[Long], k)
     buf
   }
 
   override def merge(buf: java.util.TreeSet[java.lang.Long], other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    other.forEach(v => offer(buf, v))
+    other.forEach(v => MinKAgg.offer(buf, v, k))
     buf
   }
 
@@ -96,4 +91,14 @@ object MinKAgg {
   def min_k_distinct(value: Column, k: Int): Column =
     GraftColumnBridge.column(
       MinKAgg(GraftColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** THE min-k insertion — one shared definition for the batch aggregate
+    * buffer and the streaming keyed state
+    * ([[graft.streaming.OnlineTimeStream.kmvDistinctUsers]]), the same
+    * shared-definition discipline as [[Md5Hash60]]: the two tiers cannot
+    * drift. No-op on duplicates and on values above the current k-th. */
+  def offer(buf: java.util.TreeSet[java.lang.Long], v: Long, k: Int): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
 }

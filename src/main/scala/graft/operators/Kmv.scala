@@ -51,6 +51,13 @@ object Kmv {
     when(size(kmv) < k, size(kmv).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(TwoPow60) / element_at(kmv, k).cast("double"))
 
+  /** Scalar twin of [[distinctEstimate]] for the streaming keyed state —
+    * IDENTICAL IEEE operation order, so the stream's per-batch estimates
+    * are bit-equal to the batch column's. */
+  def estimateScalar(sketch: java.util.TreeSet[java.lang.Long], k: Int): Double =
+    if (sketch.size < k) sketch.size.toDouble
+    else (k - 1).toDouble * TwoPow60 / sketch.last.toDouble
+
   /** Corpus-slice overlap: KMV estimates of per-side distinct counts,
     * union, intersection, and Jaccard over `value` sets keyed by the
     * boolean `sideA`, with the exact answers (one distinct + one

@@ -192,6 +192,40 @@ object OnlineTimeStream {
       }
   }
 
+  final case class DayKmvDistinct(day: String, est_distinct: Double)
+
+  /** Daily DISTINCT-user estimation via the KMV sketch in keyed streaming
+    * state — the theta-sketch sibling of [[streamingDistinctUsers]]:
+    * where HLL state is 512 registers, KMV state is the ≤ k smallest
+    * distinct [[graft.functions.Md5Hash60]] values (≤ k longs per day
+    * REGARDLESS of traffic), folded per micro-batch through the SAME
+    * insertion the batch aggregate uses ([[graft.functions.MinKAgg.offer]])
+    * and estimated with the SAME IEEE arithmetic
+    * ([[graft.operators.Kmv.estimateScalar]]) — so any micro-batch slicing
+    * converges to exactly the batch column answer, and the day sketches it
+    * leaves behind remain mergeable into union/intersection estimates
+    * ([[graft.operators.Kmv.overlap]]), which HLL state cannot do. */
+  def kmvDistinctUsers(events: DataFrame, k: Int = 256): Dataset[DayKmvDistinct] = {
+    import events.sparkSession.implicits._
+    events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .as[DaySample]
+      .groupByKey(_.day)
+      .mapGroupsWithState[Array[Long], DayKmvDistinct](GroupStateTimeout.NoTimeout) {
+        (day: String, batch: Iterator[DaySample], state: GroupState[Array[Long]]) =>
+          val buf = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(buf.add(_)))
+          batch.foreach(s => graft.functions.MinKAgg.offer(
+            buf, graft.functions.Md5Hash60.hash60(
+              s.user_id.toString.getBytes("UTF-8")), k))
+          val arr = new Array[Long](buf.size)
+          var i = 0
+          buf.forEach { v => arr(i) = v; i += 1 }
+          state.update(arr)
+          DayKmvDistinct(day, graft.operators.Kmv.estimateScalar(buf, k))
+      }
+  }
+
   /** Event-time SESSION windows over the sample stream — the streaming
     * form of the batch gap-sessionization
     * ([[graft.operators.EventsAnalytics.sessionize]]): activity separated

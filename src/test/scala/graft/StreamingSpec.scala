@@ -94,6 +94,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV state converges to exactly the batch min-k aggregate estimate") {
+    implicit val sq = spark.sqlContext
+    val k = 16 // small k so the fixture exercises the ≥k (estimating) regime
+    val input = MemoryStream[Sample]
+    val q = OnlineTimeStream.kmvDistinctUsers(input.toDF(), k)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("kmv_stream_test").start()
+    val all = (1 to 3).flatMap { b =>
+      (1 to 30).map(i => Sample((b * 1000 + i * 13 % 97).toLong, ts(1 + i % 2, i % 23)))
+    }
+    try {
+      all.grouped(25).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // the sketch only shrinks its k-th hash, so the estimate of the
+      // FINAL state is the last emission per day
+      val streamed = spark.table("kmv_stream_test").collect()
+        .zipWithIndex.map { case (r, i) => (r.getString(0), (i, r.getDouble(1))) }
+        .groupBy(_._1).map { case (d, rows) => d -> rows.maxBy(_._2._1)._2._2 }
+      // batch twin #1: the same streaming function on a batch frame
+      val batchDf = all.toDF("user_id", "ts")
+      val viaState = OnlineTimeStream.kmvDistinctUsers(batchDf, k)
+        .collect().map(r => r.day -> r.est_distinct).toMap
+      // batch twin #2: the MinKAgg column pipeline + column estimator
+      val viaAgg = graft.operators.Kmv.sketch(
+          batchDf.select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id")),
+          col("day"), col("user_id").cast("string"), k)
+        .select(col("grp"), graft.operators.Kmv.distinctEstimate(col("kmv"), k).as("est"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed === viaState, "micro-batch folds must equal the batch state run")
+      assert(streamed === viaAgg, "state path and MinKAgg column path must agree bit-for-bit")
+    } finally q.stop()
+  }
+
   test("hopping-window HLL state across micro-batches equals the batch register pipeline") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Sample]
