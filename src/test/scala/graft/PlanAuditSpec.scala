@@ -140,6 +140,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas("hopping_hll_distinct").forall(s =>
       !s.contains("props") && !s.contains("event_type") && !s.contains("value")),
       "hopping_hll_distinct must read only (ts, user_id)")
+    // the span-dedup family tokenizes (doc_id, text) and nothing else
+    for (q <- Seq("dup_spans", "dup_profile", "corpus_excised", "multimodal_audio_roundtrip"))
+      assert(schemas(q).forall(s =>
+        !s.contains("lang") && !s.contains("source") && !s.contains("n_chars")),
+        s"$q documents scans must read only (doc_id, text)")
+    // kmv's two documents subtrees: tokenization (doc_id, text) and the
+    // side flag (doc_id, source) — never lang/n_chars
+    assert(schemas("kmv_corpus_overlap").forall(s =>
+      !s.contains("lang") && !s.contains("n_chars")),
+      "kmv_corpus_overlap must not read lang/n_chars")
+    // the streaming-state KMV daily rollup carries only (ts, user_id)
+    assert(schemas("kmv_distinct_daily").forall(s =>
+      !s.contains("props") && !s.contains("event_type") && !s.contains("value")),
+      "kmv_distinct_daily must read only (ts, user_id)")
   }
 
   test("q9's six-column fact scan is pruned exactly (formatted explain — toString truncates it)") {
