@@ -54,7 +54,12 @@ object DupSpans {
     * token indexes (`span_end` covers the last gram's final token);
     * `span_grams` is the run length in grams. */
   def spans(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val grams = gramOccurrences(docs, n)
+    // The gram table feeds BOTH the sharedness aggregate and the join-back
+    // side — unpersisted, the tokenize+posexplode subtree evaluates twice.
+    // Measured at sf0.1 (interleaved A/B, 2 rounds): 1.78-1.94 s plain vs
+    // 0.78-0.79 s persisted. Bounded registry, same discipline as
+    // SetJoin's one persisted tokenization.
+    val grams = CacheRegistry.persistBounded(gramOccurrences(docs, n))
     val shared = grams
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
