@@ -190,4 +190,74 @@ class PropertiesSpec extends SparkSpec {
       assert(pairs.forall(_.getDouble(3) === 1.0))
     }
   }
+
+  test("min-k property: the aggregate equals sort-distinct-take-k for random multisets") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 400)
+      k <- Gen.chooseNum(1, 32)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L))
+    } yield (k, vs)
+    forAll(gen) { case (k, vs) =>
+      import graft.functions.MinKAgg.min_k_distinct
+      val got =
+        if (vs.isEmpty) Seq.empty[Long]
+        else vs.toDF("v").repartition(5)
+          .agg(min_k_distinct(org.apache.spark.sql.functions.col("v"), k))
+          .collect()(0).getSeq[Long](0)
+      assert(got === vs.distinct.sorted.take(k))
+    }
+  }
+
+  test("min-k property: streaming-style sequential offers equal the aggregate (shared definition)") {
+    val gen = for {
+      k <- Gen.chooseNum(1, 24)
+      chunks <- Gen.listOfN(4, Gen.listOfN(60, Gen.chooseNum(0L, 300L)))
+    } yield (k, chunks)
+    forAll(gen, n = 6) { case (k, chunks) =>
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      chunks.foreach(_.foreach(v => graft.functions.MinKAgg.offer(buf, v, k)))
+      val seq = {
+        val out = collection.mutable.ArrayBuffer[Long]()
+        buf.forEach(v => out += v.longValue())
+        out.toSeq
+      }
+      assert(seq === chunks.flatten.distinct.sorted.take(k))
+    }
+  }
+
+  test("dup-span property: spans cover exactly the positions whose gram is cross-document") {
+    // Random docs over a tiny alphabet force heavy gram sharing; the span
+    // table must reproduce the definitional per-position shared set.
+    val gen = for {
+      nd <- Gen.chooseNum(2, 5)
+      docs <- Gen.listOfN(nd, Gen.listOfN(18, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    } yield docs
+    forAll(gen, n = 6) { docTexts =>
+      val docs = docTexts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+        .toDF("doc_id", "text")
+      val spans = graft.operators.DupSpans.spans(docs, n = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - 2, r.getLong(3)))
+      // definitional recompute: per doc, 3-gram list; shared = in ≥2 docs
+      val grams = docTexts.zipWithIndex.map { case (t, i) =>
+        val w = t.split("\\s+")
+        (i + 1).toLong -> w.sliding(3).map(_.mkString(" ")).toVector
+      }
+      val byGram = grams.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      for ((id, gs) <- grams) {
+        val sharedPos = gs.zipWithIndex.collect {
+          case (g, p) if byGram(g) >= 2 => p.toLong
+        }.toSet
+        val fromSpans = spans.filter(_._1 == id)
+          .flatMap { case (_, a, bGram, _) => (a to bGram) }.toSet
+        assert(fromSpans === sharedPos, s"doc $id shared-gram positions")
+        // maximality: spans don't touch or overlap
+        val ss = spans.filter(_._1 == id).sortBy(_._2)
+        ss.sliding(2).foreach {
+          case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1, "maximal runs")
+          case _ =>
+        }
+      }
+    }
+  }
 }
