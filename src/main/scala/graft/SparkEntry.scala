@@ -483,6 +483,11 @@ object SparkEntry {
     // determinism contract for the gate. At scale, size shards to the
     // corpus instead (Packing.packDocumentsAuto / the shards knob).
     "pack_documents" -> ((s, dir) => Packing.packDocuments(Tables.documents(s, dir))),
+    // Padding-efficiency batching: global length rank (distributed) →
+    // equal-rank buckets → fixed-size batches of adjacent-length docs,
+    // with the per-batch pad-waste fraction. Exact integer bucket/batch
+    // arithmetic, DuckDB-replayed.
+    "length_batches" -> ((s, dir) => Packing.lengthBatches(Tables.documents(s, dir))),
     "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => Packing.slidingWindows(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
@@ -1422,6 +1427,20 @@ object SparkEntry {
          | shard * 1000000000 + CAST(floor(CAST(cum - tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk_id,
          | tokens
          |FROM pc ORDER BY doc_id""".stripMargin,
+    "length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS tokens
+        |           FROM documents),
+        | r AS (SELECT doc_id, tokens,
+        |         row_number() OVER (ORDER BY tokens, doc_id) AS rank,
+        |         count(*) OVER () AS total FROM t),
+        | b AS (SELECT *, ((rank - 1) * 8) // total AS bucket FROM r),
+        | c AS (SELECT *, ((rank - 1) - (bucket * total + 7) // 8) // 16 AS batch_idx FROM b)
+        |SELECT bucket, batch_idx, count(*) AS n_docs, max(tokens) AS max_tokens,
+        | CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        | CAST(count(*) * max(tokens) - sum(tokens) AS DOUBLE)
+        |   / CAST(count(*) * max(tokens) AS DOUBLE) AS padding_frac
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pack_chunk_stats" ->
       s"""WITH $PackCte,
          | asg AS (SELECT doc_id, shard,

@@ -53,6 +53,36 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Length-bucketed batch construction — the padding-efficiency batching
+    * a training data-loader runs: a batch pads every document to its
+    * longest member, so batching RANDOM lengths wastes compute on pad
+    * tokens; batching near-equal lengths doesn't. Documents are ranked
+    * globally by token count ([[RankUtils.globalRowNumber]] — range
+    * partition + broadcast offsets, never a single-partition window),
+    * split into `nBuckets` equal-rank ranges, and each bucket is cut into
+    * fixed-`batchSize` batches of adjacent-length docs. One row per batch
+    * with its padding metrics. All bucket/batch arithmetic is exact
+    * integer division of (rank, total) — deterministic, DuckDB-replayable.
+    * The 1-row total frame is the allowlisted broadcast-scalar pattern. */
+  def lengthBatches(docs: DataFrame, nBuckets: Int = 8, batchSize: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensExpr.as("tokens"))
+    val ranked = RankUtils.globalRowNumber(toks, Seq(col("tokens"), col("doc_id")), "rank")
+    val total = toks.agg(count(lit(1)).as("total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"((rank - 1) * $nBuckets) div total"))
+      .withColumn("batch_idx",
+        expr(s"((rank - 1) - (bucket * total + ${nBuckets - 1}) div $nBuckets) div $batchSize"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("tokens")).as("max_tokens"),
+        sum(col("tokens")).as("sum_tokens"))
+      .withColumn("padding_frac",
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double"))
+      .orderBy("bucket", "batch_idx")
+  }
+
   /** [[packDocuments]] with the shard count derived from the corpus size:
     * ceil(n_docs / docsPerShard), clamped to [minShards, 1 << 20]. One
     * metadata-cheap count chooses the parallelism; the result is still

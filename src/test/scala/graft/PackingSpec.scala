@@ -87,4 +87,27 @@ class PackingSpec extends SparkSpec {
     assert(shardsSeen >= 1 && shardsSeen <= expectedMax)
     assert(out.count() === n)
   }
+
+  test("length batches: equal-rank buckets, fixed batch size, exact padding fraction") {
+    import spark.implicits._
+    // 32 docs with token counts 1..32 (doc i = i tokens)
+    val docs = (1 to 32).map(i => (i.toLong, ("w " * i).trim)).toDF("doc_id", "text")
+    val out = Packing.lengthBatches(docs, nBuckets = 4, batchSize = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // 32 docs / 4 buckets = 8 per bucket, 2 batches of 4 each -> 8 batches
+    assert(out.size === 8)
+    assert(out.keySet === (for (b <- 0L to 3L; i <- 0L to 1L) yield (b, i)).toSet)
+    // bucket 0 batch 0 = token counts 1..4: max 4, sum 10, padding (16-10)/16
+    assert(out((0L, 0L)) === ((4L, 4L, 10L, 6.0 / 16.0)))
+    // bucket 3 batch 1 = token counts 29..32: max 32, sum 122
+    assert(out((3L, 1L)) === ((4L, 32L, 122L, (128.0 - 122.0) / 128.0)))
+    // adjacent-length batching: every batch spans at most batchSize ranks,
+    // so padding waste is bounded by the local length spread (here <= 3)
+    for (((_, _), (n, mx, sm, frac)) <- out) {
+      assert(n === 4L)
+      assert(mx * n - sm <= 3L * (n - 1), "batch members are adjacent lengths")
+      assert(frac === (mx * n - sm).toDouble / (mx * n).toDouble)
+    }
+  }
 }

@@ -38,7 +38,10 @@ class PlanAuditSpec extends SparkSpec {
     "kll_quantiles",
     // kmv_corpus_overlap: three 1-row frames (two sketches + the exact
     // certificate aggregate) cross-joined into the single output row.
-    "kmv_corpus_overlap")
+    "kmv_corpus_overlap",
+    // length_batches: the 1-row corpus-total frame broadcast over the
+    // ranked docs for the integer bucket arithmetic.
+    "length_batches")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
