@@ -66,6 +66,21 @@ object SparkEntry {
           col("level").cast("long").as("level"), col("value"),
           col("vocation"), col("world"))
         .orderBy("rank")),
+    // The SAME scan over LIVE ingestion: real java.net.http GETs + JSON
+    // parse per page against the in-process fixture server (zero-egress
+    // sandbox; the external API is a baseUrl config change). Shares
+    // paged_scan's oracle — the wire path must reproduce the synthetic
+    // path row-for-row.
+    "paged_scan_http" -> ((s, _) => {
+      val base = graft.sources.LeaderboardHttpFixture.ensureStarted()
+      s.read.format("graft.sources.PagedLeaderboardProvider")
+        .option("maxPages", "200").option("baseUrl", base).load()
+        .filter(col("level") >= 400)
+        .select(col("rank").cast("long").as("rank"), col("name"),
+          col("level").cast("long").as("level"), col("value"),
+          col("vocation"), col("world"))
+        .orderBy("rank")
+    }),
     // --- star-schema breadth (SURVEY §7.2 step 7) ---
     "q1_pricing" -> ((s, dir) => StarSchema.q1Pricing(Tables.lineitem(s, dir))),
     "q3_top_orders" -> ((s, dir) =>
@@ -951,15 +966,9 @@ object SparkEntry {
          |       CASE v WHEN 10 THEN 0 $fishingTailCase
          |            ELSE CAST((20 * (p11 - p10)) // (1200 * (p10 // 10)) AS BIGINT) END AS points_fishing
          |FROM p ORDER BY v""".stripMargin,
-    "paged_scan" ->
-      """SELECT CAST(rank AS BIGINT) AS rank, 'char_' || rank AS name,
-        | CAST(greatest(8, 500 - (rank - 1) // 10) AS BIGINT) AS level,
-        | CAST(10000000000 - rank * 1000 AS BIGINT) AS value,
-        | CASE rank % 5 WHEN 0 THEN 'None' WHEN 1 THEN 'Knight' WHEN 2 THEN 'Paladin'
-        |   WHEN 3 THEN 'Druid' ELSE 'Sorcerer' END AS vocation,
-        | 'W' || (rank % 8) AS world
-        |FROM generate_series(1, 10000) t(rank)
-        |WHERE greatest(8, 500 - (rank - 1) // 10) >= 400 ORDER BY rank""".stripMargin,
+    "paged_scan" -> PagedScanOracle,
+    // The wire path must reproduce the synthetic path row-for-row.
+    "paged_scan_http" -> PagedScanOracle,
     "category_union" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | count(*) AS n_events
@@ -2201,6 +2210,18 @@ object SparkEntry {
        |                                for i in range(1, len(w) - 1)]) AS sh
        |         FROM ${p}wd WHERE len(w) >= 3),
        | ${p}sh AS (SELECT DISTINCT doc_id, sh FROM ${p}sh0)""".stripMargin
+
+  /** Shared by paged_scan (synthetic reader) and paged_scan_http (live
+    * JSON-over-HTTP reader) — both must hash-match this derivation. */
+  private val PagedScanOracle =
+    """SELECT CAST(rank AS BIGINT) AS rank, 'char_' || rank AS name,
+      | CAST(greatest(8, 500 - (rank - 1) // 10) AS BIGINT) AS level,
+      | CAST(10000000000 - rank * 1000 AS BIGINT) AS value,
+      | CASE rank % 5 WHEN 0 THEN 'None' WHEN 1 THEN 'Knight' WHEN 2 THEN 'Paladin'
+      |   WHEN 3 THEN 'Druid' ELSE 'Sorcerer' END AS vocation,
+      | 'W' || (rank % 8) AS world
+      |FROM generate_series(1, 10000) t(rank)
+      |WHERE greatest(8, 500 - (rank - 1) // 10) >= 400 ORDER BY rank""".stripMargin
 
   private val ShinglesCte = shinglesCte("documents")
 

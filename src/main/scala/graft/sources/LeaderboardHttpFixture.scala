@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** In-process HTTP server standing in for the reference's live
+  * leaderboard API (/root/reference/lib/src/etl.dart:71-73 — paginated
+  * JSON over GET): a JDK `com.sun.net.httpserver.HttpServer` on an
+  * ephemeral localhost port serving `GET /highscores?page=N` as
+  * `{"page": N, "entries": [{rank, name, level, value, vocation,
+  * world}, …]}` built from the SAME deterministic generator the
+  * synthetic reader path uses — so the HTTP-backed scan shares the
+  * synthetic scan's DuckDB oracle row-for-row.
+  *
+  * This is the live-ingestion seam made executable in a zero-egress
+  * sandbox: [[PageReader]] issues real `java.net.http` GETs, real JSON
+  * crosses a real socket, and [[requests]] counts what the SERVER saw —
+  * the pruning proof (`level >= 30` must fetch 95 pages of 1000)
+  * measured on the wire, not in the client. Swapping this fixture for
+  * the external API is a `baseUrl` config change.
+  *
+  * Lifecycle: started lazily once per JVM, daemon threads, lives until
+  * process exit (like the artifact stores, it is process-shared state
+  * guarded by a lock).
+  */
+object LeaderboardHttpFixture {
+  import PagedLeaderboard._
+
+  private val requestCount = new AtomicLong(0L)
+  @volatile private var started: Option[String] = None
+
+  /** Total `/highscores` requests the server has served. */
+  def requests: Long = requestCount.get()
+
+  /** Start (once) and return the base URL, e.g. `http://127.0.0.1:41234`. */
+  def ensureStarted(): String = synchronized {
+    started.getOrElse {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/highscores", { exchange =>
+        try {
+          val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+          val page = q.split("&").collectFirst {
+            case kv if kv.startsWith("page=") => kv.drop(5).toInt
+          }.getOrElse(1)
+          requestCount.incrementAndGet()
+          val body = pageJson(page).getBytes("UTF-8")
+          exchange.getResponseHeaders.set("Content-Type", "application/json")
+          exchange.sendResponseHeaders(200, body.length.toLong)
+          exchange.getResponseBody.write(body)
+        } finally exchange.close()
+      })
+      // Small fixed pool: page partitions fetch concurrently under local[32].
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "leaderboard-fixture"); t.setDaemon(true); t
+      }))
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      started = Some(base)
+      base
+    }
+  }
+
+  /** The page payload — the generator functions serialized as JSON (all
+    * values numeric or [a-zA-Z0-9_] strings; no escaping needed). */
+  private def pageJson(page: Int): String = {
+    val sb = new StringBuilder(s"""{"page": $page, "entries": [""")
+    var i = 0
+    while (i < PageSize) {
+      val rank = (page - 1) * PageSize + i + 1
+      if (i > 0) sb.append(',')
+      sb.append(s"""{"rank": $rank, "name": "char_$rank", "level": ${levelOf(rank)}, """)
+      sb.append(s""""value": ${valueOf(rank)}, "vocation": "${vocationOf(rank)}", """)
+      sb.append(s""""world": "W${rank % 8}"}""")
+      i += 1
+    }
+    sb.append("]}").toString
+  }
+}

@@ -28,9 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * pages in parallel — the Spark-native replacement for the reference's
   * sequential 500 ms-per-page loop.
   *
-  * The page payload is a deterministic synthetic generator standing in for
-  * the HTTP call (zero-egress environment); swapping [[PageReader.entry]]
-  * for a real client changes nothing else.
+  * TWO page-payload paths share every plan-side mechanism (pushdown,
+  * pruning, partitioning):
+  *  - `baseUrl` set → LIVE ingestion: one real `java.net.http` GET + JSON
+  *    parse per page ([[PagedLeaderboard.fetchPage]]). The sandbox is
+  *    zero-egress, so specs and the oracle-gated query drive it against
+  *    the in-process [[LeaderboardHttpFixture]] server over real
+  *    localhost HTTP; pointing `baseUrl` at the external API is a config
+  *    change, not a code change.
+  *  - no `baseUrl` → the deterministic synthetic generator serves the
+  *    same rows the fixture server serializes, which is why both paths
+  *    share one DuckDB oracle.
   *
   * Usage:
   * {{{
@@ -69,6 +77,29 @@ object PagedLeaderboard {
   /** Pages "fetched" — incremented per partition read; tests assert the
     * pushdown actually pruned the fetch count. */
   val pagesFetched = new AtomicLong(0L)
+
+  /** Shared JDK HTTP client for the live-ingestion path — thread-safe,
+    * one per executor JVM. */
+  lazy val httpClient: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()
+
+  /** One REAL `GET {base}/highscores?page=N` + JSON parse (jackson, from
+    * Spark's own classpath) → the page's rows in rank order. Non-200 or
+    * malformed payloads throw — a failed fetch must fail the task loudly,
+    * not return a silently short page. */
+  def fetchPage(base: String, page: Int): IndexedSeq[(Int, String, Int, Long, String, String)] = {
+    val req = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(s"$base/highscores?page=$page")).GET().build()
+    val rsp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(rsp.statusCode() == 200, s"page $page: HTTP ${rsp.statusCode()}")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rsp.body())
+    val entries = root.get("entries")
+    require(entries != null && entries.isArray, s"page $page: no entries array")
+    (0 until entries.size).map { i =>
+      val e = entries.get(i)
+      (e.get("rank").asInt(), e.get("name").asText(), e.get("level").asInt(),
+        e.get("value").asLong(), e.get("vocation").asText(), e.get("world").asText())
+    }
+  }
 }
 
 class PagedLeaderboardProvider extends TableProvider {
@@ -82,20 +113,22 @@ class PagedLeaderboardProvider extends TableProvider {
           s"option 'maxPages' must be a positive integer, got '$raw'")
     }
     require(maxPages > 0, s"option 'maxPages' must be positive, got $maxPages")
-    new PagedLeaderboardTable(maxPages)
+    val baseUrl = Option(properties.get("baseUrl")).filter(_.nonEmpty)
+    new PagedLeaderboardTable(maxPages, baseUrl)
   }
 }
 
-class PagedLeaderboardTable(maxPages: Int) extends Table with SupportsRead {
+class PagedLeaderboardTable(maxPages: Int, baseUrl: Option[String] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"paged_leaderboard(maxPages=$maxPages)"
   override def schema(): StructType = PagedLeaderboard.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(maxPages)
+    new PagedScanBuilder(maxPages, baseUrl)
 }
 
-class PagedScanBuilder(maxPages: Int)
+class PagedScanBuilder(maxPages: Int, baseUrl: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
   private var minLevel: Option[Int] = None
   private var limit: Option[Int] = None
@@ -123,10 +156,11 @@ class PagedScanBuilder(maxPages: Int)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  override def build(): Scan = new PagedScan(maxPages, minLevel, limit)
+  override def build(): Scan = new PagedScan(maxPages, minLevel, limit, baseUrl)
 }
 
-class PagedScan(maxPages: Int, minLevel: Option[Int], limit: Option[Int])
+class PagedScan(maxPages: Int, minLevel: Option[Int], limit: Option[Int],
+                baseUrl: Option[String] = None)
     extends Scan with Batch {
   import PagedLeaderboard._
 
@@ -148,32 +182,49 @@ class PagedScan(maxPages: Int, minLevel: Option[Int], limit: Option[Int])
     (1 to pages).map(p => PagePartition(p): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory(baseUrl)
 }
 
 case class PagePartition(page: Int) extends InputPartition
 
-class PagedReaderFactory extends PartitionReaderFactory {
+class PagedReaderFactory(baseUrl: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].page)
+    new PageReader(partition.asInstanceOf[PagePartition].page, baseUrl)
 }
 
-class PageReader(page: Int) extends PartitionReader[InternalRow] {
+/** One page = one partition read. With `baseUrl` set this is LIVE
+  * ingestion: a real HTTP GET + JSON parse per page ([[PagedLeaderboard
+  * .fetchPage]]); without it, the deterministic synthetic generator
+  * serves the same rows — both paths produce identical data for the
+  * fixture server, which is what lets the HTTP path share the synthetic
+  * path's DuckDB oracle. */
+class PageReader(page: Int, baseUrl: Option[String] = None)
+    extends PartitionReader[InternalRow] {
   import PagedLeaderboard._
   private var i = -1
-  PagedLeaderboard.pagesFetched.incrementAndGet() // "one HTTP GET per page"
+  PagedLeaderboard.pagesFetched.incrementAndGet() // one (real or modeled) GET per page
 
-  override def next(): Boolean = { i += 1; i < PageSize }
+  private val fetched: Option[IndexedSeq[(Int, String, Int, Long, String, String)]] =
+    baseUrl.map(PagedLeaderboard.fetchPage(_, page))
 
-  override def get(): InternalRow = {
-    val rank = (page - 1) * PageSize + i + 1
-    InternalRow(
-      rank,
-      UTF8String.fromString(s"char_$rank"),
-      levelOf(rank),
-      valueOf(rank),
-      UTF8String.fromString(vocationOf(rank)),
-      UTF8String.fromString(s"W${rank % 8}"))
+  private def rows: Int = fetched.map(_.length).getOrElse(PageSize)
+
+  override def next(): Boolean = { i += 1; i < rows }
+
+  override def get(): InternalRow = fetched match {
+    case Some(es) =>
+      val (rank, name, level, value, voc, world) = es(i)
+      InternalRow(rank, UTF8String.fromString(name), level, value,
+        UTF8String.fromString(voc), UTF8String.fromString(world))
+    case None =>
+      val rank = (page - 1) * PageSize + i + 1
+      InternalRow(
+        rank,
+        UTF8String.fromString(s"char_$rank"),
+        levelOf(rank),
+        valueOf(rank),
+        UTF8String.fromString(vocationOf(rank)),
+        UTF8String.fromString(s"W${rank % 8}"))
   }
 
   override def close(): Unit = ()

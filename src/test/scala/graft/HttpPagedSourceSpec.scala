@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.{LeaderboardHttpFixture, PagedLeaderboard}
+import org.apache.spark.sql.functions._
+
+/** The live-ingestion path, end to end over a real socket: the DSv2
+  * source issues real `java.net.http` GETs against the in-process JSON
+  * fixture server, and the pruning claims are measured on what the
+  * SERVER saw — not inferred from the plan. */
+class HttpPagedSourceSpec extends SparkSpec {
+
+  private def read(maxPages: Int, http: Boolean) = {
+    val r = spark.read.format("graft.sources.PagedLeaderboardProvider")
+      .option("maxPages", maxPages.toString)
+    (if (http) r.option("baseUrl", LeaderboardHttpFixture.ensureStarted()) else r).load()
+  }
+
+  test("HTTP rows equal the synthetic generator rows, page for page") {
+    val viaHttp = read(40, http = true).collect().map(_.toSeq).toSet
+    val viaGen = read(40, http = false).collect().map(_.toSeq).toSet
+    assert(viaHttp.size === 40 * PagedLeaderboard.PageSize)
+    assert(viaHttp === viaGen, "wire payloads must reproduce the generator exactly")
+  }
+
+  test("filter pushdown prunes FETCHES on the wire: level >= 30 = 95 pages of 1000") {
+    val before = LeaderboardHttpFixture.requests
+    val n = read(1000, http = true).filter(col("level") >= 30).count()
+    val served = LeaderboardHttpFixture.requests - before
+    assert(n === PagedLeaderboard.lastQualifyingRank(30).toLong)
+    assert(served === 95L,
+      s"server must see only the 95 qualifying pages, saw $served")
+  }
+
+  test("limit pushdown bounds fetches: limit(60) = 2 pages") {
+    val before = LeaderboardHttpFixture.requests
+    val n = read(1000, http = true).limit(60).collect().length
+    val served = LeaderboardHttpFixture.requests - before
+    assert(n === 60)
+    assert(served === 2L, s"limit(60) must fetch 2 pages, saw $served")
+  }
+
+  test("a failing fetch fails the task loudly (non-200 -> exception, not a short page)") {
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.PagedLeaderboardProvider")
+        .option("maxPages", "1")
+        .option("baseUrl", LeaderboardHttpFixture.ensureStarted() + "/missing")
+        .load().count()
+    }
+    assert(ex.getMessage != null)
+  }
+}
