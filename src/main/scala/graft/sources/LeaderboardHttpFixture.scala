@@ -53,7 +53,15 @@ object LeaderboardHttpFixture {
       server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
         val t = new Thread(r, "leaderboard-fixture"); t.setDaemon(true); t
       }))
-      server.start()
+      // The JDK server's HTTP-Dispatcher thread inherits daemon status
+      // from the thread that calls start(). Started directly, it is
+      // NON-daemon and pins the JVM open after main returns — Verify/
+      // Bench would hang after finishing. Start from a daemon thread so
+      // every server thread is daemon and process exit stays normal.
+      val starter = new Thread(() => server.start(), "leaderboard-fixture-start")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
       started = Some(base)
       base
