@@ -1764,7 +1764,8 @@ object SparkEntry {
          |        ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(th.theta AS DOUBLE) END AS est_union,
          |   CASE WHEN uagg.nu < 256 THEN CAST(cc.c AS DOUBLE)
          |        ELSE CAST(cc.c AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(th.theta AS DOUBLE) END AS est_inter,
-         |   CAST(cc.c AS DOUBLE) / 255.0 AS est_jaccard,
+         |   CASE WHEN uagg.nu < 256 THEN CAST(cc.c AS DOUBLE) / CAST(uagg.nu AS DOUBLE)
+         |        ELSE CAST(cc.c AS DOUBLE) / 255.0 END AS est_jaccard,
          |   exact_a, exact_b, exact_union, exact_inter
          |  FROM exagg, sa, sb, uagg, th, cc)
          |SELECT est_a, est_b, est_union, est_inter, est_jaccard,

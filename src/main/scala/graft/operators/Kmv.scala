@@ -112,7 +112,14 @@ object Kmv {
       .withColumn("est_inter",
         when(size(col("unionk")) < k, col("c").cast("double"))
           .otherwise(col("c").cast("double") * lit(TwoPow60) / col("theta").cast("double")))
-      .withColumn("est_jaccard", col("c").cast("double") / lit((k - 1).toDouble))
+      // In the exact regime (union fits in k, θ = MaxValue) c IS the full
+      // intersection of the merged sketch = the exact intersection, so the
+      // Jaccard is c / |union|, not the estimator ratio c/(k-1) — two
+      // identical small sets must report 1.0, not c/(k-1).
+      .withColumn("est_jaccard",
+        when(size(col("unionk")) < k,
+          col("c").cast("double") / size(col("unionk")).cast("double"))
+          .otherwise(col("c").cast("double") / lit((k - 1).toDouble)))
 
     // 4σ + slack deterministic accuracy gates (σ_rel ≈ 1/sqrt(k-2) for
     // distinct/union; intersection: 4·sqrt(j(1-j)/k) of the union, +2%

@@ -31,22 +31,41 @@ object LeaderboardHttpFixture {
   /** Total `/highscores` requests the server has served. */
   def requests: Long = requestCount.get()
 
-  /** Start (once) and return the base URL, e.g. `http://127.0.0.1:41234`. */
+  /** Start (once) and return the base URL, e.g. `http://127.0.0.1:41234`.
+    *
+    * LOCAL-MODE ASSUMPTION: the server binds loopback in the driver JVM
+    * while the HTTP fetch happens inside [[PageReader]] on executors —
+    * reachable only because this harness runs `local[*]` (executors share
+    * the driver process). On a real cluster this fixture's URL would be
+    * unreachable from executors; a deployment points `baseUrl` at a
+    * service resolvable cluster-wide instead (the fixture exists solely to
+    * make the wire path testable with zero egress).
+    */
   def ensureStarted(): String = synchronized {
     started.getOrElse {
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/highscores", { exchange =>
         try {
+          // Count first: the wire-pruning metric must see every request the
+          // server received, including malformed ones.
+          requestCount.incrementAndGet()
           val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
           val page = q.split("&").collectFirst {
-            case kv if kv.startsWith("page=") => kv.drop(5).toInt
-          }.getOrElse(1)
-          requestCount.incrementAndGet()
-          val body = pageJson(page).getBytes("UTF-8")
-          exchange.getResponseHeaders.set("Content-Type", "application/json")
-          exchange.sendResponseHeaders(200, body.length.toLong)
-          exchange.getResponseBody.write(body)
+            case kv if kv.startsWith("page=") => kv.drop(5)
+          }.getOrElse("1")
+          page.toIntOption match {
+            case Some(p) =>
+              val body = pageJson(p).getBytes("UTF-8")
+              exchange.getResponseHeaders.set("Content-Type", "application/json")
+              exchange.sendResponseHeaders(200, body.length.toLong)
+              exchange.getResponseBody.write(body)
+            case None =>
+              val body = s"""{"error": "malformed page parameter"}""".getBytes("UTF-8")
+              exchange.getResponseHeaders.set("Content-Type", "application/json")
+              exchange.sendResponseHeaders(400, body.length.toLong)
+              exchange.getResponseBody.write(body)
+          }
         } finally exchange.close()
       })
       // Small fixed pool: page partitions fetch concurrently under local[32].

@@ -82,6 +82,11 @@ object PagedLeaderboard {
     * one per executor JVM. */
   lazy val httpClient: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()
 
+  /** Shared Jackson mapper — construction is heavyweight and the instance
+    * is thread-safe for reads, so one per executor JVM, not one per page. */
+  lazy val jsonMapper: com.fasterxml.jackson.databind.ObjectMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** One REAL `GET {base}/highscores?page=N` + JSON parse (jackson, from
     * Spark's own classpath) → the page's rows in rank order. Non-200 or
     * malformed payloads throw — a failed fetch must fail the task loudly,
@@ -91,7 +96,7 @@ object PagedLeaderboard {
       java.net.URI.create(s"$base/highscores?page=$page")).GET().build()
     val rsp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     require(rsp.statusCode() == 200, s"page $page: HTTP ${rsp.statusCode()}")
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rsp.body())
+    val root = jsonMapper.readTree(rsp.body())
     val entries = root.get("entries")
     require(entries != null && entries.isArray, s"page $page: no entries array")
     (0 until entries.size).map { i =>

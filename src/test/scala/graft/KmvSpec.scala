@@ -76,6 +76,20 @@ class KmvSpec extends SparkSpec {
         s"est_inter=${r.getAs[Double]("est_inter")}")
   }
 
+  test("exact regime: identical small sets report est_jaccard = 1.0, disjoint report 0.0") {
+    // union < k → θ = MaxValue → c is the EXACT intersection, so the
+    // Jaccard must be c/|union|, not the estimator ratio c/(k-1).
+    val same = ((1 to 10).map(i => (true, s"e-$i")) ++ (1 to 10).map(i => (false, s"e-$i")))
+      .toDF("a", "v")
+    val rSame = Kmv.overlap(same, col("a"), col("v"), 256).collect()(0)
+    assert(rSame.getAs[Double]("est_jaccard") === 1.0)
+    assert(rSame.getAs[Boolean]("within_bound"))
+    val disj = ((1 to 10).map(i => (true, s"p-$i")) ++ (1 to 10).map(i => (false, s"q-$i")))
+      .toDF("a", "v")
+    val rDisj = Kmv.overlap(disj, col("a"), col("v"), 256).collect()(0)
+    assert(rDisj.getAs[Double]("est_jaccard") === 0.0)
+  }
+
   test("md5_hash60 stays in [0, 2^60) — the estimator's uniformity domain") {
     val hs = (1 to 1000).map(i => s"probe-$i").toDF("v")
       .select(Md5Hash60.md5_hash60(col("v")).as("h"))
