@@ -372,6 +372,11 @@ object SparkEntry {
     // empty, not dropped). Gated on the md5 of the reassembled text.
     "corpus_excised" -> ((s, dir) =>
       DupSpans.excise(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Keep-one-copy policy: every duplicate span keeps its canonical
+    // (min doc_id, min span_start) occurrence corpus-wide and is excised
+    // everywhere else — content-addressed ownership via the span-text md5.
+    "corpus_excised_keepone" -> ((s, dir) =>
+      DupSpans.exciseKeepOne(Tables.documents(s, dir)).orderBy("doc_id")),
     // KMV/theta sketch set algebra: estimated distinct/union/intersection/
     // Jaccard of the two source-half shingle vocabularies, with the exact
     // answers and a 4σ accuracy certificate riding along (kll_quantiles
@@ -1721,6 +1726,30 @@ object SparkEntry {
          | tok2 AS (SELECT doc_id, pos, w[pos+1] AS tok FROM tok),
          | keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok2 t
          |          WHERE NOT EXISTS (SELECT 1 FROM dspan s
+         |                            WHERE s.doc_id = t.doc_id
+         |                              AND t.pos BETWEEN s.span_start AND s.span_end)),
+         | kag AS (SELECT doc_id, count(*) AS n_kept,
+         |           string_agg(tok, ' ' ORDER BY pos) AS txt
+         |         FROM keep GROUP BY doc_id)
+         |SELECT w.doc_id, COALESCE(n_kept, 0) AS n_kept,
+         | md5(COALESCE(txt, '')) AS clean_md5
+         |FROM dwd w LEFT JOIN kag USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    "corpus_excised_keepone" ->
+      s"""WITH $DupSpanCtes,
+         | spf AS (SELECT s.doc_id, s.span_start, s.span_end,
+         |           md5(array_to_string(list_slice(d.w, s.span_start + 1, s.span_end + 1), ' ')) AS fp
+         |         FROM dspan s JOIN dwd d USING (doc_id)),
+         | own AS (SELECT fp, min(doc_id) AS own_doc FROM spf GROUP BY fp),
+         | own2 AS (SELECT p.fp, o.own_doc, min(p.span_start) AS own_start
+         |          FROM spf p JOIN own o ON p.fp = o.fp AND p.doc_id = o.own_doc
+         |          GROUP BY 1, 2),
+         | exc AS (SELECT p.doc_id, p.span_start, p.span_end
+         |         FROM spf p JOIN own2 o USING (fp)
+         |         WHERE NOT (p.doc_id = o.own_doc AND p.span_start = o.own_start)),
+         | tok AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM dwd),
+         | tok2 AS (SELECT doc_id, pos, w[pos+1] AS tok FROM tok),
+         | keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok2 t
+         |          WHERE NOT EXISTS (SELECT 1 FROM exc s
          |                            WHERE s.doc_id = t.doc_id
          |                              AND t.pos BETWEEN s.span_start AND s.span_end)),
          | kag AS (SELECT doc_id, count(*) AS n_kept,

@@ -93,11 +93,59 @@ object DupSpans {
     * bounded, so the residual fan-out is bounded), and one per-doc ordered
     * re-assembly via sort_array(collect_list(struct(pos, token))) — group
     * state bounded by one document's length, like the islands window. */
-  def excise(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+  def excise(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame =
+    fingerprinted(exciseBySpans(docs,
+      spans(docs, n, minDocs)
+        .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))))
+
+  /** Keep-one-copy span excision — the Lee et al. policy most pipelines
+    * actually want: each duplicate span keeps ONE canonical occurrence
+    * corpus-wide and is excised everywhere else.
+    *
+    * Ownership is content-addressed: a span's fingerprint is the md5 of
+    * its token slice; the owner occurrence is the (min doc_id, then min
+    * span_start) over the fingerprint group — one more groupBy + equi-join
+    * of the shapes [[spans]] already uses, nothing pairwise. Two
+    * occurrences are "the same span" iff their maximal runs carry
+    * identical text; a shared run embedded in a LONGER maximal run
+    * elsewhere fingerprints differently and is conservatively kept —
+    * deterministic, and errs toward keeping data.
+    *
+    * Scale: the fingerprint join ships each doc's word array once per
+    * span of that doc; per-doc span counts are bounded by doc length, and
+    * the fingerprint groupBy is map-side combining on md5 keys (uniform,
+    * skew-free). */
+  def exciseKeepOne(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame =
+    fingerprinted(keepOneKeptText(docs, n, minDocs))
+
+  /** Text-level twin of [[exciseKeepOne]] (spec surface: lets tests assert
+    * "exactly one occurrence of each shared span survives" on the actual
+    * reassembled text, which the md5 output can't show). */
+  private[graft] def keepOneKeptText(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val spf = spans(docs, n, minDocs)
+      .join(docs.select(col("doc_id"), graft.operators.TextAnalysis.wordsExpr.as("w")), Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        md5(array_join(
+          slice(col("w"), (col("span_start") + 1).cast("int"),
+            (col("span_end") - col("span_start") + 1).cast("int")), " ")).as("fp"))
+    // Canonical owner per fingerprint: min (doc_id, span_start) — struct
+    // min is the two-stage min (min doc, then min start within it), which
+    // is how the DuckDB oracle states it.
+    val owner = spf.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("span_start"))).as("o"))
+      .select(col("fp"), col("o.doc_id").as("own_doc"), col("o.span_start").as("own_start"))
+    val excisable = spf.join(owner, Seq("fp"))
+      .filter(!(col("doc_id") === col("own_doc") && col("span_start") === col("own_start")))
+      .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
+    exciseBySpans(docs, excisable)
+  }
+
+  /** Shared excision tail: drop every token covered by a span row of `sp`
+    * (`sp_doc`/`span_start`/`span_end`), reassemble each document's
+    * surviving tokens in order. Returns (doc_id, n_kept, txt). */
+  private def exciseBySpans(docs: DataFrame, sp: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), posexplode(graft.operators.TextAnalysis.wordsExpr).as(Seq("pos", "tok")))
-    val sp = spans(docs, n, minDocs)
-      .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
     val kept = toks.join(sp,
       col("doc_id") === col("sp_doc") &&
         col("pos") >= col("span_start") && col("pos") <= col("span_end"),
@@ -110,10 +158,12 @@ object DupSpans {
       .select(
         col("doc_id"),
         coalesce(size(col("ordered")), lit(0)).cast("long").as("n_kept"),
-        md5(coalesce(
-          array_join(expr("transform(ordered, x -> x.tok)"), " "),
-          lit(""))).as("clean_md5"))
+        coalesce(array_join(expr("transform(ordered, x -> x.tok)"), " "), lit("")).as("txt"))
   }
+
+  /** (doc_id, n_kept, txt) → the oracle-gated (doc_id, n_kept, clean_md5). */
+  private def fingerprinted(kept: DataFrame): DataFrame =
+    kept.select(col("doc_id"), col("n_kept"), md5(col("txt")).as("clean_md5"))
 
   /** Per-document duplication profile: how much of each document sits
     * inside a cross-document duplicate span — the "what fraction of my

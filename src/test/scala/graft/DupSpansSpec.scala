@@ -77,6 +77,42 @@ class DupSpansSpec extends SparkSpec {
     assert(out.forall(_.getString(2) === md5hex("")))
   }
 
+  test("keep-one policy: the canonical owner keeps the span, every other doc loses it") {
+    val out = DupSpans.exciseKeepOne(docs).orderBy("doc_id").collect()
+    // doc 1 is the canonical owner (min doc_id over the fingerprint) — whole
+    assert(out(0).getLong(1) === 17L)
+    assert(out(0).getString(2) === md5hex(s"alpha beta gamma $boiler tail one"))
+    // doc 2 loses the span
+    assert(out(1).getLong(1) === 3L)
+    assert(out(1).getString(2) === md5hex("different ending here"))
+    // doc 3 untouched
+    assert(out(2).getString(2) ===
+      md5hex("entirely unrelated content with no duplication at all whatsoever ok"))
+  }
+
+  test("keep-one: a span repeated within the owner doc keeps only its first occurrence") {
+    val two = Seq(
+      (1L, s"$boiler xx yy zz $boiler"),
+      (2L, s"$boiler unrelated suffix tokens here")).toDF("doc_id", "text")
+    val out = DupSpans.exciseKeepOne(two).orderBy("doc_id").collect()
+    // owner occurrence = (doc 1, start 0); doc 1's second copy and doc 2's go
+    assert(out(0).getLong(1) === 15L)
+    assert(out(0).getString(2) === md5hex(s"$boiler xx yy zz"))
+    assert(out(1).getLong(1) === 4L)
+    assert(out(1).getString(2) === md5hex("unrelated suffix tokens here"))
+  }
+
+  test("keep-one corpus-wide: with N sharers the span text survives in exactly one doc") {
+    val many = (1L to 4L)
+      .map(i => (i, s"unique$i prefix$i filler$i $boiler suffix$i"))
+      .toDF("doc_id", "text")
+    val txts = DupSpans.keepOneKeptText(many, 5, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("txt")).toMap
+    assert(txts.values.count(_.contains(boiler)) === 1,
+      s"exactly one surviving occurrence expected, got: $txts")
+    assert(txts(1L).contains(boiler), "min doc_id owns the span")
+  }
+
   test("plan: sharedness is aggregate+join on the gram hash, never a per-hash window") {
     val plan = DupSpans.spans(docs).queryExecution.executedPlan.toString
     val windows = "Window".r.findAllIn(plan).length
