@@ -529,6 +529,10 @@ object SparkEntry {
     // audio twin of the PNG round trip; 8-bit PCM losslessness makes the
     // decoded-sample checksum oracle-checkable from the text.
     "multimodal_audio_roundtrip" -> ((s, dir) => Multimodal.audioRoundtrip(Tables.documents(s, dir))),
+    // TRUE frame-level decode: bytes → genuine animated GIF → frame-by-
+    // frame javax.imageio read; dims and checksums come from each decoded
+    // raster, the oracle recomputes them from the source byte windows.
+    "multimodal_gif_frames" -> ((s, dir) => Multimodal.gifFrames(Tables.documents(s, dir))),
     // HyperLogLog distinct sketch vs exact — BOTH estimator branches gated:
     // per-type user counts (~150 « 1280) land in the linear-counting
     // correction, the global event_id count (10k per sf0.01) in the raw
@@ -2060,6 +2064,19 @@ object SparkEntry {
         | CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
         | CAST(checksum AS BIGINT) AS checksum
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // Per-frame features of the decoded animated GIF ≡ fixed 64-byte
+    // windows of the source text (identity-gray palette → lossless).
+    "multimodal_gif_frames" ->
+      """WITH fr AS (SELECT doc_id, text,
+        |  unnest([i for i in range(0, (length(text) + 63) // 64)]) AS frame_idx FROM documents),
+        | sel AS (SELECT doc_id, frame_idx,
+        |  [ascii(substr(text, j, 1))
+        |   for j in range(frame_idx * 64 + 1, least(frame_idx * 64 + 64, length(text)) + 1)] AS cs
+        |  FROM fr)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(16 AS INT) AS frame_w, CAST(4 AS INT) AS frame_h,
+        | CAST(len(cs) AS BIGINT) AS n_bytes, CAST(list_sum(cs) % 997 AS BIGINT) AS checksum
+        |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
     "sample_uniform" ->
       """SELECT * FROM (
         | SELECT doc_id, lang, md5('s1' || ':' || doc_id) AS h FROM documents

@@ -87,6 +87,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("REAL GIF codec: every byte value 0..255 survives the animated encode→decode trip") {
+    val bytes = Array.tabulate(256)(_.toByte)
+    val frames = Multimodal.GifCodec.decodeFrames(Multimodal.GifCodec.encodeAnimatedGif(bytes))
+    assert(frames.length === 4, "256 bytes at 64 per frame = 4 frames")
+    assert(frames.forall(f => f.getWidth === 16 && f.getHeight === 4))
+    // Reconstruct the byte stream from the DECODED rasters: the identity
+    // gray palette must make getRGB & 0xff the original byte, exactly.
+    val recovered = frames.zipWithIndex.flatMap { case (img, fi) =>
+      (0 until 64).map(i => ((img.getRGB(i % 16, i / 16) & 0xff).toByte))
+        .slice(0, math.min(64, bytes.length - fi * 64))
+    }
+    assert(recovered.toSeq === bytes.toSeq, "lossless frame-level decode")
+  }
+
+  test("REAL GIF frames: per-frame decoded features match the source byte windows") {
+    val text = "The quick brown fox jumps over the lazy dog 0123456789 repeated once more!"
+    val docs = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")
+    val out = Multimodal.gifFrames(docs).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    val nb = text.getBytes("UTF-8").length
+    assert(d1.length === (nb + 63) / 64, "frame count from the reader")
+    d1.foreach { r =>
+      val idx = r.getLong(1).toInt
+      val chunk = text.getBytes("UTF-8").slice(idx * 64, math.min((idx + 1) * 64, nb))
+      assert(r.getInt(2) === 16 && r.getInt(3) === 4)
+      assert(r.getLong(4) === chunk.length.toLong)
+      assert(r.getLong(5) === chunk.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997))
+    }
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2(0).getLong(4) === 4L)
+  }
+
   test("REAL audio round trip: decoded-sample checksum equals the source-byte checksum") {
     val docs = Seq((1L, "some audio worthy text"), (2L, "x")).toDF("doc_id", "text")
     val out = Multimodal.audioRoundtrip(docs).collect()
