@@ -53,7 +53,9 @@ object SnapshotStore {
     * from the already-half-overwritten source, silently destroying data.
     * On HDFS/local the rename is a metadata op; on an object store this
     * step is where a table format (Iceberg/Delta snapshot commit) takes
-    * over — the temp-write-then-swap shape is the same. */
+    * over — the temp-write-then-swap shape is the same. For multi-writer
+    * safety and reader isolation during commits, use [[VersionedStore]]:
+    * manifest-as-commit-point + atomically renamed `_current` pointer. */
   def retainWhere(spark: org.apache.spark.sql.SparkSession, path: String,
                   keep: org.apache.spark.sql.Column): Unit =
     rewriteSwap(spark, path)(_.filter(keep))
