@@ -104,6 +104,11 @@ object SparkEntry {
     // statistic at ⌈q·n⌉ via distributed selection (DuckDB-replicable).
     "kll_quantiles" -> ((s, dir) => Kll.quantileGate(
       Tables.lineitem(s, dir), "l_extendedprice", Seq("l_orderkey", "l_linenumber"))),
+    // Per-group KLL: one mergeable sketch per event_type (shard sub-
+    // sketches roll up per group in fixed order), the same exact-selection
+    // oracle and data-verified rank certificate per (group, q).
+    "kll_quantiles_grouped" -> ((s, dir) => Kll.quantileGateGrouped(
+      Tables.events(s, dir), "value", "event_type", Seq("event_id"))),
     "sessionize" -> ((s, dir) => EventsAnalytics.sessionize(Tables.events(s, dir))),
     "daily_type_pivot" -> ((s, dir) =>
       EventsAnalytics.dailyTypePivot(Tables.events(s, dir),
@@ -1057,6 +1062,19 @@ object SparkEntry {
         |SELECT t.q AS q, r.value AS exact_v, t.n AS n,
         | CAST(1 AS BIGINT) AS within_bound
         |FROM t JOIN r ON r.rn = t.target ORDER BY q""".stripMargin,
+    "kll_quantiles_grouped" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value FROM events),
+        | nn AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+        | r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn FROM v),
+        | qq AS (SELECT unnest(CAST([0.01, 0.25, 0.5, 0.75, 0.99] AS DOUBLE[])) AS q),
+        | t AS (SELECT nn.event_type, qq.q AS q,
+        |        CAST(greatest(1, ceil(qq.q * nn.n)) AS BIGINT) AS target,
+        |        CAST(nn.n AS BIGINT) AS n FROM qq, nn)
+        |SELECT t.event_type, t.q AS q, r.value AS exact_v, t.n AS n,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.target
+        |ORDER BY t.event_type, q""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events),

@@ -177,6 +177,95 @@ object Kll {
       .toDF()
   }
 
+  /** Grouped build: ONE sketch per group. Shard cells are (group, shard)
+    * — each cell folds its rows deterministically exactly like [[sketch]],
+    * then every group's ≤ `shards` cell sketches merge in fixed shard
+    * order. This exercises mergeability the way a production pipeline
+    * does: per-shard sub-sketches roll up into per-group sketches without
+    * revisiting data, and the same merge would roll groups into a corpus
+    * sketch. mapGroups buffers only a group's cell sketches (≤ shards ·
+    * sketch size), never its rows. */
+  def sketchGrouped(df: DataFrame, valueCol: String, groupCol: String,
+                    keyCols: Seq[String], k: Int = DefaultK,
+                    shards: Int = DefaultShards): org.apache.spark.sql.Dataset[(String, State)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+      col(groupCol).cast("string").as("grp"),
+      col(valueCol).cast("double").as("value"),
+      graft.functions.Md5Hash60.md5_hash60(
+        concat_ws(":", keyCols.map(col): _*)).as("__h"))
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+    val perCell = keyed
+      .repartition(col("grp"), col("__shard"))
+      .sortWithinPartitions(col("grp"), col("__shard"), col("__h"), col("value"))
+      .select("grp", "__shard", "value")
+      .as[(String, Int, Double)]
+      .mapPartitions { it =>
+        val states = scala.collection.mutable.ArrayBuffer.empty[(String, State)]
+        var curG: String = null
+        var curS = -1
+        var b: Builder = null
+        it.foreach { case (g, shard, v) =>
+          if (g != curG || shard != curS) {
+            if (b != null) states += ((curG, b.state(curS)))
+            b = new Builder(k)
+            curG = g
+            curS = shard
+          }
+          b.insert(v)
+        }
+        if (b != null) states += ((curG, b.state(curS)))
+        states.iterator
+      }
+    perCell.groupByKey(_._1).mapGroups { (g, it) =>
+      val sorted = it.map(_._2).toSeq.sortBy(_.shard)
+      (g, sorted.reduceLeft((a, c) => mergeStates(a, c, k)))
+    }
+  }
+
+  /** Per-group twin of [[quantileGate]]: for each (group, q), the exact
+    * per-group order statistic (grouped distributed selection — DuckDB
+    * recomputes it) and the same data-verified rank certificate. */
+  def quantileGateGrouped(df: DataFrame, valueCol: String, groupCol: String,
+                          keyCols: Seq[String],
+                          qs: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),
+                          k: Int = DefaultK, shards: Int = DefaultShards): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val st = CacheRegistry.persistBounded(
+      sketchGrouped(df, valueCol, groupCol, keyCols, k, shards)
+        .map { case (g, s) => (g, estimates(s, qs)) }
+        .toDF("grp", "ests"))
+    val vals = df.select(
+      (col(groupCol).cast("string").as("grp") +:
+        col(valueCol).cast("double").as("value") +: keyCols.map(col)): _*)
+    // |groups| sketch rows — broadcast; the rank check is one map-side-
+    // combining pass over the corpus, |qs| rows per (group, task).
+    val checked = vals
+      .join(broadcast(st), Seq("grp"))
+      .select(col("grp"), explode(col("ests")).as("e"), col("value"))
+      .groupBy(col("grp"), col("e.q").as("q"))
+      .agg(
+        sum(when(col("value") <= col("e.est"), 1L).otherwise(0L)).as("true_rank_le"),
+        first(col("e.srank_le")).as("srank_le"),
+        first(col("e.bound")).as("bound"),
+        first(col("e.n")).as("n"))
+      .select(col("grp"), col("q"), col("n"),
+        when(abs(col("true_rank_le") - col("srank_le")) <= col("bound"), 1L)
+          .otherwise(0L).as("within_bound"))
+    val targets = st.select(col("grp").as("__g"), explode(col("ests")).as("e"))
+      .select(col("__g"), col("e.q").as("__q"), col("e.target").as("target"))
+    val ranked = RankUtils.groupedRowNumber(
+      vals, Seq("grp"), col("value") +: keyCols.map(col), "__rank")
+    val exact = ranked
+      .join(broadcast(targets), col("grp") === col("__g") && col("__rank") === col("target"))
+      .select(col("grp"), col("__q").as("q"), col("value").as("exact_v"))
+    checked.join(exact, Seq("grp", "q"))
+      .select(col("grp").as(groupCol), col("q"), col("exact_v"), col("n"), col("within_bound"))
+      .orderBy(groupCol, "q")
+  }
+
   /** Straightforward merge: concatenate level buffers, add counters, then
     * cascade-compact bottom-up with the same md5 bit rule. */
   def mergeStates(a: State, b: State, k: Int = DefaultK): State = {

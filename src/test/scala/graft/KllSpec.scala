@@ -102,4 +102,45 @@ class KllSpec extends SparkSpec {
       assert(r.getDouble(1) === vs(target - 1), s"q=$q exact value")
     }
   }
+
+  test("grouped gate: per-group exact order statistics, certificates pass, partitioning-proof") {
+    // Two groups with very different distributions; keys unique per row.
+    val df = spark.range(30000).select(
+      when(col("id") % 3 === 0, "a").otherwise("b").as("g"),
+      when(col("id") % 3 === 0,
+        pmod(col("id") * 48271L, lit(65537L)).cast("double"))
+        .otherwise((col("id") % 97L).cast("double") * 1000.0).as("v"),
+      col("id"))
+    val expected = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sorted }
+    for (parts <- Seq(1, 7)) {
+      val out = Kll.quantileGateGrouped(
+        df.repartition(parts), "v", "g", Seq("id"), qs = Seq(0.1, 0.5, 0.9)).collect()
+      assert(out.length === 6, "2 groups x 3 quantiles")
+      for (r <- out) {
+        val (g, q) = (r.getString(0), r.getDouble(1))
+        val vs = expected(g)
+        assert(r.getLong(3) === vs.length.toLong, s"group $g n")
+        assert(r.getLong(4) === 1L, s"($g, $q) must be within its certificate")
+        val target = math.max(1L, math.ceil(q * vs.length).toLong).toInt
+        assert(r.getDouble(2) === vs(target - 1), s"($g, $q) exact value")
+      }
+    }
+  }
+
+  test("grouped sketch states are bit-identical to each group's own global sketch") {
+    val df = spark.range(8000).select(
+      when(col("id") % 2 === 0, "x").otherwise("y").as("g"),
+      pmod(col("id") * 1103L, lit(4099L)).cast("double").as("v"),
+      col("id"))
+    val grouped = Kll.sketchGrouped(df, "v", "g", Seq("id")).collect().toMap
+    for (g <- Seq("x", "y")) {
+      val solo = Kll.sketch(df.filter(col("g") === g), "v", Seq("id"))
+        .as[Kll.State].collect()(0)
+      assert(grouped(g).levels === solo.levels, s"group $g levels")
+      assert(grouped(g).n === solo.n)
+      assert(grouped(g).compactions === solo.compactions)
+    }
+  }
 }
