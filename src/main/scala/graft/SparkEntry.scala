@@ -73,9 +73,19 @@ object SparkEntry {
     // path row-for-row.
     "paged_scan_http" -> ((s, _) => {
       val base = graft.sources.LeaderboardHttpFixture.ensureStarted()
+      // The reference's _getWorlds dimension fetch, now ALSO on the wire:
+      // one real GET + shape-guarded parse; the scan joins the dimension
+      // (broadcast — 8 rows) so only rows of known worlds survive. With
+      // the full dimension this is row-preserving (oracle unchanged);
+      // a malformed payload degrades the dim — and the scan — to empty,
+      // the reference's `return <World>[]` semantics.
+      val worlds = graft.functions.SnapshotJson
+        .parseWorlds(s, graft.sources.PagedLeaderboard.fetchWorldsJson(base))
+        .select(col("name").as("world"))
       s.read.format("graft.sources.PagedLeaderboardProvider")
         .option("maxPages", "200").option("baseUrl", base).load()
         .filter(col("level") >= 400)
+        .join(broadcast(worlds), Seq("world"))
         .select(col("rank").cast("long").as("rank"), col("name"),
           col("level").cast("long").as("level"), col("value"),
           col("vocation"), col("world"))

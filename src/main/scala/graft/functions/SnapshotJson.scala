@@ -61,6 +61,40 @@ object SnapshotJson {
     * JSON object into a 1-element array for array schemas. */
   def validBlob(c: Column): Column = json_array_length(c).isNotNull
 
+  // --- worlds-dimension payload (X3/F6 over the wire) --------------------
+
+  /** One world of the reference's dimension payload (etl.dart:92-105). */
+  val worldSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("location", StringType),
+    StructField("pvp_type", StringType)))
+
+  /** Parse a `{"worlds": {"regular_worlds": [World, …]}}` document with
+    * the reference's shape guards (etl.dart:95-96, :101), each mapped to a
+    * null-degrading `from_json` step instead of an exception:
+    *  - `worlds` not a map / `regular_worlds` not a list → the outer parse
+    *    nulls the field → explode emits ZERO rows (reference: `return
+    *    <World>[]`);
+    *  - a non-map ENTRY inside a valid list → that element's inner parse
+    *    nulls → filtered, the valid siblings survive (reference: `if (e is
+    *    Map…)` keeps the good ones).
+    * The two-stage parse (elements as raw JSON strings, then per-element
+    * struct parse) is what makes the guard ELEMENT-wise — a single
+    * `from_json` of the full nested schema nulls the whole document on one
+    * bad element. */
+  def parseWorlds(spark: org.apache.spark.sql.SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    val outer = StructType(Seq(StructField("worlds", StructType(Seq(
+      StructField("regular_worlds", ArrayType(StringType)))))))
+    Seq(json).toDF("payload")
+      .select(from_json(col("payload"), outer).as("p"))
+      .select(explode(col("p.worlds.regular_worlds")).as("entry_json"))
+      .select(from_json(col("entry_json"), worldSchema).as("w"))
+      .filter(col("w").isNotNull && col("w.name").isNotNull)
+      .select(col("w.name").as("name"), col("w.location").as("location"),
+        col("w.pvp_type").as("pvp_type"))
+  }
+
   // --- `expanded` nested per-skill compat (fromJsonExpanded) -------------
   //
   // The reference's rookmaster blob carries a nested `expanded` object per

@@ -26,10 +26,39 @@ object LeaderboardHttpFixture {
   import PagedLeaderboard._
 
   private val requestCount = new AtomicLong(0L)
+  private val worldsRequestCount = new AtomicLong(0L)
   @volatile private var started: Option[String] = None
 
   /** Total `/highscores` requests the server has served. */
   def requests: Long = requestCount.get()
+
+  /** Total `/worlds` requests the server has served. */
+  def worldsRequests: Long = worldsRequestCount.get()
+
+  /** The worlds the fixture's dimension endpoint advertises — the same 8
+    * names the page rows carry (`world = W{rank % 8}`). */
+  val WorldNames: Seq[String] = (0 until 8).map(i => s"W$i")
+
+  /** Test hook: which `/worlds` payload shape to serve. `ok` is the
+    * reference-shaped happy path; the malformed variants mirror the
+    * shapes the reference guards against (etl.dart:95-96): `worlds` not a
+    * map, `regular_worlds` not a list, and non-map entries inside an
+    * otherwise valid list. */
+  @volatile var worldsMode: String = "ok"
+
+  private def worldsJson: String = worldsMode match {
+    case "worlds_not_map" => """{"worlds": 3}"""
+    case "regular_not_list" => """{"worlds": {"regular_worlds": {"oops": 1}}}"""
+    case "entry_not_map" =>
+      """{"worlds": {"regular_worlds": ["garbage",
+        | {"name": "W0", "location": "Europe", "pvp_type": "Open PvP"}, 42]}}""".stripMargin
+    case _ =>
+      val entries = WorldNames.zipWithIndex.map { case (w, i) =>
+        s"""{"name": "$w", "location": "${if (i % 2 == 0) "Europe" else "America"}", """ +
+          s""""pvp_type": "Open PvP"}"""
+      }.mkString(", ")
+      s"""{"worlds": {"regular_worlds": [$entries]}}"""
+  }
 
   /** Start (once) and return the base URL, e.g. `http://127.0.0.1:41234`.
     *
@@ -66,6 +95,17 @@ object LeaderboardHttpFixture {
               exchange.sendResponseHeaders(400, body.length.toLong)
               exchange.getResponseBody.write(body)
           }
+        } finally exchange.close()
+      })
+      // The reference's worlds-dimension endpoint (etl.dart:93): one JSON
+      // document, `{"worlds": {"regular_worlds": [World, …]}}`.
+      server.createContext("/worlds", { exchange =>
+        try {
+          worldsRequestCount.incrementAndGet()
+          val body = worldsJson.getBytes("UTF-8")
+          exchange.getResponseHeaders.set("Content-Type", "application/json")
+          exchange.sendResponseHeaders(200, body.length.toLong)
+          exchange.getResponseBody.write(body)
         } finally exchange.close()
       })
       // Small fixed pool: page partitions fetch concurrently under local[32].

@@ -87,6 +87,19 @@ object PagedLeaderboard {
   lazy val jsonMapper: com.fasterxml.jackson.databind.ObjectMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Driver-side worlds-dimension fetch — ONE real GET, exactly the
+    * reference's `_getWorlds` call shape (etl.dart:92-105). Returns the
+    * raw JSON; shape-guarded parsing lives in
+    * [[graft.functions.SnapshotJson.parseWorlds]] so malformed payloads
+    * degrade to zero rows instead of failing the pipeline. */
+  def fetchWorldsJson(base: String): String = {
+    val req = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(s"$base/worlds")).GET().build()
+    val rsp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(rsp.statusCode() == 200, s"worlds: HTTP ${rsp.statusCode()}")
+    rsp.body()
+  }
+
   /** One REAL `GET {base}/highscores?page=N` + JSON parse (jackson, from
     * Spark's own classpath) → the page's rows in rank order. Non-200 or
     * malformed payloads throw — a failed fetch must fail the task loudly,
