@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming maintenance of the dedup family's stored artifact — the
+  * loop that closes [[OnlineTimeStream.startToStore]]'s day-partition
+  * upsert over the OTHER maintained table: each micro-batch of newly
+  * ingested documents is shingled and appended to the
+  * [[graft.operators.ShingleStore]], so the batch dedup/contamination
+  * queries (`setjoin_pairs_stored`, `contamination_stored`,
+  * `corpus_clean_stored`) always read a table that is current up to the
+  * stream's watermark — no corpus re-shingle between ingests.
+  *
+  * Consistency story (the same contract as the batch [[graft.operators
+  * .ShingleStore.append]], spec-gated there and here):
+  *  - per-batch work is proportional to the BATCH (shingling is per-row);
+  *  - df stamps stay CONSISTENT (one value per shingle) but go stale for
+  *    overlapped shingles — candidate pruning quality, never results;
+  *  - a [[graft.operators.ShingleStore.refreshDf]] after (or periodically
+  *    between) batches restores exact df, and stream-maintained ≡ batch
+  *    rebuild over the union corpus, row for row, df included.
+  *
+  * Delivery: foreachBatch is at-least-once on failure recovery — a batch
+  * replayed after a crash between the append and the checkpoint commit
+  * would append its rows twice. The day-partition path inherits
+  * idempotency from dynamic partition overwrite; an append-shaped
+  * artifact instead keeps a per-batch ledger: batch N's append is
+  * recorded under `<checkpoint>/_appended/<N>` AFTER its rows land, and a
+  * replayed batch that finds its record SKIPS the append — the
+  * effectively-once trick for append sinks. The ledger lives in the
+  * stream's own checkpoint directory (NOT the artifact path) because
+  * [[graft.sinks.ArtifactStore.publish]] — which `refreshDf` rides —
+  * atomically replaces the whole artifact directory and would wipe any
+  * state kept inside it.
+  */
+object ShingleStream {
+
+  /** Start maintaining the shingle artifact at `path` from a streaming
+    * (doc_id, text) frame. First batch bootstraps the table if absent. */
+  def startToStore(docs: DataFrame, path: String, checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val ledgerDir = new org.apache.hadoop.fs.Path(s"$checkpoint/_appended")
+        val mark = new org.apache.hadoop.fs.Path(ledgerDir, batchId.toString)
+        if (!fs.exists(mark) && !batch.isEmpty) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles")))
+            graft.operators.ShingleStore.append(batch, path)
+          else
+            graft.operators.ShingleStore.write(batch, path)
+          fs.mkdirs(ledgerDir)
+          fs.create(mark, true).close()
+        }
+        ()
+      }
+      .start()
+}

@@ -121,6 +121,56 @@ class ShingleStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("stream-maintained artifact equals the batch rebuild; setjoin results unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("shstream").toString
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.ShingleStream.startToStore(
+        input.toDF().toDF("doc_id", "text"), s"$root/inc", s"$root/ckpt")
+      try {
+        input.addData(fixture: _*); q.processAllAvailable()   // bootstrap build
+        input.addData(batch: _*); q.processAllAvailable()     // incremental append
+      } finally q.stop()
+      graft.operators.ShingleStore.refreshDf(spark, s"$root/inc")
+      writeDocs(s"$root/docsAll", fixture ++ batch)
+      ShingleStore.ensure(spark.read.parquet(s"$root/docsAll"), s"$root/full")
+      def rows(p: String) = ShingleStore.read(spark, p)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows(s"$root/inc") === rows(s"$root/full"),
+        "streamed appends + refreshDf must reproduce the batch rebuild exactly")
+      // The stored-setjoin query over the stream-maintained table returns
+      // the same pairs (incl. the planted cross-batch 1 ~ 7 near-dup).
+      def pairs(p: String) = SetJoin.similarPairsFromShingles(ShingleStore.read(spark, p))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val streamed = pairs(s"$root/inc")
+      assert(streamed === pairs(s"$root/full"), "setjoin over streamed table unchanged")
+      assert(streamed.exists { case (a, b, _) => a == 1L && b == 7L })
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("a replayed micro-batch does not double-append (per-batch ledger)") {
+    val root = java.nio.file.Files.createTempDirectory("shstream").toString
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text")
+      val q1 = graft.streaming.ShingleStream.startToStore(docs, s"$root/inc", s"$root/ckpt")
+      try { input.addData(fixture: _*); q1.processAllAvailable() } finally q1.stop()
+      val before = ShingleStore.read(spark, s"$root/inc").count()
+      // Simulate the crash-replay: same checkpoint, batch 0 re-delivered.
+      // MemoryStream restarts renumber from 0, so the ledger must skip it.
+      val input2 = MemoryStream[(Long, String)]
+      val q2 = graft.streaming.ShingleStream.startToStore(
+        input2.toDF().toDF("doc_id", "text"), s"$root/inc", s"$root/ckpt")
+      try { input2.addData(fixture: _*); q2.processAllAvailable() } finally q2.stop()
+      assert(ShingleStore.read(spark, s"$root/inc").count() === before,
+        "a batch id already in the ledger must not append again")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("ensure() skips rebuild for unchanged source, rebuilds on regenerated data") {
     val root = java.nio.file.Files.createTempDirectory("shstore").toString
     try {
