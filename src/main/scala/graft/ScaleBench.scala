@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale leg: synthesize a 10× corpus (sf1) from sf0.1 and
+  * measure how the heavy query families actually scale — converting the
+  * "survives 100×" plan-shape arguments into per-query scaling exponents.
+  *
+  * Synthesis (`ScaleBench <srcDir> <destDir> [copies]`): the fact tables
+  * are unioned hash-shifted copies of the source —
+  *  - `documents`: doc_id offset per copy; for copies > 0 every word gets
+  *    a copy-local suffix, so each copy reproduces the source's EXACT
+  *    duplication/skew structure internally (hot boilerplate shingles
+  *    stay hot, near-dup pairs recur per copy) while sharing nothing
+  *    across copies — output sizes and join fan-outs scale ~linearly,
+  *    which is what a fair throughput-scaling measurement needs. Naive
+  *    verbatim copies would instead plant 10 exact duplicates of every
+  *    doc and quadratically explode every pair family — a different
+  *    (adversarial) workload, not a bigger one.
+  *  - `lineitem`/`orders`: orderkey offset per copy (join structure
+  *    preserved copy-locally), everything else verbatim — the "facts grow,
+  *    dims don't" growth profile of a production star schema.
+  *  - dimension tables copy verbatim.
+  *
+  * Measurement: per query, one untimed warmup (codegen), then `REPS`
+  * timed runs (min — scaling ratios want the least-noise floor, and host
+  * load only ever inflates), cache registry cleared between queries like
+  * `Bench`. Exponent = log10(t_sf1 / t_sf0.1); 1.0 = linear, < 1 =
+  * fixed-overhead amortizing, sustained > ~1.1 = super-linear growth to
+  * investigate.
+  */
+object ScaleBench {
+
+  /** The heavy families the 100 TB claims rest on — all self-contained
+    * (stored-artifact variants price their build separately in Bench). */
+  val Heavy: Seq[String] = Seq(
+    "dedup_minhash", "dedup_clusters", "dedup_clusters_star",
+    "setjoin_pairs", "ngram_jaccard_top", "simhash_pairs",
+    "dup_spans", "dup_profile", "corpus_excised", "corpus_excised_keepone",
+    "corpus_clean", "contamination", "length_batches",
+    "q9_product_profit", "q21_waiting_suppliers")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val destDir = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, srcDir, destDir, copies)
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def run(): Long = fn(spark, dir).queryExecution.toRdd.count()
+      run() // warmup: codegen + file index
+      val ts = (1 to reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      graft.operators.CacheRegistry.clear()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      ts.min
+    }
+
+    val rows = Heavy.map { name =>
+      val t0 = time(name, srcDir)
+      val t1 = time(name, destDir)
+      val exp = math.log10(t1 / t0)
+      System.err.println(f"[scale] $name%-24s sf0.1 $t0%7.2f s   sf1 $t1%7.2f s   exp $exp%5.2f")
+      (name, t0, t1, exp)
+    }
+    def jstr(s: String) = "\"" + s + "\""
+    val qs = rows.map { case (n, t0, t1, e) =>
+      jstr(n) + s""":{"t_sf01":$t0,"t_sf1":$t1,"exp":$e}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_exponents","copies":$copies,"queries":$qs}""")
+    spark.stop()
+  }
+
+  /** Build the hash-shifted 10× corpus at `destDir` (skipped if present). */
+  def synthesize(spark: SparkSession, srcDir: String, destDir: String, copies: Int): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$destDir/_SYNTH_DONE")
+    val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(done)) return
+    val t0 = System.nanoTime()
+
+    def stamped(df: DataFrame, variant: Int => DataFrame): DataFrame =
+      (0 until copies).map(variant).reduce(_ unionByName _)
+
+    // documents: offset ids; suffix every word for copies > 0 so copies
+    // share no vocabulary (linear, not quadratic, pair growth).
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docStride = 10000000L
+    stamped(docs, i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * docStride)).as("doc_id"),
+        array_join(expr(s"transform(split(text, ' '), w -> concat(w, '_c$i'))"), " ").as("text"),
+        col("lang"),
+        concat(col("source"), lit(s"_c$i")).as("source"),
+        col("n_chars")))
+      .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+
+    val okStride = 100000000L
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    stamped(lineitem, i =>
+      lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * okStride)))
+      .write.mode("overwrite").parquet(s"$destDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    stamped(orders, i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * okStride)))
+      .write.mode("overwrite").parquet(s"$destDir/orders.parquet")
+
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings"))
+      spark.read.parquet(s"$srcDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$destDir/$dim.parquet")
+
+    fs.create(done, true).close()
+    System.err.println(f"[scale] synthesized ${copies}x corpus at $destDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}
