@@ -83,6 +83,55 @@ object VersionedStore {
     else Some(spark.read.parquet(s"$root/${dataDirOf(fs(spark, root), root, v)}"))
   }
 
+  /** Time travel: read the snapshot AS OF a specific committed version.
+    * Data dirs are immutable and stay referenced by their manifest until
+    * [[expire]] drops them, so any version [[history]] lists is readable
+    * byte-identically to the moment it committed — the Iceberg
+    * `VERSION AS OF` read path, filesystem edition. Throws if the version
+    * was never committed or has been expired. */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val f = fs(spark, root)
+    require(version > 0, s"versions start at 1, got $version")
+    if (!f.exists(manifestPath(root, version)))
+      throw new IllegalArgumentException(
+        s"version $version of $root does not exist (never committed, or expired)")
+    spark.read.parquet(s"$root/${dataDirOf(f, root, version)}")
+  }
+
+  /** All live (non-expired) versions, ascending, with their data dir —
+    * the `table.history()` view. Read-only; derived purely from the
+    * manifest directory listing. */
+  def history(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val f = fs(spark, root)
+    val mdir = new Path(s"$root/_manifests")
+    if (!f.exists(mdir)) Seq.empty
+    else f.listStatus(mdir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName.stripSuffix(".json").toLong).sorted
+      .map(v => (v, dataDirOf(f, root, v)))
+  }
+
+  /** Snapshot retention (`expire_snapshots`): drop all but the newest
+    * `keepLast` versions — delete their manifests first (after which the
+    * version is unreadable and [[vacuum]]-able), then their data dirs.
+    * The current version is always kept; `keepLast >= 1`. Like vacuum,
+    * run from a maintenance window, not concurrently with a reader that
+    * may still be scanning an about-to-expire version. */
+  def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"must keep at least the current version, got $keepLast")
+    val f = fs(spark, root)
+    val live = history(spark, root)
+    if (live.isEmpty) return
+    // Pin the pointer to the newest version BEFORE deleting manifests:
+    // currentVersion rolls forward from the pointer, so a stale pointer
+    // naming an expired version would otherwise strand readers below the
+    // surviving range.
+    aimPointer(spark, root, live.last._1)
+    live.dropRight(keepLast).foreach { case (v, dir) =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(new Path(s"$root/$dir"), true)
+    }
+  }
+
   /** Full-snapshot commit: prepare + publish at currentVersion+1.
     * Returns the committed version. Throws [[CommitConflict]] if another
     * writer committed that version first. */

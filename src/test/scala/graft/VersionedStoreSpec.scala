@@ -82,6 +82,48 @@ class VersionedStoreSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || scan.contains("day"), "day stays a partition column")
   }
 
+  test("time travel: readAt(v) returns each committed version byte-identically; history lists them") {
+    val root = tmp()
+    VersionedStore.commit(snap("2024-01-01", 1L -> 10.0), root)
+    VersionedStore.commit(snap("2024-01-01", 1L -> 11.0, 2L -> 20.0), root)
+    VersionedStore.commit(snap("2024-01-01", 1L -> 12.0), root)
+    assert(VersionedStore.history(spark, root).map(_._1) === Seq(1L, 2L, 3L))
+    assert(VersionedStore.readAt(spark, root, 1L).collect()
+      .map(_.getAs[Double]("value")).toSeq === Seq(10.0))
+    assert(VersionedStore.readAt(spark, root, 2L).orderBy("user_id").collect()
+      .map(_.getAs[Double]("value")).toSeq === Seq(11.0, 20.0))
+    // readAt(current) ≡ read
+    assert(VersionedStore.readAt(spark, root, 3L).collect().toSeq ===
+      VersionedStore.read(spark, root).get.collect().toSeq)
+    intercept[IllegalArgumentException] { VersionedStore.readAt(spark, root, 4L) }
+  }
+
+  test("expire keeps the newest keepLast versions; expired versions become unreadable, current survives") {
+    val root = tmp()
+    (1 to 4).foreach(i => VersionedStore.commit(snap("2024-01-01", 1L -> i.toDouble), root))
+    VersionedStore.expire(spark, root, keepLast = 2)
+    assert(VersionedStore.history(spark, root).map(_._1) === Seq(3L, 4L))
+    intercept[IllegalArgumentException] { VersionedStore.readAt(spark, root, 1L) }
+    assert(VersionedStore.readAt(spark, root, 3L).collect().head.getAs[Double]("value") === 3.0)
+    assert(VersionedStore.currentVersion(spark, root) === 4L)
+    assert(VersionedStore.read(spark, root).get.collect().head.getAs[Double]("value") === 4.0)
+    // Expired data dirs are gone from disk, not just dereferenced.
+    val dataDirs = new java.io.File(root).listFiles.filter(_.getName.startsWith("data-"))
+    assert(dataDirs.length === 2)
+  }
+
+  test("expire with a stale pointer pins the pointer forward before deleting manifests") {
+    val root = tmp()
+    (1 to 3).foreach(i => VersionedStore.commit(snap("2024-01-01", 1L -> i.toDouble), root))
+    // Regress the pointer to 1 (crash-window shape), then expire 1 and 2.
+    new java.io.File(s"$root/._current.crc").delete()
+    val cur = new java.io.PrintWriter(s"$root/_current"); cur.print("1"); cur.close()
+    VersionedStore.expire(spark, root, keepLast = 1)
+    assert(VersionedStore.currentVersion(spark, root) === 3L,
+      "expire must not strand readers below the surviving version range")
+    assert(VersionedStore.read(spark, root).get.collect().head.getAs[Double]("value") === 3.0)
+  }
+
   test("vacuum removes only unreferenced debris") {
     val root = tmp()
     VersionedStore.commit(snap("2024-01-01", 1L -> 10.0), root)
