@@ -618,6 +618,13 @@ object SparkEntry {
           (col("cms_count") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
         .orderBy("term")
     }),
+    // Misra–Gries two-pass heavy hitters: bounded-memory candidates +
+    // exact re-count over candidates only — deterministic (= terms with
+    // count·(k+1) > N) on any partitioning, so hash-gateable against a
+    // full-count oracle. k=32 > |vocab| here; the eviction/merge path is
+    // property-tested under skew in SketchesSpec.
+    "heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitters(Tables.documents(s, dir), k = 32)),
     // Bloom-filter runtime prefilter: the fact side is bloom-filtered on
     // the join key BEFORE the exact join (classic runtime-filter shape —
     // fact shuffle volume drops to matches + false positives). The bloom
@@ -1699,6 +1706,18 @@ object SparkEntry {
          |SELECT est.term AS term, coalesce(n_exact, CAST(0 AS BIGINT)) AS n_exact, cms_count,
          | cms_count - coalesce(n_exact, CAST(0 AS BIGINT)) AS overcount
          |FROM est LEFT JOIN ex USING (term) ORDER BY term""".stripMargin,
+    // heavy_hitters: the Spark side runs Misra–Gries candidates + exact
+    // re-count; MG's superset guarantee + the exact integer filter make
+    // the output EXACTLY "terms with count·(k+1) > N", which is what the
+    // oracle computes directly (it has no bounded-memory constraint).
+    "heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |              FROM documents),
+        | tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE) AS share
+        |FROM toks, tot GROUP BY term, n HAVING count(*) * 33 > n
+        |ORDER BY n_exact DESC, term""".stripMargin,
     // null_* oracles: same algorithms as their green siblings, over the
     // NULL-seeded events view. arg_max carries the value inside a struct —
     // see nulledEvents for why (DuckDB arg_max skips NULL values; Spark

@@ -321,4 +321,38 @@ object Sketches {
       .groupBy("term")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
+
+  /** Deterministic heavy hitters via the classic two-pass plan:
+    * Misra–Gries candidates (bounded O(k) memory per partition, mergeable
+    * — [[graft.functions.MisraGriesAgg]]), then an EXACT re-count of only
+    * the ≤ k candidates, filtered to the guaranteed region
+    * `exact·(k+1) > N` (integer arithmetic — no float threshold).
+    *
+    * Why this equals "terms with true count > N/(k+1)" EXACTLY, despite
+    * the order-dependent first pass: MG guarantees every such term is in
+    * the candidate set on any partitioning/merge order, and the exact
+    * filter removes any below-threshold candidate that happened to
+    * survive. Sound superset ∘ exact filter = deterministic set — which
+    * is what lets a sketch-driven query hash-match a full-count oracle.
+    *
+    * 100 TB shape: pass 1 shuffles one ≤ k-entry summary per partition
+    * (vs a full groupBy shuffling the whole vocabulary); pass 2 is a
+    * broadcast semi-join (≤ k terms) and a groupBy whose input is already
+    * reduced to candidate occurrences. The long tail never shuffles. */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val toks = CacheRegistry.persistBounded(
+      docs.select(explode(TextAnalysis.wordsExpr).as("term")))
+    val cands = toks
+      .agg(graft.functions.MisraGriesAgg.misra_gries(col("term"), k).as("cand"))
+      .select(explode(col("cand")).as("c"))
+      .select(col("c.term").as("term"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_exact") * (k + 1) > col("n"))
+      .select(col("term"), col("n_exact"),
+        (col("n_exact").cast("double") / col("n").cast("double")).as("share"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
 }

@@ -163,4 +163,65 @@ class SketchesSpec extends SparkSpec {
     val est = Sketches.hllDistinct(df, Seq("g"), "v").collect()(0).getLong(1)
     assert(math.abs(est - n).toDouble / n < 0.05, s"estimate $est for exact $n")
   }
+
+  // --- Misra–Gries heavy hitters ------------------------------------------
+
+  /** Skewed stream: a few genuinely heavy terms over a big uniform tail —
+    * the regime where MG actually evicts (vocab ≫ k). */
+  private def skewedTerms = {
+    val heavy = Seq("alpha" -> 900, "beta" -> 700, "gamma" -> 500)
+      .flatMap { case (t, n) => Seq.fill(n)(t) }
+    val tail = (1 to 4000).map(i => s"tail${i % 800}") // 800 distinct, 5 each
+    (heavy ++ tail).zipWithIndex
+      .map { case (t, i) => (t, i * 2654435761L % 6100) } // deterministic scramble
+      .sortBy(_._2).map(_._1)
+  }
+
+  test("MG guarantee: every term with count·(k+1) > N survives as a candidate, any partitioning") {
+    import graft.functions.MisraGriesAgg.misra_gries
+    val terms = skewedTerms
+    val n = terms.size
+    val k = 16
+    val mustSurvive = terms.groupBy(identity).collect {
+      case (t, occ) if occ.size.toLong * (k + 1) > n => t
+    }.toSet
+    assert(mustSurvive === Set("alpha", "beta", "gamma"), s"fixture sanity: $mustSurvive")
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = terms.toDF("term").repartition(parts)
+        .agg(misra_gries(col("term"), k).as("c"))
+        .select(explode(col("c")).as("c")).select("c.term")
+        .collect().map(_.getString(0)).toSet
+      assert(cands.size <= k, s"summary exceeded k: ${cands.size}")
+      assert(mustSurvive.subsetOf(cands),
+        s"parts=$parts lost a guaranteed heavy hitter: ${mustSurvive -- cands}")
+    }
+  }
+
+  test("MG counters are within-N/(k+1) lower bounds on true counts") {
+    import graft.functions.MisraGriesAgg.misra_gries
+    val terms = skewedTerms
+    val n = terms.size
+    val k = 16
+    val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val counters = terms.toDF("term").repartition(13)
+      .agg(misra_gries(col("term"), k).as("c"))
+      .select(explode(col("c")).as("c")).select("c.term", "c.mg_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    counters.foreach { case (t, c) =>
+      val tc = exact(t)
+      assert(c <= tc, s"$t: MG counter $c overcounts true $tc")
+      assert(c >= tc - n / (k + 1), s"$t: MG counter $c below error bound for true $tc")
+    }
+  }
+
+  test("heavyHitters two-pass output is exactly the guaranteed set, with exact counts") {
+    val terms = skewedTerms
+    val k = 16
+    val docs = terms.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val out = Sketches.heavyHitters(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("alpha", 900L), ("beta", 700L), ("gamma", 500L)),
+      s"two-pass result must be exact and thresholded: $out")
+  }
 }
