@@ -369,6 +369,24 @@ object SparkEntry {
       ShingleStore.ensure(Tables.documents(s, dir), p)
       Dedup.minhashPairsFromShingles(ShingleStore.read(s, p).select("doc_id", "sh"))
     }),
+    // Incremental ingest dedup: the odd-doc_id half is "today's batch",
+    // the even half the existing corpus. Only new×corpus pairs are ever
+    // generated; the corpus side is consumed as (doc_id, sh) rows — in
+    // the _stored twin straight from the maintained shingle artifact
+    // (filter commutes with shingling, per ShingleStore.read's contract).
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashPairsIncremental(
+        Dedup.shingles(docs.filter(col("doc_id") % 2 === 0)),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+    "dedup_incremental_stored" -> ((s, dir) => {
+      val p = shingleStorePath(dir)
+      ShingleStore.ensure(Tables.documents(s, dir), p)
+      Dedup.minhashPairsIncremental(
+        ShingleStore.read(s, p).filter(col("doc_id") % 2 === 0).select("doc_id", "sh"),
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 1))
+    }),
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(Tables.documents(s, dir))),
     // Same oracle as dedup_clusters: hash-to-min and star contraction must
     // label components identically (min id), so the recursive-CTE closure
@@ -878,6 +896,7 @@ object SparkEntry {
     // the maintained shingle table must reproduce the recompute answer
     // exactly (same contract as bm25_postings vs bm25_topk).
     "dedup_minhash_stored" -> baseOracleSql("dedup_minhash"),
+    "dedup_incremental_stored" -> baseOracleSql("dedup_incremental"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
     "contamination_stored" -> baseOracleSql("contamination"),
     "corpus_clean_stored" -> baseOracleSql("corpus_clean"),
@@ -1525,6 +1544,22 @@ object SparkEntry {
          |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH ${minhashBandsCte("(SELECT * FROM documents WHERE doc_id % 2 = 0) corpus_src", "c")},
+         | ${minhashBandsCte("(SELECT * FROM documents WHERE doc_id % 2 = 1) batch_src", "n")},
+         | cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |          FROM nbands a JOIN cbands b ON a.bk = b.bk),
+         | nsizes AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+         | csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+         | inter AS (SELECT new_id, corpus_id, count(*) AS n_common
+         |           FROM cand JOIN nsh sa ON sa.doc_id = new_id
+         |                     JOIN csh sb ON sb.doc_id = corpus_id AND sb.sh = sa.sh
+         |           GROUP BY 1, 2)
+         |SELECT new_id, corpus_id, CAST(n_common AS BIGINT) AS n_common,
+         | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |FROM inter JOIN nsizes na ON na.doc_id = new_id JOIN csizes nb ON nb.doc_id = corpus_id
+         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "dedup_clusters" -> DedupClustersOracle,
     "dedup_clusters_star" -> DedupClustersOracle,
     // The cleaning composition re-derives each flag with the SAME oracle
@@ -2262,6 +2297,22 @@ object SparkEntry {
     * `dedup_minhash` (pair emission) and `dedup_clusters` (transitive
     * closure over the same pairs). */
   private lazy val MinhashCtes: String = minhashCtes("documents")
+
+  /** Shingle → signature → band-key CTEs for ONE document set, all names
+    * prefixed with `p` — lets the incremental oracle band two disjoint
+    * sets (corpus/batch) in one statement. Mirrors [[minhashCtes]]'s
+    * hashing exactly. */
+  private def minhashBandsCte(src: String, p: String): String =
+    s"""${shinglesCte(src, p)},
+       | ${p}hsh AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % ${Dedup.P} AS h FROM ${p}sh),
+       | ${p}sig AS (SELECT doc_id, ${Dedup.hashParams.zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * h + $b) % ${Dedup.P}) AS h$j" }.mkString(", ")}
+       |         FROM ${p}hsh GROUP BY doc_id),
+       | ${p}bands AS (SELECT doc_id, unnest([${(0 until Dedup.Bands).map { bd =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"h${bd * Dedup.RowsPerBand + r}").mkString(", ")
+      s"md5(concat_ws('_', 'b$bd', $cols))"
+    }.mkString(", ")}]) AS bk FROM ${p}sig)""".stripMargin
 
   private def minhashCtes(src: String): String =
     s"""${shinglesCte(src)},

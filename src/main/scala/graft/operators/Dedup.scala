@@ -122,6 +122,48 @@ object Dedup {
     jaccardVerify(cand, sh, threshold)
   }
 
+  /** INCREMENTAL near-dup: a new document batch against an EXISTING
+    * corpus — the daily-ingest shape of [[minhashPairs]]. Candidates are
+    * new-side bands probing the corpus band table; verification joins the
+    * batch's shingles against the corpus shingles. Cost scales with the
+    * BATCH (its shingling + signatures) plus the band probe — the corpus
+    * is touched only through its (stored) shingle/band rows, never
+    * re-tokenized, and corpus×corpus pairs are never generated. That
+    * asymmetry is the whole point at 100 TB: a 0.1% daily batch does
+    * ~0.1% of the full-corpus dedup work instead of re-running it.
+    *
+    * `corpusSh` is (doc_id, sh) rows — typically
+    * [[ShingleStore.read]] (the maintained artifact, appended per ingest)
+    * — and must be disjoint in doc_id from `newDocs`.
+    * Output: (new_id, corpus_id, n_common, jaccard ≥ threshold). */
+  def minhashPairsIncremental(corpusSh: DataFrame, newDocs: DataFrame,
+                              threshold: Double = 0.5): DataFrame = {
+    val newSh = shingles(newDocs)
+    val corpusBands = minhashSignatures(corpusSh)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val newBands = minhashSignatures(newSh)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val cand = newBands.as("a")
+      .join(corpusBands.as("b"), col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val sizesNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesOld = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(newSh.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(corpusSh.as("sb"),
+        col("corpus_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizesNew.as("na"), col("new_id") === col("na.doc_id"))
+      .join(sizesOld.as("nb"), col("corpus_id") === col("nb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common") / (col("na.n") + col("nb.n") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "n_common", "jaccard")
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Exact Jaccard on candidate pairs via a shingle equi-join (touches only
     * candidates — the verification step of LSH). */
   private def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {

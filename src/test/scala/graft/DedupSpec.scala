@@ -164,4 +164,33 @@ class DedupSpec extends SparkSpec {
     assert(out("small") === Some(244L to 250L), "complete and ascending under the cap")
     assert(out("big") === None, "groups above the cap collapse to NULL, not a huge array")
   }
+
+  test("incremental minhash equals the full run restricted to batch×corpus pairs") {
+    import org.apache.spark.sql.functions.col
+    // Docs 0/2/4 are the corpus, 1/3/5 the batch; 1 duplicates 0, 3 nearly
+    // duplicates 2, 5 is unrelated, and 2/4 are corpus-internal dups that
+    // must NOT appear (incremental never emits corpus×corpus).
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "structured streaming keeps running totals fresh for every user daily"),
+      (4L, "structured streaming keeps running totals fresh for every user daily"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "structured streaming keeps running totals fresh for every user hourly"),
+      (5L, "completely different content about nothing in particular at all here now")
+    ).toDF("doc_id", "text")
+    val full = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .collect { case (a, b, n, j) if a % 2 != b % 2 => // cross pairs, batch id first
+        val (newId, oldId) = if (a % 2 == 1) (a, b) else (b, a)
+        (newId, oldId, n, j)
+      }.sortBy(p => (p._1, p._2)).toSeq
+    val inc = Dedup.minhashPairsIncremental(
+        Dedup.shingles(docs.filter(col("doc_id") % 2 === 0)),
+        docs.filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(inc === full, "incremental must reproduce exactly the cross-restricted full result")
+    assert(inc.map(_._1).toSet.subsetOf(Set(1L, 3L, 5L)) &&
+      inc.map(_._2).forall(_ % 2 == 0), "new_id from the batch, corpus_id from the corpus")
+    assert(inc.exists(p => p._1 == 1L && p._2 == 0L && p._4 == 1.0), "exact dup found")
+  }
 }
