@@ -57,8 +57,7 @@ object ScaleBench {
 
     synthesize(spark, srcDir, destDir, copies)
 
-    def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+    def timeFn(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       def run(): Long = fn(spark, dir).queryExecution.toRdd.count()
       run() // warmup: codegen + file index
       val ts = (1 to reps).map { _ =>
@@ -73,20 +72,52 @@ object ScaleBench {
       System.gc()
       ts.min
     }
+    def time(name: String, dir: String): Double = timeFn(SparkEntry.queries(name), dir)
 
-    val rows = Heavy.map { name =>
+    // Optional name filter for local iteration (comma-separated; "inc"
+    // keeps just the incremental A/B).
+    val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val rows = Heavy.filter(n => onlyFilter.forall(_.contains(n))).map { name =>
       val t0 = time(name, srcDir)
       val t1 = time(name, destDir)
       val exp = math.log10(t1 / t0)
       System.err.println(f"[scale] $name%-24s sf0.1 $t0%7.2f s   sf1 $t1%7.2f s   exp $exp%5.2f")
       (name, t0, t1, exp)
-    }
+    } ++ incrementalAB(spark, srcDir, destDir, timeFn)
     def jstr(s: String) = "\"" + s + "\""
     val qs = rows.map { case (n, t0, t1, e) =>
       jstr(n) + s""":{"t_sf01":$t0,"t_sf1":$t1,"exp":$e}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_exponents","copies":$copies,"queries":$qs}""")
     spark.stop()
+  }
+
+  /** The batch-proportionality A/B the incremental-dedup claim rests on:
+    * at each scale, time the FULL near-dup run vs an INCREMENTAL run of a
+    * 10% batch (doc_id % 10 == 9) against the other 90% consumed as a
+    * pre-built shingle artifact (the daily-ingest shape — the corpus
+    * store exists from the previous ingest, so its build is priced as
+    * ingest via the untimed warmup, not as query latency). Claim: t_inc
+    * tracks the BATCH, so t_inc / t_full stays well under 1 and falls as
+    * the corpus outgrows the batch. */
+  private def incrementalAB(
+      spark: SparkSession, srcDir: String, destDir: String,
+      timeFn: ((SparkSession, String) => DataFrame, String) => Double): Seq[(String, Double, Double, Double)] = {
+    val incFn: (SparkSession, String) => DataFrame = (s, dir) => {
+      val docs = graft.sources.Tables.documents(s, dir)
+      val store = "/tmp/graft_incab_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      graft.operators.ShingleStore.ensure(docs.filter(col("doc_id") % 10 =!= 9), store)
+      graft.operators.Dedup.minhashPairsIncremental(
+        graft.operators.ShingleStore.read(s, store).select("doc_id", "sh"),
+        docs.filter(col("doc_id") % 10 === 9),
+        corpusBands = Some(graft.operators.ShingleStore.readBands(s, store)))
+    }
+    val t0 = timeFn(incFn, srcDir)
+    val t1 = timeFn(incFn, destDir)
+    val exp = math.log10(t1 / t0)
+    System.err.println(f"[scale] dedup_incremental_10pct   sf0.1 $t0%7.2f s   sf1 $t1%7.2f s   exp $exp%5.2f")
+    Seq(("dedup_incremental_10pct", t0, t1, exp))
   }
 
   /** Build the hash-shifted 10× corpus at `destDir` (skipped if present). */

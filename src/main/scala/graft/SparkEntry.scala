@@ -385,7 +385,9 @@ object SparkEntry {
       ShingleStore.ensure(Tables.documents(s, dir), p)
       Dedup.minhashPairsIncremental(
         ShingleStore.read(s, p).filter(col("doc_id") % 2 === 0).select("doc_id", "sh"),
-        Tables.documents(s, dir).filter(col("doc_id") % 2 === 1))
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 1),
+        corpusBands = Some(
+          ShingleStore.readBands(s, p).filter(col("doc_id") % 2 === 0)))
     }),
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(Tables.documents(s, dir))),
     // Same oracle as dedup_clusters: hash-to-min and star contraction must
@@ -551,6 +553,12 @@ object SparkEntry {
     // epoch cycling), zh subsampled, es/fr excluded (no quota).
     "sample_mixture" -> ((s, dir) => Sampling.mixtureSample(Tables.documents(s, dir),
       Map("en" -> 100L, "de" -> 120L, "zh" -> 30L))),
+    // Temperature-scaled mixture (α = 1/2): quotas ∝ sqrt(n_lang),
+    // integer largest-remainder allocation — sqrt is IEEE-correctly-
+    // rounded so the float step is engine-identical; everything after is
+    // exact integers.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(Tables.documents(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     // REAL codec both directions: bytes → genuine grayscale PNG →
@@ -2197,6 +2205,23 @@ object SparkEntry {
         |SELECT lang, CAST(rn + epoch * n AS BIGINT) AS pos, doc_id, rn,
         | CAST(epoch AS BIGINT) AS epoch
         |FROM e ORDER BY lang, pos""".stripMargin,
+    // Temperature mixture: sqrt is IEEE-correctly-rounded (identical
+    // double in every engine), 2^20 scaling is exact, and everything
+    // after floor() is integer — the whole allocation replays bit-for-bit.
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS w FROM c),
+        | z AS (SELECT sum(w) AS z FROM w),
+        | a AS (SELECT lang, (200 * w) // z AS q0, (200 * w) % z AS rem FROM w, z),
+        | s AS (SELECT sum(q0) AS base FROM a),
+        | rk AS (SELECT lang, q0 + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |          <= 200 - base THEN 1 ELSE 0 END) AS quota FROM a, s),
+        | h AS (SELECT doc_id, lang, md5('st' || ':' || doc_id) AS h FROM documents),
+        | r AS (SELECT lang, doc_id,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn FROM h)
+        |SELECT r.lang AS lang, doc_id, rn, CAST(quota AS BIGINT) AS quota
+        |FROM r JOIN rk ON r.lang = rk.lang WHERE rn <= quota
+        |ORDER BY lang, rn""".stripMargin,
     "multimodal_frames" ->
       """WITH fr AS (SELECT doc_id, text,
         |  unnest([i for i in range(0, (length(text) + 31) // 32)]) AS frame_idx FROM documents),

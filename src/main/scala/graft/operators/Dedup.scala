@@ -102,6 +102,15 @@ object Dedup {
     }
   }
 
+  /** The LSH band table (doc_id, bk) for pre-tokenized (doc_id, sh) rows
+    * — signatures min-reduced per doc, then one band key per band. Per-doc
+    * and self-contained, so it APPENDS under corpus growth (a new doc's
+    * bands depend only on its own shingles) — which is what lets
+    * [[ShingleStore]] persist it as part of the maintained artifact. */
+  def bandTable(sh: DataFrame): DataFrame =
+    minhashSignatures(sh)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+
   /** MinHash+LSH near-dup pairs: band-key equi-join for candidates, exact
     * Jaccard verification on the shingle sets, threshold filter.
     * Output: (id_a, id_b, n_common, jaccard) with id_a < id_b. */
@@ -113,8 +122,7 @@ object Dedup {
     * by construction (shingling is deterministic), with the per-query
     * tokenization replaced by a parquet scan. */
   def minhashPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val bands = minhashSignatures(sh)
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val bands = bandTable(sh)
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -134,24 +142,40 @@ object Dedup {
     *
     * `corpusSh` is (doc_id, sh) rows — typically
     * [[ShingleStore.read]] (the maintained artifact, appended per ingest)
-    * — and must be disjoint in doc_id from `newDocs`.
+    * — and must be disjoint in doc_id from `newDocs`. Pass
+    * `corpusBands` ([[ShingleStore.readBands]]) to skip recomputing the
+    * corpus signatures — the corpus-proportional aggregation that
+    * otherwise dominates; with the stored band table the only
+    * corpus-sized work left is the band-probe shuffle and the
+    * candidate-row shingle join.
     * Output: (new_id, corpus_id, n_common, jaccard ≥ threshold). */
   def minhashPairsIncremental(corpusSh: DataFrame, newDocs: DataFrame,
-                              threshold: Double = 0.5): DataFrame = {
+                              threshold: Double = 0.5,
+                              corpusBands: Option[DataFrame] = None): DataFrame = {
     val newSh = shingles(newDocs)
-    val corpusBands = minhashSignatures(corpusSh)
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-    val newBands = minhashSignatures(newSh)
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-    val cand = newBands.as("a")
-      .join(corpusBands.as("b"), col("a.bk") === col("b.bk"))
+    val cBands = corpusBands.getOrElse(bandTable(corpusSh))
+    val newBands = bandTable(newSh)
+    // Candidates feed three consumers (corpus restriction, sizes, the
+    // verification join) — persist the small pair table rather than
+    // re-running the band probe per consumer.
+    val cand = CacheRegistry.persistBounded(newBands.as("a")
+      .join(cBands.as("b"), col("a.bk") === col("b.bk"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
-      .distinct()
+      .distinct())
+    // Restrict the corpus shingles to CANDIDATE docs before any
+    // aggregation or join: an unhinted semi join AQE plans as a broadcast
+    // when the candidate id list is small (the normal case — candidates
+    // are band collisions, not the corpus), turning the remaining
+    // corpus-side work into a scan+filter instead of a full-table
+    // shuffle. Per-doc sizes computed AFTER the restriction are exact:
+    // the filter keeps whole documents.
+    val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
+    val corpusCand = corpusSh.join(candIds, Seq("doc_id"), "left_semi")
     val sizesNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sizesOld = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesOld = corpusCand.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
       .join(newSh.as("sa"), col("new_id") === col("sa.doc_id"))
-      .join(corpusSh.as("sb"),
+      .join(corpusCand.as("sb"),
         col("corpus_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy("new_id", "corpus_id")
       .agg(count(lit(1)).as("n_common"))

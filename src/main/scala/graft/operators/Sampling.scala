@@ -103,4 +103,56 @@ object Sampling {
       .select("lang", "pos", "doc_id", "rn", "epoch")
       .orderBy("lang", "pos")
   }
+
+  /** Temperature-scaled mixture: derive per-language quotas from corpus
+    * counts as quota_l ∝ n_l^α with α = 0.5, then draw the top-quota docs
+    * per language by the deterministic hash order — the standard
+    * low-resource-upsampling knob of multilingual LLM mixtures (Conneau
+    * et al. 2020's exponent-smoothed sampling), with the quota DERIVATION
+    * inside the engine rather than handed in like [[mixtureSample]].
+    *
+    * α is fixed at 1/2 because sqrt is CORRECTLY ROUNDED under IEEE 754
+    * (every engine computes the identical double), unlike pow(x, α) whose
+    * last-ulp freedom would make a floor() boundary engine-dependent —
+    * the same determinism reasoning as the engine's other cross-checked
+    * float paths (any dyadic α composes from repeated sqrt if needed).
+    * Weights are quantized to integers (floor(sqrt(n)·2^20) — the 2^20
+    * scale is a power of two, so the product is exact), summed exactly,
+    * and quotas allocated by integer largest-remainder (ties: lang asc),
+    * so Σ quota == total EXACTLY and every step is order-independent.
+    *
+    * 100 TB shape: counts are one partial-agg groupBy on a
+    * cardinality-bounded key; the allocation math runs on |langs| rows
+    * (broadcast); selection is the same grouped-rank + quota join as
+    * [[mixtureSample]]. Languages with n < quota contribute all their
+    * docs (upsampling epochs are [[mixtureSample]]'s job).
+    * Output: (lang, doc_id, rn, quota). */
+  def temperatureMixture(docs: DataFrame, total: Long = 200,
+                         seed: String = "st"): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val weights = counts.withColumn("w",
+      floor(sqrt(col("n").cast("double")) * lit(1048576.0)).cast("long"))
+    val z = weights.agg(sum(col("w")).as("z"))
+    val alloc = weights.crossJoin(broadcast(z))
+      .withColumn("q0", expr(s"($total * w) div z"))
+      .withColumn("rem", expr(s"($total * w) % z"))
+    val base = alloc.agg(sum(col("q0")).as("base"))
+    // Largest-remainder top-up: the window spans |langs| rows (bounded by
+    // construction — the cardinality-bounded grouping key), like
+    // RankUtils' internal offsets windows.
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("lang").asc)
+    val quotas = alloc.crossJoin(broadcast(base))
+      .withColumn("lr_rank", row_number().over(byRem))
+      .withColumn("quota",
+        col("q0") + when(col("lr_rank") <= lit(total) - col("base"), 1L).otherwise(0L))
+      .select("lang", "quota")
+    val ranked = RankUtils.groupedRowNumber(
+      docs.select(col("doc_id"), col("lang"), hashKey(seed).as("h")),
+      Seq("lang"), Seq(col("h").asc, col("doc_id").asc), "rn")
+    ranked.join(broadcast(quotas), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .select("lang", "doc_id", "rn", "quota")
+      .orderBy("lang", "rn")
+  }
 }

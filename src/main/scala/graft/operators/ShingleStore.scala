@@ -47,6 +47,13 @@ object ShingleStore {
       .select("doc_id", "sh", "df")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$tmpRoot/shingles")
+    // The LSH band table rides the same artifact: per-doc (own-shingles-
+    // only) rows, so it appends exactly like the shingles do. Persisting
+    // it is what makes incremental dedup batch-proportional — without it
+    // every probe re-runs the corpus-wide signature aggregation.
+    Dedup.bandTable(toks)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmpRoot/bands")
   }
 
   /** The stored (doc_id, sh, df) rows. Row-level filters (e.g. a doc_id
@@ -55,6 +62,11 @@ object ShingleStore {
     * `Dedup.shingles(docs.filter(p))` plus the df stamp. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/shingles")
+
+  /** The stored LSH band table (doc_id, bk) — the corpus side of
+    * [[Dedup.minhashPairsIncremental]]'s probe. */
+  def readBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
 
   /** INCREMENTAL ingest — the append path the class doc names: shingle
     * ONLY `newDocs` (per-row work proportional to the batch, not the
@@ -89,6 +101,11 @@ object ShingleStore {
         coalesce(col("df_stored"), col("df_batch")).as("df"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/shingles")
+    // Band rows are per-doc: the batch's bands derive from ITS shingles
+    // alone, so append is exact (no staleness analog of df here).
+    Dedup.bandTable(toks)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/bands")
     graft.sinks.ArtifactStore.invalidate(path)
   }
 
@@ -109,6 +126,13 @@ object ShingleStore {
         .select("doc_id", "sh", "df")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$tmp/shingles")
+      // publish swaps the WHOLE artifact dir — carry the band table into
+      // the new version (bands are df-independent; a recompute from the
+      // stored rows is also a correctness re-derivation, amortized at
+      // refresh cadence).
+      Dedup.bandTable(rows)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmp/bands")
     }
     graft.sinks.ArtifactStore.invalidate(path)
   }

@@ -67,4 +67,33 @@ class SamplingSpec extends SparkSpec {
     assert(out.count(_._1 == "cc") === 2)
     assert(out.filter(_._1 == "aa").map(_._2).sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("temperature mixture: quotas sum exactly to total, flatten the head, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 80/15/5 skew: α = 0.5 must pull the head's share down and the
+    // tails' up relative to proportional allocation.
+    val corpus = ((1 to 80).map(i => (i.toLong, "en")) ++
+      (101 to 115).map(i => (i.toLong, "de")) ++
+      (201 to 205).map(i => (i.toLong, "zh")))
+      .toDF("doc_id", "lang").withColumn("text", col("lang"))
+    val total = 50L
+    val out = Sampling.temperatureMixture(corpus, total).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val quotas = out.map(t => t._1 -> t._4).distinct.toMap
+    assert(quotas.values.sum === total, s"largest remainder must hit the total exactly: $quotas")
+    // Expected: w = floor(sqrt(n)·2^20) → en:√80, de:√15, zh:√5.
+    val w = Map("en" -> 80, "de" -> 15, "zh" -> 5).view
+      .mapValues(n => math.floor(math.sqrt(n) * 1048576).toLong).toMap
+    val z = w.values.sum
+    val q0 = w.view.mapValues(v => total * v / z).toMap
+    assert(quotas.forall { case (l, q) => q == q0(l) || q == q0(l) + 1 })
+    assert(quotas("en").toDouble / total < 0.8, "head share must flatten below proportional")
+    assert(quotas("zh").toDouble / total > 0.05, "tail share must rise above proportional")
+    // Each lang's picks are the hash-order prefix, capped by its size.
+    assert(out.count(_._1 == "zh") === math.min(quotas("zh"), 5L))
+    val repart = Sampling.temperatureMixture(corpus.repartition(7), total).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(repart.toSeq === out.toSeq, "partition-invariant")
+  }
 }

@@ -84,6 +84,15 @@ class ShingleStoreSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       assert(rows(s"$root/inc") === rows(s"$root/full"),
         "append + refreshDf must reproduce the full rebuild exactly, df included")
+      def bands(p: String) = ShingleStore.readBands(spark, p)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(bands(s"$root/inc") === bands(s"$root/full"),
+        "the appended band table must equal the full rebuild's (bands are per-doc)")
+      // And the bands really are the signatures' bands, not stale copies.
+      val recomputed = graft.operators.Dedup
+        .bandTable(ShingleStore.read(spark, s"$root/inc").select("doc_id", "sh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(bands(s"$root/inc") === recomputed)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
