@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CappedCollectLongs, PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot, ZOrderKey}
+import graft.functions.{CappedCollectLongs, MisraGriesAgg, PackInt8, SkillPointsExpr, TopKAgg, UnpackInt8, VecDot, ZOrderKey}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §2.10):
   * makes `skill_points`, `vec_dot` and `top_k` callable from
@@ -80,6 +80,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "zorder_key(a, b)")
         ZOrderKey(args.head, args(1))
+      }),
+    ("misra_gries",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "misra_gries(term, k)")
+        MisraGriesAgg(args.head, intArg(args(1), "misra_gries")).toAggregateExpression()
       }),
     ("capped_collect_longs",
       new ExpressionInfo(classOf[CappedCollectLongs].getName, "capped_collect_longs"),

@@ -29,6 +29,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(top === Seq((9.0, 2L), (5.0, 3L)))
   }
 
+  test("misra_gries from SQL: bounded summary keeps the guaranteed heavy hitter") {
+    (Seq.fill(30)("hot") ++ (1 to 40).map(i => s"t$i"))
+      .toDF("term").createOrReplaceTempView("mg")
+    val cands = spark.sql("SELECT misra_gries(term, 8) AS c FROM mg").collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(x => (x.getString(0), x.getLong(1)))
+    assert(cands.size <= 8)
+    assert(cands.head._1 === "hot", s"the 43% term must survive k=8: $cands")
+  }
+
   test("pack_int8 / unpack_int8 from SQL round-trip") {
     val r = spark.sql(
       """SELECT unpack_int8(pack_int8(array(1.0D, -0.5D, 0.0D), 1.0D), 1.0D) AS back,
