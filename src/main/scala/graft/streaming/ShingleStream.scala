@@ -61,4 +61,52 @@ object ShingleStream {
         ()
       }
       .start()
+
+  /** ONLINE dedup-on-arrival: for each micro-batch, FIRST flag the
+    * batch's near-duplicates against the corpus-so-far
+    * ([[graft.operators.Dedup.minhashPairsIncremental]] over the stored
+    * shingle+band artifact — batch-proportional work, corpus×corpus pairs
+    * never generated), THEN append the batch to the artifact so later
+    * batches dedup against it too. The composition a real ingest pipeline
+    * runs: every document is checked exactly once, against exactly the
+    * documents that arrived before it — which makes the emitted pair set
+    * EQUAL to sequentially running the batch incremental operator per
+    * ingest (spec-gated).
+    *
+    * Pairs land under `pairsPath/batch_id=<N>` with per-batch OVERWRITE:
+    * a replayed batch (at-least-once foreachBatch) rewrites its own
+    * partition instead of double-appending — the partition-overwrite twin
+    * of the append ledger, which still guards the artifact append itself.
+    * First batch bootstraps the store and emits no pairs (no corpus yet). */
+  def startDedupToStore(docs: DataFrame, path: String, pairsPath: String,
+                        checkpoint: String, threshold: Double = 0.5,
+                        trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val ledgerDir = new org.apache.hadoop.fs.Path(s"$checkpoint/_appended")
+        val mark = new org.apache.hadoop.fs.Path(ledgerDir, batchId.toString)
+        if (!fs.exists(mark) && !batch.isEmpty) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles"))) {
+            graft.operators.Dedup.minhashPairsIncremental(
+                graft.operators.ShingleStore.read(spark, path).select("doc_id", "sh"),
+                batch, threshold,
+                corpusBands = Some(graft.operators.ShingleStore.readBands(spark, path)))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$pairsPath/batch_id=$batchId")
+            graft.operators.ShingleStore.append(batch, path)
+          } else {
+            graft.operators.ShingleStore.write(batch, path)
+          }
+          fs.mkdirs(ledgerDir)
+          fs.create(mark, true).close()
+        }
+        ()
+      }
+      .start()
 }

@@ -180,6 +180,50 @@ class ShingleStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("online dedup-on-arrival: streamed pairs equal sequential batch incremental runs") {
+    val root = java.nio.file.Files.createTempDirectory("shdedup").toString
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      // Third wave dups doc 7 (which arrived in wave 2) — proves each
+      // batch is checked against EVERYTHING that arrived before it,
+      // including prior streamed batches.
+      val wave3 = Seq(
+        (11L, "red blue green stone tree water sun moon rock extra"),
+        (12L, "totally novel text that matches no earlier document at all"))
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.ShingleStream.startDedupToStore(
+        input.toDF().toDF("doc_id", "text"), s"$root/inc", s"$root/pairs", s"$root/ckpt")
+      try {
+        input.addData(fixture: _*); q.processAllAvailable() // bootstrap: no pairs
+        input.addData(batch: _*); q.processAllAvailable()   // vs fixture
+        input.addData(wave3: _*); q.processAllAvailable()   // vs fixture ++ batch
+      } finally q.stop()
+      assert(!new java.io.File(s"$root/pairs/batch_id=0").exists,
+        "bootstrap batch has no corpus to dedup against")
+      def got(bid: Int) = spark.read.parquet(s"$root/pairs/batch_id=$bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      // Batch-mode references: the incremental operator run sequentially.
+      def ref(corpus: Seq[(Long, String)], wave: Seq[(Long, String)]) =
+        Dedup.minhashPairsIncremental(
+            Dedup.shingles(corpus.toDF("doc_id", "text")), wave.toDF("doc_id", "text"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(p => (p._1, p._2)).toSeq
+      assert(got(1) === ref(fixture, batch), "wave 2 pairs vs the bootstrap corpus")
+      assert(got(2) === ref(fixture ++ batch, wave3), "wave 3 pairs vs corpus incl. wave 2")
+      assert(got(2).exists { case (n, c, _, _) => n == 11L && c == 7L },
+        "the planted dup against a STREAMED doc must be flagged")
+      // And the artifact ends up identical to a batch rebuild of all waves.
+      writeDocs(s"$root/docsAll", fixture ++ batch ++ wave3)
+      ShingleStore.ensure(spark.read.parquet(s"$root/docsAll"), s"$root/full")
+      ShingleStore.refreshDf(spark, s"$root/inc")
+      def rows(p: String) = ShingleStore.read(spark, p)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows(s"$root/inc") === rows(s"$root/full"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("ensure() skips rebuild for unchanged source, rebuilds on regenerated data") {
     val root = java.nio.file.Files.createTempDirectory("shstore").toString
     try {
