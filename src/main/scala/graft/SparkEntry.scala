@@ -470,6 +470,16 @@ object SparkEntry {
       Similarity.annIvfFromIndex(Tables.embeddings(s, dir), p)
     }),
     "ivf_recall" -> ((s, dir) => Similarity.ivfRecall(Tables.embeddings(s, dir))),
+    // Product quantization: 8 subspace codebooks (deterministic integer
+    // k-means) → 4-bit codes → ADC top-k by summed table lookups — the
+    // ~32× embedding-compression axis; recall gated like every index.
+    "ann_pq" -> ((s, dir) => Similarity.annPq(Tables.embeddings(s, dir))),
+    "pq_recall" -> ((s, dir) => Similarity.pqRecall(Tables.embeddings(s, dir))),
+    // The production composition: ADC top-50 shortlist from the codes,
+    // exact cosine re-rank of just those 50 full vectors per query. The
+    // recall pair (pq_recall vs pq_rerank_recall) prices the stage.
+    "ann_pq_rerank" -> ((s, dir) => Similarity.annPqRerank(Tables.embeddings(s, dir))),
+    "pq_rerank_recall" -> ((s, dir) => Similarity.pqRerankRecall(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     // SEMANTIC dedup clusters — the embedding-side twin of dedup_clusters:
     // LSH near-dup pairs feed the same hash-to-min component labeling, so
@@ -2056,6 +2066,53 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
          |       FROM sc)
          |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "ann_pq" ->
+      s"""WITH $PqCte
+         |SELECT qid, cid, adc_dist, rank FROM pqr WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "pq_recall" ->
+      s"""WITH $PqCte,
+         | ann AS (SELECT qid AS aqid, cid AS acid FROM pqr WHERE rank <= 5),
+         | ts AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+         |        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         | tr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM ts),
+         | truth AS (SELECT qid, cid FROM tr WHERE rank <= 5)
+         |SELECT t2.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
+         |       CAST(count(a.acid) AS DOUBLE) / 5 AS recall
+         |FROM truth t2 LEFT JOIN ann a ON a.aqid = t2.qid AND a.acid = t2.cid
+         |GROUP BY t2.qid ORDER BY t2.qid""".stripMargin,
+    "ann_pq_rerank" ->
+      s"""WITH $PqCte,
+         | short AS (SELECT qid, cid FROM pqr WHERE rank <= 50),
+         | sc AS (SELECT qid, cid,
+         |        round(list_cosine_similarity(qe.e, ce.e), 6) AS cos_sim
+         |        FROM short JOIN emb qe ON qe.vec_id = qid JOIN emb ce ON ce.vec_id = cid),
+         | rr AS (SELECT qid, cid, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+         |       FROM sc)
+         |SELECT qid, cid, cos_sim, rank FROM rr WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "pq_rerank_recall" ->
+      s"""WITH $PqCte,
+         | short AS (SELECT qid, cid FROM pqr WHERE rank <= 50),
+         | sc AS (SELECT qid, cid,
+         |        round(list_cosine_similarity(qe.e, ce.e), 6) AS cos_sim
+         |        FROM short JOIN emb qe ON qe.vec_id = qid JOIN emb ce ON ce.vec_id = cid),
+         | rr AS (SELECT qid, cid,
+         |       row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM sc),
+         | ann AS (SELECT qid AS aqid, cid AS acid FROM rr WHERE rank <= 5),
+         | ts AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+         |        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         | tr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM ts),
+         | truth AS (SELECT qid, cid FROM tr WHERE rank <= 5)
+         |SELECT t2.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
+         |       CAST(count(a.acid) AS DOUBLE) / 5 AS recall
+         |FROM truth t2 LEFT JOIN ann a ON a.aqid = t2.qid AND a.acid = t2.cid
+         |GROUP BY t2.qid ORDER BY t2.qid""".stripMargin,
     "ivf_recall" ->
       s"""WITH $IvfCte,
          | pr AS (SELECT qid, qe, cluster FROM (
@@ -2277,6 +2334,41 @@ object SparkEntry {
     * distance identity q·q − 2·q·c + c·c (tie-break on cluster), one Lloyd
     * step with means re-quantized via round(). Produces `qz` (vec_id, e,
     * q), `cents` (cluster, c), `asg` (vec_id, e, cluster). */
+  /** PQ oracle fragments: subspace split (DuckDB 1-based inclusive list
+    * slice), per-subspace seed assignment + one Lloyd step + codes, query
+    * ADC distance tables — mirrors [[graft.operators.Similarity.annPq]]'s
+    * integer arithmetic term for term. */
+  private val PqCte: String =
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      | qz AS (SELECT vec_id, e, [round(x * 1000000) for x in e] AS q FROM emb),
+      | sub AS (SELECT vec_id, m, q[m*8+1 : m*8+8] AS qm
+      |         FROM qz, generate_series(0, 7) t(m)),
+      | pseeds AS (SELECT m, vec_id AS cl, qm AS c FROM sub WHERE vec_id < 16),
+      | pa1 AS (SELECT vec_id, m, qm, cl FROM (
+      |        SELECT s2.vec_id, s2.m, s2.qm, s.cl,
+      |               row_number() OVER (PARTITION BY s2.vec_id, s2.m ORDER BY
+      |                 list_inner_product(s2.qm, s2.qm) - 2 * list_inner_product(s2.qm, s.c)
+      |                 + list_inner_product(s.c, s.c), s.cl) AS rn
+      |        FROM sub s2 JOIN pseeds s ON s.m = s2.m) t1 WHERE rn = 1),
+      | pdims AS (SELECT m, cl, i, round(CAST(sum(qm[i]) AS DOUBLE) / count(*)) AS mean
+      |          FROM pa1, generate_series(1, 8) t(i) GROUP BY m, cl, i),
+      | books AS (SELECT m, cl, list(mean ORDER BY i) AS c FROM pdims GROUP BY m, cl),
+      | codes AS (SELECT vec_id, m, cl AS code FROM (
+      |        SELECT s2.vec_id, s2.m, b.cl,
+      |               row_number() OVER (PARTITION BY s2.vec_id, s2.m ORDER BY
+      |                 list_inner_product(s2.qm, s2.qm) - 2 * list_inner_product(s2.qm, b.c)
+      |                 + list_inner_product(b.c, b.c), b.cl) AS rn
+      |        FROM sub s2 JOIN books b ON b.m = s2.m) t2 WHERE rn = 1),
+      | dtab AS (SELECT s2.vec_id AS qid, s2.m, b.cl AS code,
+      |               list_inner_product(s2.qm, s2.qm) - 2 * list_inner_product(s2.qm, b.c)
+      |               + list_inner_product(b.c, b.c) AS d
+      |          FROM sub s2 JOIN books b ON b.m = s2.m WHERE s2.vec_id < 10),
+      | adc AS (SELECT qid, c2.vec_id AS cid, sum(d) AS adc_dist
+      |         FROM codes c2 JOIN dtab USING (m, code) WHERE c2.vec_id <> qid GROUP BY 1, 2),
+      | pqr AS (SELECT qid, cid, adc_dist,
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS BIGINT) AS rank
+      |       FROM adc)""".stripMargin
+
   private val IvfCte: String =
     """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       | qz AS (SELECT vec_id, e, [round(x * 1000000) for x in e] AS q FROM emb),

@@ -438,4 +438,159 @@ object Similarity {
       .select("qid", "cid", "cos_sim", "rank")
       .orderBy("qid", "rank")
   }
+
+  // --- Product quantization (Jégou, Douze & Schmid, IEEE TPAMI 2011,
+  // "Product Quantization for Nearest Neighbor Search") -----------------
+
+  /** PQ geometry: 64-dim vectors → M=8 subspaces of 8 dims, ksub=16
+    * centroids per subspace → 8 4-bit codes ≈ 4 bytes per vector vs 256
+    * bytes of float32 — the ~32× storage lever that keeps 100 TB of
+    * embeddings scannable. Codebooks train with the SAME deterministic
+    * integer k-means as [[ivfModel]] (quantized subvectors, exact
+    * |q−c|² = q·q − 2q·c + c·c arithmetic, one Lloyd step, id tie-break),
+    * so codes and ADC distances replay bit-for-bit in the oracle. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqKsub = 16
+
+  /** (vec_id, m, qm): the m-th quantized subvector of each vector. */
+  private def subvectors(baseQ: DataFrame): DataFrame =
+    baseQ.select(col("vec_id"), col("q"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .withColumn("qm", slice(col("q"), col("m") * lit(PqSubDim) + lit(1), lit(PqSubDim)))
+      .drop("q")
+
+  /** Per-subspace argmin assignment: [[nearestCluster]] keyed by m — the
+    * centroid broadcast is M·ksub = 128 rows. Output keeps the frame's
+    * columns plus `cl`. */
+  private def nearestSubCluster(frame: DataFrame, cents: DataFrame): DataFrame =
+    frame.join(broadcast(cents), Seq("m"))
+      .withColumn("dist",
+        vec_dot(col("qm"), col("qm")) - lit(2.0) * vec_dot(col("qm"), col("c")) +
+          vec_dot(col("c"), col("c")))
+      .groupBy(frame.columns.map(col).toIndexedSeq: _*)
+      .agg(min(struct(col("dist"), col("cl"))).as("mm"))
+      .withColumn("cl", col("mm.cl"))
+      .drop("mm")
+
+  /** One Lloyd step per subspace — [[lloydUpdate]] with m in the key;
+    * M·ksub·subdim = 1024 groups, one partial-aggregated shuffle. */
+  private def lloydSubUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("cl"), posexplode(col("qm")))
+      .groupBy("m", "cl", "pos")
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean", round(col("s").cast("double") / col("n")))
+      .groupBy("m", "cl")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)").as("c"))
+
+  /** PQ codebooks + codes for a corpus: seeds = subvectors of the first
+    * ksub vectors, one Lloyd step, re-assign. Returns
+    * (codes = (vec_id, m, code), codebooks = (m, cl, c)). */
+  private[graft] def pqModelOn(baseQ: DataFrame): (DataFrame, DataFrame) = {
+    val sub = subvectors(baseQ)
+    val seeds = sub.filter(col("vec_id") < PqKsub)
+      .select(col("m"), col("vec_id").cast("int").as("cl"), col("qm").as("c"))
+    val codebooks = CacheRegistry.persistBounded(
+      lloydSubUpdate(nearestSubCluster(sub.select("vec_id", "m", "qm"), seeds)))
+    val codes = nearestSubCluster(sub.select("vec_id", "m", "qm"), codebooks)
+      .select(col("vec_id"), col("m"), col("cl").as("code"))
+    (codes, codebooks)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    * M×ksub distance table against the codebooks (tiny, broadcast), and a
+    * candidate's approximate distance is the SUM of M table lookups — the
+    * corpus side is touched only through its 4-bit codes, never its
+    * floats. Every distance term is an exact integer-valued double
+    * (quantized subvector products ≤ 2^53) and the M-term sum stays
+    * ≤ 2^53, so ADC distances are order-independent and the approximate
+    * ranking hash-matches the oracle replay, like [[annIvf]].
+    *
+    * The per-query scan is over N·M code rows with a broadcast lookup +
+    * [[graft.functions.TopKAgg]] (no sort of the long tail) — PQ is the
+    * COMPRESSION axis of ANN; compose with IVF cells (candidates from
+    * [[annIvf]]'s probe) when candidate pruning is also wanted.
+    * Output: (qid, cid, adc_dist, rank). */
+  def annPq(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame =
+    adcTopK(sharedBase(embeddings), numQueries, k)
+      .select(col("qid"), col("cid"), col("adc_dist"), col("rank"))
+      .orderBy("qid", "rank")
+
+  /** ADC top-k per query as an unordered frame (qid, cid, adc_dist,
+    * rank) — the shortlist stage shared by [[annPq]] (k = final k) and
+    * [[annPqRerank]] (k = shortlist size R). */
+  private def adcTopK(base: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val baseQ = base.withColumn("q", quantized(col("e")))
+    val (codes, codebooks) = pqModelOn(baseQ)
+    val dtab = subvectors(baseQ.filter(col("vec_id") < numQueries))
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(codebooks), Seq("m"))
+      .withColumn("d",
+        vec_dot(col("qm"), col("qm")) - lit(2.0) * vec_dot(col("qm"), col("c")) +
+          vec_dot(col("c"), col("c")))
+      .select(col("qid"), col("m"), col("cl").as("code"), col("d"))
+    codes
+      .join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d")).as("adc_dist"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("adc_dist")).as("score"), col("vec_id").as("id")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        (-col("col.score")).as("adc_dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** The production PQ pipeline: ADC SHORTLIST (top-`shortlist` by summed
+    * code distances — corpus touched through 4-bit codes only), then an
+    * EXACT cosine re-rank of just the shortlist rows against the full
+    * vectors. Re-ranking reads `shortlist` full vectors per query instead
+    * of N — the float table is probed, never scanned — and recovers most
+    * of the recall ADC alone gives up (measured in PERF.md; the
+    * pq_recall / pq_rerank_recall pair prices the stage).
+    * Output: (qid, cid, cos_sim, rank), same shape as [[cosineTopK]]. */
+  def annPqRerank(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                  shortlist: Int = 50): DataFrame = {
+    val base = sharedBase(embeddings)
+    val short = adcTopK(base, numQueries, shortlist).select("qid", "cid")
+    val q = broadcast(base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
+    short
+      .join(base.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn")), Seq("cid"))
+      .join(q, Seq("qid"))
+      .withColumn("cos_sim", round(vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos_sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** Recall of [[annPq]]'s ADC ranking against exact cosine top-k — the
+    * honesty gate every approximate index here carries. */
+  def pqRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame =
+    recallAgainstTruth(embeddings,
+      annPq(embeddings, numQueries, k), numQueries, k)
+
+  /** Recall of the shortlist+re-rank pipeline — read together with
+    * [[pqRecall]] this prices exactly what the exact re-rank stage buys. */
+  def pqRerankRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                     shortlist: Int = 50): DataFrame =
+    recallAgainstTruth(embeddings,
+      annPqRerank(embeddings, numQueries, k, shortlist), numQueries, k)
+
+  private def recallAgainstTruth(embeddings: DataFrame, approx: DataFrame,
+                                 numQueries: Int, k: Int): DataFrame = {
+    val base = sharedBase(embeddings)
+    val truth = cosineTopKOn(base, numQueries, k).select(col("qid"), col("cid"))
+    truth
+      .join(approx.select(col("qid").as("aqid"), col("cid").as("acid")),
+        col("aqid") === col("qid") && col("acid") === col("cid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hit"),
+        (count(col("acid")).cast("double") / k).as("recall"))
+      .orderBy("qid")
+  }
 }

@@ -144,4 +144,59 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.annLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(recall.map(_._2).sum === (bf intersect lsh).size.toLong)
   }
+
+  /** A PQ-friendly corpus: enough vectors to seed 16 codebook centroids,
+    * with a planted near-duplicate of the query. */
+  private lazy val pqEmb = {
+    // Hash-based spread (sin(i·c) is near-periodic and plants accidental
+    // near-dups); values in [−0.5, 0.5).
+    def coord(i: Long, d: Int): Float =
+      (((i * 2654435761L + d * 40503L) % 1000L + 1000L) % 1000L - 500L).toFloat / 1000f
+    val rows = (0L until 40L).map(i => (i, Array.tabulate(64)(coord(i, _)))) :+ (50L, {
+      val a = Array.tabulate(64)(coord(0L, _))
+      a(0) = a(0) + 0.01f; a // near-dup of vec 0
+    })
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("PQ codes: every vector gets exactly M codes in [0, ksub)") {
+    val baseQ = Similarity.annPq(pqEmb, numQueries = 1, k = 3) // force model path
+    baseQ.collect() // materialize
+    // model internals re-derived through the public surface: each (vec, m)
+    // appears once, codes within range — checked via the ADC join's inputs
+    // by rebuilding codes with the package-private model.
+    import org.apache.spark.sql.functions.{col, expr}
+    val withQ = pqEmb
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("q", expr("transform(e, x -> round(x * 1000000))"))
+    val (codes, books) = Similarity.pqModelOn(withQ)
+    val c = codes.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(c.length === 41 * Similarity.PqM, "one code per (vector, subspace)")
+    assert(c.forall { case (_, m, code) => m >= 0 && m < Similarity.PqM &&
+      code >= 0 && code < Similarity.PqKsub })
+    assert(books.count() === Similarity.PqM * Similarity.PqKsub)
+  }
+
+  test("PQ ADC ranking is partition-invariant and finds the planted near-dup") {
+    val a = Similarity.annPq(pqEmb, numQueries = 1, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val b = Similarity.annPq(pqEmb.repartition(7), numQueries = 1, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(a === b, "ADC ranking must not depend on partitioning")
+    assert(a.head._2 === 50L, s"the planted near-dup must rank first: $a")
+  }
+
+  test("exact re-rank of the ADC shortlist never lowers recall") {
+    val adc = Similarity.pqRecall(pqEmb, numQueries = 1, k = 5).collect()
+      .map(r => r.getDouble(2)).sum
+    val rr = Similarity.pqRerankRecall(pqEmb, numQueries = 1, k = 5, shortlist = 20)
+      .collect().map(r => r.getDouble(2)).sum
+    assert(rr >= adc, s"re-rank recall $rr must be >= ADC recall $adc")
+    // The re-ranked list is ordered by EXACT cosine, so its scores agree
+    // with brute force on the same pairs.
+    val bf = Similarity.cosineTopK(pqEmb, numQueries = 1, k = 40).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    Similarity.annPqRerank(pqEmb, numQueries = 1, k = 5, shortlist = 20).collect()
+      .foreach(r => assert(bf(r.getLong(1)) === r.getDouble(2)))
+  }
 }
