@@ -479,6 +479,13 @@ object SparkEntry {
     // exact cosine re-rank of just those 50 full vectors per query. The
     // recall pair (pq_recall vs pq_rerank_recall) prices the stage.
     "ann_pq_rerank" -> ((s, dir) => Similarity.annPqRerank(Tables.embeddings(s, dir))),
+    // PQ over the STORED index artifact (codebooks + codes): no training
+    // or corpus encoding at query time. Shares ann_pq's oracle.
+    "ann_pq_stored" -> ((s, dir) => {
+      val p = artifactPath("pqindex", dir)
+      Similarity.ensurePqIndex(Tables.embeddings(s, dir), p)
+      Similarity.annPqFromIndex(Tables.embeddings(s, dir), p)
+    }),
     "pq_rerank_recall" -> ((s, dir) => Similarity.pqRerankRecall(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     // SEMANTIC dedup clusters — the embedding-side twin of dedup_clusters:
@@ -758,6 +765,7 @@ object SparkEntry {
     ShingleStore.ensure(Tables.documents(s, dir), shingleStorePath(dir))
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
+    Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
   }
 
   /** Skill-points formula (X1) over the distinct level domain derived from
@@ -915,6 +923,7 @@ object SparkEntry {
     // exactly (same contract as bm25_postings vs bm25_topk).
     "dedup_minhash_stored" -> baseOracleSql("dedup_minhash"),
     "dedup_incremental_stored" -> baseOracleSql("dedup_incremental"),
+    "ann_pq_stored" -> baseOracleSql("ann_pq"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
     "contamination_stored" -> baseOracleSql("contamination"),
     "corpus_clean_stored" -> baseOracleSql("corpus_clean"),

@@ -523,6 +523,13 @@ object Similarity {
   private def adcTopK(base: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val baseQ = base.withColumn("q", quantized(col("e")))
     val (codes, codebooks) = pqModelOn(baseQ)
+    adcTopKFrom(codes, codebooks, baseQ, numQueries, k)
+  }
+
+  /** ADC over externally supplied codes/codebooks — the seam the stored
+    * PQ index rides ([[annPqFromIndex]]); parameters as [[adcTopK]]. */
+  private def adcTopKFrom(codes: DataFrame, codebooks: DataFrame,
+                          baseQ: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val dtab = subvectors(baseQ.filter(col("vec_id") < numQueries))
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(codebooks), Seq("m"))
@@ -541,6 +548,35 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("cid"),
         (-col("col.score")).as("adc_dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Build + publish the PQ index artifact (codebooks + per-vector codes)
+    * at `path` — fingerprint-keyed like the IVF/posting/shingle stores.
+    * At 100 TB the codes table IS the searchable corpus (≈ 32× smaller
+    * than the floats); the float table is only probed by re-rank. */
+  def ensurePqIndex(embeddings: DataFrame, path: String): Unit =
+    graft.sinks.ArtifactStore.ensure(embeddings, path) { (df, tmp) =>
+      val baseQ = sharedBase(df).withColumn("q", quantized(col("e")))
+      val (codes, codebooks) = pqModelOn(baseQ)
+      graft.sinks.SnapshotStore.overwriteLatest(codebooks, s"$tmp/codebooks")
+      graft.sinks.SnapshotStore.overwriteLatest(codes, s"$tmp/codes")
+    }
+
+  /** [[annPq]] over the stored index: codebooks and codes are parquet
+    * reads (codebook means are integral doubles — exact through the
+    * round-trip, the [[annIvfFromIndex]] argument); only the QUERY
+    * vectors are re-quantized. Hash-identical to [[annPq]] by
+    * construction — shares its oracle. */
+  def annPqFromIndex(embeddings: DataFrame, path: String,
+                     numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val baseQ = sharedBase(embeddings).withColumn("q", quantized(col("e")))
+    adcTopKFrom(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebooks"),
+      baseQ, numQueries, k)
+      .select(col("qid"), col("cid"), col("adc_dist"), col("rank"))
+      .orderBy("qid", "rank")
   }
 
   /** The production PQ pipeline: ADC SHORTLIST (top-`shortlist` by summed

@@ -41,7 +41,16 @@ class PlanAuditSpec extends SparkSpec {
     "kmv_corpus_overlap",
     // length_batches: the 1-row corpus-total frame broadcast over the
     // ranked docs for the integer bucket arithmetic.
-    "length_batches")
+    "length_batches",
+    // heavy_hitters: the 1-row total-count frame broadcast under the
+    // integer threshold filter (count·(k+1) > N) — scalar-subquery shape.
+    "heavy_hitters",
+    // sample_temperature: two 1-row frames (exact weight sum z, allocated
+    // base) broadcast into the |langs|-row quota arithmetic.
+    "sample_temperature",
+    // pq recall gates: the TRUTH branch is the labeled brute-force
+    // baseline (broadcast all-pairs), same as ann_recall/ivf_recall.
+    "pq_recall", "pq_rerank_recall")
 
   test("no CartesianProduct in any query plan; nested loops only where intentional") {
     GraftFunctions.installOptimizations(spark)
