@@ -75,10 +75,13 @@ object Bench {
       // preserved (clearing happens after the timed run), so timings stay
       // "warm" per query while becoming order-independent and
       // round-over-round comparable.
-      graft.operators.CacheRegistry.clear()
+      // Blocking drops: an async unpersist races the NEXT query for heap
+      // (ScaleBench measured setjoin_pairs 2-4x slower behind the
+      // clusters family's lingering fixpoint blocks).
+      graft.operators.CacheRegistry.clear(blocking = true)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       // Spark's ContextCleaner frees broadcast/shuffle blocks only when
       // the DRIVER GC collects their references; a 248-run single-JVM
       // bench never triggers a full GC on its own, so dead broadcast

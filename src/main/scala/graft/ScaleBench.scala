@@ -66,10 +66,16 @@ object ScaleBench {
         run()
         (System.nanoTime() - t0) / 1e9
       }
-      graft.operators.CacheRegistry.clear()
+      // BLOCKING teardown: an async unpersist leaves the previous query's
+      // blocks racing the next query for heap — measured as a 2–4×
+      // slowdown on setjoin_pairs at sf1 when run behind the clusters
+      // family. Wait for the drops, give the ContextCleaner a beat to
+      // drain broadcast/shuffle cleanups, then GC.
+      graft.operators.CacheRegistry.clear(blocking = true)
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
+      Thread.sleep(1000)
       ts.min
     }
     def time(name: String, dir: String): Double = timeFn(SparkEntry.queries(name), dir)

@@ -562,6 +562,11 @@ object SparkEntry {
     "length_batches" -> ((s, dir) => Packing.lengthBatches(Tables.documents(s, dir))),
     "pack_chunk_stats" -> ((s, dir) => Packing.chunkStats(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => Packing.slidingWindows(Tables.documents(s, dir))),
+    // Content-defined chunking: boundaries are a pure function of local
+    // 3-gram hashes (mod 8), so edits reshape only the chunks they touch
+    // — the boundary-stable sibling of the sliding-window chunker, and
+    // the substrate for chunk-hash dedup across crawl snapshots.
+    "doc_chunks_cdc" -> ((s, dir) => Packing.cdcChunks(Tables.documents(s, dir))),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
     "sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
@@ -1560,6 +1565,21 @@ object SparkEntry {
         | CAST(least(128, n_tokens_doc - chunk_idx * 96) AS BIGINT) AS n_tokens,
         | md5(array_to_string(w[(chunk_idx * 96 + 1):(chunk_idx * 96 + least(128, n_tokens_doc - chunk_idx * 96))], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "doc_chunks_cdc" ->
+      """WITH wd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+        | b AS (SELECT doc_id, ws, len(ws) AS n,
+        |   CASE WHEN len(ws) >= 4 THEN
+        |     [i for i in range(3, len(ws))
+        |      if CAST('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 15) AS BIGINT) % 8 = 0]
+        |   ELSE [] END AS bounds FROM wd),
+        | c AS (SELECT doc_id, ws, n, list_prepend(1, [x + 1 for x in bounds]) AS starts,
+        |        list_append(bounds, n) AS ends FROM b),
+        | e AS (SELECT doc_id, ws, unnest(starts) AS s, unnest(ends) AS t,
+        |        unnest(range(0, len(starts))) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS start_word,
+        | CAST(t - s + 1 AS BIGINT) AS n_words,
+        | md5(array_to_string(ws[s:t], ' ')) AS chunk_hash
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
         | count(*) AS n_docs, min(doc_id) AS keep_id

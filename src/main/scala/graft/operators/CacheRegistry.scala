@@ -62,9 +62,14 @@ object CacheRegistry {
   /** Number of live registered entries — test hook for the bound. */
   def liveCount: Int = synchronized(entries.length)
 
-  /** Unpersist and forget everything — test isolation hook. */
-  def clear(): Unit = synchronized {
-    entries.foreach(_.df.unpersist(blocking = false))
+  /** Unpersist and forget everything — test/bench isolation hook.
+    * `blocking = true` waits until the blocks are actually dropped:
+    * benchmark harnesses call this between queries, and an async
+    * unpersist races the NEXT query's execution for heap (measured in
+    * ScaleBench: setjoin_pairs at sf1 ran 2–4× slower behind the
+    * clusters queries' lingering fixpoint blocks). */
+  def clear(blocking: Boolean = true): Unit = synchronized {
+    entries.foreach(_.df.unpersist(blocking = blocking))
     entries.clear()
   }
 }

@@ -125,6 +125,54 @@ object Packing {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Content-defined chunking (the CDC of backup/dedup systems — Muthitacharoen
+    * et al. SOSP 2001 "A low-bandwidth network file system" — applied at word
+    * granularity): a chunk boundary falls AFTER word i exactly when the
+    * md5-derived 60-bit hash of the 3-gram ending at i is ≡ 0 (mod `divisor`)
+    * — a pure function of local CONTENT, so an edit reshapes only the chunks
+    * it touches while every chunk outside the edit keeps its byte-identical
+    * text and hash (the boundary-stability fixed-size chunking lacks; spec-
+    * gated with a prefix-edited twin). That stability is what makes
+    * chunk-hash dedup across crawl snapshots work: re-crawled pages with one
+    * changed paragraph re-share every other chunk.
+    *
+    * Expected chunk length = `divisor` words (geometric); no min/max clamps —
+    * clamping makes boundaries depend on the PREVIOUS boundary (sequential
+    * state the declarative form and the oracle would both lose), and the
+    * clamp-free variant is exactly as dedup-stable. Degenerate long chunks
+    * are possible and fine (documented, like slidingWindows' tail).
+    *
+    * 100 TB shape: boundaries, ranges, and hashes are all per-row array
+    * expressions (filter/transform/slice over the split words) — NO shuffle,
+    * no window, fanout ~n/divisor rows per doc; composes with
+    * [[graft.operators.Dedup.exact]] on chunk_hash for chunk-level dedup.
+    * Output: (doc_id, chunk_idx, start_word, n_words, chunk_hash). */
+  def cdcChunks(docs: DataFrame, divisor: Int = 8): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    docs
+      .select(col("doc_id"), TextAnalysis.wordsExpr.as("ws"))
+      .withColumn("n", size(col("ws")))
+      // Boundary candidates i ∈ [3, n−1]: a gram needs 3 words, and a
+      // boundary at n would open an empty chunk.
+      .withColumn("bounds", expr(
+        s"""CASE WHEN n >= 4 THEN
+           |  filter(sequence(3, n - 1), i ->
+           |    CAST(conv(substring(md5(concat_ws(' ',
+           |      element_at(ws, i - 2), element_at(ws, i - 1), element_at(ws, i))),
+           |      1, 15), 16, 10) AS BIGINT) % $divisor = 0)
+           |ELSE array() END""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), transform(bounds, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bounds, array(n))"))
+      .select(col("doc_id"), col("ws"), posexplode(arrays_zip(col("starts"), col("ends"))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.starts").cast("long").as("start_word"),
+        (col("col.ends") - col("col.starts") + 1).cast("long").as("n_words"),
+        md5(expr("concat_ws(' ', slice(ws, col.starts, col.ends - col.starts + 1))"))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Chunk-level summary: documents per chunk and the packed token count —
     * the fill-efficiency view (chunks fill to ≥ budget − max_doc_tokens
     * except each shard's tail chunk). */

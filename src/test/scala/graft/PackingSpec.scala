@@ -110,4 +110,46 @@ class PackingSpec extends SparkSpec {
       assert(frac === (mx * n - sm).toDouble / (mx * n).toDouble)
     }
   }
+
+  test("CDC chunks tile each document exactly; short docs are one chunk") {
+    import spark.implicits._
+    val words = (1 to 120).map(i => s"w${i * 37 % 101}")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "just two"), (3L, "a b c")).toDF("doc_id", "text")
+    val chunks = Packing.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    for ((id, n) <- Seq((1L, 120L), (2L, 2L), (3L, 3L))) {
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.map(_._4).sum === n, s"doc $id chunks must cover every word exactly once")
+      assert(cs.head._3 === 1L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4, "chunks are contiguous")
+        case _ =>
+      }
+    }
+    assert(chunks.count(_._1 == 2L) === 1, "sub-gram docs are a single chunk")
+    assert(chunks.filter(_._1 == 1L).length > 1, "a 120-word doc must split (divisor 8)")
+  }
+
+  test("CDC boundaries are content-stable: a prefix edit leaves suffix chunks' hashes intact") {
+    import spark.implicits._
+    val tail = (1 to 100).map(i => s"t${i * 53 % 89}")
+    val a = ("lead in words before the stable tail " + tail.mkString(" "))
+    val b = ("a completely different and also longer preamble now precedes " + tail.mkString(" "))
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val chunks = Packing.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val ha = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val hb = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = ha intersect hb
+    assert(shared.size >= 5,
+      s"the shared 100-word tail must re-share most of its chunks, got ${shared.size}")
+    // Contrast: fixed-size sliding windows share (almost) nothing under a
+    // length-changing prefix edit — the property CDC exists to restore.
+    val sw = Packing.slidingWindows(docs, windowSize = 16, stride = 16).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val swShared = sw.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(sw.filter(_._1 == 2L).map(_._2).toSet)
+    assert(swShared.size < shared.size,
+      "fixed-size chunking must share fewer chunks than CDC under the same edit")
+  }
 }
