@@ -94,13 +94,31 @@ object SetJoin {
     // the pair would never become a candidate). One extra prefix token
     // absorbs any ulp-level discrepancy; verification is exact, so the
     // slack costs only a few candidates, never correctness.
+    //
+    // Each prefix row carries the doc's size and the token's 0-based
+    // position so the candidate join can prune BEFORE the distinct and the
+    // array-materializing verify joins (the PPJoin length + positional
+    // filters). Both are complete under the same one-unit slack:
+    //  - length: J ≥ t is impossible when t·n_a > n_b (or vice versa).
+    //  - positional: for a qualifying pair, its EARLIEST common token c
+    //    (in the global (df, sh) order) is inside both prefixes (overlap
+    //    o ≥ ⌈t·n⌉ on each side), every token before c on either side is
+    //    unshared, so o ≤ min(n_a − pos_a, n_b − pos_b); join events whose
+    //    bound can't reach the required overlap ⌈t/(1+t)·(n_a+n_b)⌉ are
+    //    discarded — the event for c always survives, so each qualifying
+    //    pair still reaches distinct().
     val prefixes = sortedDocs
-      .select(col("doc_id"),
-        explode(expr(s"slice(shs, 1, size(shs) - CAST(ceil($threshold * size(shs)) AS INT) + 2)"))
-          .as("sh"))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"slice(shs, 1, size(shs) - CAST(ceil($threshold * size(shs)) AS INT) + 2)")))
+      .toDF("doc_id", "n", "pos", "sh")
+    val reqFrac = threshold / (1.0 + threshold)
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lit(threshold) <= col("b.n") + lit(1) &&
+          col("b.n") * lit(threshold) <= col("a.n") + lit(1) &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            ceil(lit(reqFrac) * (col("a.n") + col("b.n"))) - lit(1))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
@@ -108,10 +126,6 @@ object SetJoin {
         col("shs").as("shs_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sortedDocs.select(col("doc_id").as("id_b"),
         col("shs").as("shs_b"), col("n").as("n_b")), Seq("id_b"))
-      // length filter with the same one-unit slack: J ≥ t is impossible
-      // when sizes differ by more than 1/t, up to IEEE boundary wiggle
-      .filter(col("n_a") * lit(threshold) <= col("n_b") + lit(1) &&
-        col("n_b") * lit(threshold) <= col("n_a") + lit(1))
       .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
