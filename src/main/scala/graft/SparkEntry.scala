@@ -596,6 +596,7 @@ object SparkEntry {
     // frame javax.imageio read; dims and checksums come from each decoded
     // raster, the oracle recomputes them from the source byte windows.
     "multimodal_gif_frames" -> ((s, dir) => Multimodal.gifFrames(Tables.documents(s, dir))),
+    "multimodal_video_frames" -> ((s, dir) => Multimodal.videoFrames(Tables.documents(s, dir))),
     // HyperLogLog distinct sketch vs exact — BOTH estimator branches gated:
     // per-type user counts (~150 « 1280) land in the linear-counting
     // correction, the global event_id count (10k per sf0.01) in the raw
@@ -2251,6 +2252,21 @@ object SparkEntry {
         |  FROM fr)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         | CAST(16 AS INT) AS frame_w, CAST(4 AS INT) AS frame_h,
+        | CAST(len(cs) AS BIGINT) AS n_bytes, CAST(list_sum(cs) % 997 AS BIGINT) AS checksum
+        |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
+    // Per-frame features of the demuxed+decoded RIFF/AVI (uncompressed
+    // 8-bit DIB, bottom-up rows undone by the decoder) ≡ fixed 64-byte
+    // windows of the source text — losslessness proven byte-level.
+    "multimodal_video_frames" ->
+      """WITH fr AS (SELECT doc_id, text,
+        |  unnest([i for i in range(0, (length(text) + 63) // 64)]) AS frame_idx FROM documents),
+        | sel AS (SELECT doc_id, frame_idx,
+        |  [ascii(substr(text, j, 1))
+        |   for j in range(frame_idx * 64 + 1, least(frame_idx * 64 + 64, length(text)) + 1)] AS cs
+        |  FROM fr)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(16 AS INT) AS frame_w, CAST(4 AS INT) AS frame_h,
+        | CAST('DIB ' AS VARCHAR) AS fourcc,
         | CAST(len(cs) AS BIGINT) AS n_bytes, CAST(list_sum(cs) % 997 AS BIGINT) AS checksum
         |FROM sel ORDER BY doc_id, frame_idx""".stripMargin,
     "sample_uniform" ->

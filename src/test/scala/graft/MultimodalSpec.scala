@@ -130,4 +130,80 @@ class MultimodalSpec extends SparkSpec {
       assert(out(id).getLong(4) ===
         text.getBytes("UTF-8").foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997))
   }
+
+  test("REAL AVI container: every byte value 0..255 survives the DIB encode→demux→decode trip") {
+    import Multimodal.AviCodec
+    // all 256 values (incl. 0x00/0xFF), length NOT a frame multiple
+    val bytes = (0 until 256).map(_.toByte).toArray ++ Array[Byte](7, 0, -1)
+    val (d, frames) = AviCodec.decodeDibFrames(AviCodec.encodeDibAvi(bytes))
+    assert(d.width === AviCodec.FrameWidth && d.height === AviCodec.FrameHeight)
+    assert(d.handler === "DIB " && d.bitCount === 8)
+    val expected = (bytes.length + AviCodec.FrameBytes - 1) / AviCodec.FrameBytes
+    assert(d.totalFrames === expected && frames.length === expected)
+    val roundtrip = frames.flatten.take(bytes.length)
+    assert(roundtrip.toSeq === bytes.toSeq, "DIB frames must be byte-lossless")
+    // the zero pad of the last frame is real zero, not garbage
+    assert(frames.last.drop(bytes.length - (expected - 1) * AviCodec.FrameBytes)
+      .forall(_ === 0.toByte))
+  }
+
+  test("AVI demux rejects malformed containers instead of mis-decoding") {
+    import Multimodal.AviCodec
+    assert(AviCodec.tryDemux("definitely not an avi".getBytes("UTF-8")).isEmpty)
+    assert(AviCodec.tryDemux(Array.empty[Byte]).isEmpty)
+    val good = AviCodec.encodeDibAvi(Array.tabulate(100)(_.toByte))
+    assert(AviCodec.tryDemux(good).nonEmpty)
+    assert(AviCodec.tryDemux(good.dropRight(9)).isEmpty, "truncated RIFF size must fail")
+    val wrongMagic = good.clone(); wrongMagic(8) = 'X'.toByte
+    assert(AviCodec.tryDemux(wrongMagic).isEmpty, "non-AVI RIFF must fail")
+  }
+
+  test("REAL MJPEG AVI: JDK-JPEG frames demux with exact geometry and bounded pixel error") {
+    import Multimodal.AviCodec
+    // smooth-ish payload (JPEG-friendly) long enough for odd-size chunks
+    val bytes = Array.tabulate(AviCodec.FrameBytes * 3 + 17)(i => ((i / 2) % 256).toByte)
+    val avi = AviCodec.encodeMjpegAvi(bytes)
+    val (d, imgs) = AviCodec.decodeMjpegFrames(avi)
+    val expected = (bytes.length + AviCodec.FrameBytes - 1) / AviCodec.FrameBytes
+    assert(d.handler === "MJPG" && d.totalFrames === expected && imgs.length === expected)
+    // odd-length JPEG chunks exercise the RIFF even-byte padding rule
+    assert(d.frames.exists(_.length % 2 === 1), "fixture should contain an odd-size chunk")
+    var errSum = 0L; var n = 0
+    imgs.zipWithIndex.foreach { case (img, idx) =>
+      assert(img.getWidth === AviCodec.FrameWidth && img.getHeight === AviCodec.FrameHeight)
+      val m = math.min(AviCodec.FrameBytes, bytes.length - idx * AviCodec.FrameBytes)
+      for (i <- 0 until m) {
+        val src = bytes(idx * AviCodec.FrameBytes + i) & 0xff
+        // raster samples, not getRGB: TYPE_BYTE_GRAY's color management
+        // would gamma-map the decoded luma and swamp the codec error
+        val dec = img.getRaster.getSample(i % img.getWidth, i / img.getWidth, 0)
+        errSum += math.abs(src - dec); n += 1
+      }
+    }
+    assert(errSum.toDouble / n < 24.0, s"mean |err| ${errSum.toDouble / n} too high for JPEG")
+    // the JDK JPEG codec is deterministic: a second trip is bit-identical
+    assert(AviCodec.encodeMjpegAvi(bytes).toSeq === avi.toSeq)
+  }
+
+  test("REAL video frames: per-frame demuxed features match the source byte windows") {
+    val docs = Seq(
+      (1L, "The RIFF container walks LISTs, not vibes. " * 4),
+      (2L, "tiny"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Multimodal.videoFrames(docs).collect()
+    assert(!out.exists(_.getLong(0) == 3L), "empty payload emits zero frames")
+    val byDoc = out.groupBy(_.getLong(0))
+    for ((id, text) <- Seq(1L -> ("The RIFF container walks LISTs, not vibes. " * 4), 2L -> "tiny")) {
+      val bytes = text.getBytes("UTF-8")
+      val rows = byDoc(id).sortBy(_.getLong(1))
+      assert(rows.length === (bytes.length + 63) / 64)
+      rows.foreach { r =>
+        val idx = r.getLong(1).toInt
+        val window = bytes.slice(idx * 64, math.min(idx * 64 + 64, bytes.length))
+        assert(r.getInt(2) === 16 && r.getInt(3) === 4 && r.getString(4) === "DIB ")
+        assert(r.getLong(5) === window.length.toLong)
+        assert(r.getLong(6) === window.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997))
+      }
+    }
+  }
 }
