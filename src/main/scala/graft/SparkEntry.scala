@@ -435,6 +435,15 @@ object SparkEntry {
       ShingleStore.ensure(Tables.documents(s, dir), p)
       SetJoin.similarPairsFromShingles(ShingleStore.read(s, p))
     }),
+    // Same exact join over the BUCKETED shingle table: the scan is
+    // hash-partitioned by doc_id on disk, so the opening per-doc
+    // aggregation plans with zero exchanges (spec-audited) — the stored
+    // layout replaces the family's dominant corpus shuffle.
+    "setjoin_pairs_bucketed" -> ((s, dir) => {
+      val t = bucketedShingleTable(dir)
+      ShingleStore.ensureBucketed(Tables.documents(s, dir), t)
+      SetJoin.similarPairsFromShingles(s.table(t))
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // Lexical retrieval: rare term ("dup", df≈25/500) + two mid-frequency
@@ -761,6 +770,12 @@ object SparkEntry {
     * addressed per corpus dir like the lexical index's path. */
   private def shingleStorePath(dir: String): String = artifactPath("shingles", dir)
 
+  /** Catalog name of the BUCKETED shingle table for a testdata sf dir
+    * (same content-addressing, but a table identifier — bucket metadata
+    * lives in the catalog, not the parquet footers). */
+  private def bucketedShingleTable(dir: String): String =
+    artifactPath("shingles_b", dir).stripPrefix("/tmp/")
+
   /** Build every maintained stored artifact (shingle table, lexical
     * posting index, IVF centroid model) for `dir` if absent — the
     * once-per-ingest cost the `*_stored` queries amortize. Bench calls
@@ -769,6 +784,7 @@ object SparkEntry {
     * jobs, not part of any query. */
   def ensureStoredArtifacts(s: SparkSession, dir: String): Unit = {
     ShingleStore.ensure(Tables.documents(s, dir), shingleStorePath(dir))
+    ShingleStore.ensureBucketed(Tables.documents(s, dir), bucketedShingleTable(dir))
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -931,6 +947,7 @@ object SparkEntry {
     "dedup_incremental_stored" -> baseOracleSql("dedup_incremental"),
     "ann_pq_stored" -> baseOracleSql("ann_pq"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
+    "setjoin_pairs_bucketed" -> baseOracleSql("setjoin_pairs"),
     "contamination_stored" -> baseOracleSql("contamination"),
     "corpus_clean_stored" -> baseOracleSql("corpus_clean"),
     "ann_ivf_stored" -> baseOracleSql("ann_ivf"))

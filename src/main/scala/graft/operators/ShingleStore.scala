@@ -63,6 +63,37 @@ object ShingleStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/shingles")
 
+  /** BUCKETED edition of the stored shingle table — the same (doc_id, sh,
+    * df) rows written `bucketBy(doc_id).sortBy(doc_id)` as a catalog
+    * table, so the scan itself reports `HashPartitioning(doc_id)` and the
+    * family's dominant corpus shuffle — the per-doc `groupBy(doc_id)`
+    * collect that every stored consumer opens with
+    * ([[SetJoin.similarPairsFromShingles]]'s sorted-doc build,
+    * [[Dedup.minhashPairsFromShingles]]'s signature aggregation) — plans
+    * with NO exchange: the layout is the partitioning, paid once at
+    * ingest and reused by every query (gated by `ShingleStoreSpec`'s
+    * zero-Exchange plan audit). At 100 TB this converts the biggest
+    * recurring shuffle of the dedup family into a property of the stored
+    * bytes — the "reuse a partitioning across stages" lever, applied to
+    * the artifact every query in the family reads.
+    *
+    * Managed-table metadata is per-process with the in-memory catalog, so
+    * `ensure` semantics here are tableExists-in-this-session (each fresh
+    * process rebuilds once; Bench prices it in the artifact phase). */
+  def ensureBucketed(docs: DataFrame, table: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
+      val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, Seq("sh"))
+        .select("doc_id", "sh", "df")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(table)
+    }
+  }
+
   /** The stored LSH band table (doc_id, bk) — the corpus side of
     * [[Dedup.minhashPairsIncremental]]'s probe. */
   def readBands(spark: SparkSession, path: String): DataFrame =

@@ -244,4 +244,27 @@ class ShingleStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("bucketed shingle table: per-doc aggregation plans with ZERO exchanges, same results") {
+    val root = java.nio.file.Files.createTempDirectory("shstore").toString
+    try {
+      writeDocs(s"$root/docs", fixture)
+      val docs = spark.read.parquet(s"$root/docs")
+      ShingleStore.ensureBucketed(docs, "shstore_spec_bucketed", buckets = 4)
+      try {
+        val t = spark.table("shstore_spec_bucketed")
+        // the layout IS the partitioning: the family's opening groupBy
+        // over the stored corpus must not shuffle at all
+        val agg = t.groupBy("doc_id").agg(collect_list(col("sh")))
+        val plan = agg.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed-by-doc_id scan must feed the per-doc agg shuffle-free:\n$plan")
+        // rebuild-skip: a second ensure in the same session is a no-op
+        ShingleStore.ensureBucketed(docs, "shstore_spec_bucketed", buckets = 4)
+        // and the join itself is answer-identical to the recompute path
+        assert(SetJoin.similarPairsFromShingles(t).collect().toSeq
+          === SetJoin.similarPairs(docs).collect().toSeq, "setjoin over bucketed store")
+      } finally spark.sql("DROP TABLE IF EXISTS shstore_spec_bucketed")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
 }
