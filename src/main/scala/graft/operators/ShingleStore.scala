@@ -83,6 +83,14 @@ object ShingleStore {
   def ensureBucketed(docs: DataFrame, table: String, buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     if (!spark.catalog.tableExists(table)) {
+      // With the in-memory catalog a PREVIOUS process's managed-table
+      // files can outlive the metadata; saveAsTable refuses to reuse the
+      // location (LOCATION_ALREADY_EXISTS), and without its catalog-side
+      // bucket spec the orphan data is unusable anyway — clear it.
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
       val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
       toks.join(dfreq, Seq("sh"))
