@@ -36,7 +36,8 @@ object ScaleBench {
     * (stored-artifact variants price their build separately in Bench). */
   val Heavy: Seq[String] = Seq(
     "dedup_minhash", "dedup_clusters", "dedup_clusters_star",
-    "setjoin_pairs", "ngram_jaccard_top", "simhash_pairs",
+    "setjoin_pairs", "setjoin_pairs_bucketed", "ngram_jaccard_top", "simhash_pairs",
+    "multimodal_video_frames",
     "dup_spans", "dup_profile", "corpus_excised", "corpus_excised_keepone",
     "corpus_clean", "contamination", "length_batches",
     "q9_product_profit", "q21_waiting_suppliers")
@@ -89,7 +90,9 @@ object ScaleBench {
       val exp = math.log10(t1 / t0)
       System.err.println(f"[scale] $name%-24s sf0.1 $t0%7.2f s   sf1 $t1%7.2f s   exp $exp%5.2f")
       (name, t0, t1, exp)
-    } ++ incrementalAB(spark, srcDir, destDir, timeFn)
+    } ++ (if (onlyFilter.forall(_.contains("dedup_incremental_10pct")))
+            incrementalAB(spark, srcDir, destDir, timeFn)
+          else Seq.empty)
     def jstr(s: String) = "\"" + s + "\""
     val qs = rows.map { case (n, t0, t1, e) =>
       jstr(n) + s""":{"t_sf01":$t0,"t_sf1":$t1,"exp":$e}"""
@@ -167,4 +170,12 @@ object ScaleBench {
     fs.create(done, true).close()
     System.err.println(f"[scale] synthesized ${copies}x corpus at $destDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
+}
+
+/** Prints the scale leg's query list, one per line — lets the
+  * fresh-JVM-per-query wrapper (`tools/scale_leg.sh`) stay in sync with
+  * [[ScaleBench.Heavy]] without duplicating it in shell. */
+object ScaleBenchNames {
+  def main(args: Array[String]): Unit =
+    (ScaleBench.Heavy :+ "dedup_incremental_10pct").foreach(println)
 }

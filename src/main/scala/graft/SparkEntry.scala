@@ -369,6 +369,14 @@ object SparkEntry {
       ShingleStore.ensure(Tables.documents(s, dir), p)
       Dedup.minhashPairsFromShingles(ShingleStore.read(s, p).select("doc_id", "sh"))
     }),
+    // Minhash over the BUCKETED artifact: the signature aggregation (the
+    // family's other per-doc groupBy) also rides the doc_id layout
+    // exchange-free — one stored table serves the whole family.
+    "dedup_minhash_bucketed" -> ((s, dir) => {
+      val t = bucketedShingleTable(dir)
+      ShingleStore.ensureBucketed(Tables.documents(s, dir), t)
+      Dedup.minhashPairsFromShingles(s.table(t).select("doc_id", "sh"))
+    }),
     // Incremental ingest dedup: the odd-doc_id half is "today's batch",
     // the even half the existing corpus. Only new×corpus pairs are ever
     // generated; the corpus side is consumed as (doc_id, sh) rows — in
@@ -944,6 +952,7 @@ object SparkEntry {
     // the maintained shingle table must reproduce the recompute answer
     // exactly (same contract as bm25_postings vs bm25_topk).
     "dedup_minhash_stored" -> baseOracleSql("dedup_minhash"),
+    "dedup_minhash_bucketed" -> baseOracleSql("dedup_minhash"),
     "dedup_incremental_stored" -> baseOracleSql("dedup_incremental"),
     "ann_pq_stored" -> baseOracleSql("ann_pq"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),

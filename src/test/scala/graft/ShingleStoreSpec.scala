@@ -260,9 +260,11 @@ class ShingleStoreSpec extends SparkSpec {
           s"bucketed-by-doc_id scan must feed the per-doc agg shuffle-free:\n$plan")
         // rebuild-skip: a second ensure in the same session is a no-op
         ShingleStore.ensureBucketed(docs, "shstore_spec_bucketed", buckets = 4)
-        // and the join itself is answer-identical to the recompute path
+        // and both family consumers are answer-identical to the recompute
         assert(SetJoin.similarPairsFromShingles(t).collect().toSeq
           === SetJoin.similarPairs(docs).collect().toSeq, "setjoin over bucketed store")
+        assert(Dedup.minhashPairsFromShingles(t.select("doc_id", "sh")).collect().toSeq
+          === Dedup.minhashPairs(docs).collect().toSeq, "minhash over bucketed store")
       } finally spark.sql("DROP TABLE IF EXISTS shstore_spec_bucketed")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
