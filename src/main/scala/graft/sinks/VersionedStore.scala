@@ -14,8 +14,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Layout under `root`:
   * {{{
-  *   data-<uuid>/            immutable data directories, one per version
-  *   _manifests/<N>.json     manifest of version N — THE commit record
+  *   data-<uuid>/            immutable data directories, one per COMMIT
+  *   _manifests/<N>.json     manifest of version N — THE commit record:
+  *                           the full `dataDirs` list the version reads
+  *                           (append commits carry forward earlier dirs)
+  *                           plus application `meta` (e.g. a streaming
+  *                           sink's batch id)
   *   _current                pointer file containing the latest version N
   * }}}
   *
@@ -80,8 +84,14 @@ object VersionedStore {
   def read(spark: SparkSession, root: String): Option[DataFrame] = {
     val v = currentVersion(spark, root)
     if (v == 0) None
-    else Some(spark.read.parquet(s"$root/${dataDirOf(fs(spark, root), root, v)}"))
+    else Some(readDirs(spark, root, dataDirsOf(fs(spark, root), root, v)))
   }
+
+  /** Union the referenced data dirs — each dir runs its OWN partition
+    * discovery (a multi-path read would see the day= trees under
+    * different `data-<uuid>` roots as conflicting structures). */
+  private def readDirs(spark: SparkSession, root: String, dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$root/$d")).reduce(_ unionByName _)
 
   /** Time travel: read the snapshot AS OF a specific committed version.
     * Data dirs are immutable and stay referenced by their manifest until
@@ -95,7 +105,7 @@ object VersionedStore {
     if (!f.exists(manifestPath(root, version)))
       throw new IllegalArgumentException(
         s"version $version of $root does not exist (never committed, or expired)")
-    spark.read.parquet(s"$root/${dataDirOf(f, root, version)}")
+    readDirs(spark, root, dataDirsOf(f, root, version))
   }
 
   /** All live (non-expired) versions, ascending, with their data dir —
@@ -126,21 +136,54 @@ object VersionedStore {
     // naming an expired version would otherwise strand readers below the
     // surviving range.
     aimPointer(spark, root, live.last._1)
-    live.dropRight(keepLast).foreach { case (v, dir) =>
+    // Manifests first, data second — and only data no SURVIVING manifest
+    // still references: append commits share dirs across versions, so an
+    // expired version's added dir may still back the current snapshot
+    // (it stays until a compaction commit stops referencing it, after
+    // which the next expire collects it). The data sweep covers ALL
+    // unreferenced dirs, not just this call's — a previous expire may
+    // have left shared dirs behind that only now became droppable.
+    live.dropRight(keepLast).foreach { case (v, _) =>
       f.delete(manifestPath(root, v), false)
-      f.delete(new Path(s"$root/$dir"), true)
     }
+    val stillReferenced = history(spark, root)
+      .flatMap { case (v, _) => dataDirsOf(f, root, v) }.toSet
+    f.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .filterNot(s => stillReferenced.contains(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
   }
 
   /** Full-snapshot commit: prepare + publish at currentVersion+1.
     * Returns the committed version. Throws [[CommitConflict]] if another
-    * writer committed that version first. */
-  def commit(df: DataFrame, root: String): Long = {
+    * writer committed that version first. `meta` rides in the manifest —
+    * the application-level transaction record (e.g. a streaming sink's
+    * batch id) that makes replays detectable. */
+  def commit(df: DataFrame, root: String,
+             meta: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, root) + 1
     val dir = prepare(df, root)
-    publish(spark, root, next, dir)
+    publish(spark, root, next, dir, meta = meta)
     next
+  }
+
+  /** APPEND commit — the batch-proportional edition: the new version's
+    * manifest references every data dir of the current version PLUS one
+    * fresh dir holding only `df`'s rows (the Delta/Iceberg add-files
+    * shape, dir-granular). Work per commit is O(batch), never O(table):
+    * nothing existing is rewritten, read() unions the referenced dirs.
+    * Concurrency control is unchanged — the manifest create arbitrates,
+    * and a loser whose base-dir list went stale aborts wholesale, so a
+    * racing append can never drop the winner's files. */
+  def commitAppend(df: DataFrame, root: String,
+                   meta: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val cur = currentVersion(spark, root)
+    val base = if (cur == 0) Seq.empty[String] else dataDirsOf(fs(spark, root), root, cur)
+    val dir = prepare(df, root)
+    publish(spark, root, cur + 1, dir, baseDirs = base, meta = meta)
+    cur + 1
   }
 
   /** Step 1: write the snapshot to a fresh uniquely-named data dir.
@@ -155,11 +198,16 @@ object VersionedStore {
   }
 
   /** Step 2: the commit point. Create-if-absent of the version's manifest;
-    * on conflict the prepared data dir is removed and [[CommitConflict]]
-    * thrown. On success the `_current` pointer is re-aimed (atomic rename;
-    * best-effort — a crash before it is healed by reader roll-forward). */
+    * on conflict the prepared (new) data dir is removed and
+    * [[CommitConflict]] thrown. On success the `_current` pointer is
+    * re-aimed (atomic rename; best-effort — a crash before it is healed
+    * by reader roll-forward). `baseDirs` are the carried-over dirs of an
+    * append commit (empty for a full snapshot); `files` lists only the
+    * NEW dir's files — earlier dirs were listed by their own manifests. */
   private[graft] def publish(
-      spark: SparkSession, root: String, version: Long, dataDir: String): Unit = {
+      spark: SparkSession, root: String, version: Long, dataDir: String,
+      baseDirs: Seq[String] = Seq.empty,
+      meta: Map[String, String] = Map.empty): Unit = {
     val f = fs(spark, root)
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
@@ -167,8 +215,17 @@ object VersionedStore {
       .filter(_.isFile).map(_.getPath.getName).sorted ++
       f.globStatus(new Path(s"$root/$dataDir/day=*/*")).toSeq
         .filter(_.isFile).map(s => s"${s.getPath.getParent.getName}/${s.getPath.getName}").sorted
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val dirs = baseDirs :+ dataDir
     val body =
       s"""{"version": $version, "dataDir": "$dataDir",
+         | "dataDirs": [${dirs.map(js).mkString(", ")}],
+         | "meta": {${meta.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
     val out =
       try f.create(manifest, /* overwrite = */ false)
@@ -180,6 +237,32 @@ object VersionedStore {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     aimPointer(spark, root, version)
   }
+
+  /** The commit metadata of the CURRENT version (empty map when the store
+    * is empty or the version carries none) — how a transactional sink
+    * reads back its last transaction record. */
+  def currentMeta(spark: SparkSession, root: String): Map[String, String] = {
+    val v = currentVersion(spark, root)
+    if (v == 0) Map.empty else metaOf(fs(spark, root), root, v)
+  }
+
+  private def metaOf(f: FileSystem, root: String, v: Long): Map[String, String] = {
+    val body = manifestBody(f, root, v)
+    """"meta":\s*\{([^}]*)\}""".r.findFirstMatchIn(body) match {
+      case None => Map.empty
+      case Some(m) =>
+        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(m.group(1))
+          .map(g => unescape(g.group(1)) -> unescape(g.group(2))).toMap
+    }
+  }
+
+  private def unescape(s: String): String =
+    """\\(u[0-9a-fA-F]{4}|.)""".r.replaceAllIn(s, m => {
+      val g = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(
+        if (g.startsWith("u")) Integer.parseInt(g.drop(1), 16).toChar.toString else g)
+    })
 
   /** Atomic pointer swap: write `_current.tmp`, rename OVERWRITE onto
     * `_current`. Monotone: never aims backwards (a slow writer finishing
@@ -204,13 +287,28 @@ object VersionedStore {
     }
   }
 
-  /** Resolve a committed version's data dir through its manifest. */
-  private def dataDirOf(f: FileSystem, root: String, v: Long): String = {
+  private def manifestBody(f: FileSystem, root: String, v: Long): String = {
     val in = f.open(manifestPath(root, v))
-    val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** Resolve a committed version's NEWEST data dir (the one its commit
+    * added) through its manifest. */
+  private def dataDirOf(f: FileSystem, root: String, v: Long): String =
+    """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(manifestBody(f, root, v))
       .getOrElse(throw new IllegalStateException(s"manifest $v of $root has no dataDir"))
       .group(1)
+
+  /** ALL data dirs a version references, in commit order. Append commits
+    * reference earlier versions' dirs; pre-append manifests carry only
+    * the single `dataDir` field. */
+  private def dataDirsOf(f: FileSystem, root: String, v: Long): Seq[String] = {
+    val body = manifestBody(f, root, v)
+    """"dataDirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body) match {
+      case Some(m) => """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(m.group(1))
+        .map(g => unescape(g.group(1))).toSeq
+      case None => Seq(dataDirOf(f, root, v))
+    }
   }
 
   /** Garbage-collect data dirs no manifest references and stale tmp
@@ -227,7 +325,7 @@ object VersionedStore {
       if (!f.exists(mdir)) Set.empty
       else f.listStatus(mdir).toSeq.filter(_.isFile)
         .map(_.getPath.getName.stripSuffix(".json").toLong)
-        .map(v => dataDirOf(f, root, v)).toSet
+        .flatMap(v => dataDirsOf(f, root, v)).toSet
     }
     f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))

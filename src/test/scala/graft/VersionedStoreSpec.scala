@@ -133,4 +133,105 @@ class VersionedStoreSpec extends SparkSpec {
     assert(dataDirs.length === 1, "exactly the one referenced data dir survives")
     assert(VersionedStore.read(spark, root).get.collect().head.getAs[Double]("value") === 10.0)
   }
+
+  test("append commits: O(batch) writes, cumulative reads, time travel per batch") {
+    val root = tmp()
+    val v1 = VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    val v2 = VersionedStore.commitAppend(snap("2024-01-02", 2L -> 2.0), root)
+    val v3 = VersionedStore.commitAppend(snap("2024-01-03", 3L -> 3.0), root)
+    assert((v1, v2, v3) === ((1L, 2L, 3L)))
+    assert(VersionedStore.read(spark, root).get.count() === 3L,
+      "current snapshot is the union of all appended batches")
+    assert(VersionedStore.readAt(spark, root, 2L).orderBy("user_id").collect()
+      .map(_.getAs[Long]("user_id")).toSeq === Seq(1L, 2L),
+      "each append version time-travels to its prefix")
+    // each commit added exactly one data dir — nothing was rewritten
+    val dataDirs = new java.io.File(root).listFiles.filter(_.getName.startsWith("data-"))
+    assert(dataDirs.length === 3)
+  }
+
+  test("expire after appends never deletes a dir the surviving versions still read") {
+    val root = tmp()
+    (1 to 3).foreach(i =>
+      VersionedStore.commitAppend(snap(s"2024-01-0$i", i.toLong -> i.toDouble), root))
+    VersionedStore.expire(spark, root, keepLast = 1)
+    // versions 1 and 2 are gone as VERSIONS...
+    assertThrows[IllegalArgumentException](VersionedStore.readAt(spark, root, 1L))
+    // ...but their data dirs survive because version 3 references them
+    assert(VersionedStore.read(spark, root).get.count() === 3L,
+      "the current snapshot must stay complete after expire")
+    assert(new java.io.File(root).listFiles.count(_.getName.startsWith("data-")) === 3)
+    // a compaction then makes the old dirs droppable for real
+    val cv = VersionedStore.commit(VersionedStore.read(spark, root).get, root)
+    VersionedStore.expire(spark, root, keepLast = 1)
+    assert(VersionedStore.currentVersion(spark, root) === cv)
+    assert(VersionedStore.read(spark, root).get.count() === 3L)
+    assert(new java.io.File(root).listFiles.count(_.getName.startsWith("data-")) === 1,
+      "after compaction + expire only the compacted dir remains")
+  }
+
+  test("commit metadata round-trips, escaping included") {
+    val root = tmp()
+    VersionedStore.commit(snap("2024-01-01", 1L -> 1.0), root,
+      meta = Map("batchId" -> "7", "weird \"key\"" -> "tab\there \\ done"))
+    val m = VersionedStore.currentMeta(spark, root)
+    assert(m("batchId") === "7")
+    assert(m("weird \"key\"") === "tab\there \\ done")
+    // a version with no meta reads as empty, not an error
+    VersionedStore.commit(snap("2024-01-01", 1L -> 2.0), root)
+    assert(VersionedStore.currentMeta(spark, root) === Map.empty)
+  }
+
+  test("streaming sink: replayed batches commit exactly once; compaction keeps the ledger") {
+    import graft.streaming.VersionedStream
+    val root = tmp()
+    def batch(i: Int) = snap(s"2024-01-0$i", i.toLong -> i.toDouble)
+    VersionedStream.commitBatch(batch(1), 0L, root)
+    VersionedStream.commitBatch(batch(2), 1L, root)
+    assert(VersionedStream.lastBatchId(spark, root) === 1L)
+    // at-least-once replay of batch 1 after a simulated crash: NO new version
+    val before = VersionedStore.currentVersion(spark, root)
+    VersionedStream.commitBatch(batch(2), 1L, root)
+    VersionedStream.commitBatch(batch(1), 0L, root)
+    assert(VersionedStore.currentVersion(spark, root) === before,
+      "replayed batch ids must not re-commit")
+    assert(VersionedStore.read(spark, root).get.count() === 2L)
+    // empty batches never commit a version
+    VersionedStream.commitBatch(snap("2024-01-09").limit(0), 5L, root)
+    assert(VersionedStore.currentVersion(spark, root) === before)
+    // compaction preserves the batchId ledger, so a late replay still skips
+    VersionedStream.compact(spark, root)
+    assert(VersionedStream.lastBatchId(spark, root) === 1L,
+      "compaction must carry the transaction record forward")
+    VersionedStream.commitBatch(batch(1), 0L, root)
+    assert(VersionedStore.read(spark, root).get.count() === 2L)
+    // and a genuinely new batch still lands
+    VersionedStream.commitBatch(batch(3), 2L, root)
+    assert(VersionedStore.read(spark, root).get.count() === 3L)
+  }
+
+  test("streaming sink end-to-end: one version per non-empty micro-batch, content exact") {
+    import graft.streaming.VersionedStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp()
+    val ckpt = tmp()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val q = VersionedStream.startAppend(
+      input.toDF().toDF("day", "user_id", "value"), root, ckpt)
+    try {
+      input.addData(("2024-01-01", 1L, 1.0), ("2024-01-01", 2L, 2.0))
+      q.processAllAvailable()
+      input.addData(("2024-01-02", 3L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedStore.currentVersion(spark, root) === 2L)
+    // select by name (the day partition column moves to the end on read)
+    // and cast: partition-value inference reads day=2024-01-01 as a DATE
+    assert(VersionedStore.read(spark, root).get
+      .select(col("day").cast("string"), col("user_id"), col("value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      === Seq(("2024-01-01", 1L, 1.0), ("2024-01-01", 2L, 2.0), ("2024-01-02", 3L, 3.0)))
+  }
 }
