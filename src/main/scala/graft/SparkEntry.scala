@@ -352,6 +352,15 @@ object SparkEntry {
     "interval_overlap" -> ((s, dir) => RangeJoin.windowOverlapCounts(Tables.orders(s, dir))),
     // --- LLM-training-data pipeline ops (SURVEY §7.2 step 8) ---
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))),
+    // Statistical-LM quality gate (CCNet-style): bigram model trained on
+    // the even-doc_id half scores the odd half by avg negative
+    // log-likelihood; integer-quantized log-probs make the per-doc sum
+    // partitioning-independent (the BM25 rule).
+    "lm_perplexity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.lmPerplexity(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
@@ -1493,6 +1502,35 @@ object SparkEntry {
         | (stop_cnt / n_words) * 0.5 + least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.3
         |   + (1.0 - punct_cnt / n_chars) * 0.2 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Bigram-LM scoring replayed definitionally: head counts from the
+    // same bigram table (so sum_w2 c12 = c1 exactly), add-k with k=0.5,
+    // ln rounded at once then x1e6 integer-quantized (the BM25 rule), the
+    // final division the same fixed-shape IEEE expression.
+    "lm_perplexity" ->
+      """WITH tw AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |            FROM documents WHERE doc_id % 2 = 0),
+        | tb AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |        FROM tw WHERE len(w) >= 2),
+        | c12 AS (SELECT bg, count(*) AS c12 FROM tb GROUP BY 1),
+        | c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM tb GROUP BY 1),
+        | v AS (SELECT count(DISTINCT wd) AS v FROM (SELECT unnest(w) AS wd FROM tw)),
+        | sw AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents WHERE doc_id % 2 = 1),
+        | sb AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |        FROM sw WHERE len(w) >= 2),
+        | q AS (SELECT doc_id,
+        |        CAST(round(round(ln((COALESCE(c12.c12, 0) + 0.5)
+        |          / (COALESCE(c1.c1, 0) + 0.5 * v.v)), 6) * 1000000.0) AS BIGINT) AS lp_q
+        |       FROM sb LEFT JOIN c12 USING (bg)
+        |               LEFT JOIN c1 ON split_part(sb.bg, ' ', 1) = c1.w1
+        |               CROSS JOIN v),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(-sum(lp_q) AS BIGINT) AS nll_q FROM q GROUP BY 1)
+        |SELECT s.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.nll_q,
+        | round(agg.nll_q / 1000000.0 / agg.n_bigrams, 6) AS avg_nll
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) s
+        |LEFT JOIN agg ON s.doc_id = agg.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "lang_id" -> TextAnalysis.langIdOracleSql,
     "token_count" ->
       """SELECT doc_id,

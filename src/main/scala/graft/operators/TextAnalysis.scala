@@ -132,4 +132,67 @@ object TextAnalysis {
         expr("array_min(transform(sequence(0, size(w)-5), i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))))").as("fp"),
         (size(col("w")) - lit(4)).cast("long").as("n_shingles"))
       .orderBy("doc_id")
+
+  /** Statistical-LM quality scoring — the CCNet/Gopher perplexity filter:
+    * train an add-k-smoothed word-BIGRAM language model on a reference
+    * corpus, score every candidate document by average negative
+    * log-likelihood per bigram (perplexity's log; same ranking, no
+    * engine-sensitive `exp`). High avg_nll = unlike the reference =
+    * boilerplate/gibberish/wrong-register — the standard pretraining
+    * quality gate after the cheap heuristic ratios ([[textStats]]).
+    *
+    * Determinism (the BM25 rule, [[Search.bm25TopK]]): `ln` is the ONLY
+    * transcendental and is rounded to 6 dp immediately; each bigram's
+    * log-prob then quantizes to an exact BIGINT (×1e6), so the per-doc
+    * SUM is integer arithmetic — order-independent under any partitioning
+    * — and the one final division is a fixed-shape IEEE expression both
+    * engines evaluate identically.
+    *
+    * Model: p(w2|w1) = (c(w1,w2) + k) / (c1(w1) + k·V), where c1 counts
+    * w1 as a bigram HEAD (so Σ_w2 c(w1,w2) = c1 exactly), V = |train
+    * vocabulary|, and unseen words/bigrams fall back through the same
+    * formula (c = 0) — no special OOV branch. Bigram keys are the two
+    * tokens joined by one space (tokens cannot contain whitespace).
+    *
+    * Scale shape: one map-side explode per side; counts are
+    * map-side-combined aggregates; scoring joins shuffle on the bigram
+    * string and the head word (AQE-skew-splittable equi-joins — stopword
+    * heads are the expected hot keys); V is a 1-row broadcast. Score-side
+    * docs with < 2 tokens can't be scored and surface with n_bigrams = 0
+    * and NULL scores — flagged, never dropped. */
+  def lmPerplexity(train: DataFrame, score: DataFrame, k: Double = 0.5): DataFrame = {
+    def bigrams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), wordsExpr.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(concat_ws(' ', w[i], w[i+1]) AS bg, w[i] AS w1))")).as("b"))
+      .select(col("doc_id"), col("b.bg").as("bg"), col("b.w1").as("w1"))
+    val tb = bigrams(train)
+    val c12 = tb.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(train
+      .select(explode(wordsExpr).as("wd"))
+      .agg(countDistinct(col("wd")).as("v")))
+    val scored = bigrams(score)
+      .join(c12, Seq("bg"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .crossJoin(vocab)
+      // ln rounded at once; ×1e6 quantized to exact integers (BM25 rule)
+      .withColumn("lp_q", round(
+        round(log(
+          (coalesce(col("c12"), lit(0L)).cast("double") + lit(k)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") + lit(k) * col("v").cast("double"))), 6)
+          * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_q"))).as("nll_q"))
+    score.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_q"),
+        round(col("nll_q").cast("double") / lit(1e6) / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
 }

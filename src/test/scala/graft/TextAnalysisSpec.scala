@@ -44,4 +44,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) === fp(2L))
     assert(fp.values.toSet.size === 2)
   }
+
+  test("LM perplexity: reference-like text scores lower avg_nll than gibberish; short docs flagged") {
+    val train = Seq(
+      (0L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (4L, "the cat ran to the dog")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat on the mat"),     // seen bigrams throughout
+      (3L, "zyx qwv plk mnb vcx"),        // all-OOV gibberish
+      (5L, "word")).toDF("doc_id", "text") // one token: unscorable
+    val out = TextAnalysis.lmPerplexity(train, score).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 3L, 5L), "every score-side doc surfaces")
+    assert(out(1L).getAs[Double]("avg_nll") < out(3L).getAs[Double]("avg_nll"),
+      "in-distribution text must score better (lower NLL) than OOV gibberish")
+    assert(out(5L).getAs[Long]("n_bigrams") === 0L)
+    assert(out(5L).isNullAt(out(5L).fieldIndex("nll_q")) &&
+      out(5L).isNullAt(out(5L).fieldIndex("avg_nll")),
+      "unscorable docs are flagged with NULLs, never dropped")
+    // integer-quantized log-probs: the sum is partitioning-independent
+    val p1 = TextAnalysis.lmPerplexity(train.repartition(7), score.repartition(5))
+      .collect().map(_.toSeq).toSeq
+    assert(p1 === TextAnalysis.lmPerplexity(train, score).collect().map(_.toSeq).toSeq)
+  }
+
+  test("LM perplexity model identities: head counts sum to c1; repeated phrase raises its probability") {
+    // doc with a repeated bigram: "a b a b" -> bigrams (a b),(b a),(a b)
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b"), (3L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(train, score).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    // p(b|a) = (2+0.5)/(2+0.5*2) = 2.5/3 beats p(a|b) = (1+0.5)/(1+0.5*2) = 1.5/2
+    assert(out(1L) < out(3L))
+    val expected = -BigDecimal(math.log(2.5 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L) - expected) < 1e-9,
+      s"score must equal the hand-computed smoothed bigram log-prob: ${out(1L)} vs $expected")
+  }
 }
