@@ -361,6 +361,15 @@ object SparkEntry {
       TextAnalysis.lmPerplexity(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // Same scoring over the MAINTAINED LM artifact: the reference-corpus
+    // aggregation is a parquet read, only the candidate joins run per
+    // query (exact counts, so it shares lm_perplexity's oracle).
+    "lm_perplexity_stored" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val p = artifactPath("lmmodel", dir)
+      LmStore.ensure(d.filter(col("doc_id") % 2 === 0), p)
+      LmStore.score(s, p, d.filter(col("doc_id") % 2 === 1))
+    }),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
@@ -802,6 +811,9 @@ object SparkEntry {
   def ensureStoredArtifacts(s: SparkSession, dir: String): Unit = {
     ShingleStore.ensure(Tables.documents(s, dir), shingleStorePath(dir))
     ShingleStore.ensureBucketed(Tables.documents(s, dir), bucketedShingleTable(dir))
+    LmStore.ensure(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+      artifactPath("lmmodel", dir))
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -968,6 +980,7 @@ object SparkEntry {
     "setjoin_pairs_bucketed" -> baseOracleSql("setjoin_pairs"),
     "contamination_stored" -> baseOracleSql("contamination"),
     "corpus_clean_stored" -> baseOracleSql("corpus_clean"),
+    "lm_perplexity_stored" -> baseOracleSql("lm_perplexity"),
     "ann_ivf_stored" -> baseOracleSql("ann_ivf"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(

@@ -161,22 +161,34 @@ object TextAnalysis {
     * docs with < 2 tokens can't be scored and surface with n_bigrams = 0
     * and NULL scores — flagged, never dropped. */
   def lmPerplexity(train: DataFrame, score: DataFrame, k: Double = 0.5): DataFrame = {
-    def bigrams(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), wordsExpr.as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> struct(concat_ws(' ', w[i], w[i+1]) AS bg, w[i] AS w1))")).as("b"))
-      .select(col("doc_id"), col("b.bg").as("bg"), col("b.w1").as("w1"))
-    val tb = bigrams(train)
-    val c12 = tb.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = broadcast(train
-      .select(explode(wordsExpr).as("wd"))
-      .agg(countDistinct(col("wd")).as("v")))
-    val scored = bigrams(score)
+    val tb = lmBigrams(train)
+    lmScoreWithModel(
+      tb.groupBy("bg").agg(count(lit(1)).as("c12")),
+      tb.groupBy("w1").agg(count(lit(1)).as("c1")),
+      train.select(explode(wordsExpr).as("wd")).agg(countDistinct(col("wd")).as("v")),
+      score, k)
+  }
+
+  /** The (doc_id, bg, w1) bigram stream shared by training and scoring —
+    * and by [[LmStore]]'s materialized model tables. */
+  private[operators] def lmBigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), wordsExpr.as("w"))
+    .filter(size(col("w")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w)-2), i -> struct(concat_ws(' ', w[i], w[i+1]) AS bg, w[i] AS w1))")).as("b"))
+    .select(col("doc_id"), col("b.bg").as("bg"), col("b.w1").as("w1"))
+
+  /** Scoring tail over a pre-built model — `c12` = (bg, c12) bigram
+    * counts, `c1` = (w1, c1) head counts, `vocab` = 1-row (v) — shared by
+    * the self-contained [[lmPerplexity]] and the stored-model path
+    * ([[LmStore]]); identical arithmetic either way, so both gate on the
+    * same oracle. */
+  def lmScoreWithModel(c12: DataFrame, c1: DataFrame, vocab: DataFrame,
+                       score: DataFrame, k: Double = 0.5): DataFrame = {
+    val scored = lmBigrams(score)
       .join(c12, Seq("bg"), "left_outer")
       .join(c1, Seq("w1"), "left_outer")
-      .crossJoin(vocab)
+      .crossJoin(broadcast(vocab))
       // ln rounded at once; ×1e6 quantized to exact integers (BM25 rule)
       .withColumn("lp_q", round(
         round(log(
