@@ -39,6 +39,10 @@ class PlanAuditSpec extends SparkSpec {
     // kmv_corpus_overlap: three 1-row frames (two sketches + the exact
     // certificate aggregate) cross-joined into the single output row.
     "kmv_corpus_overlap",
+    // lm_perplexity(+_stored): the 1-row vocabulary-size frame broadcast
+    // over the candidate bigrams — the same bounded scalar-subquery shape
+    // as bm25_topk's corpus-stats cross join.
+    "lm_perplexity", "lm_perplexity_stored",
     // length_batches: the 1-row corpus-total frame broadcast over the
     // ranked docs for the integer bucket arithmetic.
     "length_batches",
