@@ -92,6 +92,11 @@ class PlanAuditSpec extends SparkSpec {
     // per-row text ops read exactly (doc_id, text)
     assert(schemas("token_count").forall(_.endsWith("struct<doc_id:bigint,text:string>")),
       "token_count must read exactly doc_id and text")
+    // LM training + scoring touch only (doc_id, text); the left-join base
+    // (every score-side doc surfaces) prunes all the way to doc_id alone
+    assert(schemas("lm_perplexity").forall(s =>
+      s.endsWith("struct<doc_id:bigint,text:string>") || s.endsWith("struct<doc_id:bigint>")),
+      "lm_perplexity must read at most doc_id and text on all document scans")
     // the layout-key projection reads neither props nor value nor event_type
     assert(schemas("zorder_events").forall(s =>
       !s.contains("props") && !s.contains("value") && !s.contains("event_type")),

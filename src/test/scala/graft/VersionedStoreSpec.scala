@@ -234,4 +234,34 @@ class VersionedStoreSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
       === Seq(("2024-01-01", 1L, 1.0), ("2024-01-01", 2L, 2.0), ("2024-01-02", 3L, 3.0)))
   }
+
+  test("quality-gate-on-arrival: streamed LM scores equal batch scores, one version per batch") {
+    import graft.operators.LmStore
+    import graft.streaming.LmStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp(); val ckpt = tmp(); val model = tmp() + "/lm"
+    val trainDir = tmp() + "/train"
+    Seq((0L, "the cat sat on the mat"), (2L, "the dog sat on the mat"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(trainDir)
+    val train = spark.read.parquet(trainDir)
+    LmStore.ensure(train, model)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = LmStream.startScoreToVersioned(
+      input.toDF().toDF("doc_id", "text"), model, root, ckpt)
+    val b1 = Seq((1L, "the cat sat on the mat"), (3L, "zyx qwv plk"))
+    val b2 = Seq((5L, "the dog ran"), (7L, "x"))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedStore.currentVersion(spark, root) === 2L,
+      "one transactional version per non-empty micro-batch")
+    val streamed = VersionedStore.read(spark, root).get
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = LmStore.score(spark, model, (b1 ++ b2).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "streamed-on-arrival scores must be bit-identical to batch scoring")
+  }
 }
