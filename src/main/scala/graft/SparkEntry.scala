@@ -474,6 +474,12 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // Lexical retrieval: rare term ("dup", df≈25/500) + two mid-frequency
     // terms — idf separation is what the gate checks.
+    // Hybrid retrieval: RRF fusion of the BM25 and cosine legs — rank
+    // fusion needs no cross-leg score normalization, and the fused score
+    // is a fixed two-term expression of exact integer ranks.
+    "hybrid_search_rrf" -> ((s, dir) =>
+      Search.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Seq("dup", "vector", "scan"))),
     "bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("dup", "vector", "scan"))),
     // Same query over the MAINTAINED posting-table artifact: the index is
@@ -2065,6 +2071,45 @@ object SparkEntry {
     // DuckDB numeric literals are DECIMAL, so every divisor/operand is
     // CAST to DOUBLE explicitly.
     "bm25_topk" -> Bm25Sql,
+    // RRF fusion: both legs re-derived exactly as their own oracles rank
+    // them (lexical ties broken on the ROUNDED score like the leg's
+    // output ordering), fused by the fixed two-term reciprocal-rank sum.
+    "hybrid_search_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |              FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        | corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        WHERE term IN ('dup', 'vector', 'scan') GROUP BY 1, 2),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id,
+        |        round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+        |        tf.tf, dl.dl, corpus.avgdl
+        |        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        | st AS (SELECT doc_id,
+        |        CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2) /
+        |             (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |             * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS score_q
+        |        FROM sc),
+        | lexagg AS (SELECT doc_id, sum(score_q) AS score_q FROM st GROUP BY 1
+        |            ORDER BY score_q DESC, doc_id LIMIT 20),
+        | lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |           ORDER BY round(CAST(score_q AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) DESC,
+        |           doc_id) AS BIGINT) AS rank_lex
+        |         FROM lexagg),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+        | s AS (SELECT c.vec_id AS cid, round(list_cosine_similarity(qe, c.e), 6) AS cos_sim
+        |       FROM e c, q WHERE c.vec_id != 0),
+        | sem AS (SELECT cid AS doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank_sem
+        |         FROM s ORDER BY cos_sim DESC, cid LIMIT 20),
+        | fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+        |           COALESCE(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0)
+        |             + COALESCE(1.0 / (60.0 + CAST(rank_sem AS DOUBLE)), 0.0) AS rrf_raw
+        |           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        | top AS (SELECT doc_id, rank_lex, rank_sem, round(rrf_raw, 6) AS rrf FROM fused
+        |         ORDER BY rrf_raw DESC, doc_id LIMIT 10)
+        |SELECT doc_id, rank_lex, rank_sem, rrf FROM top ORDER BY rrf DESC, doc_id""".stripMargin,
     // The stored-posting-table variant must give the recompute answer.
     "bm25_postings" -> Bm25Sql,
     "tfidf_top_terms" ->

@@ -174,4 +174,44 @@ object Search {
         round(col("score_q").cast("double") / lit(1e6), 6).as("tfidf"))
       .orderBy("doc_id", "rank")
   }
+
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009) of the lexical and semantic legs: BM25 over the documents and
+    * cosine top-k over the embeddings each produce a ranked candidate
+    * list to `depth`, and a document's fused score is
+    * Σ 1/(kRrf + rank_leg) over the legs that retrieved it. Rank fusion
+    * needs no score normalization across legs (the classic BM25-vs-cosine
+    * incomparability), which is why RRF is the default hybrid in
+    * production search stacks.
+    *
+    * Determinism: ranks are exact integers from each leg's already-gated
+    * deterministic ordering; the fused score is a FIXED two-term
+    * expression of those integers (coalesce(1/(k+r), 0) + same), so no
+    * aggregation order exists to vary — bit-identical on both engines.
+    *
+    * Scale shape: each leg is its own already-audited pipeline bounded to
+    * `depth` rows; fusion is a full-outer join of two ≤depth-row frames
+    * and a top-k — free at any corpus size. The single-partition
+    * row_number over the lexical top-`depth` is bounded by construction
+    * (same shape as the leg's own TakeOrdered tail). A doc retrieved by
+    * only one leg keeps a NULL rank for the other — flagged, fused,
+    * never dropped. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
+                k: Int = 10, depth: Int = 20, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, queryTerms, depth)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+    val sem = Similarity.cosineTopK(embeddings, numQueries = 1, k = depth)
+      .select(col("cid").as("doc_id"), col("rank").as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf).cast("double") + col("rank_lex").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf).cast("double") + col("rank_sem").cast("double")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("rank_lex"), col("rank_sem"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
 }

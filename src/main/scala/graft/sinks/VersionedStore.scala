@@ -93,6 +93,42 @@ object VersionedStore {
   private def readDirs(spark: SparkSession, root: String, dirs: Seq[String]): DataFrame =
     dirs.map(d => spark.read.parquet(s"$root/$d")).reduce(_ unionByName _)
 
+  /** Incremental consumption — the change-data-feed of an append-commit
+    * table, for free from the manifest-list layout: the rows added
+    * between `sinceVersion` (exclusive) and `toVersion` (inclusive,
+    * default current) are EXACTLY the data dirs the later manifests
+    * reference beyond the earlier one's, so a downstream incremental
+    * consumer reads only the new batches, never rescanning the table.
+    * At 100 TB this is what keeps derived tables (indexes, aggregates,
+    * the [[graft.operators.ShingleStore]] family) maintainable at
+    * batch-proportional cost.
+    *
+    * Contract: valid only across an APPEND-ONLY version range. A
+    * full-snapshot commit (compaction) rewrites rather than adds — a
+    * dir-level diff across it would replay the whole table as "changes"
+    * — so a range whose earlier dirs are not a subset of the later ones
+    * throws instead of silently over-reporting (the caller falls back to
+    * a full read; row-level change tracking is a table-format concern).
+    * Returns None when the range adds nothing. */
+  def readChanges(spark: SparkSession, root: String, sinceVersion: Long,
+                  toVersion: Long = -1L): Option[DataFrame] = {
+    val f = fs(spark, root)
+    val to = if (toVersion < 0) currentVersion(spark, root) else toVersion
+    require(sinceVersion >= 0 && sinceVersion <= to,
+      s"need 0 <= sinceVersion <= toVersion, got $sinceVersion..$to")
+    if (sinceVersion == to) return None
+    val before =
+      if (sinceVersion == 0) Seq.empty[String] else dataDirsOf(f, root, sinceVersion)
+    val after = dataDirsOf(f, root, to)
+    val beforeSet = before.toSet
+    if (!before.forall(after.contains))
+      throw new IllegalStateException(
+        s"versions $sinceVersion..$to of $root span a snapshot rewrite " +
+          "(compaction); dir-level changes are undefined — read the full table")
+    val added = after.filterNot(beforeSet)
+    if (added.isEmpty) None else Some(readDirs(spark, root, added))
+  }
+
   /** Time travel: read the snapshot AS OF a specific committed version.
     * Data dirs are immutable and stay referenced by their manifest until
     * [[expire]] drops them, so any version [[history]] lists is readable

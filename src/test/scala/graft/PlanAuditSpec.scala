@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     // over the candidate bigrams — the same bounded scalar-subquery shape
     // as bm25_topk's corpus-stats cross join.
     "lm_perplexity", "lm_perplexity_stored",
+    // hybrid_search_rrf: inherits both legs' allowlisted 1-row broadcasts
+    // (bm25's corpus stats + the cosine query row over the corpus).
+    "hybrid_search_rrf",
     // length_batches: the 1-row corpus-total frame broadcast over the
     // ranked docs for the integer bucket arithmetic.
     "length_batches",

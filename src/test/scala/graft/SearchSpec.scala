@@ -79,4 +79,39 @@ class SearchSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
     }
   }
+
+  test("RRF fusion: both-leg docs beat single-leg docs at equal ranks; single-leg survivors keep NULLs") {
+    // lexical corpus: docs 1 and 2 mention the query term, 3 does not;
+    // embeddings: vec 0 is the query, vec 2 and 3 are near it, vec 1 far.
+    val docs = Seq(
+      (1L, "alpha beta alpha pad a b c d"),
+      (2L, "alpha pad x y z w q r"),
+      (3L, "nothing relevant here at all ok fine")).toDF("doc_id", "text")
+    def vec(x: Float, y: Float) = Array(x, y)
+    val embs = Seq(
+      (0L, vec(1f, 0f), 0), // the query
+      (1L, vec(0f, 1f), 0), // far from query
+      (2L, vec(0.99f, 0.1f), 0), // near
+      (3L, vec(0.98f, 0.2f), 0)) // near
+      .toDF("vec_id", "embedding", "label")
+    // depth = 2: the far vector (1) misses the semantic leg, and doc 3
+    // never matches the lexical one — each side exercises the NULL path
+    val out = graft.operators.Search.hybridRrf(docs, embs, Seq("alpha"), k = 4, depth = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 2: lexical hit AND semantic neighbor -> two reciprocal terms;
+    // docs 1 (lex-only) and 3 (sem-only) get one each -> doc 2 wins.
+    val rrf = out.view.mapValues(_.getAs[Double]("rrf")).toMap
+    assert(rrf(2L) > rrf(1L) && rrf(2L) > rrf(3L),
+      s"both-leg doc must outrank single-leg docs: $rrf")
+    assert(out(1L).isNullAt(out(1L).fieldIndex("rank_sem")),
+      "lexical-only doc keeps a NULL semantic rank")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("rank_lex")),
+      "semantic-only doc keeps a NULL lexical rank")
+    // fused score is exactly the fixed two-term reciprocal sum
+    val r2 = out(2L)
+    val expect = 1.0 / (60.0 + r2.getAs[Long]("rank_lex")) +
+      1.0 / (60.0 + r2.getAs[Long]("rank_sem"))
+    assert(math.abs(rrf(2L) - BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
 }

@@ -235,6 +235,31 @@ class VersionedStoreSpec extends SparkSpec {
       === Seq(("2024-01-01", 1L, 1.0), ("2024-01-01", 2L, 2.0), ("2024-01-02", 3L, 3.0)))
   }
 
+  test("change feed: readChanges returns exactly the batches a version range appended") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    VersionedStore.commitAppend(snap("2024-01-02", 2L -> 2.0), root)
+    VersionedStore.commitAppend(snap("2024-01-03", 3L -> 3.0), root)
+    // consumer checkpointed at v1: sees batches 2 and 3, nothing rescanned
+    val changes = VersionedStore.readChanges(spark, root, sinceVersion = 1L).get
+      .orderBy("user_id").collect().map(_.getAs[Long]("user_id")).toSeq
+    assert(changes === Seq(2L, 3L))
+    // bounded range
+    assert(VersionedStore.readChanges(spark, root, 1L, 2L).get
+      .collect().map(_.getAs[Long]("user_id")).toSeq === Seq(2L))
+    // from zero = everything; caught-up consumer gets None
+    assert(VersionedStore.readChanges(spark, root, 0L).get.count() === 3L)
+    assert(VersionedStore.readChanges(spark, root, 3L).isEmpty)
+    // a compaction breaks dir-level diff semantics LOUDLY, not silently
+    VersionedStore.commit(VersionedStore.read(spark, root).get, root)
+    assertThrows[IllegalStateException](
+      VersionedStore.readChanges(spark, root, sinceVersion = 2L))
+    // ...but post-compaction appends diff cleanly again
+    VersionedStore.commitAppend(snap("2024-01-05", 5L -> 5.0), root)
+    assert(VersionedStore.readChanges(spark, root, sinceVersion = 4L).get
+      .collect().map(_.getAs[Long]("user_id")).toSeq === Seq(5L))
+  }
+
   test("quality-gate-on-arrival: streamed LM scores equal batch scores, one version per batch") {
     import graft.operators.LmStore
     import graft.streaming.LmStream
