@@ -501,6 +501,11 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
+    // Filtered vector search: top-k among label=1 vectors only, with the
+    // predicate applied BEFORE the probe join (pre-filter, not
+    // probe-then-discard).
+    "ann_ivf_filtered" -> ((s, dir) =>
+      Similarity.annIvfFiltered(Tables.embeddings(s, dir), labelValue = 1)),
     // IVF over the STORED index artifact (centroids + assignment table,
     // ArtifactStore rename-publish like the posting/shingle tables): no
     // Lloyd step or corpus argmin at query time. Shares ann_ivf's oracle —
@@ -2214,6 +2219,26 @@ object SparkEntry {
          | sc AS (SELECT qid, a.vec_id AS cid,
          |        round(list_cosine_similarity(qe, a.e), 6) AS cos_sim
          |        FROM pr JOIN asg a ON a.cluster = pr.cluster AND a.vec_id <> qid),
+         | r AS (SELECT qid, cid, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+         |       FROM sc)
+         |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // The filtered variant: same deterministic probe replay, with the
+    // label predicate restricting candidates (the pre/post distinction is
+    // Spark-side cost shape; the result set is identical either way
+    // because cell choice depends only on the query).
+    "ann_ivf_filtered" ->
+      s"""WITH $IvfCte,
+         | pr AS (SELECT qid, qe, cluster FROM (
+         |        SELECT z.vec_id AS qid, z.e AS qe, s.cluster,
+         |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+         |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+         |        FROM qz z CROSS JOIN cents s WHERE z.vec_id < 10) t WHERE rn <= 4),
+         | sc AS (SELECT qid, a.vec_id AS cid,
+         |        round(list_cosine_similarity(qe, a.e), 6) AS cos_sim
+         |        FROM pr JOIN asg a ON a.cluster = pr.cluster AND a.vec_id <> qid
+         |                JOIN embeddings lb ON lb.vec_id = a.vec_id AND lb.label = 1),
          | r AS (SELECT qid, cid, cos_sim,
          |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
          |       FROM sc)

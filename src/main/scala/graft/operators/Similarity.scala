@@ -349,6 +349,29 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** FILTERED vector search — the metadata-predicate ANN every retrieval
+    * stack needs (RAG-over-a-tenant, language-restricted near-dup): the
+    * top-k neighbors among only the corpus vectors whose `label` matches.
+    * Implementation is PRE-filter: the predicate lands on the assignment
+    * table BEFORE the probe join, so candidate cost shrinks with the
+    * filter's selectivity instead of paying full-probe-then-discard (the
+    * post-filter trap: k survivors can starve when the filter is tight —
+    * here every probed cell contributes only matching vectors, and at
+    * 100 TB the label predicate pushes down to the assignment-table
+    * scan). The probe itself (cell choice) depends only on the query, so
+    * pre- and post-filter agree on which cells are visited. */
+  def annIvfFiltered(embeddings: DataFrame, labelValue: Int, numQueries: Int = 10,
+                     k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val base = sharedBase(embeddings)
+    val (assigned, centroids) = ivfModelOn(base, nlist)
+    val keep = embeddings
+      .filter(col("label") === labelValue).select(col("vec_id"))
+    ivfProbe(base,
+      assigned.select("vec_id", "e", "nrm", "cluster")
+        .join(keep, Seq("vec_id"), "left_semi"),
+      centroids, numQueries, k, nprobe)
+  }
+
   /** Materialize the IVF coarse-quantizer model — centroids (nlist rows)
     * plus the corpus assignment table — as a stored artifact
     * ([[graft.sinks.ArtifactStore]]: fingerprint-keyed rebuild,

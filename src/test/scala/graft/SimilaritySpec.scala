@@ -199,4 +199,29 @@ class SimilaritySpec extends SparkSpec {
     Similarity.annPqRerank(pqEmb, numQueries = 1, k = 5, shortlist = 20).collect()
       .foreach(r => assert(bf(r.getLong(1)) === r.getDouble(2)))
   }
+
+  test("filtered ANN: every neighbor satisfies the predicate; pre-filter equals probe-then-discard") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+    val out = Similarity.annIvfFiltered(embs, labelValue = 1).collect()
+    assert(out.nonEmpty)
+    val label1 = embs.filter(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(label1.contains(r.getAs[Long]("cid")),
+      s"cid ${r.getAs[Long]("cid")} must carry label=1"))
+    // post-filter reference: run the UNfiltered probe deep, discard
+    // non-matching, re-rank — cell choice depends only on the query, so
+    // the two formulations must agree on the same candidate set
+    val post = Similarity.annIvf(embs, numQueries = 10, k = 1000)
+      .filter(col("cid").isin(label1.toSeq: _*))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("cid").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "cid", "cos_sim", "rank")
+      .orderBy("qid", "rank")
+    assert(out.map(_.toSeq).toSeq === post.collect().map(_.toSeq).toSeq,
+      "pre-filter and probe-then-discard must produce identical neighbors")
+  }
 }
