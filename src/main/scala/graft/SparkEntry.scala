@@ -361,6 +361,14 @@ object SparkEntry {
       TextAnalysis.lmPerplexity(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // Per-language models (the CCNet setup): every candidate scored
+    // against its OWN language's bigram distribution; unmatched languages
+    // surface as NULL-scored rows, never mis-scored.
+    "lm_perplexity_by_lang" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.lmPerplexityByLang(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // Same scoring over the MAINTAINED LM artifact: the reference-corpus
     // aggregation is a parquet read, only the candidate joins run per
     // query (exact counts, so it shares lm_perplexity's oracle).
@@ -1555,6 +1563,34 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) s
         |LEFT JOIN agg ON s.doc_id = agg.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // Per-language replay: all model keys gain lang; V per language; a
+    // candidate language with no reference model yields NULL scores.
+    "lm_perplexity_by_lang" ->
+      """WITH tw AS (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |            FROM documents WHERE doc_id % 2 = 0),
+        | tb AS (SELECT lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |        FROM tw WHERE len(w) >= 2),
+        | c12 AS (SELECT lang, bg, count(*) AS c12 FROM tb GROUP BY 1, 2),
+        | c1 AS (SELECT lang, split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM tb GROUP BY 1, 2),
+        | v AS (SELECT lang, count(DISTINCT wd) AS v
+        |       FROM (SELECT lang, unnest(w) AS wd FROM tw) GROUP BY 1),
+        | sw AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents WHERE doc_id % 2 = 1),
+        | sb AS (SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |        FROM sw WHERE len(w) >= 2),
+        | q AS (SELECT sb.doc_id,
+        |        CAST(round(round(ln((COALESCE(c12.c12, 0) + 0.5)
+        |          / (COALESCE(c1.c1, 0) + 0.5 * v.v)), 6) * 1000000.0) AS BIGINT) AS lp_q
+        |       FROM sb LEFT JOIN c12 ON sb.lang = c12.lang AND sb.bg = c12.bg
+        |               LEFT JOIN c1 ON sb.lang = c1.lang AND split_part(sb.bg, ' ', 1) = c1.w1
+        |               LEFT JOIN v ON sb.lang = v.lang),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(-sum(lp_q) AS BIGINT) AS nll_q FROM q GROUP BY 1),
+        | base AS (SELECT DISTINCT doc_id, lang FROM documents WHERE doc_id % 2 = 1)
+        |SELECT base.doc_id, base.lang, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.nll_q,
+        | round(agg.nll_q / 1000000.0 / agg.n_bigrams, 6) AS avg_nll
+        |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     "lang_id" -> TextAnalysis.langIdOracleSql,
     "token_count" ->
       """SELECT doc_id,

@@ -178,6 +178,51 @@ object TextAnalysis {
       "transform(sequence(0, size(w)-2), i -> struct(concat_ws(' ', w[i], w[i+1]) AS bg, w[i] AS w1))")).as("b"))
     .select(col("doc_id"), col("b.bg").as("bg"), col("b.w1").as("w1"))
 
+  /** PER-LANGUAGE edition of [[lmPerplexity]] — the setup CCNet actually
+    * runs: one model per language (bigram distributions don't transfer
+    * across languages, so a single pooled model mis-scores every minority
+    * language), each candidate scored against ITS OWN language's model.
+    * All model keys gain `lang`; V is per-language (broadcast — one row
+    * per language). A candidate whose language has no reference model is
+    * UNSCORABLE and surfaces with NULL scores — flagged, never dropped,
+    * and never silently scored against the wrong language. */
+  def lmPerplexityByLang(train: DataFrame, score: DataFrame, k: Double = 0.5): DataFrame = {
+    def bigramsL(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), col("lang"), wordsExpr.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(concat_ws(' ', w[i], w[i+1]) AS bg, w[i] AS w1))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.bg").as("bg"), col("b.w1").as("w1"))
+    val tb = bigramsL(train)
+    val c12 = tb.groupBy("lang", "bg").agg(count(lit(1)).as("c12"))
+    val c1 = tb.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+    val vocab = train
+      .select(col("lang"), explode(wordsExpr).as("wd"))
+      .groupBy("lang").agg(countDistinct(col("wd")).as("v"))
+    val scored = bigramsL(score)
+      .join(c12, Seq("lang", "bg"), "left_outer")
+      .join(c1, Seq("lang", "w1"), "left_outer")
+      .join(broadcast(vocab), Seq("lang"), "left_outer")
+      // v NULL (no model for this language) nulls every lp_q of the doc,
+      // so its sum — and therefore its scores — come out NULL.
+      .withColumn("lp_q", round(
+        round(log(
+          (coalesce(col("c12"), lit(0L)).cast("double") + lit(k)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") + lit(k) * col("v").cast("double"))), 6)
+          * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_q"))).as("nll_q"))
+    score.select(col("doc_id"), col("lang")).distinct()
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_q"),
+        round(col("nll_q").cast("double") / lit(1e6) / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Scoring tail over a pre-built model — `c12` = (bg, c12) bigram
     * counts, `c1` = (w1, c1) head counts, `vocab` = 1-row (v) — shared by
     * the self-contained [[lmPerplexity]] and the stored-model path

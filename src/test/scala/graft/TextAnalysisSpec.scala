@@ -82,4 +82,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(1L) - expected) < 1e-9,
       s"score must equal the hand-computed smoothed bigram log-prob: ${out(1L)} vs $expected")
   }
+
+  test("per-language LM: models never cross languages; modelless languages score NULL") {
+    val train = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the mat"),
+      (4L, "de", "die katze sitzt auf der matte")).toDF("doc_id", "lang", "text")
+    val score = Seq(
+      (1L, "en", "the cat sat"),
+      (3L, "de", "die katze sitzt"),
+      (5L, "fr", "le chat est assis"), // no French model in the reference
+      (7L, "en", "die katze sitzt")) // German text labeled en: all-OOV for the en model
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lmPerplexityByLang(train, score).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 3L, 5L, 7L))
+    // modelless language: flagged NULL, not silently scored against another
+    assert(out(5L).isNullAt(out(5L).fieldIndex("avg_nll")),
+      "a language with no reference model must be unscorable")
+    // in-language text beats cross-language text under the SAME model
+    assert(out(1L).getAs[Double]("avg_nll") < out(7L).getAs[Double]("avg_nll"),
+      "the en model must prefer English text over German text labeled en")
+    // each language scored by its own model: both in-language docs score well
+    assert(out(3L).getAs[Double]("avg_nll") < out(7L).getAs[Double]("avg_nll"))
+  }
 }
