@@ -40,6 +40,7 @@ object ScaleBench {
     "multimodal_video_frames",
     "dup_spans", "dup_profile", "corpus_excised", "corpus_excised_keepone",
     "corpus_clean", "contamination", "length_batches",
+    "lm_perplexity",
     "q9_product_profit", "q21_waiting_suppliers")
 
   def main(args: Array[String]): Unit = {
