@@ -524,6 +524,8 @@ object SparkEntry {
       Similarity.annIvfFromIndex(Tables.embeddings(s, dir), p)
     }),
     "ivf_recall" -> ((s, dir) => Similarity.ivfRecall(Tables.embeddings(s, dir))),
+    "ivf_filtered_recall" -> ((s, dir) =>
+      Similarity.ivfFilteredRecall(Tables.embeddings(s, dir))),
     // Product quantization: 8 subspace codebooks (deterministic integer
     // k-means) → 4-bit codes → ADC top-k by summed table lookups — the
     // ~32× embedding-compression axis; recall gated like every index.
@@ -2343,6 +2345,36 @@ object SparkEntry {
          | ts AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
          |        round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
          |        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         | tr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM ts),
+         | truth AS (SELECT qid, cid FROM tr WHERE rank <= 5)
+         |SELECT t2.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
+         |       CAST(count(a.acid) AS DOUBLE) / 5 AS recall
+         |FROM truth t2 LEFT JOIN ann a ON a.aqid = t2.qid AND a.acid = t2.cid
+         |GROUP BY t2.qid ORDER BY t2.qid""".stripMargin,
+    // Filtered-index recall: BOTH sides restricted to label=1 candidates
+    // — against unfiltered truth a perfect filtered index would score 0
+    // whenever the global neighbors carry other labels.
+    "ivf_filtered_recall" ->
+      s"""WITH $IvfCte,
+         | pr AS (SELECT qid, qe, cluster FROM (
+         |        SELECT z.vec_id AS qid, z.e AS qe, s.cluster,
+         |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+         |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+         |        FROM qz z CROSS JOIN cents s WHERE z.vec_id < 10) t WHERE rn <= 4),
+         | sc AS (SELECT qid, a.vec_id AS cid,
+         |        round(list_cosine_similarity(qe, a.e), 6) AS cos_sim
+         |        FROM pr JOIN asg a ON a.cluster = pr.cluster AND a.vec_id <> qid
+         |                JOIN embeddings lb ON lb.vec_id = a.vec_id AND lb.label = 1),
+         | r AS (SELECT qid, cid,
+         |       row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM sc),
+         | ann AS (SELECT qid AS aqid, cid AS acid FROM r WHERE rank <= 5),
+         | ts AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+         |        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+         |             JOIN embeddings lb ON lb.vec_id = c.vec_id AND lb.label = 1
+         |        WHERE q.vec_id < 10),
          | tr AS (SELECT qid, cid,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM ts),
          | truth AS (SELECT qid, cid FROM tr WHERE rank <= 5)

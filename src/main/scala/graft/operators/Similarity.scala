@@ -372,6 +372,36 @@ object Similarity {
       centroids, numQueries, k, nprobe)
   }
 
+  /** Recall@k gate for [[annIvfFiltered]] — truth = brute-force cosine
+    * among ONLY the predicate-matching candidates (the correct referent:
+    * against unfiltered truth, a perfectly-working filtered index would
+    * score 0 whenever the global neighbors carry other labels). Same
+    * hash-gated construction as [[ivfRecall]]. */
+  def ivfFilteredRecall(embeddings: DataFrame, labelValue: Int = 1,
+                        numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = sharedBase(embeddings)
+    val keep = embeddings.filter(col("label") === labelValue).select(col("vec_id"))
+    val q = broadcast(base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+    val c = base.join(keep, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
+    val truth = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"))
+    val approx = annIvfFiltered(embeddings, labelValue, numQueries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    truth
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(k))
+      .select("qid", "n_hit", "recall")
+      .orderBy("qid")
+  }
+
   /** Materialize the IVF coarse-quantizer model — centroids (nlist rows)
     * plus the corpus assignment table — as a stored artifact
     * ([[graft.sinks.ArtifactStore]]: fingerprint-keyed rebuild,

@@ -161,7 +161,8 @@ object TextAnalysis {
     * docs with < 2 tokens can't be scored and surface with n_bigrams = 0
     * and NULL scores — flagged, never dropped. */
   def lmPerplexity(train: DataFrame, score: DataFrame, k: Double = 0.5): DataFrame = {
-    val tb = lmBigrams(train)
+    // both count aggregates read ONE tokenization of the reference corpus
+    val tb = CacheRegistry.persistBounded(lmBigrams(train))
     lmScoreWithModel(
       tb.groupBy("bg").agg(count(lit(1)).as("c12")),
       tb.groupBy("w1").agg(count(lit(1)).as("c1")),
@@ -193,7 +194,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(0, size(w)-2), i -> struct(concat_ws(' ', w[i], w[i+1]) AS bg, w[i] AS w1))")).as("b"))
       .select(col("doc_id"), col("lang"), col("b.bg").as("bg"), col("b.w1").as("w1"))
-    val tb = bigramsL(train)
+    val tb = CacheRegistry.persistBounded(bigramsL(train))
     val c12 = tb.groupBy("lang", "bg").agg(count(lit(1)).as("c12"))
     val c1 = tb.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
     val vocab = train

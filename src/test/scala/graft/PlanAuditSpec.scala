@@ -28,7 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "gain_1d", "gain_7d", "gain_alltime", "onlinetime_7d",
     "cosine_topk", "cosine_topk_int8", "dedup_embedding",
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf", "ann_ivf_stored",
-    "ann_ivf_filtered",
+    "ann_ivf_filtered", "ivf_filtered_recall",
     "bm25_topk", "bm25_postings", "quality_gate_adaptive", "tfidf_top_terms",
     "rank_repair", "hll_distinct_events", "null_hll_distinct",
     "bloom_prefilter_join", "bloom_shuffle_join", "q22_dormant_customers",
