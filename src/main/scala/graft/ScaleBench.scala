@@ -82,8 +82,8 @@ object ScaleBench {
     }
     def time(name: String, dir: String): Double = timeFn(SparkEntry.queries(name), dir)
 
-    // Optional name filter for local iteration (comma-separated; "inc"
-    // keeps just the incremental A/B).
+    // Optional name filter for local iteration (comma-separated; the
+    // incremental A/B runs when the set names "dedup_incremental_10pct").
     val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     val rows = Heavy.filter(n => onlyFilter.forall(_.contains(n))).map { name =>
       val t0 = time(name, srcDir)

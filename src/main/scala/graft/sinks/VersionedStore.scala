@@ -117,6 +117,10 @@ object VersionedStore {
     require(sinceVersion >= 0 && sinceVersion <= to,
       s"need 0 <= sinceVersion <= toVersion, got $sinceVersion..$to")
     if (sinceVersion == to) return None
+    if (sinceVersion > 0 && !f.exists(manifestPath(root, sinceVersion)))
+      throw new IllegalStateException(
+        s"version $sinceVersion of $root has been expired; dir-level changes " +
+          "are unavailable — read the full table and re-checkpoint")
     val before =
       if (sinceVersion == 0) Seq.empty[String] else dataDirsOf(f, root, sinceVersion)
     val after = dataDirsOf(f, root, to)
@@ -172,22 +176,23 @@ object VersionedStore {
     // naming an expired version would otherwise strand readers below the
     // surviving range.
     aimPointer(spark, root, live.last._1)
-    // Manifests first, data second — and only data no SURVIVING manifest
-    // still references: append commits share dirs across versions, so an
-    // expired version's added dir may still back the current snapshot
-    // (it stays until a compaction commit stops referencing it, after
-    // which the next expire collects it). The data sweep covers ALL
-    // unreferenced dirs, not just this call's — a previous expire may
-    // have left shared dirs behind that only now became droppable.
-    live.dropRight(keepLast).foreach { case (v, _) =>
-      f.delete(manifestPath(root, v), false)
-    }
+    // Candidate dirs = everything the DROPPED manifests referenced, read
+    // BEFORE deleting them; delete the candidates no surviving manifest
+    // still uses. Append commits share dirs across versions, so an
+    // expired version's added dir may still back the current snapshot —
+    // it stays until a compaction stops referencing it, after which the
+    // next expire sees it among the then-dropped manifest's dirs and
+    // collects it. Scoping the sweep to dropped-manifest dirs (never a
+    // bare data-* listing) keeps a concurrent writer's in-flight
+    // `prepare` directory safe — unreferenced-by-design debris is
+    // vacuum()'s job, in a maintenance window.
+    val dropped = live.dropRight(keepLast)
+    val candidates = dropped.flatMap { case (v, _) => dataDirsOf(f, root, v) }.toSet
+    dropped.foreach { case (v, _) => f.delete(manifestPath(root, v), false) }
     val stillReferenced = history(spark, root)
       .flatMap { case (v, _) => dataDirsOf(f, root, v) }.toSet
-    f.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
-      .filterNot(s => stillReferenced.contains(s.getPath.getName))
-      .foreach(s => f.delete(s.getPath, true))
+    candidates.diff(stillReferenced)
+      .foreach(d => f.delete(new Path(s"$root/$d"), true))
   }
 
   /** Full-snapshot commit: prepare + publish at currentVersion+1.
@@ -251,9 +256,14 @@ object VersionedStore {
       .filter(_.isFile).map(_.getPath.getName).sorted ++
       f.globStatus(new Path(s"$root/$dataDir/day=*/*")).toSeq
         .filter(_.isFile).map(s => s"${s.getPath.getParent.getName}/${s.getPath.getName}").sorted
+    // Braces are escaped too (legal JSON \u escapes) so the regex-based
+    // manifest parser can bound the meta object with [^}]* — a literal
+    // '}' inside a value would otherwise truncate the parse and silently
+    // drop metadata (including the exactly-once batchId ledger).
     def js(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
+        case '{' => "\\u007b"; case '}' => "\\u007d"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""

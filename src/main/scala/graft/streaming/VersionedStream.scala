@@ -56,7 +56,10 @@ object VersionedStream {
     * a no-op (the table-side ledger wins over at-least-once delivery). */
   private[graft] def commitBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
     val spark = batch.sparkSession
-    if (!batch.isEmpty && batchId > lastBatchId(spark, root)) {
+    // Ledger first: it's a metadata read, while isEmpty runs the batch's
+    // whole pipeline — a replay of an already-committed batch must cost
+    // manifest-open, not a recomputation of (e.g.) the LM scoring joins.
+    if (batchId > lastBatchId(spark, root) && !batch.isEmpty) {
       VersionedStore.commitAppend(batch, root, Map("batchId" -> batchId.toString))
     }
   }

@@ -173,10 +173,12 @@ class VersionedStoreSpec extends SparkSpec {
   test("commit metadata round-trips, escaping included") {
     val root = tmp()
     VersionedStore.commit(snap("2024-01-01", 1L -> 1.0), root,
-      meta = Map("batchId" -> "7", "weird \"key\"" -> "tab\there \\ done"))
+      meta = Map("batchId" -> "7", "weird \"key\"" -> "tab\there \\ done",
+        "appId" -> "job{1} => {x}")) // braces must not truncate the parse
     val m = VersionedStore.currentMeta(spark, root)
-    assert(m("batchId") === "7")
+    assert(m("batchId") === "7", s"batchId must survive brace-bearing values: $m")
     assert(m("weird \"key\"") === "tab\there \\ done")
+    assert(m("appId") === "job{1} => {x}")
     // a version with no meta reads as empty, not an error
     VersionedStore.commit(snap("2024-01-01", 1L -> 2.0), root)
     assert(VersionedStore.currentMeta(spark, root) === Map.empty)

@@ -39,6 +39,10 @@ for n in $NAMES; do
   line=$(SPARK_GRAFT_SCALE_ONLY="$n" SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-2}" \
     java -Xmx8g $OPENS -cp "$CP" graft.ScaleBench 2>/dev/null | grep '"metric":"scale_exponents"')
   frag=$(echo "$line" | sed 's/.*"queries":{//; s/}}$//')
+  if [ -z "$frag" ]; then
+    echo "[scale-leg] FATAL: '$n' produced no result (crashed/OOM?) — aborting without writing $OUT" >&2
+    exit 1
+  fi
   echo "[scale-leg] $frag" >&2
   parts+=("$frag")
 done
