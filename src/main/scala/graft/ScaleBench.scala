@@ -83,8 +83,19 @@ object ScaleBench {
     def time(name: String, dir: String): Double = timeFn(SparkEntry.queries(name), dir)
 
     // Optional name filter for local iteration (comma-separated; the
-    // incremental A/B runs when the set names "dedup_incremental_10pct").
-    val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    // incremental A/B runs when the set names "dedup_incremental_10pct",
+    // with "inc" accepted as a shorthand). A name matching NOTHING is a
+    // hard error — a typo'd filter must not produce a silently empty
+    // scale_exponents record that reads as "measured, fine".
+    val valid = (Heavy :+ "dedup_incremental_10pct").toSet
+    val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(
+      _.split(",").map(n => if (n == "inc") "dedup_incremental_10pct" else n).toSet)
+    onlyFilter.foreach { f =>
+      val unknown = f.diff(valid)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names match no scale-leg query: ${unknown.mkString(", ")} " +
+          s"(valid: ${valid.toSeq.sorted.mkString(", ")})")
+    }
     val rows = Heavy.filter(n => onlyFilter.forall(_.contains(n))).map { name =>
       val t0 = time(name, srcDir)
       val t1 = time(name, destDir)

@@ -113,7 +113,14 @@ object VersionedStore {
   def readChanges(spark: SparkSession, root: String, sinceVersion: Long,
                   toVersion: Long = -1L): Option[DataFrame] = {
     val f = fs(spark, root)
-    val to = if (toVersion < 0) currentVersion(spark, root) else toVersion
+    val cur = currentVersion(spark, root)
+    val to = if (toVersion < 0) cur else toVersion
+    // An explicit toVersion beyond the store surfaces here as the same
+    // IllegalArgumentException shape readAt uses — not as a raw
+    // FileNotFoundException from the manifest open below.
+    if (toVersion >= 0 && toVersion > cur)
+      throw new IllegalArgumentException(
+        s"version $toVersion of $root does not exist (never committed, or expired)")
     require(sinceVersion >= 0 && sinceVersion <= to,
       s"need 0 <= sinceVersion <= toVersion, got $sinceVersion..$to")
     if (sinceVersion == to) return None
@@ -218,13 +225,42 @@ object VersionedStore {
     * and a loser whose base-dir list went stale aborts wholesale, so a
     * racing append can never drop the winner's files. */
   def commitAppend(df: DataFrame, root: String,
-                   meta: Map[String, String] = Map.empty): Long = {
+                   meta: Map[String, String] = Map.empty): Long =
+    commitAppendAt(df, root, currentVersion(df.sparkSession, root), meta)
+
+  /** [[commitAppend]] PINNED at an expected base version — the
+    * optimistic-concurrency edition for callers whose `meta` (or any other
+    * state) was derived by READING version `baseVersion` first: the new
+    * manifest carries exactly `baseVersion`'s dirs plus the batch's, and
+    * publishes at `baseVersion + 1`, so if ANY other commit landed after
+    * the caller's read, the manifest create loses and [[CommitConflict]]
+    * propagates — the caller re-reads and retries rather than silently
+    * publishing a snapshot that drops the interleaved commit's state.
+    * This is the compare-and-swap every read-modify-write on the store
+    * (ledger merges, compaction) must use. */
+  def commitAppendAt(df: DataFrame, root: String, baseVersion: Long,
+                     meta: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
-    val cur = currentVersion(spark, root)
-    val base = if (cur == 0) Seq.empty[String] else dataDirsOf(fs(spark, root), root, cur)
+    val base =
+      if (baseVersion == 0) Seq.empty[String]
+      else dataDirsOf(fs(spark, root), root, baseVersion)
     val dir = prepare(df, root)
-    publish(spark, root, cur + 1, dir, baseDirs = base, meta = meta)
-    cur + 1
+    publish(spark, root, baseVersion + 1, dir, baseDirs = base, meta = meta)
+    baseVersion + 1
+  }
+
+  /** Full-snapshot [[commit]] PINNED at an expected base version — same
+    * stale-base abort contract as [[commitAppendAt]]: publishes at
+    * `baseVersion + 1` or throws [[CommitConflict]] if anything committed
+    * after the caller read `baseVersion`. The seam compaction needs: its
+    * rewritten snapshot and carried-forward meta are both reads of
+    * `baseVersion`, and an interleaved micro-batch between read and
+    * publish must abort the compaction, never vanish from the table. */
+  def commitAt(df: DataFrame, root: String, baseVersion: Long,
+               meta: Map[String, String] = Map.empty): Long = {
+    val dir = prepare(df, root)
+    publish(df.sparkSession, root, baseVersion + 1, dir, meta = meta)
+    baseVersion + 1
   }
 
   /** Step 1: write the snapshot to a fresh uniquely-named data dir.
@@ -291,6 +327,13 @@ object VersionedStore {
     val v = currentVersion(spark, root)
     if (v == 0) Map.empty else metaOf(fs(spark, root), root, v)
   }
+
+  /** The commit metadata AS OF a specific version (empty for version 0 —
+    * the empty store). Paired with [[commitAppendAt]]/[[commitAt]] this is
+    * the read half of a ledger read-modify-write: read (version, meta)
+    * together, merge, publish at version+1, retry on [[CommitConflict]]. */
+  def metaAt(spark: SparkSession, root: String, version: Long): Map[String, String] =
+    if (version == 0) Map.empty else metaOf(fs(spark, root), root, version)
 
   private def metaOf(f: FileSystem, root: String, v: Long): Map[String, String] = {
     val body = manifestBody(f, root, v)

@@ -212,6 +212,91 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.read(spark, root).get.count() === 3L)
   }
 
+  test("multi-writer ledger: two interleaved writers append exactly-once, replays of each skip") {
+    import graft.streaming.VersionedStream
+    val root = tmp()
+    def batch(i: Int) = snap(s"2024-01-0$i", i.toLong -> i.toDouble)
+    // Writers A and B interleave; each has its own checkpoint lineage, so
+    // both start at batchId 0 — under the old single-key ledger B's first
+    // batches would be silently skipped as A's replays.
+    VersionedStream.commitBatch(batch(1), 0L, root, writerId = "A")
+    VersionedStream.commitBatch(batch(2), 0L, root, writerId = "B")
+    VersionedStream.commitBatch(batch(3), 1L, root, writerId = "A")
+    VersionedStream.commitBatch(batch(4), 1L, root, writerId = "B")
+    assert(VersionedStore.read(spark, root).get.count() === 4L,
+      "both writers' batches must land — batch ids are per-writer, not global")
+    assert(VersionedStream.lastBatchId(spark, root, "A") === 1L)
+    assert(VersionedStream.lastBatchId(spark, root, "B") === 1L)
+    // at-least-once replay of EACH writer's batches: no new versions
+    val before = VersionedStore.currentVersion(spark, root)
+    VersionedStream.commitBatch(batch(1), 0L, root, writerId = "A")
+    VersionedStream.commitBatch(batch(4), 1L, root, writerId = "B")
+    assert(VersionedStore.currentVersion(spark, root) === before)
+    assert(VersionedStore.read(spark, root).get.count() === 4L)
+    // every commit carries the OTHER writer's ledger entry forward, and
+    // compaction preserves the full multi-writer ledger
+    VersionedStream.compact(spark, root)
+    assert(VersionedStream.lastBatchId(spark, root, "A") === 1L)
+    assert(VersionedStream.lastBatchId(spark, root, "B") === 1L)
+    // a third, genuinely new writer starts at -1 and is never skipped
+    assert(VersionedStream.lastBatchId(spark, root, "C") === -1L)
+    VersionedStream.commitBatch(batch(5), 0L, root, writerId = "C")
+    assert(VersionedStore.read(spark, root).get.count() === 5L)
+    // content exact across all writers
+    assert(VersionedStore.read(spark, root).get.orderBy("user_id").collect()
+      .map(_.getAs[Double]("value")).toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
+  test("legacy un-keyed batchId ledger still gates the default writer") {
+    import graft.streaming.VersionedStream
+    val root = tmp()
+    // A store written by the pre-multi-writer sink carries meta("batchId").
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root,
+      meta = Map("batchId" -> "3"))
+    assert(VersionedStream.lastBatchId(spark, root) === 3L)
+    VersionedStream.commitBatch(snap("2024-01-02", 2L -> 2.0), 3L, root)
+    assert(VersionedStore.read(spark, root).get.count() === 1L,
+      "a replay at the legacy ledger position must skip")
+    VersionedStream.commitBatch(snap("2024-01-02", 2L -> 2.0), 4L, root)
+    assert(VersionedStore.read(spark, root).get.count() === 2L)
+    assert(VersionedStream.lastBatchId(spark, root) === 4L)
+  }
+
+  test("compaction racing a live micro-batch aborts instead of dropping the batch") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root,
+      meta = Map("batch.A" -> "0"))
+    // Compaction reads its snapshot + meta at base = 1 ...
+    val base = VersionedStore.currentVersion(spark, root)
+    val compacted = VersionedStore.readAt(spark, root, base)
+    val meta = VersionedStore.metaAt(spark, root, base)
+    // ... a micro-batch interleaves and commits version 2 ...
+    VersionedStore.commitAppend(snap("2024-01-02", 2L -> 2.0), root,
+      meta = Map("batch.A" -> "1"))
+    // ... so the pinned publish at base+1 must lose the manifest race.
+    intercept[VersionedStore.CommitConflict] {
+      VersionedStore.commitAt(compacted, root, base, meta)
+    }
+    assert(VersionedStore.read(spark, root).get.count() === 2L,
+      "the interleaved batch's rows must survive the aborted compaction")
+    assert(VersionedStore.currentMeta(spark, root)("batch.A") === "1",
+      "the interleaved batch's ledger entry must survive too")
+    // the retried compaction (fresh base) then succeeds and keeps both rows
+    import graft.streaming.VersionedStream
+    VersionedStream.compact(spark, root)
+    assert(VersionedStore.read(spark, root).get.count() === 2L)
+    assert(VersionedStore.currentMeta(spark, root)("batch.A") === "1")
+  }
+
+  test("readChanges rejects a toVersion beyond the store with readAt's error shape") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.readChanges(spark, root, 0L, toVersion = 9L)
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("streaming sink end-to-end: one version per non-empty micro-batch, content exact") {
     import graft.streaming.VersionedStream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
