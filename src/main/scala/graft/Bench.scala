@@ -33,7 +33,18 @@ object Bench {
     // reap) and the max-min spread rides along so a reader can tell a real
     // regression from a noisy rep.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration/isolation
+    // runs; unknown names are a hard error (a typo'd filter must not
+    // produce a silently empty bench that reads as "ran, fast").
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { f =>
+      val unknown = f.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.mkString(", ")}")
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // toRdd.count() materializes every output column — a plain count()
       // lets Catalyst prune the expensive expressions and times nothing.
       // One untimed warmup run first: it pays the per-query Janino codegen
@@ -61,7 +72,10 @@ object Bench {
             case Some(e) => name -> Left(e)
             case None =>
               val ts = timed.collect { case Right(t) => t }.sorted
-              name -> Right((ts(ts.length / 2), ts.last - ts.head))
+              // median, min, spread: the min is the contamination probe —
+              // a median far above its own min flags long-JVM interference
+              // (heap/JIT/cleaner debris), not a real regression.
+              name -> Right((ts(ts.length / 2), ts.head, ts.last - ts.head))
           }
       }
       // Isolate queries from each other: drop every persisted frame and
@@ -99,11 +113,20 @@ object Bench {
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(e)) => k -> e }
     errs.foreach { case (k, e) => System.err.println(s"BENCH FAILURE $k: $e") }
-    val qs = ok.map { case (k, (med, _)) => jstr(k) + ":" + med }.mkString("{", ",", "}")
-    val sp = ok.map { case (k, (_, spread)) => jstr(k) + ":" + spread }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, (med, _, _)) => jstr(k) + ":" + med }.mkString("{", ",", "}")
+    val mn = ok.map { case (k, (_, min, _)) => jstr(k) + ":" + min }.mkString("{", ",", "}")
+    val sp = ok.map { case (k, (_, _, spread)) => jstr(k) + ":" + spread }.mkString("{", ",", "}")
     val es = errs.map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
     val total = ok.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread_sec":$sp,"reps":$reps,"errors":$es,"artifact_build_sec":$artifactSec,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_sec":$mn,"spread_sec":$sp,"reps":$reps,"errors":$es,"artifact_build_sec":$artifactSec,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout gets truncated by log capture at the driver (two rounds of
+    // mid-record JSON tails); the FILE is the durable record — the full
+    // per-query medians/mins/spreads, mechanically diffable round over
+    // round. Committed per round as BENCH_LOCAL.json.
+    val out = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "UTF-8")
+    try out.println(line) finally out.close()
     spark.stop()
     if (errs.nonEmpty || artifactErr.nonEmpty) sys.exit(1)
   }

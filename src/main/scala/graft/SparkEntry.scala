@@ -399,8 +399,7 @@ object SparkEntry {
     // family's other per-doc groupBy) also rides the doc_id layout
     // exchange-free — one stored table serves the whole family.
     "dedup_minhash_bucketed" -> ((s, dir) => {
-      val t = bucketedShingleTable(dir)
-      ShingleStore.ensureBucketed(Tables.documents(s, dir), t)
+      val t = ShingleStore.ensureBucketed(Tables.documents(s, dir), bucketedShingleTable(dir))
       Dedup.minhashPairsFromShingles(s.table(t).select("doc_id", "sh"))
     }),
     // Incremental ingest dedup: the odd-doc_id half is "today's batch",
@@ -474,8 +473,7 @@ object SparkEntry {
     // aggregation plans with zero exchanges (spec-audited) — the stored
     // layout replaces the family's dominant corpus shuffle.
     "setjoin_pairs_bucketed" -> ((s, dir) => {
-      val t = bucketedShingleTable(dir)
-      ShingleStore.ensureBucketed(Tables.documents(s, dir), t)
+      val t = ShingleStore.ensureBucketed(Tables.documents(s, dir), bucketedShingleTable(dir))
       SetJoin.similarPairsFromShingles(s.table(t))
     }),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
@@ -831,7 +829,11 @@ object SparkEntry {
     * jobs, not part of any query. */
   def ensureStoredArtifacts(s: SparkSession, dir: String): Unit = {
     ShingleStore.ensure(Tables.documents(s, dir), shingleStorePath(dir))
-    ShingleStore.ensureBucketed(Tables.documents(s, dir), bucketedShingleTable(dir))
+    val liveBucketed = ShingleStore.ensureBucketed(
+      Tables.documents(s, dir), bucketedShingleTable(dir))
+    // Superseded fingerprints (regenerated testdata, changed bucket
+    // counts) otherwise accumulate in the warehouse forever.
+    ShingleStore.vacuumBucketed(s, bucketedShingleTable(dir), keep = Set(liveBucketed))
     LmStore.ensure(
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
       artifactPath("lmmodel", dir))

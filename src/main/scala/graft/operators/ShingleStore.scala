@@ -77,29 +77,77 @@ object ShingleStore {
     * bytes — the "reuse a partitioning across stages" lever, applied to
     * the artifact every query in the family reads.
     *
+    * Freshness rides the PHYSICAL NAME, [[graft.sinks.ArtifactStore]]
+    * style: the catalog table is `<table>_<source-fingerprint>_b<buckets>`
+    * (returned to the caller), so a source regenerated within one process
+    * resolves to a NEW table and can never be served stale data, and a
+    * differing `buckets` argument never silently reuses the wrong layout.
     * Managed-table metadata is per-process with the in-memory catalog, so
-    * `ensure` semantics here are tableExists-in-this-session (each fresh
-    * process rebuilds once; Bench prices it in the artifact phase). */
-  def ensureBucketed(docs: DataFrame, table: String, buckets: Int = 32): Unit = {
+    * a fresh process finds complete files from a previous run at the
+    * fingerprinted location and ADOPTS them as an external bucketed table
+    * (DDL re-registration — no rebuild, and no deleting bytes a
+    * concurrent process may be scanning); only an incomplete location
+    * (no _SUCCESS — a crashed build) is cleared and rebuilt. Superseded
+    * fingerprints accumulate until [[vacuumBucketed]]. */
+  def ensureBucketed(docs: DataFrame, table: String, buckets: Int = 32): String = {
     val spark = docs.sparkSession
-    if (!spark.catalog.tableExists(table)) {
-      // With the in-memory catalog a PREVIOUS process's managed-table
-      // files can outlive the metadata; saveAsTable refuses to reuse the
-      // location (LOCATION_ALREADY_EXISTS), and without its catalog-side
-      // bucket spec the orphan data is unusable anyway — clear it.
+    val fp = graft.sinks.ArtifactStore.sourceFingerprint(docs)
+    val phys = s"${table}_${fp.take(12)}_b$buckets"
+    if (!spark.catalog.tableExists(phys)) {
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
+        spark.conf.get("spark.sql.warehouse.dir"), phys)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
-      val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-      toks.join(dfreq, Seq("sh"))
-        .select("doc_id", "sh", "df")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet")
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(table)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        // Complete files from a previous process, same source bytes and
+        // bucket count (both are in the name) written by this same code —
+        // re-register instead of rebuilding. CLUSTERED BY restores the
+        // catalog-side bucket spec the dead process's catalog held, so the
+        // scan keeps reporting HashPartitioning(doc_id).
+        val schema = spark.read.parquet(loc.toString).schema.toDDL
+        spark.sql(
+          s"CREATE TABLE $phys ($schema) USING parquet " +
+            s"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS " +
+            s"LOCATION '${loc.toString}'")
+      } else {
+        // Absent, or half-written by a crashed build — clear and rebuild.
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
+        val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+        toks.join(dfreq, Seq("sh"))
+          .select("doc_id", "sh", "df")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet")
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(phys)
+      }
     }
+    phys
+  }
+
+  /** Reap SUPERSEDED bucketed shingle tables: fingerprinted physical names
+    * accumulate as the source evolves (each [[ensureBucketed]] of changed
+    * data lands a new `<table>_<fp>_b<n>`), so periodic maintenance drops
+    * every catalog entry and warehouse location under `table`'s prefix
+    * except the ones in `keep` (the caller's live resolutions — what the
+    * last ensureBucketed returned). Like [[graft.sinks.VersionedStore
+    * .vacuum]], run from a maintenance window: it deletes files, and
+    * cannot tell whether ANOTHER process is still scanning an old
+    * fingerprint. */
+  def vacuumBucketed(spark: SparkSession, table: String, keep: Set[String]): Unit = {
+    val prefix = s"${table}_"
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(n => n.startsWith(prefix) && !keep.contains(n))
+      .foreach { n =>
+        // External (adopted) tables don't drop their files; managed ones
+        // do — the location sweep below covers both uniformly.
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+      }
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix)
+        && !keep.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** The stored LSH band table (doc_id, bk) — the corpus side of

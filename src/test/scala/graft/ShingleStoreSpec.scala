@@ -249,23 +249,103 @@ class ShingleStoreSpec extends SparkSpec {
     try {
       writeDocs(s"$root/docs", fixture)
       val docs = spark.read.parquet(s"$root/docs")
-      ShingleStore.ensureBucketed(docs, "shstore_spec_bucketed", buckets = 4)
+      val phys = ShingleStore.ensureBucketed(docs, "shstore_spec_bucketed", buckets = 4)
       try {
-        val t = spark.table("shstore_spec_bucketed")
+        val t = spark.table(phys)
         // the layout IS the partitioning: the family's opening groupBy
         // over the stored corpus must not shuffle at all
         val agg = t.groupBy("doc_id").agg(collect_list(col("sh")))
         val plan = agg.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange"),
           s"bucketed-by-doc_id scan must feed the per-doc agg shuffle-free:\n$plan")
-        // rebuild-skip: a second ensure in the same session is a no-op
-        ShingleStore.ensureBucketed(docs, "shstore_spec_bucketed", buckets = 4)
+        // rebuild-skip: a second ensure in the same session resolves to
+        // the same physical table
+        assert(ShingleStore.ensureBucketed(docs, "shstore_spec_bucketed", buckets = 4) === phys)
         // and both family consumers are answer-identical to the recompute
         assert(SetJoin.similarPairsFromShingles(t).collect().toSeq
           === SetJoin.similarPairs(docs).collect().toSeq, "setjoin over bucketed store")
         assert(Dedup.minhashPairsFromShingles(t.select("doc_id", "sh")).collect().toSeq
           === Dedup.minhashPairs(docs).collect().toSeq, "minhash over bucketed store")
-      } finally spark.sql("DROP TABLE IF EXISTS shstore_spec_bucketed")
+      } finally ShingleStore.vacuumBucketed(spark, "shstore_spec_bucketed", keep = Set.empty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("bucketed table freshness: regenerated source resolves to a NEW table; vacuum reaps the old") {
+    val root = java.nio.file.Files.createTempDirectory("shstore").toString
+    try {
+      writeDocs(s"$root/docs", fixture)
+      val docs1 = spark.read.parquet(s"$root/docs")
+      val phys1 = ShingleStore.ensureBucketed(docs1, "shstore_spec_fresh", buckets = 4)
+      try {
+        // source regenerated in-process: the old ensure keyed on bare
+        // tableExists and silently served the stale table
+        writeDocs(s"$root/docs", fixture :+ (7L, "freshly arrived document"))
+        val docs2 = spark.read.parquet(s"$root/docs")
+        val phys2 = ShingleStore.ensureBucketed(docs2, "shstore_spec_fresh", buckets = 4)
+        assert(phys2 !== phys1, "changed source bytes must resolve to a new physical table")
+        assert(spark.table(phys2).filter(col("doc_id") === 7L).count() > 0,
+          "the new resolution must serve the regenerated data")
+        // a differing bucket count also never reuses the wrong layout
+        val phys8 = ShingleStore.ensureBucketed(docs2, "shstore_spec_fresh", buckets = 8)
+        assert(phys8 !== phys2)
+        // vacuum drops everything but the kept resolution — catalog AND files
+        ShingleStore.vacuumBucketed(spark, "shstore_spec_fresh", keep = Set(phys2))
+        assert(!spark.catalog.tableExists(phys1) && !spark.catalog.tableExists(phys8))
+        assert(spark.catalog.tableExists(phys2))
+        val wh = new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        val leftover = Option(wh.listFiles).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("shstore_spec_fresh_")).map(_.getName).toSet
+        assert(leftover === Set(phys2), s"vacuum must reap superseded locations, saw $leftover")
+      } finally ShingleStore.vacuumBucketed(spark, "shstore_spec_fresh", keep = Set.empty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("bucketed table adoption: a fresh catalog re-registers complete files without rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("shstore").toString
+    try {
+      writeDocs(s"$root/docs", fixture)
+      val docs = spark.read.parquet(s"$root/docs")
+      val phys = ShingleStore.ensureBucketed(docs, "shstore_spec_adopt", buckets = 4)
+      try {
+        val wh = new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        val loc = new java.io.File(wh, phys)
+        // Simulate a process restart (in-memory catalog gone, files live):
+        // stash the data dir, drop the managed table (which deletes it),
+        // restore the files.
+        val stash = new java.io.File(root, "stash")
+        org.apache.commons.io.FileUtils.copyDirectory(loc, stash)
+        spark.sql(s"DROP TABLE $phys")
+        assert(!loc.exists)
+        org.apache.commons.io.FileUtils.copyDirectory(stash, loc)
+        val mtimes = loc.listFiles.map(f => f.getName -> f.lastModified).toMap
+        // ensure must ADOPT: same physical name, no rebuild, files untouched
+        assert(ShingleStore.ensureBucketed(docs, "shstore_spec_adopt", buckets = 4) === phys)
+        assert(loc.listFiles.map(f => f.getName -> f.lastModified).toMap === mtimes,
+          "adoption must re-register, not rewrite, the completed files")
+        // the adopted table still carries the bucket spec: zero-Exchange agg
+        val plan = spark.table(phys).groupBy("doc_id").agg(collect_list(col("sh")))
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"adopted table must keep HashPartitioning(doc_id):\n$plan")
+        assert(Dedup.minhashPairsFromShingles(
+            spark.table(phys).select("doc_id", "sh")).collect().toSeq
+          === Dedup.minhashPairs(docs).collect().toSeq, "adopted content exact")
+        // a HALF-written location (no _SUCCESS — crashed build) is NOT
+        // adopted: cleared and rebuilt instead. DROP the external adopted
+        // table (leaves files), strip the completion marker, re-ensure.
+        spark.sql(s"DROP TABLE $phys")
+        if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+        org.apache.commons.io.FileUtils.copyDirectory(stash, loc)
+        assert(new java.io.File(loc, "_SUCCESS").delete())
+        assert(ShingleStore.ensureBucketed(docs, "shstore_spec_adopt", buckets = 4) === phys)
+        assert(new java.io.File(loc, "_SUCCESS").exists,
+          "an incomplete location must be rebuilt, not adopted")
+        assert(Dedup.minhashPairsFromShingles(
+            spark.table(phys).select("doc_id", "sh")).collect().toSeq
+          === Dedup.minhashPairs(docs).collect().toSeq, "rebuilt content exact")
+      } finally ShingleStore.vacuumBucketed(spark, "shstore_spec_adopt", keep = Set.empty)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
