@@ -621,6 +621,17 @@ object SparkEntry {
     // — the boundary-stable sibling of the sliding-window chunker, and
     // the substrate for chunk-hash dedup across crawl snapshots.
     "doc_chunks_cdc" -> ((s, dir) => Packing.cdcChunks(Tables.documents(s, dir))),
+    // The query CDC chunking exists for: re-crawl diffing. Snapshot B is
+    // a deterministic re-crawl of the fixture — in-place edits on the
+    // doc_id % 7 = 3 slice (the→teh), a prepended header on % 11 = 5
+    // (shifts/creates leading chunks), and % 31 = 17 dropped (dead pages)
+    // — and the diff reports, per doc, how many chunks survived
+    // byte-identical (unchanged/moved) vs need re-processing
+    // (added/removed). Both engines synthesize B from the same CASE.
+    "chunk_dedup_snapshots" -> ((s, dir) => {
+      val a = Tables.documents(s, dir)
+      Packing.chunkDiffSnapshots(a, recrawlSnapshot(a))
+    }),
     "sample_uniform" -> ((s, dir) => Sampling.deterministicSample(Tables.documents(s, dir))),
     "sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
@@ -1709,6 +1720,31 @@ object SparkEntry {
         | CAST(t - s + 1 AS BIGINT) AS n_words,
         | md5(array_to_string(ws[s:t], ' ')) AS chunk_hash
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "chunk_dedup_snapshots" ->
+      s"""WITH ${cdcChunksCte("documents", "a")},
+         | ${cdcChunksCte(RecrawlSrcSql, "z")},
+         | same_pos AS (SELECT a.doc_id, count(*) AS unchanged
+         |   FROM achunks a JOIN zchunks b ON a.doc_id = b.doc_id
+         |     AND a.chunk_idx = b.chunk_idx AND a.chunk_hash = b.chunk_hash
+         |   GROUP BY 1),
+         | ca AS (SELECT doc_id, chunk_hash, count(*) AS cnt_a FROM achunks GROUP BY 1, 2),
+         | cb AS (SELECT doc_id, chunk_hash, count(*) AS cnt_b FROM zchunks GROUP BY 1, 2),
+         | com AS (SELECT ca.doc_id, sum(least(cnt_a, cnt_b)) AS common
+         |   FROM ca JOIN cb ON ca.doc_id = cb.doc_id AND ca.chunk_hash = cb.chunk_hash
+         |   GROUP BY 1),
+         | na AS (SELECT doc_id, count(*) AS n_a FROM achunks GROUP BY 1),
+         | nb AS (SELECT doc_id, count(*) AS n_b FROM zchunks GROUP BY 1)
+         |SELECT COALESCE(na.doc_id, nb.doc_id) AS doc_id,
+         | CAST(COALESCE(n_a, 0) AS BIGINT) AS n_chunks_a,
+         | CAST(COALESCE(n_b, 0) AS BIGINT) AS n_chunks_b,
+         | CAST(COALESCE(unchanged, 0) AS BIGINT) AS unchanged,
+         | CAST(COALESCE(common, 0) - COALESCE(unchanged, 0) AS BIGINT) AS moved,
+         | CAST(COALESCE(n_b, 0) - COALESCE(common, 0) AS BIGINT) AS added,
+         | CAST(COALESCE(n_a, 0) - COALESCE(common, 0) AS BIGINT) AS removed
+         |FROM na FULL OUTER JOIN nb ON na.doc_id = nb.doc_id
+         | LEFT JOIN com ON com.doc_id = COALESCE(na.doc_id, nb.doc_id)
+         | LEFT JOIN same_pos sp ON sp.doc_id = COALESCE(na.doc_id, nb.doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
         | count(*) AS n_docs, min(doc_id) AS keep_id
@@ -2676,6 +2712,42 @@ object SparkEntry {
     * `dedup_minhash` (pair emission) and `dedup_clusters` (transitive
     * closure over the same pairs). */
   private lazy val MinhashCtes: String = minhashCtes("documents")
+
+  /** The deterministic "re-crawl" used by `chunk_dedup_snapshots` —
+    * Spark side of the CASE both engines share (SQL twin in
+    * [[RecrawlSrcSql]]): in-place word edits, a prepended header, and a
+    * dropped doc_id slice. */
+  private def recrawlSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 31 =!= 17).select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 3, expr("replace(text, ' the ', ' teh ')"))
+        .when(col("doc_id") % 11 === 5, concat(lit("zz hdr line "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  private val RecrawlSrcSql: String =
+    """(SELECT doc_id,
+      |   CASE WHEN doc_id % 7 = 3 THEN replace(text, ' the ', ' teh ')
+      |        WHEN doc_id % 11 = 5 THEN 'zz hdr line ' || text
+      |        ELSE text END AS text
+      | FROM documents WHERE doc_id % 31 <> 17)""".stripMargin
+
+  /** CDC chunk CTE chain for one source, every name prefixed with `p`;
+    * terminal CTE `<p>chunks(doc_id, chunk_idx, chunk_hash)`. Mirrors
+    * [[graft.operators.Packing.cdcChunks]] (and the standalone
+    * `doc_chunks_cdc` oracle) hash-for-hash. */
+  private def cdcChunksCte(src: String, p: String): String =
+    s"""${p}wd AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM $src),
+       | ${p}b AS (SELECT doc_id, ws, len(ws) AS n,
+       |   CASE WHEN len(ws) >= 4 THEN
+       |     [i for i in range(3, len(ws))
+       |      if CAST('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 15) AS BIGINT) % 8 = 0]
+       |   ELSE [] END AS bounds FROM ${p}wd),
+       | ${p}c AS (SELECT doc_id, ws, n, list_prepend(1, [x + 1 for x in bounds]) AS starts,
+       |        list_append(bounds, n) AS ends FROM ${p}b),
+       | ${p}e AS (SELECT doc_id, ws, unnest(starts) AS s, unnest(ends) AS t,
+       |        unnest(range(0, len(starts))) AS ci FROM ${p}c),
+       | ${p}chunks AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |        md5(array_to_string(ws[s:t], ' ')) AS chunk_hash FROM ${p}e)""".stripMargin
 
   /** Shingle → signature → band-key CTEs for ONE document set, all names
     * prefixed with `p` — lets the incremental oracle band two disjoint

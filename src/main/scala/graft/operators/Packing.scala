@@ -173,6 +173,62 @@ object Packing {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** CROSS-SNAPSHOT CHUNK DEDUP — the operator [[cdcChunks]]'s
+    * boundary-stability exists FOR: given two crawls of a corpus (snapshot
+    * A, then re-crawl B with edits, additions, removals), diff them at
+    * CDC-chunk granularity and report, per document, how much content
+    * survived. Because CDC boundaries are pure functions of local content,
+    * an edited paragraph disturbs only its own chunks — everything else
+    * re-shares its chunk hash, which is what lets a crawl-refresh pipeline
+    * re-process (re-tokenize, re-embed, re-train on) only the changed
+    * slivers of a 100 TB corpus instead of the whole re-crawl.
+    *
+    * Per doc_id (full outer over both snapshots):
+    *  - `unchanged`: chunks whose hash matches B's chunk AT THE SAME
+    *    chunk_idx (content and position intact);
+    *  - `moved`: multiset-intersection matches beyond those (content
+    *    intact, position shifted — e.g. a prepended header that created a
+    *    new leading chunk);
+    *  - `added` = n_chunks_b − (unchanged + moved): new content in B;
+    *  - `removed` = n_chunks_a − (unchanged + moved): content gone from A
+    *    (a document absent from B is all-removed, and vice versa).
+    *
+    * 100 TB shape: two CDC passes (per-row, no shuffle), then aggregations
+    * and joins keyed on doc_id / (doc_id, chunk_hash) / (doc_id,
+    * chunk_idx) — hash-partitioned throughout, no windows, no all-pairs
+    * step; cost is proportional to the chunk count of the two snapshots. */
+  def chunkDiffSnapshots(snapA: DataFrame, snapB: DataFrame, divisor: Int = 8): DataFrame = {
+    val a = CacheRegistry.persistBounded(
+      cdcChunks(snapA, divisor).select("doc_id", "chunk_idx", "chunk_hash"))
+    val b = CacheRegistry.persistBounded(
+      cdcChunks(snapB, divisor).select("doc_id", "chunk_idx", "chunk_hash"))
+    // Position-exact matches: one equi-join on (doc_id, chunk_idx).
+    val samePos = a.join(b.withColumnRenamed("chunk_hash", "hash_b"),
+        Seq("doc_id", "chunk_idx"))
+      .filter(col("chunk_hash") === col("hash_b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("unchanged"))
+    // Multiset intersection per doc: Σ_hash min(cnt_a, cnt_b) — repeated
+    // identical chunks (boilerplate) never double-match.
+    val ca = a.groupBy("doc_id", "chunk_hash").agg(count(lit(1)).as("cnt_a"))
+    val cb = b.groupBy("doc_id", "chunk_hash").agg(count(lit(1)).as("cnt_b"))
+    val common = ca.join(cb, Seq("doc_id", "chunk_hash"))
+      .groupBy("doc_id").agg(sum(least(col("cnt_a"), col("cnt_b"))).as("common"))
+    val na = a.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_a"))
+    val nb = b.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_b"))
+    na.join(nb, Seq("doc_id"), "full_outer")
+      .join(common, Seq("doc_id"), "left_outer")
+      .join(samePos, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_chunks_a"), lit(0L)).as("n_chunks_a"),
+        coalesce(col("n_chunks_b"), lit(0L)).as("n_chunks_b"),
+        coalesce(col("unchanged"), lit(0L)).as("unchanged"),
+        (coalesce(col("common"), lit(0L)) - coalesce(col("unchanged"), lit(0L))).as("moved"),
+        (coalesce(col("n_chunks_b"), lit(0L)) - coalesce(col("common"), lit(0L))).as("added"),
+        (coalesce(col("n_chunks_a"), lit(0L)) - coalesce(col("common"), lit(0L))).as("removed"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level summary: documents per chunk and the packed token count —
     * the fill-efficiency view (chunks fill to ≥ budget − max_doc_tokens
     * except each shard's tail chunk). */

@@ -152,4 +152,58 @@ class PackingSpec extends SparkSpec {
     assert(swShared.size < shared.size,
       "fixed-size chunking must share fewer chunks than CDC under the same edit")
   }
+
+  test("cross-snapshot chunk diff: an edit disturbs only the touched chunks' rows") {
+    import spark.implicits._
+    val words = (1 to 200).map(i => s"w${i * 37 % 101}")
+    val docA = words.mkString(" ")
+    // Edit ONE word mid-document; everything else is byte-identical.
+    val docB = words.updated(100, "EDITED").mkString(" ")
+    val a = Seq((1L, docA), (2L, "shared doc stays put"), (3L, "gone in b"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, docB), (2L, "shared doc stays put"), (4L, "new in b"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDiffSnapshots(a, b).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc 1: the single-word edit may disturb at most the chunks whose
+    // content or boundary 3-grams include the edited word — a bounded
+    // few — while every other chunk stays unchanged at its position.
+    val (na, nb, unchanged, moved, added, removed) = out(1L)
+    assert(na > 10, s"fixture must chunk into many pieces, got $na")
+    assert(unchanged >= na - 4,
+      s"a 1-word edit must leave all but a few chunks unchanged: $out")
+    assert(added <= 4 && removed <= 4 && added >= 1 && removed >= 1,
+      s"the touched chunks show up as added/removed: $out")
+    assert(moved === 0L)
+    assert(unchanged + moved + removed === na, "A-side chunks partition exactly")
+    assert(unchanged + moved + added === nb, "B-side chunks partition exactly")
+    // untouched doc: fully unchanged; dropped/new docs: all removed/added
+    assert(out(2L)._3 === out(2L)._1 && out(2L)._5 === 0L && out(2L)._6 === 0L)
+    assert(out(3L) === ((1L, 0L, 0L, 0L, 0L, 1L)), "doc only in A is all-removed")
+    assert(out(4L) === ((0L, 1L, 0L, 0L, 1L, 0L)), "doc only in B is all-added")
+  }
+
+  test("cross-snapshot chunk diff: a prepended chunk shifts positions into 'moved', content intact") {
+    import spark.implicits._
+    val words = (1 to 200).map(i => s"p${i * 53 % 89}")
+    val base = Packing.cdcChunks(Seq((1L, words.mkString(" "))).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // Prepend exactly one full chunk's worth of words WITH its boundary:
+    // re-chunking the concatenation keeps every original chunk's content
+    // but shifts each chunk_idx by the number of new leading chunks.
+    val prefix = (1 to 300).map(i => s"q${i * 31 % 97}")
+    val a = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val b = Seq((1L, (prefix ++ words).mkString(" "))).toDF("doc_id", "text")
+    val Array(row) = Packing.chunkDiffSnapshots(a, b).collect()
+    val (na, nb, unchanged, moved, added) =
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(nb > na, "the prepend must create leading chunks")
+    assert(moved > 0,
+      s"hash-preserved chunks at shifted positions must count as moved, got $row")
+    assert(unchanged + moved >= na - 2,
+      s"all but the seam chunk survive the prepend (unchanged or moved): $row")
+    assert(added >= nb - na, "the new leading chunks are added content")
+    assert(base.nonEmpty) // fixture sanity: the base doc did chunk
+  }
 }
