@@ -369,6 +369,16 @@ object SparkEntry {
       TextAnalysis.lmPerplexityByLang(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // CCNet head/middle/tail: per-language perplexity terciles over the
+    // by-lang LM scores, then a per-bin keep share (all/half/tenth) —
+    // the binned mixture CCNet feeds training with. Exact integer
+    // tercile/quota arithmetic after the quantized LM scores.
+    "sample_perplexity_bins" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sampling.perplexityBinnedSample(
+        TextAnalysis.lmPerplexityByLang(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1)))
+    }),
     // Same scoring over the MAINTAINED LM artifact: the reference-corpus
     // aggregation is a parquet read, only the candidate joins run per
     // query (exact counts, so it shares lm_perplexity's oracle).
@@ -1581,31 +1591,29 @@ object SparkEntry {
     // Per-language replay: all model keys gain lang; V per language; a
     // candidate language with no reference model yields NULL scores.
     "lm_perplexity_by_lang" ->
-      """WITH tw AS (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |            FROM documents WHERE doc_id % 2 = 0),
-        | tb AS (SELECT lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
-        |        FROM tw WHERE len(w) >= 2),
-        | c12 AS (SELECT lang, bg, count(*) AS c12 FROM tb GROUP BY 1, 2),
-        | c1 AS (SELECT lang, split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM tb GROUP BY 1, 2),
-        | v AS (SELECT lang, count(DISTINCT wd) AS v
-        |       FROM (SELECT lang, unnest(w) AS wd FROM tw) GROUP BY 1),
-        | sw AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |        FROM documents WHERE doc_id % 2 = 1),
-        | sb AS (SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
-        |        FROM sw WHERE len(w) >= 2),
-        | q AS (SELECT sb.doc_id,
-        |        CAST(round(round(ln((COALESCE(c12.c12, 0) + 0.5)
-        |          / (COALESCE(c1.c1, 0) + 0.5 * v.v)), 6) * 1000000.0) AS BIGINT) AS lp_q
-        |       FROM sb LEFT JOIN c12 ON sb.lang = c12.lang AND sb.bg = c12.bg
-        |               LEFT JOIN c1 ON sb.lang = c1.lang AND split_part(sb.bg, ' ', 1) = c1.w1
-        |               LEFT JOIN v ON sb.lang = v.lang),
-        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
-        |         CAST(-sum(lp_q) AS BIGINT) AS nll_q FROM q GROUP BY 1),
-        | base AS (SELECT DISTINCT doc_id, lang FROM documents WHERE doc_id % 2 = 1)
-        |SELECT base.doc_id, base.lang, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.nll_q,
-        | round(agg.nll_q / 1000000.0 / agg.n_bigrams, 6) AS avg_nll
-        |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
-        |ORDER BY base.doc_id""".stripMargin,
+      s"""WITH $LmByLangCtes
+         |SELECT doc_id, lang, n_bigrams, nll_q, avg_nll
+         |FROM lmbl ORDER BY doc_id""".stripMargin,
+    // CCNet binning on the by-lang scores: tercile = ((rn-1)*3) div n,
+    // keep = ceil(bn * share) per bin via integer (bn*num + den-1) div
+    // den, in-bin selection by the deterministic md5 order. All exact.
+    "sample_perplexity_bins" ->
+      s"""WITH $LmByLangCtes,
+         | sc AS (SELECT doc_id, lang, avg_nll FROM lmbl WHERE avg_nll IS NOT NULL),
+         | r AS (SELECT lang, doc_id, avg_nll,
+         |   CAST(row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS rn FROM sc),
+         | s AS (SELECT lang, count(*) AS n FROM r GROUP BY 1),
+         | b AS (SELECT r.lang, r.doc_id, r.avg_nll, ((rn - 1) * 3) // n AS bin
+         |       FROM r JOIN s USING (lang)),
+         | h AS (SELECT lang, bin, doc_id, avg_nll, md5('s1' || ':' || doc_id) AS h FROM b),
+         | r2 AS (SELECT lang, bin, doc_id, avg_nll,
+         |   CAST(row_number() OVER (PARTITION BY lang, bin ORDER BY h, doc_id) AS BIGINT) AS sel FROM h),
+         | bs AS (SELECT lang, bin, count(*) AS bn FROM b GROUP BY 1, 2)
+         |SELECT r2.lang, CAST(r2.bin AS BIGINT) AS bin, r2.doc_id, r2.avg_nll
+         |FROM r2 JOIN bs ON r2.lang = bs.lang AND r2.bin = bs.bin
+         |WHERE sel <= CASE r2.bin WHEN 0 THEN bn WHEN 1 THEN (bn + 1) // 2
+         |                         ELSE (bn + 9) // 10 END
+         |ORDER BY r2.lang, r2.bin, r2.doc_id""".stripMargin,
     "lang_id" -> TextAnalysis.langIdOracleSql,
     "token_count" ->
       """SELECT doc_id,
@@ -2712,6 +2720,36 @@ object SparkEntry {
     * `dedup_minhash` (pair emission) and `dedup_clusters` (transitive
     * closure over the same pairs). */
   private lazy val MinhashCtes: String = minhashCtes("documents")
+
+  /** Per-language LM-scoring CTE chain (mirrors
+    * [[graft.operators.TextAnalysis.lmPerplexityByLang]]); terminal CTE
+    * `lmbl(doc_id, lang, n_bigrams, nll_q, avg_nll)` — shared by the
+    * `lm_perplexity_by_lang` oracle and the CCNet binning built on it. */
+  private lazy val LmByLangCtes: String =
+    """tw AS (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |            FROM documents WHERE doc_id % 2 = 0),
+      | tb AS (SELECT lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |        FROM tw WHERE len(w) >= 2),
+      | c12 AS (SELECT lang, bg, count(*) AS c12 FROM tb GROUP BY 1, 2),
+      | c1 AS (SELECT lang, split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM tb GROUP BY 1, 2),
+      | v AS (SELECT lang, count(DISTINCT wd) AS v
+      |       FROM (SELECT lang, unnest(w) AS wd FROM tw) GROUP BY 1),
+      | sw AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |        FROM documents WHERE doc_id % 2 = 1),
+      | sb AS (SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |        FROM sw WHERE len(w) >= 2),
+      | q AS (SELECT sb.doc_id,
+      |        CAST(round(round(ln((COALESCE(c12.c12, 0) + 0.5)
+      |          / (COALESCE(c1.c1, 0) + 0.5 * v.v)), 6) * 1000000.0) AS BIGINT) AS lp_q
+      |       FROM sb LEFT JOIN c12 ON sb.lang = c12.lang AND sb.bg = c12.bg
+      |               LEFT JOIN c1 ON sb.lang = c1.lang AND split_part(sb.bg, ' ', 1) = c1.w1
+      |               LEFT JOIN v ON sb.lang = v.lang),
+      | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(-sum(lp_q) AS BIGINT) AS nll_q FROM q GROUP BY 1),
+      | base AS (SELECT DISTINCT doc_id, lang FROM documents WHERE doc_id % 2 = 1),
+      | lmbl AS (SELECT base.doc_id, base.lang, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+      |          agg.nll_q, round(agg.nll_q / 1000000.0 / agg.n_bigrams, 6) AS avg_nll
+      |          FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id)""".stripMargin
 
   /** The deterministic "re-crawl" used by `chunk_dedup_snapshots` —
     * Spark side of the CASE both engines share (SQL twin in

@@ -155,4 +155,51 @@ object Sampling {
       .select("lang", "doc_id", "rn", "quota")
       .orderBy("lang", "rn")
   }
+
+  /** PERPLEXITY-BINNED mixture — the CCNet head/middle/tail selection
+    * (Wenzek et al. 2020): within each language, rank candidates by their
+    * LM score ([[TextAnalysis.lmPerplexityByLang]]'s avg_nll — low =
+    * reference-like), cut the ranking into TERCILES (bin 0 = head,
+    * 1 = middle, 2 = tail), and keep a per-bin share — all of the head,
+    * half the middle, a tenth of the tail by default, the CCNet-shaped
+    * quality/diversity trade (keep what looks like the reference, retain
+    * a thin slice of the weird tail rather than a hard cutoff).
+    *
+    * Everything after the LM scores is EXACT integer arithmetic: tercile
+    * = ((rn−1)·3) div n, per-bin keep = ceil(bn·num/den) as (bn·num +
+    * den−1) div den (shares are rationals, never floats), selection
+    * within a bin by the deterministic md5 order — fully
+    * partitioning-independent and DuckDB-replayable. Unscorable docs
+    * (NULL avg_nll: unmatched language or < 2 tokens) are excluded from
+    * binning — they cannot be placed on a perplexity axis; gate them
+    * upstream.
+    *
+    * 100 TB shape: two grouped distributed ranks ([[RankUtils
+    * .groupedRowNumber]] — never a per-language window), broadcast
+    * per-group size frames (|langs| and |langs|·3 rows), per-row
+    * arithmetic otherwise. Output: (lang, bin, doc_id, avg_nll). */
+  def perplexityBinnedSample(scored: DataFrame,
+                             shares: Seq[(Int, Int)] = Seq((1, 1), (1, 2), (1, 10)),
+                             seed: String = "s1"): DataFrame = {
+    require(shares.length == 3 && shares.forall { case (nm, d) => nm >= 0 && d > 0 && nm <= d },
+      s"need 3 per-bin shares as rationals num/den in [0,1], got $shares")
+    val base = scored.filter(col("avg_nll").isNotNull)
+      .select(col("doc_id"), col("lang"), col("avg_nll"))
+    val ranked = RankUtils.groupedRowNumber(
+      base, Seq("lang"), Seq(col("avg_nll").asc, col("doc_id").asc), "rn")
+    val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
+    val binned = ranked.join(broadcast(sizes), Seq("lang"))
+      .withColumn("bin", expr("CAST(((rn - 1) * 3) div n AS BIGINT)"))
+    val sel = RankUtils.groupedRowNumber(
+      binned.withColumn("h", hashKey(seed)),
+      Seq("lang", "bin"), Seq(col("h").asc, col("doc_id").asc), "sel")
+    val binSizes = binned.groupBy("lang", "bin").agg(count(lit(1)).as("bn"))
+    val keepCase = shares.zipWithIndex.map { case ((nm, d), b) =>
+      s"WHEN $b THEN (bn * $nm + ${d - 1}) div $d"
+    }.mkString("CASE bin ", " ", " END")
+    sel.join(broadcast(binSizes), Seq("lang", "bin"))
+      .filter(col("sel") <= expr(keepCase))
+      .select(col("lang"), col("bin"), col("doc_id"), col("avg_nll"))
+      .orderBy("lang", "bin", "doc_id")
+  }
 }

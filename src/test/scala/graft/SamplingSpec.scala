@@ -68,6 +68,39 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._1 == "aa").map(_._2).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("perplexity bins: per-lang terciles, per-bin shares, NULL-scored docs excluded") {
+    import org.apache.spark.sql.functions.col
+    // 30 scorable docs per lang with distinct synthetic scores, plus one
+    // unscorable (NULL avg_nll) doc per lang.
+    val scored = (for {
+      (lang, off) <- Seq(("en", 0L), ("de", 100L))
+      i <- 1 to 30
+    } yield (off + i, lang, Some(i.toDouble / 10))) ++
+      Seq((90L, "en", None), (190L, "de", None))
+    val df = scored.toDF("doc_id", "lang", "avg_nll")
+    val out = Sampling.perplexityBinnedSample(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // per (lang, bin) keep counts: head 10/10, middle ceil(10/2)=5, tail ceil(10/10)=1
+    val counts = out.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    for (lang <- Seq("en", "de")) {
+      assert(counts((lang, 0L)) === 10, s"head of $lang is kept whole")
+      assert(counts((lang, 1L)) === 5, s"middle of $lang keeps half")
+      assert(counts((lang, 2L)) === 1, s"tail of $lang keeps a tenth")
+    }
+    // bin boundaries follow the score ranking: every head score < every
+    // middle score < every tail score within a language
+    for (lang <- Seq("en", "de")) {
+      val byBin = out.filter(_._1 == lang).groupBy(_._2).view.mapValues(_.map(_._4)).toMap
+      assert(byBin(0L).max < byBin(1L).min, "head scores below middle")
+      assert(byBin(1L).max < byBin(2L).min, "middle scores below tail")
+    }
+    // unscorable docs never appear
+    assert(!out.exists(t => t._3 == 90L || t._3 == 190L))
+    // partition-invariance: the selection is a pure function of content
+    assert(Sampling.perplexityBinnedSample(df.repartition(7)).collect().toSeq
+      === Sampling.perplexityBinnedSample(df.repartition(1, col("lang"))).collect().toSeq)
+  }
+
   test("temperature mixture: quotas sum exactly to total, flatten the head, partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
