@@ -534,6 +534,20 @@ object SparkEntry {
     "ivf_recall" -> ((s, dir) => Similarity.ivfRecall(Tables.embeddings(s, dir))),
     "ivf_filtered_recall" -> ((s, dir) =>
       Similarity.ivfFilteredRecall(Tables.embeddings(s, dir))),
+    // TIGHT selectivity (~1%: vec_id % 100 = 7) with the ADAPTIVE probe
+    // width — the regime where fixed-nprobe pre-filter starves: nprobe
+    // widens to ceil(3k·nlist/m), degrading gracefully to an exact scan
+    // of the matching slice when it is tiny.
+    "ann_ivf_filtered_tight" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvfFilteredAdaptive(
+        emb, emb.filter(col("vec_id") % 100 === 7).select("vec_id"))
+    }),
+    "ivf_filtered_recall_tight" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfFilteredRecallAdaptive(
+        emb, emb.filter(col("vec_id") % 100 === 7).select("vec_id"))
+    }),
     // Product quantization: 8 subspace codebooks (deterministic integer
     // k-means) → 4-bit codes → ADC top-k by summed table lookups — the
     // ~32× embedding-compression axis; recall gated like every index.
@@ -2327,6 +2341,60 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
          |       FROM sc)
          |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Tight-filter replay: m = matching-vector count, nprobe widened to
+    // least(nlist, greatest(4, ceil(3*k*nlist/m))) — the same exact
+    // integers the engine computes, so the adaptive width replays.
+    "ann_ivf_filtered_tight" ->
+      s"""WITH $IvfCte,
+         | keepv AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 7),
+         | np AS (SELECT least(16, greatest(4, (240 + count(*) - 1) // count(*))) AS np FROM keepv),
+         | pr AS (SELECT qid, qe, cluster FROM (
+         |        SELECT z.vec_id AS qid, z.e AS qe, s.cluster,
+         |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+         |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+         |        FROM qz z CROSS JOIN cents s WHERE z.vec_id < 10) t, np WHERE rn <= np.np),
+         | sc AS (SELECT qid, a.vec_id AS cid,
+         |        round(list_cosine_similarity(qe, a.e), 6) AS cos_sim
+         |        FROM pr JOIN asg a ON a.cluster = pr.cluster AND a.vec_id <> qid
+         |                JOIN keepv kb ON kb.vec_id = a.vec_id),
+         | r AS (SELECT qid, cid, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+         |       FROM sc)
+         |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Tight-filter recall: denominator = per-query truth size (a ~1%
+    // slice can hold fewer than k candidates; dividing by k would cap a
+    // perfect index below 1).
+    "ivf_filtered_recall_tight" ->
+      s"""WITH $IvfCte,
+         | keepv AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 7),
+         | np AS (SELECT least(16, greatest(4, (240 + count(*) - 1) // count(*))) AS np FROM keepv),
+         | pr AS (SELECT qid, qe, cluster FROM (
+         |        SELECT z.vec_id AS qid, z.e AS qe, s.cluster,
+         |               row_number() OVER (PARTITION BY z.vec_id ORDER BY
+         |                 list_inner_product(z.q, z.q) - 2 * list_inner_product(z.q, s.c)
+         |                 + list_inner_product(s.c, s.c), s.cluster) AS rn
+         |        FROM qz z CROSS JOIN cents s WHERE z.vec_id < 10) t, np WHERE rn <= np.np),
+         | sc AS (SELECT qid, a.vec_id AS cid,
+         |        round(list_cosine_similarity(qe, a.e), 6) AS cos_sim
+         |        FROM pr JOIN asg a ON a.cluster = pr.cluster AND a.vec_id <> qid
+         |                JOIN keepv kb ON kb.vec_id = a.vec_id),
+         | r AS (SELECT qid, cid,
+         |       row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM sc),
+         | ann AS (SELECT qid AS aqid, cid AS acid FROM r WHERE rank <= 5),
+         | ts AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+         |        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+         |             JOIN keepv kb ON kb.vec_id = c.vec_id
+         |        WHERE q.vec_id < 10),
+         | tr AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM ts),
+         | truth AS (SELECT qid, cid FROM tr WHERE rank <= 5)
+         |SELECT t2.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
+         |       CAST(count(*) AS BIGINT) AS n_truth,
+         |       round(CAST(count(a.acid) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth t2 LEFT JOIN ann a ON a.aqid = t2.qid AND a.acid = t2.cid
+         |GROUP BY t2.qid ORDER BY t2.qid""".stripMargin,
     "ann_pq" ->
       s"""WITH $PqCte
          |SELECT qid, cid, adc_dist, rank FROM pqr WHERE rank <= 5

@@ -372,6 +372,66 @@ object Similarity {
       centroids, numQueries, k, nprobe)
   }
 
+  /** TIGHT-filter edition of [[annIvfFiltered]] with an ADAPTIVE probe
+    * width — where pre-filter designs die is ≤1% selectivity: with a
+    * fixed nprobe the probed cells hold ~m·nprobe/nlist matching vectors
+    * in expectation, which starves below k as m (the matching-vector
+    * count) shrinks. The fix is to LET THE FILTER SET THE PROBE WIDTH:
+    * target ~3k matching candidates, nprobe = ceil(3·k·nlist / m) clamped
+    * to [minProbe, nlist] — a tight filter degrades gracefully toward an
+    * exact scan OF THE MATCHING SLICE (at m ≤ 3k the clamp hits nlist and
+    * the search is exact over m rows — still tiny), while a broad filter
+    * keeps the fixed-nprobe cost. m is one count of the filter set —
+    * exact integer, so the adapted width (and thus the result) stays
+    * deterministic and oracle-replayable. `keep` is the set of matching
+    * corpus vec_ids (the pushed-down metadata predicate at 100 TB). */
+  def annIvfFilteredAdaptive(embeddings: DataFrame, keep: DataFrame,
+                             numQueries: Int = 10, k: Int = 5,
+                             nlist: Int = 16, minProbe: Int = 4): DataFrame = {
+    val base = sharedBase(embeddings)
+    val (assigned, centroids) = ivfModelOn(base, nlist)
+    val m = math.max(1L, keep.select("vec_id").distinct().count())
+    ivfProbe(base,
+      assigned.select("vec_id", "e", "nrm", "cluster")
+        .join(keep.select("vec_id"), Seq("vec_id"), "left_semi"),
+      centroids, numQueries, k, adaptiveNprobe(m, nlist, k, minProbe))
+  }
+
+  /** ceil(3·k·nlist / m) clamped to [minProbe, nlist] — see
+    * [[annIvfFilteredAdaptive]]. Pure integer arithmetic. */
+  private[graft] def adaptiveNprobe(m: Long, nlist: Int, k: Int, minProbe: Int): Int =
+    math.min(nlist.toLong, math.max(minProbe.toLong, (3L * k * nlist + m - 1) / m)).toInt
+
+  /** Recall gate for [[annIvfFilteredAdaptive]] at tight selectivity.
+    * Truth = brute-force cosine among only the matching candidates (same
+    * correct referent as [[ivfFilteredRecall]]); the denominator is the
+    * per-query TRUTH size, not k — a ≤1% slice can hold fewer than k
+    * candidates, and dividing by k would cap a perfect index below 1. */
+  def ivfFilteredRecallAdaptive(embeddings: DataFrame, keep: DataFrame,
+                                numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = sharedBase(embeddings)
+    val q = broadcast(base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+    val c = base.join(keep.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid").asc)
+    val truth = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"))
+    val approx = annIvfFilteredAdaptive(embeddings, keep, numQueries, k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    truth
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hit"), count(lit(1)).as("n_truth"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6))
+      .select("qid", "n_hit", "n_truth", "recall")
+      .orderBy("qid")
+  }
+
   /** Recall@k gate for [[annIvfFiltered]] — truth = brute-force cosine
     * among ONLY the predicate-matching candidates (the correct referent:
     * against unfiltered truth, a perfectly-working filtered index would

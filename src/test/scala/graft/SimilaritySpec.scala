@@ -224,4 +224,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === post.collect().map(_.toSeq).toSeq,
       "pre-filter and probe-then-discard must produce identical neighbors")
   }
+
+  test("adaptive nprobe widens as the filter tightens, clamped to [minProbe, nlist]") {
+    // broad filter: fixed floor; tightening: ceil(3k·nlist/m); tiny m: nlist
+    assert(Similarity.adaptiveNprobe(m = 250, nlist = 16, k = 5, minProbe = 4) === 4)
+    assert(Similarity.adaptiveNprobe(m = 48, nlist = 16, k = 5, minProbe = 4) === 5)
+    assert(Similarity.adaptiveNprobe(m = 20, nlist = 16, k = 5, minProbe = 4) === 12)
+    assert(Similarity.adaptiveNprobe(m = 5, nlist = 16, k = 5, minProbe = 4) === 16)
+    assert(Similarity.adaptiveNprobe(m = 1, nlist = 16, k = 5, minProbe = 4) === 16)
+  }
+
+  test("tight-filter ANN: clamped probe width makes the search exact over the matching slice") {
+    import org.apache.spark.sql.functions.col
+    // 60 vectors in 3 planted direction families; the filter keeps 4 (~7%)
+    val embs = (0 until 60).map { i =>
+      (i.toLong, vec(i % 3 -> 1.0f, 3 + i % 7 -> (0.1f * (i % 5 + 1))))
+    }.toDF("vec_id", "embedding")
+    val keep = embs.filter(col("vec_id") % 15 === 2).select("vec_id")
+    // m = 4 ≤ 3k → nprobe clamps to nlist → every matching vector is a
+    // candidate → the gate must read EXACTLY 1.0 for every query
+    val gate = Similarity.ivfFilteredRecallAdaptive(embs, keep, numQueries = 5, k = 5)
+      .collect()
+    assert(gate.length === 5)
+    gate.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0,
+        s"clamped tight-filter search must be exact over the slice: $r")
+      assert(r.getAs[Long]("n_truth") === 4L || r.getAs[Long]("n_truth") === 3L,
+        "truth is bounded by the matching slice (minus self)")
+    }
+    // and every returned neighbor satisfies the predicate
+    val out = Similarity.annIvfFilteredAdaptive(embs, keep, numQueries = 5, k = 5).collect()
+    val keepSet = keep.collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(keepSet.contains(r.getAs[Long]("cid"))))
+  }
 }
