@@ -43,6 +43,11 @@ object ScaleBench {
     "lm_perplexity",
     "q9_product_profit", "q21_waiting_suppliers")
 
+  /** The incremental fixed-batch A/B legs (see [[incrementalAB]]);
+    * "inc" is accepted as a shorthand for both. */
+  val IncNames: Seq[String] =
+    Seq("dedup_incremental_fixed", "dedup_incremental_fixed_bucketed")
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val destDir = args.lift(1).getOrElse("/tmp/graft-sf1")
@@ -83,13 +88,13 @@ object ScaleBench {
     def time(name: String, dir: String): Double = timeFn(SparkEntry.queries(name), dir)
 
     // Optional name filter for local iteration (comma-separated; the
-    // incremental A/B runs when the set names "dedup_incremental_10pct",
+    // incremental A/B legs run when the set names them — see [[IncNames]],
     // with "inc" accepted as a shorthand). A name matching NOTHING is a
     // hard error — a typo'd filter must not produce a silently empty
     // scale_exponents record that reads as "measured, fine".
-    val valid = (Heavy :+ "dedup_incremental_10pct").toSet
+    val valid = Heavy.toSet ++ IncNames
     val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(
-      _.split(",").map(n => if (n == "inc") "dedup_incremental_10pct" else n).toSet)
+      _.split(",").flatMap(n => if (n == "inc") IncNames else Seq(n)).toSet)
     onlyFilter.foreach { f =>
       val unknown = f.diff(valid)
       require(unknown.isEmpty,
@@ -102,8 +107,9 @@ object ScaleBench {
       val exp = math.log10(t1 / t0)
       System.err.println(f"[scale] $name%-24s sf0.1 $t0%7.2f s   sf1 $t1%7.2f s   exp $exp%5.2f")
       (name, t0, t1, exp)
-    } ++ (if (onlyFilter.forall(_.contains("dedup_incremental_10pct")))
-            incrementalAB(spark, srcDir, destDir, timeFn)
+    } ++ (if (onlyFilter.forall(f => IncNames.exists(f.contains)))
+            incrementalAB(spark, srcDir, destDir, timeFn,
+              only = onlyFilter.map(f => IncNames.filter(f.contains)))
           else Seq.empty)
     def jstr(s: String) = "\"" + s + "\""
     val qs = rows.map { case (n, t0, t1, e) =>
@@ -113,32 +119,58 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** The batch-proportionality A/B the incremental-dedup claim rests on:
-    * at each scale, time the FULL near-dup run vs an INCREMENTAL run of a
-    * 10% batch (doc_id % 10 == 9) against the other 90% consumed as a
-    * pre-built shingle artifact (the daily-ingest shape — the corpus
-    * store exists from the previous ingest, so its build is priced as
-    * ingest via the untimed warmup, not as query latency). Claim: t_inc
-    * tracks the BATCH, so t_inc / t_full stays well under 1 and falls as
-    * the corpus outgrows the batch. */
+  /** The batch-proportionality A/B the incremental-dedup claim rests on —
+    * FIXED-batch edition: the batch is the SAME physical documents at
+    * every scale (doc_id ≡ 9 (mod 10) within the base copy — synthesized
+    * copies offset ids by ≥ docStride, so `doc_id < docStride` pins the
+    * base slice), while the corpus (everything else) grows with sf. This
+    * is the daily-ingest experiment the r8 A/B approximated badly: there
+    * the batch grew 10× with the corpus, folding batch-side work into
+    * the "corpus" exponent. Here t_inc's exponent isolates the CORPUS
+    * term — the claim is that it stays near flat (the probe reads only
+    * band-bucket collisions and candidate shingles, not the corpus).
+    * Both corpus layouts are timed: the path-based artifact and the
+    * bucketed tables (bands by bk, shingles by doc_id), so the layouts
+    * compete on the same fixed workload. Store builds are priced as
+    * ingest via the untimed warmup. */
   private def incrementalAB(
       spark: SparkSession, srcDir: String, destDir: String,
-      timeFn: ((SparkSession, String) => DataFrame, String) => Double): Seq[(String, Double, Double, Double)] = {
-    val incFn: (SparkSession, String) => DataFrame = (s, dir) => {
+      timeFn: ((SparkSession, String) => DataFrame, String) => Double,
+      only: Option[Seq[String]] = None): Seq[(String, Double, Double, Double)] = {
+    def batchPred = col("doc_id") < 10000000L && col("doc_id") % 10 === 9
+    def dirKey(dir: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val incPath: (SparkSession, String) => DataFrame = (s, dir) => {
       val docs = graft.sources.Tables.documents(s, dir)
-      val store = "/tmp/graft_incab_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      graft.operators.ShingleStore.ensure(docs.filter(col("doc_id") % 10 =!= 9), store)
+      val store = "/tmp/graft_incab_" + dirKey(dir)
+      graft.operators.ShingleStore.ensure(docs.filter(!batchPred), store)
       graft.operators.Dedup.minhashPairsIncremental(
         graft.operators.ShingleStore.read(s, store).select("doc_id", "sh"),
-        docs.filter(col("doc_id") % 10 === 9),
+        docs.filter(batchPred),
         corpusBands = Some(graft.operators.ShingleStore.readBands(s, store)))
     }
-    val t0 = timeFn(incFn, srcDir)
-    val t1 = timeFn(incFn, destDir)
-    val exp = math.log10(t1 / t0)
-    System.err.println(f"[scale] dedup_incremental_10pct   sf0.1 $t0%7.2f s   sf1 $t1%7.2f s   exp $exp%5.2f")
-    Seq(("dedup_incremental_10pct", t0, t1, exp))
+    val incBucketed: (SparkSession, String) => DataFrame = (s, dir) => {
+      val docs = graft.sources.Tables.documents(s, dir)
+      val corpus = docs.filter(!batchPred)
+      val shT = graft.operators.ShingleStore.ensureBucketed(
+        corpus, "graft_incab_sh_" + dirKey(dir))
+      val bdT = graft.operators.ShingleStore.ensureBucketedBands(
+        corpus, "graft_incab_bd_" + dirKey(dir))
+      graft.operators.Dedup.minhashPairsIncremental(
+        s.table(shT).select("doc_id", "sh"),
+        docs.filter(batchPred),
+        corpusBands = Some(s.table(bdT)))
+    }
+    Seq(("dedup_incremental_fixed", incPath),
+        ("dedup_incremental_fixed_bucketed", incBucketed))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val t0 = timeFn(fn, srcDir)
+      val t1 = timeFn(fn, destDir)
+      val exp = math.log10(t1 / t0)
+      System.err.println(f"[scale] $name%-30s sf0.1 $t0%7.2f s   sf1 $t1%7.2f s   exp $exp%5.2f")
+      (name, t0, t1, exp)
+    }
   }
 
   /** Build the hash-shifted 10× corpus at `destDir` (skipped if present). */
@@ -189,5 +221,5 @@ object ScaleBench {
   * [[ScaleBench.Heavy]] without duplicating it in shell. */
 object ScaleBenchNames {
   def main(args: Array[String]): Unit =
-    (ScaleBench.Heavy :+ "dedup_incremental_10pct").foreach(println)
+    (ScaleBench.Heavy ++ ScaleBench.IncNames).foreach(println)
 }

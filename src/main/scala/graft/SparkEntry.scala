@@ -432,6 +432,22 @@ object SparkEntry {
         corpusBands = Some(
           ShingleStore.readBands(s, p).filter(col("doc_id") % 2 === 0)))
     }),
+    // Incremental dedup over the BUCKETED layouts — the daily-ingest
+    // plan shape at 100 TB: the band probe's corpus side arrives
+    // pre-partitioned on bk (bands bucketed BY BK — only the small batch
+    // side shuffles), and the candidate shingle fetch rides the doc_id
+    // bucketing. Row filters on a bucketed scan preserve its
+    // outputPartitioning, so the even-half corpus slice keeps both
+    // layouts.
+    "dedup_incremental_bucketed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shT = ShingleStore.ensureBucketed(docs, bucketedShingleTable(dir))
+      val bdT = ShingleStore.ensureBucketedBands(docs, bucketedBandTable(dir))
+      Dedup.minhashPairsIncremental(
+        s.table(shT).filter(col("doc_id") % 2 === 0).select("doc_id", "sh"),
+        docs.filter(col("doc_id") % 2 === 1),
+        corpusBands = Some(s.table(bdT).filter(col("doc_id") % 2 === 0)))
+    }),
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(Tables.documents(s, dir))),
     // Same oracle as dedup_clusters: hash-to-min and star contraction must
     // label components identically (min id), so the recursive-CTE closure
@@ -856,6 +872,10 @@ object SparkEntry {
   private def bucketedShingleTable(dir: String): String =
     artifactPath("shingles_b", dir).stripPrefix("/tmp/")
 
+  /** Catalog name of the bk-bucketed LSH band table for a testdata sf dir. */
+  private def bucketedBandTable(dir: String): String =
+    artifactPath("bands_b", dir).stripPrefix("/tmp/")
+
   /** Build every maintained stored artifact (shingle table, lexical
     * posting index, IVF centroid model) for `dir` if absent — the
     * once-per-ingest cost the `*_stored` queries amortize. Bench calls
@@ -869,6 +889,9 @@ object SparkEntry {
     // Superseded fingerprints (regenerated testdata, changed bucket
     // counts) otherwise accumulate in the warehouse forever.
     ShingleStore.vacuumBucketed(s, bucketedShingleTable(dir), keep = Set(liveBucketed))
+    val liveBands = ShingleStore.ensureBucketedBands(
+      Tables.documents(s, dir), bucketedBandTable(dir))
+    ShingleStore.vacuumBucketed(s, bucketedBandTable(dir), keep = Set(liveBands))
     LmStore.ensure(
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
       artifactPath("lmmodel", dir))
@@ -1033,6 +1056,7 @@ object SparkEntry {
     "dedup_minhash_stored" -> baseOracleSql("dedup_minhash"),
     "dedup_minhash_bucketed" -> baseOracleSql("dedup_minhash"),
     "dedup_incremental_stored" -> baseOracleSql("dedup_incremental"),
+    "dedup_incremental_bucketed" -> baseOracleSql("dedup_incremental"),
     "ann_pq_stored" -> baseOracleSql("ann_pq"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
     "setjoin_pairs_bucketed" -> baseOracleSql("setjoin_pairs"),

@@ -89,7 +89,35 @@ object ShingleStore {
     * concurrent process may be scanning); only an incomplete location
     * (no _SUCCESS — a crashed build) is cleared and rebuilt. Superseded
     * fingerprints accumulate until [[vacuumBucketed]]. */
-  def ensureBucketed(docs: DataFrame, table: String, buckets: Int = 32): String = {
+  def ensureBucketed(docs: DataFrame, table: String, buckets: Int = 32): String =
+    ensureBucketedTable(docs, table, buckets, "doc_id") {
+      val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
+      val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, Seq("sh")).select("doc_id", "sh", "df")
+    }
+
+  /** BUCKETED LSH band table (doc_id, bk), bucketed BY BK — the corpus
+    * side of the incremental band probe as a stored layout: the probe is
+    * an equi-join on bk ([[Dedup.minhashPairsIncremental]]), so a
+    * bk-bucketed corpus scan arrives pre-partitioned on the join key and
+    * only the (small) new-batch side shuffles — at 100 TB the corpus band
+    * table is rewritten never and probed daily, exactly the read/write
+    * asymmetry bucketing pays for. Pair it with [[ensureBucketed]] (the
+    * doc_id layout) for the candidate shingle fetch. Same fingerprinted
+    * naming/adoption/vacuum contract as [[ensureBucketed]]. */
+  def ensureBucketedBands(docs: DataFrame, table: String, buckets: Int = 32): String =
+    ensureBucketedTable(docs, table, buckets, "bk") {
+      Dedup.bandTable(CacheRegistry.persistBounded(Dedup.shingles(docs)))
+    }
+
+  /** Shared fingerprinted-bucketed-table machinery: resolve the physical
+    * name from (source fingerprint, bucket count), adopt complete orphan
+    * files from a dead process's catalog, rebuild otherwise. NOTE the
+    * fingerprint covers the source FILES, not a row filter — call sites
+    * slicing the same files differently must use distinct logical
+    * `table` names. */
+  private def ensureBucketedTable(docs: DataFrame, table: String, buckets: Int,
+                                  bucketCol: String)(rows: => DataFrame): String = {
     val spark = docs.sparkSession
     val fp = graft.sinks.ArtifactStore.sourceFingerprint(docs)
     val phys = s"${table}_${fp.take(12)}_b$buckets"
@@ -102,22 +130,19 @@ object ShingleStore {
         // bucket count (both are in the name) written by this same code —
         // re-register instead of rebuilding. CLUSTERED BY restores the
         // catalog-side bucket spec the dead process's catalog held, so the
-        // scan keeps reporting HashPartitioning(doc_id).
+        // scan keeps reporting HashPartitioning(bucketCol).
         val schema = spark.read.parquet(loc.toString).schema.toDDL
         spark.sql(
           s"CREATE TABLE $phys ($schema) USING parquet " +
-            s"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS " +
+            s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS " +
             s"LOCATION '${loc.toString}'")
       } else {
         // Absent, or half-written by a crashed build — clear and rebuild.
         if (fs.exists(loc)) fs.delete(loc, true)
-        val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
-        val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-        toks.join(dfreq, Seq("sh"))
-          .select("doc_id", "sh", "df")
+        rows
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet")
-          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .saveAsTable(phys)
       }
     }

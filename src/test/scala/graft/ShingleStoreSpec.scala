@@ -270,6 +270,55 @@ class ShingleStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("bk-bucketed band table: the incremental probe's corpus side joins without an Exchange") {
+    val root = java.nio.file.Files.createTempDirectory("shstore").toString
+    try {
+      writeDocs(s"$root/docs", fixture)
+      val docs = spark.read.parquet(s"$root/docs")
+      val bdT = ShingleStore.ensureBucketedBands(docs, "shstore_spec_bands", buckets = 4)
+      try {
+        val corpusBands = spark.table(bdT)
+        // the probe shape: small batch bands join corpus bands on bk.
+        // At fixture scale Spark rightly broadcasts the corpus (bucketing
+        // moot); the layout's claim is about the NON-broadcast regime —
+        // disable broadcast and the corpus side must arrive
+        // pre-partitioned (scan Bucketed: true, no bk Exchange above
+        // it), with only the batch side shuffling on bk.
+        val plan = {
+          val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          try {
+            val batchBands = Dedup.bandTable(Dedup.shingles(docs.filter(col("doc_id") === 1L)))
+            batchBands.as("a").join(corpusBands.as("b"), "bk")
+              .select(col("a.doc_id"), col("b.doc_id"))
+              .queryExecution.executedPlan.toString
+          } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        }
+        assert(plan.contains("Bucketed: true"),
+          s"the corpus band scan must use its bucket layout:\n$plan")
+        assert("Exchange hashpartitioning\\(bk".r.findAllIn(plan).length === 1,
+          s"exactly one bk shuffle — the batch side's — may appear:\n$plan")
+        // content: the stored bands equal the recompute
+        assert(corpusBands.select("doc_id", "bk").collect().map(_.toSeq).toSet
+          === Dedup.bandTable(Dedup.shingles(docs)).collect().map(_.toSeq).toSet)
+        // and the full incremental run over both bucketed layouts equals
+        // the self-contained recompute
+        val shT = ShingleStore.ensureBucketed(docs, "shstore_spec_bands_sh", buckets = 4)
+        val bucketed = Dedup.minhashPairsIncremental(
+          spark.table(shT).filter(col("doc_id") % 2 === 0).select("doc_id", "sh"),
+          docs.filter(col("doc_id") % 2 === 1),
+          corpusBands = Some(corpusBands.filter(col("doc_id") % 2 === 0)))
+        val recompute = Dedup.minhashPairsIncremental(
+          Dedup.shingles(docs.filter(col("doc_id") % 2 === 0)),
+          docs.filter(col("doc_id") % 2 === 1))
+        assert(bucketed.collect().toSeq === recompute.collect().toSeq)
+      } finally {
+        ShingleStore.vacuumBucketed(spark, "shstore_spec_bands", keep = Set.empty)
+        ShingleStore.vacuumBucketed(spark, "shstore_spec_bands_sh", keep = Set.empty)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("bucketed table freshness: regenerated source resolves to a NEW table; vacuum reaps the old") {
     val root = java.nio.file.Files.createTempDirectory("shstore").toString
     try {
