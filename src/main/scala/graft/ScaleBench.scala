@@ -63,6 +63,12 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     synthesize(spark, srcDir, destDir, copies)
+    // Synthesis-only invocation: build the corpus and exit — lets a
+    // fresh-JVM-per-query wrapper pre-build EACH corpus once instead of
+    // paying the check (or a rebuild race) inside every query's JVM.
+    if (sys.env.get("SPARK_GRAFT_SYNTH_ONLY").contains("1")) {
+      spark.stop(); return
+    }
 
     def timeFn(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       def run(): Long = fn(spark, dir).queryExecution.toRdd.count()

@@ -29,6 +29,11 @@ class PlanAuditSpec extends SparkSpec {
     "cosine_topk", "cosine_topk_int8", "dedup_embedding",
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf", "ann_ivf_stored",
     "ann_ivf_filtered", "ivf_filtered_recall",
+    // tight-filter twins: same nlist-row centroid broadcast (probe) and
+    // broadcast query-set truth branch as the ann_ivf/ivf_filtered pair
+    // — the adaptive width changes how MANY cells are probed, not the
+    // join shapes.
+    "ann_ivf_filtered_tight", "ivf_filtered_recall_tight",
     "bm25_topk", "bm25_postings", "quality_gate_adaptive", "tfidf_top_terms",
     "rank_repair", "hll_distinct_events", "null_hll_distinct",
     "bloom_prefilter_join", "bloom_shuffle_join", "q22_dormant_customers",
