@@ -183,13 +183,25 @@ object Sampling {
                              seed: String = "s1"): DataFrame = {
     require(shares.length == 3 && shares.forall { case (nm, d) => nm >= 0 && d > 0 && nm <= d },
       s"need 3 per-bin shares as rationals num/den in [0,1], got $shares")
-    val base = scored.filter(col("avg_nll").isNotNull)
-      .select(col("doc_id"), col("lang"), col("avg_nll"))
+    // The upstream LM scoring is the expensive subtree and feeds four
+    // branches below (rank, sizes, selection rank, bin sizes) — persist
+    // the tiny (doc_id, lang, score) projection or the whole scoring
+    // pipeline re-executes per branch (measured 5.3 s -> the score's own
+    // 1 s at sf0.1).
+    val base = CacheRegistry.persistBounded(
+      scored.filter(col("avg_nll").isNotNull)
+        .select(col("doc_id"), col("lang"), col("avg_nll")))
+    // binned also persists: it feeds the selection rank AND the bin-size
+    // aggregate, and each un-persisted reference would replay BOTH
+    // grouped-rank range shuffles (with their sampling jobs) — at this
+    // frame's size the cost is pure job-count, and the persist collapses
+    // ~16 range-repartition executions to 2.
     val ranked = RankUtils.groupedRowNumber(
       base, Seq("lang"), Seq(col("avg_nll").asc, col("doc_id").asc), "rn")
     val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
-    val binned = ranked.join(broadcast(sizes), Seq("lang"))
-      .withColumn("bin", expr("CAST(((rn - 1) * 3) div n AS BIGINT)"))
+    val binned = CacheRegistry.persistBounded(
+      ranked.join(broadcast(sizes), Seq("lang"))
+        .withColumn("bin", expr("CAST(((rn - 1) * 3) div n AS BIGINT)")))
     val sel = RankUtils.groupedRowNumber(
       binned.withColumn("h", hashKey(seed)),
       Seq("lang", "bin"), Seq(col("h").asc, col("doc_id").asc), "sel")
