@@ -58,12 +58,13 @@ object SetJoin {
     * identical sets.
     *
     * Verification is per-row `array_intersect` over the docs' (already
-    * materialized) sorted shingle arrays with a size-compatibility filter
-    * (J ≥ t ⇒ t·|y| ≤ |x|) — NOT an element-level join: exact prefixes
-    * admit far more candidates than LSH bands (measured 409k pairs over
-    * 5k docs at t=0.5), and the element join paid one row per SHARED
-    * shingle per pair (~12M rows) where the array intersect is one row
-    * per pair. */
+    * materialized) sorted fingerprint arrays with a size-compatibility
+    * filter (J ≥ t ⇒ t·|y| ≤ |x|) — NOT an element-level join: exact
+    * prefixes admit far more candidates than LSH bands (measured 409k
+    * pairs over 5k docs at t=0.5), and the element join paid one row per
+    * SHARED shingle per pair (~12M rows) where the array intersect is one
+    * row per pair — followed by an exact string re-check of accepted
+    * pairs only (see [[similarPairsFromShingles]]). */
   def similarPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     // Persisted so the df aggregate and the stamp join read ONE
     // tokenization of the corpus (bounded registry — no cache leak).
@@ -75,18 +76,52 @@ object SetJoin {
   /** The join itself, over pre-stamped (doc_id, sh, df) rows — shared by
     * the self-contained [[similarPairs]] and the maintained-artifact path
     * ([[ShingleStore]]'s table carries the same exact df). Any CONSISTENT
-    * df gives the identical result; only the candidate count varies. */
+    * df gives the identical result; only the candidate count varies.
+    *
+    * Fingerprinted verify — why the heavy joins carry xxhash64 LONGS, not
+    * shingle strings: the decade-2 scale leg caught the verify join going
+    * 39× for a 10× corpus (SetJoinProbe, sf10: every intermediate
+    * cardinality exactly 10× — algorithmically linear — but 81 GB of
+    * sort spill at fixed resources, all in the two candidate×arrays
+    * joins, whose payload was one ~KB string array PER ROW, twice). An
+    * 8-byte fingerprint cuts that payload ~4× and replaces string
+    * comparison with long comparison in sort, join, and intersect.
+    *
+    * Exactness: the OUTPUT is always exact — accepted pairs are
+    * re-verified on the true shingle STRINGS (O(result) docs, not
+    * O(candidates)), so no result value ever depends on a fingerprint.
+    * Completeness of the fingerprint pass: absent a cross-string
+    * fingerprint collision in the corpus, h ↔ shingle is a bijection and
+    * the pass is the exact pipeline verbatim (collisions only ever ADD
+    * intersection elements / SHRINK distinct-set sizes, both of which
+    * RAISE the fingerprint score, so a colliding near-pair is admitted,
+    * then settled exactly). A collision could in principle perturb the
+    * (df, h) prefix order or inflate a set size and lose a
+    * near-threshold pair: corpus-wide birthday odds |V|²/2⁶⁵ ≈ 4e-7 at
+    * the measured 2.7M-token vocabulary; a 1e11-token (100 TB) corpus
+    * should widen to a 128-bit fingerprint (second xxhash64 seed) where
+    * the same bound is 1e-17 — the pipeline is unchanged. */
   def similarPairsFromShingles(toks: DataFrame,
                                threshold: Double = 0.5): DataFrame = {
-    // per-doc shingle list sorted by (df, shingle): rarest first, total
-    // order. Persisted: the subtree feeds the prefix explode AND both
-    // verify joins (3 evaluations of the same shuffle+sort_array).
-    val sortedDocs = CacheRegistry.persistBounded(toks
+    // Persisted: feeds the per-doc string sets AND (via fingerprints) the
+    // sort/prefix/verify pipeline.
+    val toksP = CacheRegistry.persistBounded(toks)
+    val hashed = toksP.select(col("doc_id"), col("df"), xxhash64(col("sh")).as("h"))
+    // per-doc fingerprint list sorted by (df, fingerprint): rarest first.
+    // Prefix filtering is complete under ANY consistent total token
+    // order, so ordering ties by fingerprint instead of by string changes
+    // candidates, never results. Persisted: the subtree feeds the prefix
+    // explode AND both verify joins (3 evaluations of the same
+    // shuffle+sort_array).
+    // array_distinct guards the (astronomically rare) within-doc
+    // fingerprint collision: two distinct shingles sharing h must count
+    // as ONE set element so n matches array_intersect semantics.
+    val sortedDocs = CacheRegistry.persistBounded(hashed
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"))
+      .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("sorted"))
       .select(col("doc_id"),
-        expr("transform(sorted, x -> x.sh)").as("shs"),
-        size(col("sorted")).as("n")))
+        array_distinct(expr("transform(sorted, x -> x.h)")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n")))
     // Prefix bound with ONE TOKEN of slack: the textbook length is
     // n − ⌈t·n⌉ + 1, but ⌈·⌉ over the IEEE product can land one above the
     // operational requirement (t=0.14, n=50: fl(0.14·50)=7.000…001, ceil=8,
@@ -121,14 +156,33 @@ object SetJoin {
             ceil(lit(reqFrac) * (col("a.n") + col("b.n"))) - lit(1))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    // Fingerprint pass: per-pair intersect over the LONG arrays. The
+    // 1e-12 slack mirrors the prefix bound's IEEE slack — the hash score
+    // only needs to never reject a pair the exact comparison accepts;
+    // borderline admits cost one exact re-check, never correctness.
+    val accepted = CacheRegistry.persistBounded(cand
       .join(sortedDocs.select(col("doc_id").as("id_a"),
         col("shs").as("shs_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sortedDocs.select(col("doc_id").as("id_b"),
         col("shs").as("shs_b"), col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("c_h", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .filter(col("c_h") / (col("n_a") + col("n_b") - col("c_h")) >=
+        lit(threshold) - lit(1e-12))
+      .select("id_a", "id_b"))
+    // Exact re-verify on the accepted pairs only: true string sets are
+    // rebuilt for JUST the docs that appear in a result row (O(result)
+    // docs — a broadcast-sized frame even when the corpus is not), so the
+    // output (n_common, jaccard) never depends on a fingerprint.
+    val ids = accepted
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val strSets = toksP.select("doc_id", "sh").join(ids, Seq("doc_id"))
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("ss"))
+    accepted
+      .join(strSets.select(col("doc_id").as("id_a"), col("ss").as("ss_a")), Seq("id_a"))
+      .join(strSets.select(col("doc_id").as("id_b"), col("ss").as("ss_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
       .withColumn("jaccard",
-        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+        col("n_common") / (size(col("ss_a")) + size(col("ss_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
       .orderBy("id_a", "id_b")
