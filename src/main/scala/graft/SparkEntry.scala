@@ -686,6 +686,12 @@ object SparkEntry {
     // exact integers.
     "sample_temperature" -> ((s, dir) =>
       Sampling.temperatureMixture(Tables.documents(s, dir))),
+    // DSIR importance resampling (Xie et al. NeurIPS 2023): raw-pool docs
+    // compete on ln(−ln u) − λ — the Gumbel-top-k form of A-ES with
+    // w = exp(λ), so no engine-sensitive exp — where λ is the
+    // exact-integer bigram-LM log-ratio toward the src0 target domain.
+    "dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(Tables.documents(s, dir), col("source") === "src0")),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     // REAL codec both directions: bytes → genuine grayscale PNG →
@@ -2677,6 +2683,23 @@ object SparkEntry {
         |SELECT r.lang AS lang, doc_id, rn, CAST(quota AS BIGINT) AS quota
         |FROM r JOIN rk ON r.lang = rk.lang WHERE rn <= quota
         |ORDER BY lang, rn""".stripMargin,
+    // DSIR replay: both LM scorings re-derived from scratch (target model
+    // on src0, raw model on the pool itself), λ as exact BIGINT
+    // difference, the Gumbel key as the same two rounded-ln steps and
+    // clamp, selection ORDER BY key LIMIT k.
+    "dsir_select" ->
+      s"""WITH ${lmAggCtes("t_", "source = 'src0'", "source <> 'src0'")},
+         | ${lmAggCtes("r_", "source <> 'src0'", "source <> 'src0'")},
+         | lam AS (SELECT t_agg.doc_id AS doc_id, r_agg.nll_q - t_agg.nll_q AS lambda_q
+         |         FROM t_agg JOIN r_agg ON t_agg.doc_id = r_agg.doc_id),
+         | ky AS (SELECT doc_id, lambda_q,
+         |   round(round(ln(greatest(-round(ln(
+         |     CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+         |       / CAST(1152921504606846976 AS BIGINT)), 6), 1e-6)), 6)
+         |     - lambda_q / 1000000.0, 6) AS dsir_key
+         |   FROM lam),
+         | sel AS (SELECT * FROM ky ORDER BY dsir_key, doc_id LIMIT 100)
+         |SELECT doc_id, lambda_q, dsir_key FROM sel ORDER BY dsir_key, doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH fr AS (SELECT doc_id, text,
         |  unnest([i for i in range(0, (length(text) + 31) // 32)]) AS frame_idx FROM documents),
@@ -2812,6 +2835,34 @@ object SparkEntry {
     * `dedup_minhash` (pair emission) and `dedup_clusters` (transitive
     * closure over the same pairs). */
   private lazy val MinhashCtes: String = minhashCtes("documents")
+
+  /** Parametrized single-model LM-scoring CTE chain (mirrors
+    * [[graft.operators.TextAnalysis.lmPerplexity]]): trains on
+    * `documents WHERE trainWhere`, scores `documents WHERE scoreWhere`,
+    * every CTE name prefixed with `p` so two chains compose in one
+    * query; terminal CTE `<p>agg(doc_id, n_bigrams, nll_q)` holds only
+    * scorable docs (≥ 1 bigram). Used by the DSIR oracle (target model ×
+    * raw model). */
+  private def lmAggCtes(p: String, trainWhere: String, scoreWhere: String): String =
+    s"""${p}tw AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |            FROM documents WHERE $trainWhere),
+       | ${p}tb AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+       |        FROM ${p}tw WHERE len(w) >= 2),
+       | ${p}c12 AS (SELECT bg, count(*) AS c12 FROM ${p}tb GROUP BY 1),
+       | ${p}c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM ${p}tb GROUP BY 1),
+       | ${p}v AS (SELECT count(DISTINCT wd) AS v FROM (SELECT unnest(w) AS wd FROM ${p}tw)),
+       | ${p}sw AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |        FROM documents WHERE $scoreWhere),
+       | ${p}sb AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+       |        FROM ${p}sw WHERE len(w) >= 2),
+       | ${p}q AS (SELECT doc_id,
+       |        CAST(round(round(ln((COALESCE(${p}c12.c12, 0) + 0.5)
+       |          / (COALESCE(${p}c1.c1, 0) + 0.5 * ${p}v.v)), 6) * 1000000.0) AS BIGINT) AS lp_q
+       |       FROM ${p}sb LEFT JOIN ${p}c12 USING (bg)
+       |               LEFT JOIN ${p}c1 ON split_part(${p}sb.bg, ' ', 1) = ${p}c1.w1
+       |               CROSS JOIN ${p}v),
+       | ${p}agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(-sum(lp_q) AS BIGINT) AS nll_q FROM ${p}q GROUP BY 1)""".stripMargin
 
   /** Per-language LM-scoring CTE chain (mirrors
     * [[graft.operators.TextAnalysis.lmPerplexityByLang]]); terminal CTE

@@ -214,4 +214,58 @@ object Sampling {
       .select(col("lang"), col("bin"), col("doc_id"), col("avg_nll"))
       .orderBy("lang", "bin", "doc_id")
   }
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): sample `k` docs
+    * from the raw pool with probability ∝ the importance ratio
+    * p_target(doc)/p_raw(doc), so the selected set's distribution moves
+    * toward the target domain while retaining raw-pool diversity — the
+    * published alternative to hard top-k quality filtering. The paper
+    * estimates both densities with hashed n-gram models; here they are
+    * this engine's add-k bigram LMs ([[TextAnalysis.lmPerplexity]] —
+    * same family, and the quantized sums make the log-ratio exact
+    * integer arithmetic).
+    *
+    * No engine-sensitive `exp`, via the Gumbel-top-k identity: A-ES
+    * assigns key −ln(u)/w with w = exp(λ), and
+    * ln(−ln(u)/exp(λ)) = ln(−ln u) − λ is a monotone transform, so
+    * ranking by ln(−ln u) − λ selects the IDENTICAL set — and that form
+    * needs only `ln`, each rounded to 6 dp at once (the BM25 rule),
+    * with λ = (nll_raw_q − nll_target_q)/1e6 exact-integer-derived.
+    * The clamp of −round(ln u, 6) at 1e-6 closes the u → 1 edge where
+    * Spark's log(0) (NULL) and DuckDB's ln(0) diverge; it perturbs only
+    * docs whose uniform draw rounds to ≥ 0.9999995 and is applied
+    * identically in both engines.
+    *
+    * Docs the LM cannot score (< 2 tokens, n_bigrams = 0 → NULL sums)
+    * carry no density estimate and are EXCLUDED from the competition —
+    * the same flagged-not-dropped rows lm_perplexity surfaces.
+    *
+    * Scale shape: two lm_perplexity scorings (bigram equi-joins,
+    * AQE-skew-splittable; the raw model is trained on the pool itself,
+    * per the paper's raw-density estimate), one doc_id equi-join to form
+    * λ, then TakeOrderedAndProject top-k — per-partition heaps, no
+    * global sort, nothing corpus-sized after the scoring joins. */
+  def dsirSelect(corpus: DataFrame, targetPred: org.apache.spark.sql.Column,
+                 k: Int = 100): DataFrame = {
+    val target = corpus.filter(targetPred)
+    val pool = corpus.filter(!coalesce(targetPred, lit(false)))
+    val nllT = TextAnalysis.lmPerplexity(target, pool)
+      .select(col("doc_id"), col("nll_q").as("nll_t"))
+    val nllR = TextAnalysis.lmPerplexity(pool, pool)
+      .select(col("doc_id"), col("nll_q").as("nll_r"))
+    nllT.join(nllR, Seq("doc_id"))
+      .filter(col("nll_t").isNotNull && col("nll_r").isNotNull)
+      .withColumn("lambda_q", col("nll_r") - col("nll_t"))
+      .withColumn("g", greatest(
+        -round(log((graft.functions.Md5Hash60.md5_hash60(col("doc_id").cast("string"))
+          + lit(1L)).cast("double") / lit(1152921504606846976.0)), 6),
+        lit(1e-6)))
+      .withColumn("dsir_key",
+        round(round(log(col("g")), 6) - col("lambda_q").cast("double") / lit(1e6), 6))
+      .orderBy(col("dsir_key").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lambda_q"), col("dsir_key"))
+      .orderBy(col("dsir_key").asc, col("doc_id").asc)
+  }
 }

@@ -129,4 +129,33 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(repart.toSeq === out.toSeq, "partition-invariant")
   }
+
+  test("DSIR: target-like pool docs out-rank off-domain ones; unscorable excluded; partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // Target domain speaks vocabulary A; the pool holds 3 docs written in
+    // vocabulary A, 12 written in an unrelated vocabulary, and one
+    // single-word doc (unscorable: no bigram under either model).
+    val vocabA = "sun moon star sky cloud rain wind storm"
+    def aText(i: Int) = (0 until 10).map(j => vocabA.split(" ")((i * 3 + j) % 8)).mkString(" ")
+    def bText(i: Int) = (0 until 10).map(j => s"tok${(i * 5 + j * 7) % 40}").mkString(" ")
+    val rows =
+      (1 to 6).map(i => (i.toLong, aText(i), "tgt")) ++        // target
+      (11 to 13).map(i => (i.toLong, aText(i), "raw")) ++      // target-like pool
+      (21 to 32).map(i => (i.toLong, bText(i), "raw")) ++      // off-domain pool
+      Seq((40L, "alone", "raw"))                               // unscorable
+    val docs = rows.toDF("doc_id", "text", "source")
+    val sel = Sampling.dsirSelect(docs, col("source") === "tgt", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!sel.map(_._1).contains(40L), "unscorable doc must never compete")
+    // λ ranks the target-like docs far above the off-domain ones; with
+    // k = 3 and only 3 target-like pool docs, Gumbel noise (≤ ~3.7 spread
+    // on ln(−ln u)) cannot overcome the λ gap on these fixtures.
+    assert(sel.map(_._1).toSet === Set(11L, 12L, 13L),
+      s"importance resampling must pull the target-like docs: ${sel.toSeq}")
+    val all = Sampling.dsirSelect(docs, col("source") === "tgt", k = 100).collect()
+    assert(all.length === 15, "every scorable pool doc competes, unscorable excluded")
+    val repart = Sampling.dsirSelect(docs.repartition(7), col("source") === "tgt", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(repart.toSeq === sel.toSeq, "partition-invariant")
+  }
 }
