@@ -453,6 +453,10 @@ object SparkEntry {
     // label components identically (min id), so the recursive-CTE closure
     // gates BOTH fixpoint algorithms.
     "dedup_clusters_star" -> ((s, dir) => Dedup.dedupClustersStar(Tables.documents(s, dir))),
+    // Leakage-free split: train/test assigned by hashing the near-dup
+    // CLUSTER keeper, so a test doc's near-duplicates can never land in
+    // train — the eval-decontamination split discipline, structural.
+    "split_leakfree" -> ((s, dir) => Dedup.leakFreeSplit(Tables.documents(s, dir))),
     "ngram_jaccard_top" -> ((s, dir) => Dedup.ngramJaccardTop(Tables.documents(s, dir))),
     // Span-granularity dedup (Lee et al. ACL 2022 re-expressed as
     // shuffle-by-key + doc-bounded windows): the maximal cross-document
@@ -1826,6 +1830,16 @@ object SparkEntry {
          |ORDER BY new_id, corpus_id""".stripMargin,
     "dedup_clusters" -> DedupClustersOracle,
     "dedup_clusters_star" -> DedupClustersOracle,
+    // Same recursive closure, then split = hash(keeper) — the oracle
+    // re-proves the structural guarantee (split is a function of keep_id).
+    "split_leakfree" ->
+      s"""WITH RECURSIVE $DedupClusterCtes,
+         | asg AS (SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id
+         |         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, keep_id,
+         | CASE WHEN CAST('0x' || substring(md5(CAST(keep_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |        % 10 = 0 THEN 'test' ELSE 'train' END AS split
+         |FROM asg ORDER BY doc_id""".stripMargin,
     // The cleaning composition re-derives each flag with the SAME oracle
     // fragments its standalone operators use (minhash closure, quality
     // formula, repetition ratio, shingle overlap), scoped to the even/odd
@@ -2815,8 +2829,11 @@ object SparkEntry {
     * exactly (hash-to-min and star contraction each compute min over the
     * connected component), so one oracle gates `dedup_clusters` AND
     * `dedup_clusters_star`. */
-  private lazy val DedupClustersOracle: String =
-    s"""WITH RECURSIVE $MinhashCtes,
+  /** The recursive transitive-closure chain through `comp(doc_id,
+    * keep_id)` — shared by the cluster oracle and the leak-free split
+    * oracle (which re-derives the SAME clusters, then hashes keepers). */
+  private lazy val DedupClusterCtes: String =
+    s"""$MinhashCtes,
        | prs AS (SELECT id_a, id_b
        |         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
        |         WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5),
@@ -2824,7 +2841,10 @@ object SparkEntry {
        | reach AS (SELECT n, m FROM e
        |           UNION
        |           SELECT r.n, e2.m FROM reach r JOIN e e2 ON r.m = e2.n),
-       | comp AS (SELECT n AS doc_id, least(n, min(m)) AS keep_id FROM reach GROUP BY n)
+       | comp AS (SELECT n AS doc_id, least(n, min(m)) AS keep_id FROM reach GROUP BY n)""".stripMargin
+
+  private lazy val DedupClustersOracle: String =
+    s"""WITH RECURSIVE $DedupClusterCtes
        |SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id,
        | (d.doc_id <> coalesce(c.keep_id, d.doc_id)) AS is_dup
        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id

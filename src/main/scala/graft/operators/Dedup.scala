@@ -401,6 +401,27 @@ object Dedup {
                                 threshold: Double = 0.5): DataFrame =
     assignKeepers(docIds, connectedComponents(minhashPairsFromShingles(sh, threshold)))
 
+  /** Leakage-free train/test split: every document is assigned a side by
+    * hashing its near-dup CLUSTER representative, not its own id — so a
+    * near-duplicate of a test document can never land in train (the
+    * contamination that inflates eval scores; the reason eval-decontam
+    * pipelines split by cluster, not by row). `test` gets clusters whose
+    * keeper hashes to 0 mod `testMod` (≈ 1/testMod of clusters);
+    * singletons are their own cluster. Deterministic (md5 of keep_id) and
+    * partitioning-independent; the guarantee is structural — split is a
+    * FUNCTION of keep_id, so same-cluster rows cannot disagree.
+    *
+    * Scale shape: [[dedupClusters]]' banded-LSH + O(log n) labeling, then
+    * one per-row hash — nothing new shuffles. */
+  def leakFreeSplit(docs: DataFrame, testMod: Int = 10,
+                    threshold: Double = 0.5): DataFrame =
+    dedupClusters(docs, threshold)
+      .withColumn("split",
+        when(graft.functions.Md5Hash60.md5_hash60(col("keep_id").cast("string"))
+          % testMod === 0, lit("test")).otherwise(lit("train")))
+      .select("doc_id", "keep_id", "split")
+      .orderBy("doc_id")
+
   private def assignKeepers(docs: DataFrame, comp: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")

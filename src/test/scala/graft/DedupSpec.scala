@@ -193,4 +193,27 @@ class DedupSpec extends SparkSpec {
       inc.map(_._2).forall(_ % 2 == 0), "new_id from the batch, corpus_id from the corpus")
     assert(inc.exists(p => p._1 == 1L && p._2 == 0L && p._4 == 1.0), "exact dup found")
   }
+
+  test("leak-free split: near-dup clusters never straddle the split; partition-invariant") {
+    // Two planted near-dup clusters (exact + near copies) amid singletons:
+    // whatever side a cluster draws, EVERY member must draw it too.
+    val base1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val base2 = "structured streaming keeps running totals fresh for every user daily"
+    val docs = (Seq(
+      (1L, base1), (2L, base1), (3L, base1 + " tonight"),
+      (10L, base2), (11L, base2)) ++
+      (20L to 39L).map(i => (i, s"singleton document number $i about topic ${i % 7} entirely original content piece"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.leakFreeSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byKeeper = out.groupBy(_._2)
+    assert(byKeeper.forall { case (_, rows) => rows.map(_._3).distinct.length == 1 },
+      "split must be constant within a cluster (structural guarantee)")
+    assert(byKeeper(1L).map(_._1).toSet === Set(1L, 2L, 3L), "planted cluster 1 intact")
+    assert(byKeeper(10L).map(_._1).toSet === Set(10L, 11L), "planted cluster 2 intact")
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "test")))
+    val repart = Dedup.leakFreeSplit(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(repart.toSeq === out.toSeq, "partition-invariant")
+  }
 }

@@ -49,6 +49,9 @@ class PlanAuditSpec extends SparkSpec {
     // over the candidate bigrams — the same bounded scalar-subquery shape
     // as bm25_topk's corpus-stats cross join.
     "lm_perplexity", "lm_perplexity_stored",
+    // dsir_select: two lm_perplexity scorings (target + raw models), so
+    // the same 1-row vocabulary broadcast appears twice.
+    "dsir_select",
     // hybrid_search_rrf: inherits both legs' allowlisted 1-row broadcasts
     // (bm25's corpus stats + the cosine query row over the corpus).
     "hybrid_search_rrf",
