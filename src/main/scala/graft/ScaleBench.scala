@@ -38,7 +38,8 @@ object ScaleBench {
     * (stored-artifact variants price their build separately in Bench). */
   val Heavy: Seq[String] = Seq(
     "dedup_minhash", "dedup_clusters", "dedup_clusters_star",
-    "setjoin_pairs", "setjoin_pairs_bucketed", "ngram_jaccard_top", "simhash_pairs",
+    "setjoin_pairs", "setjoin_pairs_wide", "setjoin_pairs_bucketed",
+    "ngram_jaccard_top", "simhash_pairs",
     "multimodal_video_frames",
     "dup_spans", "dup_profile", "corpus_excised", "corpus_excised_keepone",
     "corpus_clean", "contamination", "length_batches",

@@ -490,6 +490,11 @@ object SparkEntry {
     // (complete candidates, no approximation), gated against the naive
     // all-token-pairs oracle: the pruning is proven answer-preserving.
     "setjoin_pairs" -> ((s, dir) => SetJoin.similarPairs(Tables.documents(s, dir))),
+    // 128-bit fingerprint edition (two xxhash64 seeds in a struct) — the
+    // 1e11-token-vocabulary configuration; identical results by
+    // construction, so it shares the exact join's oracle.
+    "setjoin_pairs_wide" -> ((s, dir) =>
+      SetJoin.similarPairs(Tables.documents(s, dir), wideFingerprint = true)),
     // Same exact join over the stored shingle table: tokenization AND the
     // df stamp are parquet reads (the artifact's df column is the same
     // exact agg+join df the self-contained path computes per query).
@@ -537,6 +542,11 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
+    // Topic balancing over the SAME IVF clustering the ANN index uses:
+    // every semantic cluster contributes at most perCluster vectors,
+    // kept in deterministic md5 hash order.
+    "sample_cluster_balanced" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, dir))),
     // Filtered vector search: top-k among label=1 vectors only, with the
     // predicate applied BEFORE the probe join (pre-filter, not
     // probe-then-discard).
@@ -1070,6 +1080,7 @@ object SparkEntry {
     "ann_pq_stored" -> baseOracleSql("ann_pq"),
     "setjoin_pairs_stored" -> baseOracleSql("setjoin_pairs"),
     "setjoin_pairs_bucketed" -> baseOracleSql("setjoin_pairs"),
+    "setjoin_pairs_wide" -> baseOracleSql("setjoin_pairs"),
     "contamination_stored" -> baseOracleSql("contamination"),
     "corpus_clean_stored" -> baseOracleSql("corpus_clean"),
     "lm_perplexity_stored" -> baseOracleSql("lm_perplexity"),
@@ -2365,6 +2376,16 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
          |       FROM sc)
          |SELECT qid, cid, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Cluster-balanced sample: the same deterministic IVF assignment
+    // chain, then a per-cluster md5-ordered row_number cap.
+    "sample_cluster_balanced" ->
+      s"""WITH $IvfCte,
+         | h AS (SELECT vec_id, cluster, md5('cb' || ':' || vec_id) AS h FROM asg),
+         | r AS (SELECT cluster, vec_id,
+         |   CAST(row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id) AS BIGINT) AS rn
+         |   FROM h)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, rn, vec_id
+         |FROM r WHERE rn <= 20 ORDER BY cluster, rn""".stripMargin,
     // The filtered variant: same deterministic probe replay, with the
     // label predicate restricting candidates (the pre/post distinction is
     // Spark-side cost shape; the result set is identical either way

@@ -65,12 +65,13 @@ object SetJoin {
     * SHARED shingle per pair (~12M rows) where the array intersect is one
     * row per pair — followed by an exact string re-check of accepted
     * pairs only (see [[similarPairsFromShingles]]). */
-  def similarPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def similarPairs(docs: DataFrame, threshold: Double = 0.5,
+                   wideFingerprint: Boolean = false): DataFrame = {
     // Persisted so the df aggregate and the stamp join read ONE
     // tokenization of the corpus (bounded registry — no cache leak).
     val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
     val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-    similarPairsFromShingles(toks.join(dfreq, Seq("sh")), threshold)
+    similarPairsFromShingles(toks.join(dfreq, Seq("sh")), threshold, wideFingerprint)
   }
 
   /** The join itself, over pre-stamped (doc_id, sh, df) rows — shared by
@@ -98,15 +99,34 @@ object SetJoin {
     * then settled exactly). A collision could in principle perturb the
     * (df, h) prefix order or inflate a set size and lose a
     * near-threshold pair: corpus-wide birthday odds |V|²/2⁶⁵ ≈ 4e-7 at
-    * the measured 2.7M-token vocabulary; a 1e11-token (100 TB) corpus
-    * should widen to a 128-bit fingerprint (second xxhash64 seed) where
-    * the same bound is 1e-17 — the pipeline is unchanged. */
+    * the measured 2.7M-token vocabulary (and a collision only matters at
+    * all when the two colliding strings co-occur in one candidate
+    * neighborhood). A corpus whose vocabulary makes that bound
+    * uncomfortable can set `wideFingerprint = true` — the full 16-byte
+    * md5 as BINARY, bound ~1e-17 at 1e11 tokens — at a measured
+    * 2.3–3.2× over the 64-bit path (8.7 s sf0.1 / 29.9 s sf1, binary
+    * memcmp ordering; a struct of two xxhash64 seeds was 6–10× and
+    * rejected). Caveat from the decade-2 leg: at sf10 under the FIXED
+    * 8 GiB measurement heap the ~3× verify payload re-enters the spill
+    * regime (399 s, exp ~1.1 — the same mechanism SetJoinProbe pinned
+    * for strings), so wide mode wants memory scaled with data, which a
+    * real cluster has and the single-JVM leg deliberately does not. The
+    * pipeline is otherwise identical, and the string re-check keeps
+    * outputs exact in BOTH modes. */
   def similarPairsFromShingles(toks: DataFrame,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5,
+                               wideFingerprint: Boolean = false): DataFrame = {
     // Persisted: feeds the per-doc string sets AND (via fingerprints) the
     // sort/prefix/verify pipeline.
     val toksP = CacheRegistry.persistBounded(toks)
-    val hashed = toksP.select(col("doc_id"), col("df"), xxhash64(col("sh")).as("h"))
+    // Wide = the full 16-byte md5 as BINARY: one expression, bytewise
+    // ordering/equality. (A struct of two xxhash64 seeds was measured
+    // 6-10× slower end-to-end — struct elements de-specialize the
+    // sort/intersect comparators; binary stays a memcmp.)
+    val fp =
+      if (wideFingerprint) unhex(md5(col("sh")))
+      else xxhash64(col("sh"))
+    val hashed = toksP.select(col("doc_id"), col("df"), fp.as("h"))
     // per-doc fingerprint list sorted by (df, fingerprint): rarest first.
     // Prefix filtering is complete under ANY consistent total token
     // order, so ordering ties by fingerprint instead of by string changes

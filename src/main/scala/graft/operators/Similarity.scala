@@ -742,4 +742,31 @@ object Similarity {
         (count(col("acid")).cast("double") / k).as("recall"))
       .orderBy("qid")
   }
+
+  /** Cluster-balanced sampling: cap every semantic cluster's contribution
+    * at `perCluster` vectors — the topic-balancing step (the SemDeDup /
+    * DataComp observation: web-scale corpora are dominated by a few huge
+    * semantic clusters, and sampling uniformly reproduces the imbalance;
+    * capping per-cluster share flattens it). Clusters are the
+    * deterministic IVF k-means assignment ([[ivfModel]] — the SAME model
+    * the ANN index uses, so the balancing and the index share one
+    * clustering artifact); within a cluster the kept vectors are the md5
+    * hash-order prefix, so the sample is unbiased w.r.t. vec_id order and
+    * reproducible on any partitioning.
+    *
+    * Scale shape: the IVF model's broadcast-argmin assignment, then the
+    * grouped distributed rank (range partition + broadcast offsets — no
+    * per-cluster window straggler when one cluster holds half the
+    * corpus, which is exactly the skew this operator exists to correct). */
+  def clusterBalancedSample(embeddings: DataFrame, perCluster: Int = 20,
+                            nlist: Int = 16): DataFrame = {
+    val (assigned, _) = ivfModel(embeddings, nlist)
+    RankUtils.groupedRowNumber(
+      assigned.select(col("vec_id"), col("cluster"))
+        .withColumn("h", md5(concat_ws(":", lit("cb"), col("vec_id")))),
+      Seq("cluster"), Seq(col("h").asc, col("vec_id").asc), "rn")
+      .filter(col("rn") <= perCluster)
+      .select(col("cluster").cast("long").as("cluster"), col("rn"), col("vec_id"))
+      .orderBy("cluster", "rn")
+  }
 }

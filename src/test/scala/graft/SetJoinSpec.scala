@@ -36,6 +36,12 @@ class SetJoinSpec extends SparkSpec {
       val naive = brute(docs, t)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(fast === naive, s"threshold $t")
+      // 128-bit fingerprint mode: identical pipeline over a struct
+      // fingerprint — must reproduce the exact join verbatim.
+      val wide = SetJoin.similarPairs(docs, t, wideFingerprint = true)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wide === naive, s"wide fingerprint, threshold $t")
     }
     val at06 = SetJoin.similarPairs(docs, 0.6).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

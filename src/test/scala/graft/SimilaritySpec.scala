@@ -257,4 +257,24 @@ class SimilaritySpec extends SparkSpec {
     val keepSet = keep.collect().map(_.getLong(0)).toSet
     out.foreach(r => assert(keepSet.contains(r.getAs[Long]("cid"))))
   }
+
+  test("cluster-balanced sample: per-cluster cap, hash-prefix selection, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // 80 vectors in 4 planted direction families → dominated clusters;
+    // capping at 5 must flatten every cluster to ≤ 5 kept vectors.
+    val embs = (0 until 80).map { i =>
+      (i.toLong, vec(i % 4 -> 1.0f, 4 + i % 5 -> (0.05f * (i % 3 + 1))))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(embs, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.values.forall(_.length <= 5), "cap respected per cluster")
+    byCluster.values.foreach(rows =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length.toLong).toSeq,
+        "ranks within a cluster are a 1..n prefix"))
+    assert(out.map(_._3).distinct.length === out.length, "no vector sampled twice")
+    val repart = Similarity.clusterBalancedSample(embs.repartition(7), perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repart.toSeq === out.toSeq, "partition-invariant")
+  }
 }
