@@ -47,9 +47,10 @@ object ScaleBench {
     "q9_product_profit", "q21_waiting_suppliers")
 
   /** The incremental fixed-batch A/B legs (see [[incrementalAB]]);
-    * "inc" is accepted as a shorthand for both. */
+    * "inc" is accepted as a shorthand for all of them. */
   val IncNames: Seq[String] =
-    Seq("dedup_incremental_fixed", "dedup_incremental_fixed_bucketed")
+    Seq("dedup_incremental_fixed", "dedup_incremental_fixed_bucketed",
+      "setjoin_incremental_fixed")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -187,8 +188,18 @@ object ScaleBench {
         docs.filter(batchPred),
         corpusBands = Some(s.table(bdT)))
     }
+    // The EXACT incremental sibling over the same store: corpus touched
+    // only through df/prefix-fingerprint probes and candidate fetches.
+    val incSetjoin: (SparkSession, String) => DataFrame = (s, dir) => {
+      val docs = graft.sources.Tables.documents(s, dir)
+      val store = "/tmp/graft_incab_" + dirKey(dir)
+      graft.operators.ShingleStore.ensure(docs.filter(!batchPred), store)
+      graft.operators.SetJoin.similarPairsIncremental(
+        graft.operators.ShingleStore.read(s, store), docs.filter(batchPred))
+    }
     Seq(("dedup_incremental_fixed", incPath),
-        ("dedup_incremental_fixed_bucketed", incBucketed))
+        ("dedup_incremental_fixed_bucketed", incBucketed),
+        ("setjoin_incremental_fixed", incSetjoin))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = timeFn(fn, srcDir)

@@ -511,6 +511,18 @@ object SparkEntry {
       val t = ShingleStore.ensureBucketed(Tables.documents(s, dir), bucketedShingleTable(dir))
       SetJoin.similarPairsFromShingles(s.table(t))
     }),
+    // Incremental EXACT join: odd-doc batch vs the even-doc corpus read
+    // from the stored artifact (same split as dedup_incremental_stored —
+    // the exact sibling). The shared store's full-corpus df is a superset
+    // count: sound, because prefix completeness needs only one consistent
+    // total order.
+    "setjoin_incremental" -> ((s, dir) => {
+      val p = shingleStorePath(dir)
+      ShingleStore.ensure(Tables.documents(s, dir), p)
+      SetJoin.similarPairsIncremental(
+        ShingleStore.read(s, p).filter(col("doc_id") % 2 === 0),
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 1))
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // Lexical retrieval: rare term ("dup", df≈25/500) + two mid-frequency
@@ -2209,6 +2221,20 @@ object SparkEntry {
          |FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    // Incremental exact join: the same naive threshold join, restricted
+    // to batch(odd) × corpus(even) pairs — the result the pruned
+    // incremental path must reproduce verbatim (it's exact).
+    "setjoin_incremental" ->
+      s"""WITH $ShinglesCte,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.sh = b.sh
+         |              AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+         |SELECT new_id, corpus_id, CAST(n_common AS BIGINT) AS n_common,
+         | CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |FROM inter JOIN sizes na ON na.doc_id = new_id JOIN sizes nb ON nb.doc_id = corpus_id
+         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "simhash" ->
       s"""WITH $SimhashCte
          |SELECT sb.doc_id AS doc_id, CAST(simhash AS BIGINT) AS simhash, CAST(n.n_words AS BIGINT) AS n_words

@@ -136,12 +136,7 @@ object SetJoin {
     // array_distinct guards the (astronomically rare) within-doc
     // fingerprint collision: two distinct shingles sharing h must count
     // as ONE set element so n matches array_intersect semantics.
-    val sortedDocs = CacheRegistry.persistBounded(hashed
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("sorted"))
-      .select(col("doc_id"),
-        array_distinct(expr("transform(sorted, x -> x.h)")).as("shs"))
-      .select(col("doc_id"), col("shs"), size(col("shs")).as("n")))
+    val sortedDocs = CacheRegistry.persistBounded(sortedFp(hashed))
     // Prefix bound with ONE TOKEN of slack: the textbook length is
     // n − ⌈t·n⌉ + 1, but ⌈·⌉ over the IEEE product can land one above the
     // operational requirement (t=0.14, n=50: fl(0.14·50)=7.000…001, ceil=8,
@@ -162,10 +157,7 @@ object SetJoin {
     //    bound can't reach the required overlap ⌈t/(1+t)·(n_a+n_b)⌉ are
     //    discarded — the event for c always survives, so each qualifying
     //    pair still reaches distinct().
-    val prefixes = sortedDocs
-      .select(col("doc_id"), col("n"),
-        posexplode(expr(s"slice(shs, 1, size(shs) - CAST(ceil($threshold * size(shs)) AS INT) + 2)")))
-      .toDF("doc_id", "n", "pos", "sh")
+    val prefixes = prefixesOf(sortedDocs, threshold)
     val reqFrac = threshold / (1.0 + threshold)
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -206,5 +198,112 @@ object SetJoin {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Per-doc sorted fingerprint arrays from (doc_id, df, h) rows: sorted
+    * by (df, fingerprint) — rarest first, total order; `array_distinct`
+    * guards the (astronomically rare) within-doc fingerprint collision
+    * so `n` matches array_intersect semantics. */
+  private def sortedFp(hashed: DataFrame): DataFrame = hashed
+    .groupBy("doc_id")
+    .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("sorted"))
+    .select(col("doc_id"),
+      array_distinct(expr("transform(sorted, x -> x.h)")).as("shs"))
+    .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+
+  /** Prefix rows (doc_id, n, pos, sh) with the one-token IEEE slack —
+    * see the bound discussion in [[similarPairsFromShingles]]. */
+  private def prefixesOf(sortedDocs: DataFrame, threshold: Double): DataFrame =
+    sortedDocs
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"slice(shs, 1, size(shs) - CAST(ceil($threshold * size(shs)) AS INT) + 2)")))
+      .toDF("doc_id", "n", "pos", "sh")
+
+  /** INCREMENTAL exact set-similarity join: a new document batch against
+    * an EXISTING corpus — the daily-ingest shape of [[similarPairs]],
+    * and the exact sibling of [[Dedup.minhashPairsIncremental]] (same
+    * cross-pair semantics: only new×corpus pairs, never corpus×corpus).
+    *
+    * `corpusSh` is the maintained artifact's (doc_id, sh, df) rows
+    * ([[ShingleStore.read]]), doc_id-disjoint from `newDocs`. The stored
+    * df orders BOTH sides (batch tokens absent from it sort at df = 0 —
+    * rarest; they can only candidate-match through a fingerprint
+    * collision, which the exact re-check settles). The df may have been
+    * computed over a SUPERSET of the corpus rows passed in (e.g. one
+    * shared store filtered per query): prefix completeness needs only
+    * ONE CONSISTENT total order, not any particular df, so superset
+    * counts are sound — candidates shift marginally, results cannot.
+    *
+    * Corpus-side cost is the whole point: the corpus is never shuffled
+    * and never fully tokenized. It is scanned (column-pruned) to resolve
+    * batch-token df and to find docs sharing a batch-PREFIX fingerprint;
+    * only those candidate docs' rows are fetched, sorted, and verified —
+    * work proportional to batch + collisions, the
+    * [[Dedup.minhashPairsIncremental]] asymmetry with exact output.
+    * Output: (new_id, corpus_id, n_common, jaccard ≥ threshold). */
+  def similarPairsIncremental(corpusSh: DataFrame, newDocs: DataFrame,
+                              threshold: Double = 0.5): DataFrame = {
+    val newShRaw = CacheRegistry.persistBounded(Dedup.shingles(newDocs))
+    // Batch-token df from the stored corpus df (semi-restricted: the
+    // corpus scan is filtered to batch tokens before the distinct — a
+    // pruned read, not a corpus shuffle). Deliberately NOT persisting
+    // corpusSh: the corpus must stay a scan; only batch-sized and
+    // candidate-sized frames are worth caching.
+    val batchTokens = newShRaw.select("sh").distinct()
+    val dfreq = corpusSh.join(batchTokens, Seq("sh"), "left_semi")
+      .select("sh", "df").distinct()
+    val newToks = newShRaw.join(dfreq, Seq("sh"), "left_outer")
+      .select(col("doc_id"), col("sh"), coalesce(col("df"), lit(0L)).as("df"))
+    val newSorted = CacheRegistry.persistBounded(sortedFp(
+      newToks.select(col("doc_id"), col("df"), xxhash64(col("sh")).as("h"))))
+    val newPref = prefixesOf(newSorted, threshold)
+    // Candidate corpus docs: any doc sharing a batch-PREFIX fingerprint
+    // (a superset of docs sharing a both-prefix token, which every
+    // qualifying pair must — the standard prefix-overlap theorem).
+    val probe = newPref.select(col("sh").as("h")).distinct()
+    val candIds = corpusSh
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .join(probe, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val corpusCand = CacheRegistry.persistBounded(
+      corpusSh.join(candIds, Seq("doc_id"), "left_semi"))
+    val corpusSorted = CacheRegistry.persistBounded(sortedFp(
+      corpusCand.select(col("doc_id"), col("df"), xxhash64(col("sh")).as("h"))))
+    val corpusPref = prefixesOf(corpusSorted, threshold)
+    val reqFrac = threshold / (1.0 + threshold)
+    val cand = newPref.as("a")
+      .join(corpusPref.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.n") * lit(threshold) <= col("b.n") + lit(1) &&
+          col("b.n") * lit(threshold) <= col("a.n") + lit(1) &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            ceil(lit(reqFrac) * (col("a.n") + col("b.n"))) - lit(1))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val accepted = CacheRegistry.persistBounded(cand
+      .join(newSorted.select(col("doc_id").as("new_id"),
+        col("shs").as("shs_a"), col("n").as("n_a")), Seq("new_id"))
+      .join(corpusSorted.select(col("doc_id").as("corpus_id"),
+        col("shs").as("shs_b"), col("n").as("n_b")), Seq("corpus_id"))
+      .withColumn("c_h", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .filter(col("c_h") / (col("n_a") + col("n_b") - col("c_h")) >=
+        lit(threshold) - lit(1e-12))
+      .select("new_id", "corpus_id"))
+    // Exact string re-check over O(result) docs, as in the full join.
+    val ssNew = newShRaw
+      .join(accepted.select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"))
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("ss"))
+    val ssCor = corpusCand.select("doc_id", "sh")
+      .join(accepted.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"))
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("ss"))
+    accepted
+      .join(ssNew.select(col("doc_id").as("new_id"), col("ss").as("ss_a")), Seq("new_id"))
+      .join(ssCor.select(col("doc_id").as("corpus_id"), col("ss").as("ss_b")), Seq("corpus_id"))
+      .withColumn("n_common", size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common") / (size(col("ss_a")) + size(col("ss_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "n_common", "jaccard")
+      .orderBy("new_id", "corpus_id")
   }
 }

@@ -63,6 +63,38 @@ class SetJoinSpec extends SparkSpec {
       "similarPairs must not plan a window for df stamping")
   }
 
+  test("incremental exact join equals the full join restricted to batch×corpus pairs") {
+    val words = Array("red", "blue", "green", "stone", "tree", "water", "sun", "moon")
+    val docs = ((1 to 30).map { i =>
+      val n = 6 + i % 9
+      (i.toLong, (0 until n).map(j => words((i * 7 + j * 3) % words.length)).mkString(" "))
+    } :+ (100L -> "red blue green stone tree water")
+      :+ (101L -> "red blue green stone tree water sun")).toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.6)) {
+      val full = SetJoin.similarPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .collect { case (a, b, n, j) if a % 2 != b % 2 =>
+          val (newId, oldId) = if (a % 2 == 1) (a, b) else (b, a)
+          (newId, oldId, n, j)
+        }.sortBy(p => (p._1, p._2)).toSeq
+      // Corpus side as the artifact would provide it: (doc_id, sh, df)
+      // with df over the CORPUS — and a second run with df over ALL docs
+      // (the shared-store superset), which must not change results.
+      val corpusDocs = docs.filter(col("doc_id") % 2 === 0)
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+      def stamped(base: org.apache.spark.sql.DataFrame) = {
+        val sh = Dedup.shingles(base)
+        Dedup.shingles(corpusDocs)
+          .join(sh.groupBy("sh").agg(count(lit(1)).as("df")), Seq("sh"))
+      }
+      for (dfSource <- Seq(corpusDocs, docs)) {
+        val inc = SetJoin.similarPairsIncremental(stamped(dfSource), newDocs, t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        assert(inc === full, s"threshold $t, dfSource superset=${dfSource eq docs}")
+      }
+    }
+  }
+
   test("IEEE boundary thresholds keep completeness (prefix slack regression)") {
     // t = 0.14, |x| = 50, y ⊂ x with 7 shingles: real J = 7/50 = 0.14 and
     // the double comparison J >= t passes, but fl(0.14·50) = 7.000…001 so
