@@ -109,4 +109,44 @@ object ShingleStream {
         ()
       }
       .start()
+
+  /** EXACT online dedup-on-arrival — [[startDedupToStore]] with the
+    * approximate MinHash probe replaced by the exact incremental PPJoin
+    * ([[graft.operators.SetJoin.similarPairsIncremental]]): every
+    * micro-batch's TRUE threshold pairs against the corpus-so-far, then
+    * the batch joins the artifact. Same per-batch-overwrite pairs layout,
+    * same append ledger; the stored df stays consistent across appends
+    * ([[graft.operators.ShingleStore.append]] reuses the stored value per
+    * token), which is exactly the consistency the prefix order needs —
+    * periodic `refreshDf` tightens candidate pruning but can never change
+    * results. First batch bootstraps the store and emits no pairs. */
+  def startExactDedupToStore(docs: DataFrame, path: String, pairsPath: String,
+                             checkpoint: String, threshold: Double = 0.5,
+                             trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val ledgerDir = new org.apache.hadoop.fs.Path(s"$checkpoint/_appended")
+        val mark = new org.apache.hadoop.fs.Path(ledgerDir, batchId.toString)
+        if (!fs.exists(mark) && !batch.isEmpty) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles"))) {
+            graft.operators.SetJoin.similarPairsIncremental(
+                graft.operators.ShingleStore.read(spark, path), batch, threshold)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$pairsPath/batch_id=$batchId")
+            graft.operators.ShingleStore.append(batch, path)
+          } else {
+            graft.operators.ShingleStore.write(batch, path)
+          }
+          fs.mkdirs(ledgerDir)
+          fs.create(mark, true).close()
+        }
+        ()
+      }
+      .start()
 }

@@ -29,6 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     "cosine_topk", "cosine_topk_int8", "dedup_embedding",
     "ann_recall", "neardup_recall", "ivf_recall", "ann_ivf", "ann_ivf_stored",
     "ann_ivf_filtered", "ivf_filtered_recall",
+    // sample_cluster_balanced: the same nlist-row centroid broadcast as
+    // ann_ivf — the IVF assignment is the clustering it balances over.
+    "sample_cluster_balanced",
     // tight-filter twins: same nlist-row centroid broadcast (probe) and
     // broadcast query-set truth branch as the ann_ivf/ivf_filtered pair
     // — the adaptive width changes how MANY cells are probed, not the

@@ -224,6 +224,46 @@ class ShingleStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("EXACT online dedup-on-arrival: streamed pairs equal sequential exact incremental runs") {
+    val root = java.nio.file.Files.createTempDirectory("shexact").toString
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val wave3 = Seq(
+        (11L, "red blue green stone tree water sun moon rock extra"),
+        (12L, "totally novel text that matches no earlier document at all"))
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.ShingleStream.startExactDedupToStore(
+        input.toDF().toDF("doc_id", "text"), s"$root/inc", s"$root/pairs", s"$root/ckpt")
+      try {
+        input.addData(fixture: _*); q.processAllAvailable()
+        input.addData(batch: _*); q.processAllAvailable()
+        input.addData(wave3: _*); q.processAllAvailable()
+      } finally q.stop()
+      assert(!new java.io.File(s"$root/pairs/batch_id=0").exists,
+        "bootstrap batch has no corpus to dedup against")
+      def got(bid: Int) = spark.read.parquet(s"$root/pairs/batch_id=$bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      // Batch-mode reference: the exact incremental operator with fresh
+      // corpus-df — results must match despite the streamed store's
+      // append-consistent (not recounted) df, because df affects only
+      // candidate pruning, never the exact output.
+      def ref(corpus: Seq[(Long, String)], wave: Seq[(Long, String)]) = {
+        val csh = Dedup.shingles(corpus.toDF("doc_id", "text"))
+        graft.operators.SetJoin.similarPairsIncremental(
+            csh.join(csh.groupBy("sh").agg(count(lit(1)).as("df")), Seq("sh")),
+            wave.toDF("doc_id", "text"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(p => (p._1, p._2)).toSeq
+      }
+      assert(got(1) === ref(fixture, batch), "wave 2 exact pairs vs the bootstrap corpus")
+      assert(got(2) === ref(fixture ++ batch, wave3), "wave 3 exact pairs vs corpus incl. wave 2")
+      assert(got(2).exists { case (n, c, _, _) => n == 11L && c == 7L },
+        "the planted dup against a STREAMED doc must be flagged")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("ensure() skips rebuild for unchanged source, rebuilds on regenerated data") {
     val root = java.nio.file.Files.createTempDirectory("shstore").toString
     try {
