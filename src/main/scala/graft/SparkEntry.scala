@@ -718,6 +718,11 @@ object SparkEntry {
     // exact-integer bigram-LM log-ratio toward the src0 target domain.
     "dsir_select" -> ((s, dir) =>
       Sampling.dsirSelect(Tables.documents(s, dir), col("source") === "src0")),
+    // Best-tokens-under-budget: quality-ranked greedy selection with a
+    // distributed global running sum (range partition + broadcast
+    // offsets — never a single-partition window).
+    "budget_select" -> ((s, dir) =>
+      Sampling.budgetSelect(Tables.documents(s, dir))),
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeatures(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     // REAL codec both directions: bytes → genuine grayscale PNG →
@@ -2761,6 +2766,25 @@ object SparkEntry {
          |   FROM lam),
          | sel AS (SELECT * FROM ky ORDER BY dsir_key, doc_id LIMIT 100)
          |SELECT doc_id, lambda_q, dsir_key FROM sel ORDER BY dsir_key, doc_id""".stripMargin,
+    // Budget selection: the running-total window replays the distributed
+    // prefix sum exactly (integer token sums under the same total order).
+    "budget_select" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | s AS (SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(len(w) AS BIGINT) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |   CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt
+        | FROM t),
+        | q AS (SELECT doc_id, n_words AS tokens,
+        |   (stop_cnt / n_words) * 0.5 + least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.3
+        |     + (1.0 - punct_cnt / n_chars) * 0.2 AS quality
+        | FROM s),
+        | r AS (SELECT doc_id, tokens, quality,
+        |   sum(tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+        |   FROM q WHERE quality IS NOT NULL)
+        |SELECT doc_id, tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 10000 ORDER BY quality DESC, doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH fr AS (SELECT doc_id, text,
         |  unnest([i for i in range(0, (length(text) + 31) // 32)]) AS frame_idx FROM documents),

@@ -43,6 +43,35 @@ object RankUtils {
       .drop("__pid", "__rn", "__offset")
   }
 
+  /** Append `sumCol` = running sum of `value` under `order`, INCLUSIVE of
+    * the current row — the distributed global prefix sum, same two-pass
+    * shape as [[globalRowNumber]] (range-repartition on the total order,
+    * per-partition window prefix sums, broadcast per-partition offsets).
+    * A `sum(value).over(Window.orderBy(...))` computes the identical
+    * column on one partition; this form's parallelism is the partition
+    * count. `value` must be non-null; `order` must be total. */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                       sumCol: String, partitions: Int = 0): DataFrame = {
+    val ranged =
+      (if (partitions > 0) df.repartitionByRange(partitions, order: _*)
+       else df.repartitionByRange(order: _*))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", value)
+    val perPart = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranged
+      .groupBy("__pid").agg(sum(col("__v")).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    ranged
+      .withColumn("__rs", sum(col("__v")).over(perPart))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(sumCol, col("__rs") + col("__offset"))
+      .drop("__pid", "__rs", "__offset", "__v")
+  }
+
   /** Grouped variant: `rankCol` = 1-based row number under `order` WITHIN
     * each `groupCols` group — the scale-correct replacement for
     * `row_number().over(Window.partitionBy(groupCols).orderBy(order))`,

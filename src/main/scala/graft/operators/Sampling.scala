@@ -215,6 +215,29 @@ object Sampling {
       .orderBy("lang", "bin", "doc_id")
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose CUMULATIVE whitespace-token count fits `tokenBudget` — the
+    * "best N billion tokens" cut every fixed-compute training run makes
+    * (quality-ranked greedy selection under a token budget). Order is
+    * (quality desc, doc_id) — total, engine-reproducible ([[TextAnalysis
+    * .textStats]]'s composite score is written in oracle-identical IEEE
+    * order); the cut keeps docs whose INCLUSIVE running total stays
+    * within budget. NULL-quality (degenerate empty) docs are excluded.
+    *
+    * Scale shape: the running total is [[RankUtils.globalRunningSum]] —
+    * range partition + broadcast offsets, never a single-partition
+    * window; the cut is a per-row filter on the summed column. */
+  def budgetSelect(docs: DataFrame, tokenBudget: Long = 10000): DataFrame = {
+    val scored = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("n_words").as("tokens"), col("quality"))
+      .filter(col("quality").isNotNull)
+    RankUtils.globalRunningSum(scored,
+        Seq(col("quality").desc, col("doc_id").asc), col("tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select("doc_id", "tokens", "quality", "cum_tokens")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+  }
+
   /** DSIR-style data selection (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS 2023): sample `k` docs
     * from the raw pool with probability ∝ the importance ratio

@@ -27,6 +27,21 @@ class RankUtilsSpec extends SparkSpec {
     assert(ranks.toSeq === (1L to 100L))
   }
 
+  test("distributed running sum equals the single-partition window prefix sum") {
+    val df = (1 to 5000).map(i => (i.toLong, (i * 2654435761L % 997).toDouble,
+      (i * 31 % 50 + 1).toLong)).toDF("id", "score", "v").repartition(13)
+    val order = Seq(col("score").desc, col("id").asc)
+    val viaWindow = df
+      .withColumn("cum", sum(col("v")).over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val viaUtils = RankUtils.globalRunningSum(df, order, col("v"), "cum", partitions = parts)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaUtils === viaWindow, s"partitions=$parts")
+    }
+  }
+
   test("grouped distributed rank equals the per-group window rank") {
     val df = (1 to 5000).map { i =>
       (i.toLong, s"cat${i % 5}", (i * 2654435761L % 97).toDouble) // heavy ties

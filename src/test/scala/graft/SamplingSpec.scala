@@ -130,6 +130,28 @@ class SamplingSpec extends SparkSpec {
     assert(repart.toSeq === out.toSeq, "partition-invariant")
   }
 
+  test("budget select: greedy by quality, inclusive cumulative cut, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // Quality rises with stopword share; budget 25 tokens admits the best
+    // docs until the INCLUSIVE running total would exceed it.
+    val docs = Seq(
+      (1L, "the of and to is the of and to is"),          // 10 tokens, top quality
+      (2L, "the of and junk junk junk junk junk"),        // 8 tokens, mid
+      (3L, "junk junk junk junk junk junk junk"),         // 7 tokens, low
+      (4L, "the the the the the the the the the the")     // 10 tokens, top-ish
+    ).toDF("doc_id", "text")
+    val out = Sampling.budgetSelect(docs, tokenBudget = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // Order is (quality desc, doc_id): docs 1 and 4 are all-stopwords
+    // (quality equal), then 2, then 3. Cumulative: 10, 20, 28 → doc 2
+    // exceeds the budget at 28; docs 3 onward can never re-enter.
+    assert(out.map(_._1).toSeq === Seq(1L, 4L), s"greedy cut: ${out.toSeq}")
+    assert(out.map(_._3).toSeq === Seq(10L, 20L), "inclusive running totals")
+    val repart = Sampling.budgetSelect(docs.toDF.repartition(7), tokenBudget = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(repart.toSeq === out.toSeq, "partition-invariant")
+  }
+
   test("DSIR: target-like pool docs out-rank off-domain ones; unscorable excluded; partition-invariant") {
     import org.apache.spark.sql.functions.col
     // Target domain speaks vocabulary A; the pool holds 3 docs written in
