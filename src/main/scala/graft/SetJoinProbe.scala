@@ -17,8 +17,14 @@ import java.util.concurrent.atomic.AtomicLong
   * faster than rows) or EXECUTIONAL (same per-row work, worse constants
   * from spill/GC at fixed resources)?
   *
-  * Usage: SetJoinProbe <dir> — same env knobs as [[ScaleBench]]
-  * (SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS).
+  * Usage: SetJoinProbe <dir> [threshold] — same env knobs as
+  * [[ScaleBench]] (SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS).
+  * Mirrors the SHIPPED fingerprinted pipeline (xxhash64 longs in
+  * sort/prefix/candidate stages — what the operator executes since the
+  * round-9 fix); SPARK_GRAFT_PROBE_LEGACY=1 swaps in the pre-fingerprint
+  * string pipeline (the baseline the decade-2 spill diagnosis ran
+  * against), so both the current operator and the historical comparison
+  * stay reproducible.
   */
 object SetJoinProbe {
   def main(args: Array[String]): Unit = {
@@ -53,21 +59,26 @@ object SetJoinProbe {
       r
     }
 
+    val legacy = sys.env.get("SPARK_GRAFT_PROBE_LEGACY").contains("1")
     val docs = graft.sources.Tables.documents(spark, dir)
     // Mirror SetJoin.similarPairs stage by stage (same expressions) so the
-    // counts describe the real operator's intermediates.
+    // counts describe the real operator's intermediates. Default = the
+    // shipped fingerprinted pipeline (8-byte xxhash64 carried through
+    // sort/prefix/verify); legacy = the string pipeline it replaced.
     val toks = graft.operators.CacheRegistry.persistBounded(
       graft.operators.Dedup.shingles(docs))
     val nSh = timed("shingle rows")(toks.count())
     val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
     val nVocab = timed("vocabulary")(dfreq.count())
-    val stamped = toks.join(dfreq, Seq("sh"))
+    val tok = if (legacy) col("sh") else xxhash64(col("sh"))
+    val stamped = toks.join(dfreq, Seq("sh")).select(
+      col("doc_id"), col("df"), tok.as("sh"))
     val sortedDocs = graft.operators.CacheRegistry.persistBounded(stamped
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"))
+      .agg(sort_array(collect_set(struct(col("df"), col("sh")))).as("sorted"))
       .select(col("doc_id"),
-        expr("transform(sorted, x -> x.sh)").as("shs"),
-        size(col("sorted")).as("n")))
+        array_distinct(expr("transform(sorted, x -> x.sh)")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n")))
     val nDocs = timed("docs w/ shingles")(sortedDocs.count())
     val prefixes = sortedDocs
       .select(col("doc_id"), col("n"),
@@ -90,6 +101,7 @@ object SetJoinProbe {
       graft.operators.SetJoin.similarPairs(docs, threshold)
         .queryExecution.toRdd.count())
     println(s"""{"metric":"setjoin_probe","dir":"$dir","parts":$parts,""" +
+      s""""mode":"${if (legacy) "legacy-string" else "fingerprint"}",""" +
       s""""shingle_rows":$nSh,"vocab":$nVocab,"docs":$nDocs,"prefix_rows":$nPre,""" +
       s""""cand_raw":$nCandRaw,"cand_distinct":$nCand,"pairs":$nFinal,""" +
       s""""shuffle_write_mb":${shufW.get / 1048576},"shuffle_read_mb":${shufR.get / 1048576},""" +

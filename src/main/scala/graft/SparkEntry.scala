@@ -918,23 +918,50 @@ object SparkEntry {
     * once-per-ingest cost the `*_stored` queries amortize. Bench calls
     * this BEFORE its timed pass so one-time builds are priced as ingest,
     * not query latency; at 100 TB these are the pipeline's materialization
-    * jobs, not part of any query. */
-  def ensureStoredArtifacts(s: SparkSession, dir: String): Unit = {
+    * jobs, not part of any query.
+    *
+    * Returns the LIVE bucketed physical table names (the census a
+    * post-build assertion compares the warehouse against). `vacuum`
+    * reaps superseded fingerprints after the build — it DELETES warehouse
+    * files, so it is opt-in: safe from Bench's single-process run, unsafe
+    * concurrent with another process scanning an old fingerprint (the
+    * standing vacuumBucketed caveat — run from a maintenance window). */
+  def ensureStoredArtifacts(s: SparkSession, dir: String,
+                            vacuum: Boolean = false): Set[String] = {
     ShingleStore.ensure(Tables.documents(s, dir), shingleStorePath(dir))
     val liveBucketed = ShingleStore.ensureBucketed(
       Tables.documents(s, dir), bucketedShingleTable(dir))
-    // Superseded fingerprints (regenerated testdata, changed bucket
-    // counts) otherwise accumulate in the warehouse forever.
-    ShingleStore.vacuumBucketed(s, bucketedShingleTable(dir), keep = Set(liveBucketed))
     val liveBands = ShingleStore.ensureBucketedBands(
       Tables.documents(s, dir), bucketedBandTable(dir))
-    ShingleStore.vacuumBucketed(s, bucketedBandTable(dir), keep = Set(liveBands))
+    if (vacuum) {
+      // Superseded fingerprints (regenerated testdata, changed bucket
+      // counts) otherwise accumulate in the warehouse forever.
+      ShingleStore.vacuumBucketed(s, bucketedShingleTable(dir), keep = Set(liveBucketed))
+      ShingleStore.vacuumBucketed(s, bucketedBandTable(dir), keep = Set(liveBands))
+    }
     LmStore.ensure(
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
       artifactPath("lmmodel", dir))
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
+    Set(liveBucketed, liveBands)
+  }
+
+  /** Census of the warehouse's fingerprinted bucketed tables for `dir`'s
+    * two logical names — what [[ensureStoredArtifacts]]'s vacuum should
+    * have reduced to exactly the live set. Bench asserts this post-build
+    * so stale generations can never silently accumulate again. */
+  def bucketedWarehouseCensus(s: SparkSession, dir: String): Set[String] = {
+    val pats = Seq(bucketedShingleTable(dir), bucketedBandTable(dir)).map(t =>
+      java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(t) + "_[0-9a-f]{12}_b\\d+"))
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) Set.empty
+    else fs.listStatus(wh).toSeq
+      .filter(st => st.isDirectory && pats.exists(_.matcher(st.getPath.getName).matches()))
+      .map(_.getPath.getName).toSet
   }
 
   /** Skill-points formula (X1) over the distinct level domain derived from

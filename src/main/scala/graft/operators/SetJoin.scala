@@ -88,22 +88,25 @@ object SetJoin {
     * 8-byte fingerprint cuts that payload ~4× and replaces string
     * comparison with long comparison in sort, join, and intersect.
     *
-    * Exactness: the OUTPUT is always exact — accepted pairs are
+    * Exactness: the OUTPUT VALUES are always exact — accepted pairs are
     * re-verified on the true shingle STRINGS (O(result) docs, not
     * O(candidates)), so no result value ever depends on a fingerprint.
-    * Completeness of the fingerprint pass: absent a cross-string
-    * fingerprint collision in the corpus, h ↔ shingle is a bijection and
-    * the pass is the exact pipeline verbatim (collisions only ever ADD
-    * intersection elements / SHRINK distinct-set sizes, both of which
-    * RAISE the fingerprint score, so a colliding near-pair is admitted,
-    * then settled exactly). A collision could in principle perturb the
-    * (df, h) prefix order or inflate a set size and lose a
-    * near-threshold pair: corpus-wide birthday odds |V|²/2⁶⁵ ≈ 4e-7 at
-    * the measured 2.7M-token vocabulary (and a collision only matters at
-    * all when the two colliding strings co-occur in one candidate
-    * neighborhood). A corpus whose vocabulary makes that bound
-    * uncomfortable can set `wideFingerprint = true` — the full 16-byte
-    * md5 as BINARY, bound ~1e-17 at 1e11 tokens — at a measured
+    * Completeness of the fingerprint pass is PROBABILISTIC in 64-bit
+    * mode, not unconditional: absent any cross-string fingerprint
+    * collision in the corpus, h ↔ shingle is a bijection and the pass is
+    * the exact pipeline verbatim — but a collision between two tokens
+    * COMMON to a pair can LOWER its fingerprint Jaccard (A={s1,s2,x},
+    * B={s1,s2,y} with h(s1)=h(s2): string-J 1/2, fingerprint-J 1/3), and
+    * a collision can likewise perturb the (df, h) prefix order, either
+    * of which can drop a qualifying near-threshold pair BEFORE the exact
+    * re-check sees it. The loss is bounded by the corpus-wide birthday
+    * term |V|²/2⁶⁵ ≈ 4e-7 at the measured 2.7M-token vocabulary (and a
+    * collision only matters at all when the two colliding strings
+    * co-occur in one candidate neighborhood). A corpus whose vocabulary
+    * makes that bound uncomfortable sets `wideFingerprint = true` — the
+    * full 16-byte md5 as BINARY (collision-free for any physically
+    * storable vocabulary, bound ~1e-17 at 1e11 tokens, so completeness
+    * is unconditional there for practical purposes) — at a measured
     * 2.3–3.2× over the 64-bit path (8.7 s sf0.1 / 29.9 s sf1, binary
     * memcmp ordering; a struct of two xxhash64 seeds was 6–10× and
     * rejected). Caveat from the decade-2 leg: at sf10 under the FIXED

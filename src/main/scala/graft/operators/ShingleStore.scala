@@ -159,9 +159,15 @@ object ShingleStore {
     * cannot tell whether ANOTHER process is still scanning an old
     * fingerprint. */
   def vacuumBucketed(spark: SparkSession, table: String, keep: Set[String]): Unit = {
-    val prefix = s"${table}_"
+    // Match the EXACT generated shape <table>_<12-hex-fp>_b<buckets>, not
+    // a bare prefix: logical names can extend each other ("bands" vs
+    // "bands_sh"), and a prefix sweep of the shorter one would reap the
+    // longer one's live tables.
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(table) + "_[0-9a-f]{12}_b\\d+")
+    def generated(n: String): Boolean = pat.matcher(n).matches()
     spark.catalog.listTables().collect()
-      .map(_.name).filter(n => n.startsWith(prefix) && !keep.contains(n))
+      .map(_.name).filter(n => generated(n) && !keep.contains(n))
       .foreach { n =>
         // External (adopted) tables don't drop their files; managed ones
         // do — the location sweep below covers both uniformly.
@@ -170,7 +176,7 @@ object ShingleStore {
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) fs.listStatus(wh).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix)
+      .filter(s => s.isDirectory && generated(s.getPath.getName)
         && !keep.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, true))
   }
@@ -218,6 +224,49 @@ object ShingleStore {
     Dedup.bandTable(toks)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/bands")
+    graft.sinks.ArtifactStore.invalidate(path)
+  }
+
+  /** IDEMPOTENT edition of [[append]] for at-least-once callers (the
+    * streaming sinks' replay path): probe whether the batch's doc_ids
+    * already landed in each of the artifact's two tables and append only
+    * the missing ones. The probes are batch-id semi-joins with LIMIT 1 —
+    * pruned scans, batch-proportional, never a corpus shuffle. Each
+    * table is probed SEPARATELY because [[append]] is two parquet jobs:
+    * a crash between them leaves shingles landed and bands not, and a
+    * single presence bit would then skip the band append and silently
+    * lose the batch from every future band probe.
+    *
+    * Residual window (documented, not hidden): parquet job commit itself
+    * is not atomic — a crash DURING the committer's rename sweep can
+    * leave a partial file set that the probe reads as "landed". Closing
+    * that needs a manifest commit ([[graft.sinks.VersionedStore]]); this
+    * store trades it for the append-only layout's zero-rewrite ingest. */
+  def appendOnce(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val ids = newDocs.select("doc_id").distinct()
+    val shingleHit = !read(spark, path)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").limit(1).isEmpty
+    val bandHit = !readBands(spark, path)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").limit(1).isEmpty
+    if (shingleHit && bandHit) return
+    val toks = CacheRegistry.persistBounded(Dedup.shingles(newDocs))
+    if (!shingleHit) {
+      val storedDf = read(spark, path).groupBy("sh").agg(max(col("df")).as("df_stored"))
+      val batchDf = toks.groupBy("sh").agg(count(lit(1)).as("df_batch"))
+      toks
+        .join(batchDf, Seq("sh"))
+        .join(storedDf, Seq("sh"), "left_outer")
+        .select(col("doc_id"), col("sh"),
+          coalesce(col("df_stored"), col("df_batch")).as("df"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/shingles")
+    }
+    if (!bandHit) {
+      Dedup.bandTable(toks)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/bands")
+    }
     graft.sinks.ArtifactStore.invalidate(path)
   }
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 /** Streaming maintenance of the dedup family's stored artifact — the
@@ -77,7 +78,20 @@ object ShingleStream {
     * a replayed batch (at-least-once foreachBatch) rewrites its own
     * partition instead of double-appending — the partition-overwrite twin
     * of the append ledger, which still guards the artifact append itself.
-    * First batch bootstraps the store and emits no pairs (no corpus yet). */
+    * First batch bootstraps the store and emits no pairs (no corpus yet).
+    *
+    * Replay hardening (the crash window between the artifact append and
+    * the ledger-mark create): a replayed batch finds a corpus that may
+    * ALREADY contain its own rows — pairing the batch against itself
+    * would emit spurious jaccard-1.0 self-pairs and overwrite the
+    * batch's real pair partition with them. The corpus read therefore
+    * ANTI-JOINS the batch's doc_ids out (batch-sized broadcast — no
+    * corpus shuffle; a no-op on the normal non-replay path, where the
+    * ids are disjoint by contract), restoring exactly the
+    * corpus-as-of-before-this-batch the semantics promise. The append
+    * itself goes through [[graft.operators.ShingleStore.appendOnce]]
+    * (per-table presence probe on the batch's ids), so the replay can
+    * never double-append the rows either. */
   def startDedupToStore(docs: DataFrame, path: String, pairsPath: String,
                         checkpoint: String, threshold: Double = 0.5,
                         trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
@@ -93,13 +107,16 @@ object ShingleStream {
         val mark = new org.apache.hadoop.fs.Path(ledgerDir, batchId.toString)
         if (!fs.exists(mark) && !batch.isEmpty) {
           if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles"))) {
+            val batchIds = batch.select("doc_id").distinct()
             graft.operators.Dedup.minhashPairsIncremental(
-                graft.operators.ShingleStore.read(spark, path).select("doc_id", "sh"),
+                graft.operators.ShingleStore.read(spark, path).select("doc_id", "sh")
+                  .join(broadcast(batchIds), Seq("doc_id"), "left_anti"),
                 batch, threshold,
-                corpusBands = Some(graft.operators.ShingleStore.readBands(spark, path)))
+                corpusBands = Some(graft.operators.ShingleStore.readBands(spark, path)
+                  .join(broadcast(batchIds), Seq("doc_id"), "left_anti")))
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$pairsPath/batch_id=$batchId")
-            graft.operators.ShingleStore.append(batch, path)
+            graft.operators.ShingleStore.appendOnce(batch, path)
           } else {
             graft.operators.ShingleStore.write(batch, path)
           }
@@ -119,7 +136,12 @@ object ShingleStream {
     * ([[graft.operators.ShingleStore.append]] reuses the stored value per
     * token), which is exactly the consistency the prefix order needs —
     * periodic `refreshDf` tightens candidate pruning but can never change
-    * results. First batch bootstraps the store and emits no pairs. */
+    * results. First batch bootstraps the store and emits no pairs.
+    * Same replay hardening as [[startDedupToStore]]: the corpus read
+    * anti-joins the batch's doc_ids (a replayed batch whose append
+    * already landed must not pair against its own copy), and the append
+    * is [[graft.operators.ShingleStore.appendOnce]] — a feature
+    * advertised as EXACT cannot emit spurious self-pairs on recovery. */
   def startExactDedupToStore(docs: DataFrame, path: String, pairsPath: String,
                              checkpoint: String, threshold: Double = 0.5,
                              trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
@@ -135,11 +157,14 @@ object ShingleStream {
         val mark = new org.apache.hadoop.fs.Path(ledgerDir, batchId.toString)
         if (!fs.exists(mark) && !batch.isEmpty) {
           if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles"))) {
+            val batchIds = batch.select("doc_id").distinct()
             graft.operators.SetJoin.similarPairsIncremental(
-                graft.operators.ShingleStore.read(spark, path), batch, threshold)
+                graft.operators.ShingleStore.read(spark, path)
+                  .join(broadcast(batchIds), Seq("doc_id"), "left_anti"),
+                batch, threshold)
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$pairsPath/batch_id=$batchId")
-            graft.operators.ShingleStore.append(batch, path)
+            graft.operators.ShingleStore.appendOnce(batch, path)
           } else {
             graft.operators.ShingleStore.write(batch, path)
           }

@@ -438,4 +438,91 @@ class ShingleStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("appendOnce: replay never double-appends; a half-landed append (shingles only) is completed") {
+    val root = java.nio.file.Files.createTempDirectory("shonce").toString
+    try {
+      writeDocs(s"$root/docs", fixture)
+      ShingleStore.write(spark.read.parquet(s"$root/docs"), s"$root/art")
+      val batchDf = batch.toDF("doc_id", "text")
+      ShingleStore.appendOnce(batchDf, s"$root/art")
+      val rows1 = ShingleStore.read(spark, s"$root/art").count()
+      val bands1 = ShingleStore.readBands(spark, s"$root/art").count()
+      // at-least-once replay: the batch runs again after its append landed
+      ShingleStore.appendOnce(batchDf, s"$root/art")
+      assert(ShingleStore.read(spark, s"$root/art").count() === rows1,
+        "replayed appendOnce must not duplicate shingle rows")
+      assert(ShingleStore.readBands(spark, s"$root/art").count() === bands1,
+        "replayed appendOnce must not duplicate band rows")
+      // crash between the two parquet jobs: shingles landed, bands did not
+      val wave2 = Seq((21L, "crashed mid append wave two document text")).toDF("doc_id", "text")
+      val toks = Dedup.shingles(wave2)
+      toks.withColumn("df", lit(1L)).select("doc_id", "sh", "df")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$root/art/shingles")
+      ShingleStore.appendOnce(wave2, s"$root/art")
+      assert(ShingleStore.read(spark, s"$root/art")
+        .filter(col("doc_id") === 21L).count() === toks.count(),
+        "shingles must not be re-appended when already landed")
+      assert(ShingleStore.readBands(spark, s"$root/art")
+        .filter(col("doc_id") === 21L).count() > 0,
+        "the missing band rows must be appended on replay")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("replayed dedup-on-arrival: corpus anti-join yields the pre-append pairs, no self-pairs") {
+    // Simulates the crash window between ShingleStore.append and the
+    // ledger-mark create: the store ALREADY contains the batch when the
+    // probe re-runs. The sinks' corpus read anti-joins the batch's ids,
+    // so the recomputed pairs must equal the pre-append reference — in
+    // particular no (x, x) jaccard-1.0 self-pairs and no batch-vs-
+    // batch-copy pairs.
+    val root = java.nio.file.Files.createTempDirectory("shreplay").toString
+    try {
+      writeDocs(s"$root/docs", fixture)
+      ShingleStore.write(spark.read.parquet(s"$root/docs"), s"$root/art")
+      val batchDf = batch.toDF("doc_id", "text")
+      val expectExact = SetJoin.similarPairsIncremental(
+        ShingleStore.read(spark, s"$root/art"), batchDf).collect().toSeq
+      val expectMinhash = Dedup.minhashPairsIncremental(
+        ShingleStore.read(spark, s"$root/art").select("doc_id", "sh"), batchDf,
+        corpusBands = Some(ShingleStore.readBands(spark, s"$root/art"))).collect().toSeq
+      ShingleStore.appendOnce(batchDf, s"$root/art") // the landed append
+      val batchIds = batchDf.select("doc_id").distinct()
+      val replayExact = SetJoin.similarPairsIncremental(
+        ShingleStore.read(spark, s"$root/art")
+          .join(broadcast(batchIds), Seq("doc_id"), "left_anti"),
+        batchDf).collect().toSeq
+      assert(replayExact === expectExact,
+        "exact replay pairs must equal the pre-append run")
+      val replayMinhash = Dedup.minhashPairsIncremental(
+        ShingleStore.read(spark, s"$root/art").select("doc_id", "sh")
+          .join(broadcast(batchIds), Seq("doc_id"), "left_anti"),
+        batchDf,
+        corpusBands = Some(ShingleStore.readBands(spark, s"$root/art")
+          .join(broadcast(batchIds), Seq("doc_id"), "left_anti"))).collect().toSeq
+      assert(replayMinhash === expectMinhash,
+        "minhash replay pairs must equal the pre-append run")
+      assert(!replayExact.exists(r => r.getLong(0) == r.getLong(1)),
+        "no self-pairs on replay")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("vacuumBucketed matches the exact generated shape — an extending logical name survives") {
+    val root = java.nio.file.Files.createTempDirectory("shvac").toString
+    try {
+      writeDocs(s"$root/docs", fixture)
+      val docs = spark.read.parquet(s"$root/docs")
+      val short = ShingleStore.ensureBucketed(docs, "shstore_spec_vac", buckets = 4)
+      val long = ShingleStore.ensureBucketed(docs, "shstore_spec_vac_sub", buckets = 4)
+      try {
+        // vacuuming the SHORT logical name with keep=empty must reap its
+        // own generations only — never 'shstore_spec_vac_sub_*'
+        ShingleStore.vacuumBucketed(spark, "shstore_spec_vac", keep = Set.empty)
+        assert(!spark.catalog.tableExists(short), "own generation reaped")
+        assert(spark.catalog.tableExists(long),
+          "a logical name extending the vacuumed one must survive")
+        assert(spark.table(long).count() > 0, "surviving table still readable")
+      } finally ShingleStore.vacuumBucketed(spark, "shstore_spec_vac_sub", keep = Set.empty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
 }
