@@ -66,12 +66,12 @@ object SetJoin {
     * row per pair — followed by an exact string re-check of accepted
     * pairs only (see [[similarPairsFromShingles]]). */
   def similarPairs(docs: DataFrame, threshold: Double = 0.5,
-                   wideFingerprint: Boolean = false): DataFrame = {
+                   auditCollisions: Boolean = false): DataFrame = {
     // Persisted so the df aggregate and the stamp join read ONE
     // tokenization of the corpus (bounded registry — no cache leak).
     val toks = CacheRegistry.persistBounded(Dedup.shingles(docs))
     val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-    similarPairsFromShingles(toks.join(dfreq, Seq("sh")), threshold, wideFingerprint)
+    similarPairsFromShingles(toks.join(dfreq, Seq("sh")), threshold, auditCollisions)
   }
 
   /** The join itself, over pre-stamped (doc_id, sh, df) rows — shared by
@@ -91,44 +91,82 @@ object SetJoin {
     * Exactness: the OUTPUT VALUES are always exact — accepted pairs are
     * re-verified on the true shingle STRINGS (O(result) docs, not
     * O(candidates)), so no result value ever depends on a fingerprint.
-    * Completeness of the fingerprint pass is PROBABILISTIC in 64-bit
-    * mode, not unconditional: absent any cross-string fingerprint
-    * collision in the corpus, h ↔ shingle is a bijection and the pass is
-    * the exact pipeline verbatim — but a collision between two tokens
-    * COMMON to a pair can LOWER its fingerprint Jaccard (A={s1,s2,x},
-    * B={s1,s2,y} with h(s1)=h(s2): string-J 1/2, fingerprint-J 1/3), and
-    * a collision can likewise perturb the (df, h) prefix order, either
-    * of which can drop a qualifying near-threshold pair BEFORE the exact
-    * re-check sees it. The loss is bounded by the corpus-wide birthday
-    * term |V|²/2⁶⁵ ≈ 4e-7 at the measured 2.7M-token vocabulary (and a
+    * Completeness of the fingerprint pass is PROBABILISTIC by default,
+    * not unconditional: absent any cross-string fingerprint collision in
+    * the corpus, h ↔ shingle is a bijection and the pass is the exact
+    * pipeline verbatim — but a collision between two tokens COMMON to a
+    * pair can LOWER its fingerprint Jaccard (A={s1,s2,x}, B={s1,s2,y}
+    * with h(s1)=h(s2): string-J 1/2, fingerprint-J 1/3), and a collision
+    * can likewise perturb the (df, h) prefix order, either of which can
+    * drop a qualifying near-threshold pair BEFORE the exact re-check
+    * sees it. The loss is bounded by the corpus-wide birthday term
+    * |V|²/2⁶⁵ ≈ 4e-7 at the measured 2.7M-token vocabulary (and a
     * collision only matters at all when the two colliding strings
-    * co-occur in one candidate neighborhood). A corpus whose vocabulary
-    * makes that bound uncomfortable sets `wideFingerprint = true` — the
-    * full 16-byte md5 as BINARY (collision-free for any physically
-    * storable vocabulary, bound ~1e-17 at 1e11 tokens, so completeness
-    * is unconditional there for practical purposes) — at a measured
-    * 2.3–3.2× over the 64-bit path (8.7 s sf0.1 / 29.9 s sf1, binary
-    * memcmp ordering; a struct of two xxhash64 seeds was 6–10× and
-    * rejected). Caveat from the decade-2 leg: at sf10 under the FIXED
-    * 8 GiB measurement heap the ~3× verify payload re-enters the spill
-    * regime (399 s, exp ~1.1 — the same mechanism SetJoinProbe pinned
-    * for strings), so wide mode wants memory scaled with data, which a
-    * real cluster has and the single-JVM leg deliberately does not. The
-    * pipeline is otherwise identical, and the string re-check keeps
-    * outputs exact in BOTH modes. */
+    * co-occur in one candidate neighborhood).
+    *
+    * `auditCollisions = true` makes completeness UNCONDITIONAL — by
+    * DETECTION, not by wider payloads: one vocabulary-sized aggregate
+    * checks whether ANY two distinct shingles in THIS corpus share an
+    * xxhash64 fingerprint ([[fingerprintCollisions]]); if none do (the
+    * ~always case — expected once per ~2.5e12-token vocabulary), the
+    * 64-bit pass IS the exact pipeline and the result is certified
+    * complete at 64-bit cost; if a collision exists, the join re-runs
+    * carrying the SHINGLE STRINGS as their own fingerprints (the same
+    * pipeline, fp = identity — unconditionally exact, at the legacy
+    * string-payload cost, paid only in the 4e-7 world where it is
+    * actually needed).
+    *
+    * Why detection replaced the round-9 16-byte-BINARY mode (measured,
+    * sf10, fresh JVM, 8 GiB): the md5-BINARY pipeline read 399 s where
+    * 64-bit read 33 s, and the round-10 A/B isolated WHERE — the verify
+    * join alone was 395 s of it, and swapping its sort-merge join for a
+    * shuffled-hash join (no sort at all) only moved it to ~310 s, so the
+    * sort-spill theory was WRONG: the cost is the BINARY(16) element
+    * type itself (3× array payload, and generic byte[]-comparator paths
+    * through sort/join/array_intersect where longs ride specialized
+    * primitive comparators). An explicit payload-projected repartition
+    * of the verify exchanges was also built and measured: 4× SLOWER
+    * (user-specified partitioning freezes AQE's post-shuffle
+    * optimization of that join). Detection keeps the long-specialized
+    * pipeline for every real corpus and buys the same unconditional
+    * guarantee the wide payload bought. */
   def similarPairsFromShingles(toks: DataFrame,
                                threshold: Double = 0.5,
-                               wideFingerprint: Boolean = false): DataFrame = {
+                               auditCollisions: Boolean = false): DataFrame = {
     // Persisted: feeds the per-doc string sets AND (via fingerprints) the
-    // sort/prefix/verify pipeline.
+    // sort/prefix/verify pipeline (and the collision audit, in audit mode).
     val toksP = CacheRegistry.persistBounded(toks)
-    // Wide = the full 16-byte md5 as BINARY: one expression, bytewise
-    // ordering/equality. (A struct of two xxhash64 seeds was measured
-    // 6-10× slower end-to-end — struct elements de-specialize the
-    // sort/intersect comparators; binary stays a memcmp.)
-    val fp =
-      if (wideFingerprint) unhex(md5(col("sh")))
-      else xxhash64(col("sh"))
+    val fp = xxhash64(col("sh"))
+    if (auditCollisions && !fingerprintCollisions(toksP, fp).isEmpty)
+      // A real 64-bit collision in this corpus (expected ~never): fall
+      // back to strings-as-fingerprints — same pipeline, unconditionally
+      // exact, and the only world where the string payload is justified.
+      pipelineFp(toksP, threshold, col("sh"))
+    else
+      pipelineFp(toksP, threshold, fp)
+  }
+
+  /** The colliding fingerprint values of `toks`' vocabulary under `fp` —
+    * fingerprints carried by MORE THAN ONE distinct shingle string. One
+    * two-phase aggregate over the distinct vocabulary (map-side combined;
+    * |V| rows, the same scale as the df stamp the caller already paid).
+    * Empty ⟺ h ↔ shingle is a bijection on this corpus ⟺ the
+    * fingerprinted pass is the exact string pipeline verbatim. */
+  private[graft] def fingerprintCollisions(toks: DataFrame,
+                                           fp: org.apache.spark.sql.Column): DataFrame =
+    toks.select(col("sh")).distinct()
+      .select(fp.as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") > 1)
+
+  /** The prefix-filter + verify pipeline over a PLUGGABLE fingerprint
+    * column (xxhash64 longs on the fast path; the shingle string itself
+    * on the collision-fallback path; a deliberately truncated hash in
+    * the spec that forces the fallback). Exposed private[graft] so tests
+    * can exercise the collision world without needing a real xxhash64
+    * collision. */
+  private[graft] def pipelineFp(toksP: DataFrame, threshold: Double,
+                                fp: org.apache.spark.sql.Column): DataFrame = {
     val hashed = toksP.select(col("doc_id"), col("df"), fp.as("h"))
     // per-doc fingerprint list sorted by (df, fingerprint): rarest first.
     // Prefix filtering is complete under ANY consistent total token
@@ -175,6 +213,14 @@ object SetJoin {
     // 1e-12 slack mirrors the prefix bound's IEEE slack — the hash score
     // only needs to never reject a pair the exact comparison accepts;
     // borderline admits cost one exact re-check, never correctness.
+    // The verify joins ride the session's shuffle width under AQE —
+    // measured at sf10: AQE-planned SMJ 33 s vs an explicit
+    // payload-projected repartition 185 s (user repartitions freeze
+    // AQE's post-shuffle optimization) vs shuffled-hash 40 s. On a
+    // fixed-memory single JVM the replicated-array volume eventually
+    // re-enters sort spill at ~10× this scale; the lever for that is the
+    // shuffle-width/initialPartitionNum CONFIG (partitions scale with
+    // data on a real cluster), not an operator-frozen partitioning.
     val accepted = CacheRegistry.persistBounded(cand
       .join(sortedDocs.select(col("doc_id").as("id_a"),
         col("shs").as("shs_a"), col("n").as("n_a")), Seq("id_a"))

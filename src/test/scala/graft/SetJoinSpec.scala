@@ -36,12 +36,30 @@ class SetJoinSpec extends SparkSpec {
       val naive = brute(docs, t)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(fast === naive, s"threshold $t")
-      // 128-bit fingerprint mode: identical pipeline over a struct
-      // fingerprint — must reproduce the exact join verbatim.
-      val wide = SetJoin.similarPairs(docs, t, wideFingerprint = true)
+      // Collision-audited mode: the vocabulary audit certifies the
+      // 64-bit pass (no collisions here), so the result must reproduce
+      // the exact join verbatim at 64-bit cost.
+      val audited = SetJoin.similarPairs(docs, t, auditCollisions = true)
         .select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(wide === naive, s"wide fingerprint, threshold $t")
+      assert(audited === naive, s"collision-audited, threshold $t")
+      // The COLLISION WORLD, forced: a deliberately truncated fingerprint
+      // (6 bits over a multi-hundred-token vocabulary guarantees many
+      // cross-string collisions) run through the same pluggable pipeline
+      // the string fallback uses. The result must STILL equal the naive
+      // join — proving the fallback path (fp = the shingle string itself)
+      // is unconditionally exact, and that the audit would route to it.
+      val sh = Dedup.shingles(docs)
+      val stamped = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), Seq("sh"))
+      val truncFp = pmod(xxhash64(col("sh")), lit(64))
+      assert(!SetJoin.fingerprintCollisions(stamped, truncFp).isEmpty,
+        "the truncated fingerprint must actually collide on this corpus")
+      assert(SetJoin.fingerprintCollisions(stamped, xxhash64(col("sh"))).isEmpty,
+        "real xxhash64 must not collide on a test-sized vocabulary")
+      val viaStrings = SetJoin.pipelineFp(stamped, t, col("sh"))
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStrings === naive, s"string-fingerprint fallback, threshold $t")
     }
     val at06 = SetJoin.similarPairs(docs, 0.6).select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
