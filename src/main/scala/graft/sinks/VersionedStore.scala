@@ -61,6 +61,21 @@ object VersionedStore {
     extends RuntimeException(
       s"version $version of $root was committed by a concurrent writer; aborting")
 
+  /** Inclusive column-range predicate for manifest-stats data skipping
+    * ([[readAt]]/[[read]]/[[readChanges]]): bounds are given in the same
+    * external string form the stats record (a date as `2024-01-05`, a
+    * long as digits); `None` = unbounded on that side. A data dir is
+    * SKIPPED when its recorded [min, max] for `column` cannot overlap
+    * [lo, hi]; dirs with no stats for the column are always kept —
+    * skipping is an optimization, never a filter. */
+  final case class ColRange(column: String,
+                            lo: Option[String], hi: Option[String])
+  object ColRange {
+    /** Point predicate: column == value. */
+    def eq(column: String, value: String): ColRange =
+      ColRange(column, Some(value), Some(value))
+  }
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -80,18 +95,34 @@ object VersionedStore {
   /** The current committed snapshot as a DataFrame; empty-schema-less
     * reads are the caller's concern — returns None when nothing has ever
     * been committed. Readers resolve the data directory through the
-    * manifest, so a half-written `prepare` directory is invisible. */
-  def read(spark: SparkSession, root: String): Option[DataFrame] = {
+    * manifest, so a half-written `prepare` directory is invisible.
+    * `skip` prunes data dirs through the manifest's column stats BEFORE
+    * any file listing — see [[readAt]]. */
+  def read(spark: SparkSession, root: String,
+           skip: Seq[ColRange] = Seq.empty): Option[DataFrame] = {
     val v = currentVersion(spark, root)
     if (v == 0) None
-    else Some(readDirs(spark, root, dataDirsOf(fs(spark, root), root, v)))
+    else Some(readDirs(spark, root, prunedDirs(spark, root, v, skip),
+      allDirs = dataDirsOf(fs(spark, root), root, v)))
   }
 
   /** Union the referenced data dirs — each dir runs its OWN partition
     * discovery (a multi-path read would see the day= trees under
-    * different `data-<uuid>` roots as conflicting structures). */
-  private def readDirs(spark: SparkSession, root: String, dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$root/$d")).reduce(_ unionByName _)
+    * different `data-<uuid>` roots as conflicting structures).
+    * `allowMissingColumns`: commit-time schema enforcement (see
+    * [[commitAppend]]) guarantees dirs differ at most by ADDED columns
+    * (mergeSchema commits), whose missing side reads as NULL — exactly
+    * the Delta/Iceberg read semantics for evolved tables. An EMPTY dir
+    * list (a `skip` that pruned everything) still needs a schema, so it
+    * degrades to the full list filtered to zero rows — correctness never
+    * depends on pruning. */
+  private def readDirs(spark: SparkSession, root: String, dirs: Seq[String],
+                       allDirs: Seq[String] = Seq.empty): DataFrame = {
+    val use = if (dirs.nonEmpty) dirs else allDirs
+    val df = use.map(d => spark.read.parquet(s"$root/$d"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (dirs.nonEmpty) df else df.limit(0)
+  }
 
   /** Incremental consumption — the change-data-feed of an append-commit
     * table, for free from the manifest-list layout: the rows added
@@ -111,7 +142,8 @@ object VersionedStore {
     * a full read; row-level change tracking is a table-format concern).
     * Returns None when the range adds nothing. */
   def readChanges(spark: SparkSession, root: String, sinceVersion: Long,
-                  toVersion: Long = -1L): Option[DataFrame] = {
+                  toVersion: Long = -1L,
+                  skip: Seq[ColRange] = Seq.empty): Option[DataFrame] = {
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
     val to = if (toVersion < 0) cur else toVersion
@@ -137,7 +169,11 @@ object VersionedStore {
         s"versions $sinceVersion..$to of $root span a snapshot rewrite " +
           "(compaction); dir-level changes are undefined — read the full table")
     val added = after.filterNot(beforeSet)
-    if (added.isEmpty) None else Some(readDirs(spark, root, added))
+    if (added.isEmpty) None
+    else {
+      val kept = pruneWithStats(added, statsOf(f, root, to), skip)
+      Some(readDirs(spark, root, kept, allDirs = added))
+    }
   }
 
   /** Time travel: read the snapshot AS OF a specific committed version.
@@ -146,13 +182,61 @@ object VersionedStore {
     * byte-identically to the moment it committed — the Iceberg
     * `VERSION AS OF` read path, filesystem edition. Throws if the version
     * was never committed or has been expired. */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, root: String, version: Long,
+             skip: Seq[ColRange] = Seq.empty): DataFrame = {
     val f = fs(spark, root)
     require(version > 0, s"versions start at 1, got $version")
     if (!f.exists(manifestPath(root, version)))
       throw new IllegalArgumentException(
         s"version $version of $root does not exist (never committed, or expired)")
-    readDirs(spark, root, dataDirsOf(f, root, version))
+    readDirs(spark, root, prunedDirs(spark, root, version, skip),
+      allDirs = dataDirsOf(f, root, version))
+  }
+
+  /** The data dirs of `version` that SURVIVE manifest-stats pruning under
+    * `skip` — the data-skipping seam itself, exposed so callers (and the
+    * spec gate) can count what a predicated read will actually list. A
+    * long-appended store answers a point read by opening only the dirs
+    * whose [min, max] can hold the value: at 100 TB this is the
+    * difference between a point read and a full scan — the signature
+    * Delta/Iceberg file-skipping move, manifest edition (dir-granular:
+    * this store's add-unit is the commit's data dir). */
+  def prunedDirs(spark: SparkSession, root: String, version: Long,
+                 skip: Seq[ColRange]): Seq[String] = {
+    val f = fs(spark, root)
+    val all = dataDirsOf(f, root, version)
+    if (skip.isEmpty) all else pruneWithStats(all, statsOf(f, root, version), skip)
+  }
+
+  /** Keep the dirs whose recorded [min, max] can overlap EVERY requested
+    * range; a dir lacking stats for a range's column is always kept.
+    * Comparison is TYPED via the recorded stat type — never lexical on
+    * the string form (a lexical "9" > "10" would prune wrongly). */
+  private def pruneWithStats(dirs: Seq[String], stats: Map[String, String],
+                             skip: Seq[ColRange]): Seq[String] =
+    dirs.filter { d =>
+      skip.forall { r =>
+        (stats.get(s"$d|${r.column}|min"), stats.get(s"$d|${r.column}|max"),
+          stats.get(s"$d|${r.column}|typ")) match {
+          case (Some(mn), Some(mx), Some(typ)) =>
+            r.hi.forall(hi => statLe(typ, mn, hi)) &&
+              r.lo.forall(lo => statLe(typ, lo, mx))
+          case _ => true // no stats for this column in this dir: keep
+        }
+      }
+    }
+
+  /** Typed a <= b over the external string forms the stats record. */
+  private def statLe(typ: String, a: String, b: String): Boolean = typ match {
+    case "byte" | "short" | "integer" | "long" => a.toLong <= b.toLong
+    case "float" | "double"                    => a.toDouble <= b.toDouble
+    case "decimal"                             => BigDecimal(a) <= BigDecimal(b)
+    case "date"                                =>
+      java.time.LocalDate.parse(a).compareTo(java.time.LocalDate.parse(b)) <= 0
+    // timestamps serialize as "yyyy-MM-dd HH:mm:ss[.SSSSSS]" — zero-padded
+    // fixed-width fields, so lexicographic order IS chronological order
+    // (strings too, by definition).
+    case _ => a <= b
   }
 
   /** All live (non-expired) versions, ascending, with their data dir —
@@ -206,13 +290,21 @@ object VersionedStore {
     * Returns the committed version. Throws [[CommitConflict]] if another
     * writer committed that version first. `meta` rides in the manifest —
     * the application-level transaction record (e.g. a streaming sink's
-    * batch id) that makes replays detectable. */
+    * batch id) that makes replays detectable. `statsCols` requests
+    * per-data-dir min/max stats for those columns in the manifest — the
+    * data-skipping index [[readAt]]'s `skip` predicate prunes through;
+    * computed by ONE aggregate over the freshly written dir (O(batch),
+    * reading back local parquet, so the stats describe the committed
+    * bytes, not the input plan). */
   def commit(df: DataFrame, root: String,
-             meta: Map[String, String] = Map.empty): Long = {
+             meta: Map[String, String] = Map.empty,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, root) + 1
     val dir = prepare(df, root)
-    publish(spark, root, next, dir, meta = meta)
+    publish(spark, root, next, dir, meta = meta,
+      schemaDdl = Some(writtenSchema(spark, root, dir, df).toDDL),
+      stats = statsFor(spark, root, dir, statsCols))
     next
   }
 
@@ -223,10 +315,28 @@ object VersionedStore {
     * nothing existing is rewritten, read() unions the referenced dirs.
     * Concurrency control is unchanged — the manifest create arbitrates,
     * and a loser whose base-dir list went stale aborts wholesale, so a
-    * racing append can never drop the winner's files. */
+    * racing append can never drop the winner's files.
+    *
+    * Schema policy (explicit, enforced AT COMMIT — never a read-time
+    * surprise): the batch's schema must equal the store's recorded
+    * schema (names+types, order- and nullability-insensitive) or the
+    * commit throws. `mergeSchema = true` opts into ADDITIVE evolution:
+    * new columns append to the recorded schema (older dirs read them as
+    * NULL — [[readDirs]]), the merge is recorded in the manifest
+    * (`schema` + meta key `mergeSchema`), and a TYPE CONFLICT on a
+    * shared column still fails loudly at commit — no flag makes two
+    * types silently coexist. Stores written before schema recording
+    * (no `schema` in the base manifest) skip the check and start
+    * recording from this commit.
+    *
+    * `statsCols` as in [[commit]]; earlier dirs' stats carry forward in
+    * the manifest, so the latest manifest alone answers any skip query. */
   def commitAppend(df: DataFrame, root: String,
-                   meta: Map[String, String] = Map.empty): Long =
-    commitAppendAt(df, root, currentVersion(df.sparkSession, root), meta)
+                   meta: Map[String, String] = Map.empty,
+                   statsCols: Seq[String] = Seq.empty,
+                   mergeSchema: Boolean = false): Long =
+    commitAppendAt(df, root, currentVersion(df.sparkSession, root), meta,
+      statsCols, mergeSchema)
 
   /** [[commitAppend]] PINNED at an expected base version — the
     * optimistic-concurrency edition for callers whose `meta` (or any other
@@ -239,14 +349,76 @@ object VersionedStore {
     * This is the compare-and-swap every read-modify-write on the store
     * (ledger merges, compaction) must use. */
   def commitAppendAt(df: DataFrame, root: String, baseVersion: Long,
-                     meta: Map[String, String] = Map.empty): Long = {
+                     meta: Map[String, String] = Map.empty,
+                     statsCols: Seq[String] = Seq.empty,
+                     mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
+    val f = fs(spark, root)
     val base =
       if (baseVersion == 0) Seq.empty[String]
-      else dataDirsOf(fs(spark, root), root, baseVersion)
+      else dataDirsOf(f, root, baseVersion)
+    val baseSchema =
+      if (baseVersion == 0) None else schemaOf(f, root, baseVersion)
+    val baseStats = if (baseVersion == 0) Map.empty[String, String]
+                    else statsOf(f, root, baseVersion)
     val dir = prepare(df, root)
-    publish(spark, root, baseVersion + 1, dir, baseDirs = base, meta = meta)
+    // Enforce against the WRITTEN dir's read-back schema, not the input
+    // plan's: the day-partition encoding round-trips a string day as an
+    // inferred DATE, and a policy comparing pre-write schemas would
+    // reject every append after a compaction (whose input IS a read).
+    // The written schema is also what readers union, so it is the one
+    // whose drift actually matters. A rejected append deletes its
+    // prepared dir — same cleanup as a lost commit race.
+    val merged =
+      try mergedSchemaDdl(baseSchema, writtenSchema(spark, root, dir, df), mergeSchema, root)
+      catch { case e: Throwable =>
+        f.delete(new Path(s"$root/$dir"), true); throw e }
+    publish(spark, root, baseVersion + 1, dir, baseDirs = base,
+      meta = if (mergeSchema) meta + ("mergeSchema" -> "true") else meta,
+      schemaDdl = Some(merged),
+      stats = baseStats ++ statsFor(spark, root, dir, statsCols))
     baseVersion + 1
+  }
+
+  /** The schema readers will actually see for a freshly prepared dir —
+    * its read-back schema (partition-encoded columns come back with
+    * their INFERRED types). Falls back to the input plan's schema when
+    * the dir has nothing to infer from (an empty partitioned write). */
+  private def writtenSchema(spark: SparkSession, root: String, dir: String,
+                            df: DataFrame): org.apache.spark.sql.types.StructType =
+    try spark.read.parquet(s"$root/$dir").schema
+    catch { case _: org.apache.spark.sql.AnalysisException => df.schema }
+
+  /** Enforce the append schema policy; returns the DDL to record. */
+  private def mergedSchemaDdl(baseDdl: Option[String],
+                              newSchema: org.apache.spark.sql.types.StructType,
+                              mergeSchema: Boolean, root: String): String = {
+    import org.apache.spark.sql.types.StructType
+    baseDdl match {
+      case None => newSchema.toDDL // legacy store or first commit: adopt
+      case Some(ddl) =>
+        val base = StructType.fromDDL(ddl)
+        val baseTypes = base.map(f => f.name -> f.dataType).toMap
+        val dfTypes = newSchema.map(f => f.name -> f.dataType).toMap
+        val conflicts = dfTypes.collect {
+          case (n, t) if baseTypes.get(n).exists(_ != t) =>
+            s"$n: ${baseTypes(n).simpleString} -> ${t.simpleString}"
+        }
+        if (conflicts.nonEmpty)
+          throw new IllegalArgumentException(
+            s"append to $root changes column TYPES (${conflicts.mkString("; ")}); " +
+              "rewrite via a full-snapshot commit instead — no flag merges types")
+        val added = newSchema.filterNot(f => baseTypes.contains(f.name))
+        val dropped = baseTypes.keySet.diff(dfTypes.keySet)
+        if (added.isEmpty && dropped.isEmpty) ddl
+        else if (!mergeSchema)
+          throw new IllegalArgumentException(
+            s"append to $root drifts from the recorded schema " +
+              s"(added: ${added.map(_.name).mkString(",")}; " +
+              s"missing: ${dropped.mkString(",")}); " +
+              "pass mergeSchema = true to evolve additively")
+        else StructType(base.fields ++ added).toDDL
+    }
   }
 
   /** Full-snapshot [[commit]] PINNED at an expected base version — same
@@ -257,10 +429,45 @@ object VersionedStore {
     * `baseVersion`, and an interleaved micro-batch between read and
     * publish must abort the compaction, never vanish from the table. */
   def commitAt(df: DataFrame, root: String, baseVersion: Long,
-               meta: Map[String, String] = Map.empty): Long = {
+               meta: Map[String, String] = Map.empty,
+               statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
     val dir = prepare(df, root)
-    publish(df.sparkSession, root, baseVersion + 1, dir, meta = meta)
+    publish(spark, root, baseVersion + 1, dir, meta = meta,
+      schemaDdl = Some(writtenSchema(spark, root, dir, df).toDDL),
+      stats = statsFor(spark, root, dir, statsCols))
     baseVersion + 1
+  }
+
+  /** Per-dir min/max stats for `cols` over the freshly written `dir`,
+    * flat-keyed `<dir>|<col>|{min,max,typ}` (flat so the regex manifest
+    * parser stays sound — values escape braces, keys carry no nesting).
+    * One aggregate job over the new dir: O(batch), never O(table). */
+  private def statsFor(spark: SparkSession, root: String, dir: String,
+                       cols: Seq[String]): Map[String, String] = {
+    if (cols.isEmpty) return Map.empty
+    require(cols.forall(c => !c.contains("|")),
+      s"stats column names must not contain '|': ${cols.mkString(",")}")
+    val df = spark.read.parquet(s"$root/$dir")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"statsCols not in the committed schema: ${missing.mkString(",")}")
+    import org.apache.spark.sql.functions.{col => c, min, max}
+    val aggs = cols.flatMap(n =>
+      Seq(min(c(n)).cast("string").as(s"mn_$n"), max(c(n)).cast("string").as(s"mx_$n")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val types = df.schema.map(f => f.name -> f.dataType.typeName).toMap
+    cols.zipWithIndex.flatMap { case (n, i) =>
+      // An all-NULL (or empty) batch yields NULL min/max: record nothing
+      // for the column — the dir is then always kept, never mis-pruned.
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) Seq.empty
+      else Seq(
+        s"$dir|$n|min" -> row.getString(2 * i),
+        s"$dir|$n|max" -> row.getString(2 * i + 1),
+        // decimal(p,s).typeName carries precision; key pruning off the
+        // family so statLe matches ("decimal(10,2)" -> "decimal").
+        s"$dir|$n|typ" -> types(n).takeWhile(_ != '('))
+    }.toMap
   }
 
   /** Step 1: write the snapshot to a fresh uniquely-named data dir.
@@ -284,7 +491,9 @@ object VersionedStore {
   private[graft] def publish(
       spark: SparkSession, root: String, version: Long, dataDir: String,
       baseDirs: Seq[String] = Seq.empty,
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None,
+      stats: Map[String, String] = Map.empty): Unit = {
     val f = fs(spark, root)
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
@@ -304,10 +513,15 @@ object VersionedStore {
         case c => c.toString
       } + "\""
     val dirs = baseDirs :+ dataDir
+    // schema + stats ride the same escaped-string discipline as meta
+    // (flat stats keys — no nested braces, so each object is still
+    // bounded by [^}]* for the regex parser).
+    val schemaField = schemaDdl.map(d => s""" "schema": ${js(d)},\n""").getOrElse("")
     val body =
       s"""{"version": $version, "dataDir": "$dataDir",
          | "dataDirs": [${dirs.map(js).mkString(", ")}],
          | "meta": {${meta.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
+         |$schemaField "stats": {${stats.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
     val out =
       try f.create(manifest, /* overwrite = */ false)
@@ -335,16 +549,34 @@ object VersionedStore {
   def metaAt(spark: SparkSession, root: String, version: Long): Map[String, String] =
     if (version == 0) Map.empty else metaOf(fs(spark, root), root, version)
 
-  private def metaOf(f: FileSystem, root: String, v: Long): Map[String, String] = {
-    val body = manifestBody(f, root, v)
-    """"meta":\s*\{([^}]*)\}""".r.findFirstMatchIn(body) match {
-      case None => Map.empty
+  private def metaOf(f: FileSystem, root: String, v: Long): Map[String, String] =
+    flatObjectOf(manifestBody(f, root, v), "meta")
+
+  /** The flat stats map of a version's manifest (empty for pre-stats
+    * manifests) — keys `<dir>|<col>|{min,max,typ}`, see [[commit]]. */
+  private def statsOf(f: FileSystem, root: String, v: Long): Map[String, String] =
+    flatObjectOf(manifestBody(f, root, v), "stats")
+
+  /** The recorded table schema (DDL) of a version, when the manifest
+    * carries one — absent for stores written before schema recording. */
+  private[graft] def schemaOf(f: FileSystem, root: String, v: Long): Option[String] =
+    """"schema":\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(manifestBody(f, root, v)).map(m => unescape(m.group(1)))
+
+  /** The recorded schema DDL of `version` (None when the manifest
+    * predates schema recording) — the public read of the commit-time
+    * schema policy's state. */
+  def schemaAt(spark: SparkSession, root: String, version: Long): Option[String] =
+    schemaOf(fs(spark, root), root, version)
+
+  private def flatObjectOf(body: String, field: String): Map[String, String] =
+    (("\"" + field + """":\s*\{([^}]*)\}""").r.findFirstMatchIn(body) match {
+      case None => Map.empty[String, String]
       case Some(m) =>
         """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
           .findAllMatchIn(m.group(1))
           .map(g => unescape(g.group(1)) -> unescape(g.group(2))).toMap
-    }
-  }
+    })
 
   private def unescape(s: String): String =
     """\\(u[0-9a-fA-F]{4}|.)""".r.replaceAllIn(s, m => {

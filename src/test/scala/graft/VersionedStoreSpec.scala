@@ -376,4 +376,104 @@ class VersionedStoreSpec extends SparkSpec {
     assert(streamed === batch,
       "streamed-on-arrival scores must be bit-identical to batch scoring")
   }
+
+  test("data skipping: a date-point read over a 50-append store opens only the matching dirs") {
+    val root = tmp()
+    // 50 appends, one per day (2024-01-01 .. 2024-02-19), each with
+    // manifest min/max stats on day and user_id.
+    val realDays = (0 until 50).map(i => java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)
+    realDays.zipWithIndex.foreach { case (d, i) =>
+      VersionedStore.commitAppend(
+        Seq((d, i.toLong, i * 1.0)).toDF("day", "user_id", "value")
+          .withColumn("day", col("day").cast("date")),
+        root, statsCols = Seq("day", "user_id"))
+    }
+    assert(VersionedStore.currentVersion(spark, root) === 50L)
+    val probe = Seq(VersionedStore.ColRange.eq("day", "2024-01-31"))
+    val kept = VersionedStore.prunedDirs(spark, root, 50L, probe)
+    assert(kept.size === 1,
+      s"a date-point read must open exactly the matching dir, opened ${kept.size}")
+    // the pruned read equals the full read filtered — pruning is never a filter
+    val pruned = VersionedStore.readAt(spark, root, 50L, probe)
+      .filter(col("day") === "2024-01-31").collect().map(_.toSeq).toSeq
+    val full = VersionedStore.readAt(spark, root, 50L)
+      .filter(col("day") === "2024-01-31").collect().map(_.toSeq).toSeq
+    assert(pruned === full && full.nonEmpty)
+    // range predicate over a second typed column (long)
+    val longRange = Seq(VersionedStore.ColRange("user_id", Some("10"), Some("19")))
+    assert(VersionedStore.prunedDirs(spark, root, 50L, longRange).size === 10,
+      "typed long comparison (never lexical: '9' < '10' must hold)")
+    // conjunction of predicates intersects
+    val both = VersionedStore.prunedDirs(spark, root, 50L,
+      probe ++ Seq(VersionedStore.ColRange("user_id", Some("0"), Some("40"))))
+    assert(both.size === 1)
+    // a predicate that excludes everything: the read stays schema-correct
+    val none = VersionedStore.readAt(spark, root, 50L,
+      Seq(VersionedStore.ColRange.eq("day", "2030-01-01")))
+    assert(none.count() === 0 && none.columns.toSeq === Seq("user_id", "value", "day"))
+    // change feed prunes too
+    val changed = VersionedStore.readChanges(spark, root, 40L, skip = probe)
+    assert(changed.isDefined && changed.get.count() === 0,
+      "versions 41..50 hold no 2024-01-31 rows; stats must prove it without scanning")
+  }
+
+  test("dirs without stats are always kept; stats carry forward across later appends") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root) // no statsCols
+    VersionedStore.commitAppend(snap("2024-01-02", 2L -> 2.0), root,
+      statsCols = Seq("day"))
+    VersionedStore.commitAppend(snap("2024-01-03", 3L -> 3.0), root,
+      statsCols = Seq("day"))
+    val kept = VersionedStore.prunedDirs(spark, root, 3L,
+      Seq(VersionedStore.ColRange.eq("day", "2024-01-03")))
+    // dir 1 has no stats (kept defensively), dir 2 is proven out, dir 3 matches
+    assert(kept.size === 2, s"expected unstated dir + matching dir, got ${kept.size}")
+    val rows = VersionedStore.readAt(spark, root, 3L,
+        Seq(VersionedStore.ColRange.eq("day", "2024-01-03")))
+      .filter(col("day") === "2024-01-03").collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("user_id") === 3L)
+  }
+
+  test("schema drift: append with a new column is rejected by default, evolves with mergeSchema") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    val drifted = Seq(("2024-01-02", 2L, 2.0, "en"))
+      .toDF("day", "user_id", "value", "lang")
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.commitAppend(drifted, root)
+    }
+    assert(e.getMessage.contains("lang"), s"error must name the drifting column: ${e.getMessage}")
+    assert(VersionedStore.currentVersion(spark, root) === 1L,
+      "a rejected append must not commit")
+    // opt-in evolution: the added column reads as NULL for older dirs
+    VersionedStore.commitAppend(drifted, root, mergeSchema = true)
+    val rows = VersionedStore.read(spark, root).get.orderBy("user_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("lang")), "pre-evolution rows read NULL")
+    assert(rows(1).getAs[String]("lang") === "en")
+    assert(VersionedStore.schemaAt(spark, root, 2L).exists(_.contains("lang")),
+      "the merged schema must be recorded")
+    assert(VersionedStore.metaAt(spark, root, 2L).get("mergeSchema").contains("true"))
+    // a column going MISSING is also drift (rejected without the flag)...
+    val narrower = Seq(("2024-01-03", 3L)).toDF("day", "user_id")
+    intercept[IllegalArgumentException] { VersionedStore.commitAppend(narrower, root) }
+    // ...and tolerated additively with it (missing side reads NULL)
+    VersionedStore.commitAppend(narrower, root, mergeSchema = true)
+    assert(VersionedStore.read(spark, root).get.count() === 3)
+  }
+
+  test("schema evolution never merges TYPES: a type conflict fails at commit even with mergeSchema") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    val conflicted = Seq(("2024-01-02", "not-a-long", 2.0))
+      .toDF("day", "user_id", "value")
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.commitAppend(conflicted, root, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("user_id") && e.getMessage.toLowerCase.contains("type"),
+      s"must fail loudly at COMMIT, naming the conflicting column: ${e.getMessage}")
+    assert(VersionedStore.currentVersion(spark, root) === 1L)
+    // and the read path never saw it — no read-time union error possible
+    assert(VersionedStore.read(spark, root).get.count() === 1)
+  }
 }
