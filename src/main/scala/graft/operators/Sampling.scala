@@ -238,6 +238,29 @@ object Sampling {
       .orderBy(col("quality").desc, col("doc_id").asc)
   }
 
+  /** [[budgetSelect]] priced in REAL tokenizer tokens: the cumulative
+    * cut runs over byte-level-BPE counts ([[graft.functions
+    * .BpeTokenizer]], trained merge table from [[BpeStore]]) instead of
+    * whitespace words — the whitespace proxy mis-prices mixed-language
+    * and code corpora by 1.3-2×, which is exactly the error a
+    * fixed-compute "best N billion tokens" cut cannot afford. Same
+    * scale shape: per-row codegen'd counting, a doc_id equi-join to
+    * attach quality, and the distributed global running sum — nothing
+    * corpus-sized on one partition. */
+  def budgetSelectBpe(docs: DataFrame, ranks: graft.functions.BpeRanks,
+                      tokenBudget: Long = 20000): DataFrame = {
+    val scored = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("quality"))
+      .filter(col("quality").isNotNull)
+    val toks = docs.select(col("doc_id"),
+      graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("tokens"))
+    RankUtils.globalRunningSum(scored.join(toks, Seq("doc_id")),
+        Seq(col("quality").desc, col("doc_id").asc), col("tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select("doc_id", "tokens", "quality", "cum_tokens")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+  }
+
   /** DSIR-style data selection (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS 2023): sample `k` docs
     * from the raw pool with probability ∝ the importance ratio
