@@ -44,6 +44,8 @@ object ScaleBench {
     "dup_spans", "dup_profile", "corpus_excised", "corpus_excised_keepone",
     "corpus_clean", "contamination", "length_batches",
     "lm_perplexity",
+    // round-9 additions without a decade row until round 10:
+    "split_leakfree", "chunk_dedup_snapshots", "dsir_select",
     "q9_product_profit", "q21_waiting_suppliers")
 
   /** The incremental fixed-batch A/B legs (see [[incrementalAB]]);

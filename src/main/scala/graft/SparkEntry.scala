@@ -390,6 +390,31 @@ object SparkEntry {
     }),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextAnalysis.tokenCount(Tables.documents(s, dir))),
+    // REAL byte-level BPE token counting — a merge table trained on a
+    // bounded deterministic sample of this corpus (BpeStore artifact),
+    // applied per-row by the codegen'd greedy encoder. The oracle reads
+    // STORED GOLDEN counts computed by the independent rank-order-replay
+    // encoder over the full corpus (Verify substitutes the artifact
+    // path), so a hash match proves two implementations of the published
+    // algorithm agree doc-for-doc.
+    "token_count_bpe" -> ((s, dir) => {
+      val p = artifactPath("bpe", dir)
+      BpeStore.ensure(Tables.documents(s, dir), p)
+      val ranks = BpeStore.readRanks(s, p)
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // Token-budget selection re-priced in real BPE tokens — the budget
+    // cut a fixed-compute training run actually needs (whitespace words
+    // mis-price mixed-language/code text); shares budget_select's
+    // quality order, tokens from the trained tokenizer.
+    "budget_select_bpe" -> ((s, dir) => {
+      val p = artifactPath("bpe", dir)
+      BpeStore.ensure(Tables.documents(s, dir), p)
+      Sampling.budgetSelectBpe(Tables.documents(s, dir), BpeStore.readRanks(s, p))
+    }),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
@@ -490,11 +515,18 @@ object SparkEntry {
     // (complete candidates, no approximation), gated against the naive
     // all-token-pairs oracle: the pruning is proven answer-preserving.
     "setjoin_pairs" -> ((s, dir) => SetJoin.similarPairs(Tables.documents(s, dir))),
-    // 128-bit fingerprint edition (two xxhash64 seeds in a struct) — the
-    // 1e11-token-vocabulary configuration; identical results by
-    // construction, so it shares the exact join's oracle.
+    // COLLISION-AUDITED edition — unconditional completeness for the
+    // 1e11-token-vocabulary paranoia case: one vocabulary aggregate
+    // proves no two distinct shingles share an xxhash64 fingerprint in
+    // THIS corpus (then the 64-bit pass IS the exact pipeline), with a
+    // string-fingerprint fallback in the ~4e-7 world where one does.
+    // Replaces round 9's 16-byte-BINARY mode: measured at sf10, binary
+    // arrays cost 399 s against 33 s for longs (de-specialized binary
+    // comparators, 3× payload), while the audit costs one df-stamp-sized
+    // aggregate. Identical results by construction — shares the exact
+    // join's oracle.
     "setjoin_pairs_wide" -> ((s, dir) =>
-      SetJoin.similarPairs(Tables.documents(s, dir), wideFingerprint = true)),
+      SetJoin.similarPairs(Tables.documents(s, dir), auditCollisions = true)),
     // Same exact join over the stored shingle table: tokenization AND the
     // df stamp are parquet reads (the artifact's df column is the same
     // exact agg+join df the self-contained path computes per query).
@@ -778,6 +810,43 @@ object SparkEntry {
           round(abs(col("n_hll") - col("n_exact")).cast("double")
             / col("n_exact").cast("double"), 4).as("err_pct"))
     }),
+    // MANIFEST-STATS DATA SKIPPING over the versioned store — the
+    // Delta/Iceberg file-pruning seam: a 10-append day-ranged store of
+    // events answers a one-day read by OPENING ONLY the matching data
+    // dir (VersionedStore.readAt's skip predicate prunes through the
+    // per-dir min/max recorded at commit). The require() is a live gate:
+    // if pruning ever regresses to scanning every append, the query
+    // fails loudly rather than silently reading 10× the bytes. Results
+    // are oracle-checked against the flat events table — skipping is an
+    // access-path property, never a filter.
+    "versioned_skip_read" -> ((s, dir) => {
+      import graft.sinks.{ArtifactStore, VersionedStore}
+      val p = artifactPath("vstore_events", dir)
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      ArtifactStore.ensure(ev, p) { (src, tmp) =>
+        val d0 = java.time.LocalDate.of(2024, 1, 1)
+        (0 until 10).foreach { i =>
+          VersionedStore.commitAppend(
+            src.filter(col("day").between(
+              lit(d0.plusDays(i * 3L).toString).cast("date"),
+              lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+              .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+            tmp, statsCols = Seq("day"))
+        }
+      }
+      val probe = Seq(VersionedStore.ColRange.eq("day", "2024-01-15"))
+      val v = VersionedStore.currentVersion(s, p)
+      val opened = VersionedStore.prunedDirs(s, p, v, probe)
+      require(opened.size == 1,
+        s"data skipping must open exactly the 2024-01-13..15 dir, opened ${opened.size}")
+      VersionedStore.readAt(s, p, v, probe)
+        .filter(col("day") === lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"))
+        .orderBy("event_type")
+    }),
     // Morton/Z-order layout key over (user, day) — the multi-dim
     // data-layout lever (sort by this before writing → row-group min/max
     // pruning works for BOTH dimensions). The fused shift-mask codegen is
@@ -903,6 +972,13 @@ object SparkEntry {
     * addressed per corpus dir like the lexical index's path. */
   private def shingleStorePath(dir: String): String = artifactPath("shingles", dir)
 
+  /** Golden-expectation location for the BPE oracles — Verify replaces
+    * the `__GRAFT_BPE_GOLDEN__` token in [[oracleSql]] with this when
+    * dumping oracle_sql.json (the stored-expectation oracle pattern:
+    * DuckDB reads counts the INDEPENDENT replay encoder wrote). */
+  def bpeGoldenDir(dir: String): String =
+    BpeStore.goldenDir(artifactPath("bpe", dir))
+
   /** Catalog name of the BUCKETED shingle table for a testdata sf dir
     * (same content-addressing, but a table identifier — bucket metadata
     * lives in the catalog, not the parquet footers). */
@@ -942,6 +1018,7 @@ object SparkEntry {
     LmStore.ensure(
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
       artifactPath("lmmodel", dir))
+    BpeStore.ensure(Tables.documents(s, dir), artifactPath("bpe", dir))
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -1724,6 +1801,36 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS tokens_bpe,
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Golden-expectation oracles: __GRAFT_BPE_GOLDEN__ is substituted by
+    // Verify with the BPE artifact's golden dir for ITS sf dir — the
+    // stored counts come from the independent replay encoder (BpeStore),
+    // so DuckDB compares the query's greedy encoder against a second
+    // implementation of the same published algorithm.
+    "token_count_bpe" ->
+      """SELECT g.doc_id, g.n_tokens, CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM read_parquet('__GRAFT_BPE_GOLDEN__/*.parquet') g
+        |JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "budget_select_bpe" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        | s AS (SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(len(w) AS BIGINT) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |   CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_cnt
+        | FROM t),
+        | q0 AS (SELECT doc_id,
+        |   (stop_cnt / n_words) * 0.5 + least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.3
+        |     + (1.0 - punct_cnt / n_chars) * 0.2 AS quality
+        | FROM s),
+        | q AS (SELECT q0.doc_id, g.n_tokens AS tokens, quality
+        |   FROM q0 JOIN read_parquet('__GRAFT_BPE_GOLDEN__/*.parquet') g USING (doc_id)
+        |   WHERE quality IS NOT NULL),
+        | r AS (SELECT doc_id, tokens, quality,
+        |   sum(tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens FROM q)
+        |SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, quality,
+        | CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 20000 ORDER BY quality DESC, doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents)
         |SELECT doc_id,
@@ -2048,6 +2155,12 @@ object SparkEntry {
          |SELECT fin.day AS day, CAST(n_exact AS BIGINT) AS n_exact,
          | CAST(round(est) AS BIGINT) AS n_hll
          |FROM fin JOIN exd ON fin.day = exd.day ORDER BY day""".stripMargin,
+    "versioned_skip_read" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "zorder_events" ->
       """WITH e AS (SELECT event_id, user_id,
         |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num

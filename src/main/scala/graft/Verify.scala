@@ -43,6 +43,11 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+      // Stored-expectation oracles carry a path token resolved against
+      // THIS run's sf dir (the golden parquet is a per-corpus artifact;
+      // a static map can't know the dir).
+      .map { case (k, v) =>
+        (k, v.replace("__GRAFT_BPE_GOLDEN__", SparkEntry.bpeGoldenDir(sfDir))) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
