@@ -64,16 +64,22 @@ object VersionedStream {
   /** Start appending `rows` (an append-mode streaming frame) to the
     * versioned table at `root`, one transactional commit per non-empty
     * micro-batch. `writerId` must be unique per (store, checkpoint
-    * lineage) — see the class doc. */
+    * lineage) — see the class doc. `statsCols` records manifest min/max
+    * stats per batch's data dir (one O(batch) aggregate riding each
+    * commit), so the stream-MAINTAINED table is data-skippable the same
+    * way a batch-built one is ([[VersionedStore.readAt]]'s `skip`) —
+    * e.g. an event-time column makes later point reads open only the
+    * batches whose range can hold the value. */
   def startAppend(rows: DataFrame, root: String, checkpoint: String,
                   writerId: String = DefaultWriter,
-                  trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+                  trigger: Trigger = Trigger.ProcessingTime(0L),
+                  statsCols: Seq[String] = Seq.empty): StreamingQuery =
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, root, writerId)
+        commitBatch(batch, batchId, root, writerId, statsCols)
       }
       .start()
 
@@ -86,7 +92,8 @@ object VersionedStream {
     * commit surfaces as [[VersionedStore.CommitConflict]] and triggers a
     * re-read + retry, never a lost ledger entry. */
   private[graft] def commitBatch(batch: DataFrame, batchId: Long, root: String,
-                                 writerId: String = DefaultWriter): Unit = {
+                                 writerId: String = DefaultWriter,
+                                 statsCols: Seq[String] = Seq.empty): Unit = {
     val spark = batch.sparkSession
     // Ledger first: it's a metadata read, while isEmpty runs the batch's
     // whole pipeline — a replay of an already-committed batch must cost
@@ -99,7 +106,7 @@ object VersionedStream {
       if (batchId <= lastOf(meta, writerId)) return
       try {
         VersionedStore.commitAppendAt(batch, root, base,
-          meta + (ledgerKey(writerId) -> batchId.toString))
+          meta + (ledgerKey(writerId) -> batchId.toString), statsCols)
         committed = true
       } catch {
         case _: VersionedStore.CommitConflict => () // stale base: re-read, retry
