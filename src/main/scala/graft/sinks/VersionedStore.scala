@@ -439,6 +439,74 @@ object VersionedStore {
     baseVersion + 1
   }
 
+  /** OPTIMIZE — CLUSTER BY a layout key: rewrite the current snapshot
+    * into `buckets` key-range data dirs (quantile-bounded on
+    * `clusterKey`, each dir sorted by the key within its partitions) so
+    * the manifest's per-DIR min/max stats become a multi-dimensional
+    * skipping index. Pass a Z-order key
+    * ([[graft.functions.ZOrder.zorder_key]]) over two columns and a
+    * point read on EITHER column prunes to the few dirs whose
+    * interleaved range can hold it — the Delta `OPTIMIZE ZORDER BY`
+    * move, manifest-granular. `statsCols` are the ORIGINAL columns to
+    * record stats for (the dimensions, not the key).
+    *
+    * Scale shape: one pass to bound the key (approx quantiles, ε=0.001),
+    * one pass per bucket over the persisted keyed snapshot to write its
+    * slice — O(table) total work like any clustering rewrite, driver
+    * memory O(buckets). Slices are mutually exclusive and exhaustive by
+    * construction (half-open ranges over the same sorted distinct
+    * boundaries; NULL keys ride the first bucket), so the rewrite is
+    * row-exact — and the oracle gate on the registered query pins that.
+    * Empty slices (skewed keys collapsing quantiles) are skipped, never
+    * committed as schema-less dirs.
+    *
+    * Publishes at base+1 with the same CAS contract as [[commitAt]]: an
+    * interleaved commit wins, the rewrite aborts with [[CommitConflict]]
+    * and removes every prepared dir. Like compaction, a version range
+    * spanning an optimize has no dir-level change feed ([[readChanges]]
+    * throws; a [[graft.sources.VersionedCdc]] stream must re-baseline). */
+  def optimize(spark: SparkSession, root: String,
+               clusterKey: org.apache.spark.sql.Column, buckets: Int = 8,
+               statsCols: Seq[String] = Seq.empty,
+               meta: Map[String, String] = Map.empty): Long = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to optimize: $root has no committed version")
+    val kcol = "__graft_cluster_key"
+    val snapshot = readAt(spark, root, base)
+    val keyed = snapshot.withColumn(kcol, clusterKey.cast("double")).persist()
+    try {
+      val bounds: Array[Double] =
+        if (buckets == 1) Array.empty
+        else keyed.stat.approxQuantile(
+          kcol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+          .distinct.sorted
+      import org.apache.spark.sql.functions.{col => c, lit}
+      val preds: Seq[org.apache.spark.sql.Column] =
+        if (bounds.isEmpty) Seq(lit(true))
+        else {
+          val first = c(kcol).isNull || c(kcol) < lit(bounds.head)
+          val mids = bounds.toSeq.zip(bounds.tail).map { case (lo, hi) =>
+            c(kcol) >= lit(lo) && c(kcol) < lit(hi)
+          }
+          (first +: mids) :+ (c(kcol) >= lit(bounds.last))
+        }
+      val dirs = preds.flatMap { p =>
+        val slice = keyed.filter(p).sortWithinPartitions(c(kcol))
+          .select(snapshot.columns.map(c).toSeq: _*)
+        if (slice.isEmpty) None else Some(prepare(slice, root))
+      }
+      require(dirs.nonEmpty, s"optimize of $root produced no data dirs")
+      val schemaDdl = schemaOf(fs(spark, root), root, base)
+        .getOrElse(writtenSchema(spark, root, dirs.head, snapshot).toDDL)
+      val stats = dirs.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+      publish(spark, root, base + 1, dirs.last, baseDirs = Seq.empty,
+        meta = meta + ("optimize" -> s"cluster-by:${buckets}b"),
+        schemaDdl = Some(schemaDdl), stats = stats, extraNewDirs = dirs.init)
+      base + 1
+    } finally { keyed.unpersist(); () }
+  }
+
   /** Per-dir min/max stats for `cols` over the freshly written `dir`,
     * flat-keyed `<dir>|<col>|{min,max,typ}` (flat so the regex manifest
     * parser stays sound — values escape braces, keys carry no nesting).
@@ -487,20 +555,32 @@ object VersionedStore {
     * re-aimed (atomic rename; best-effort — a crash before it is healed
     * by reader roll-forward). `baseDirs` are the carried-over dirs of an
     * append commit (empty for a full snapshot); `files` lists only the
-    * NEW dir's files — earlier dirs were listed by their own manifests. */
+    * NEW dirs' files — earlier dirs were listed by their own manifests.
+    * `extraNewDirs` are ADDITIONAL fresh dirs of a multi-dir commit
+    * ([[optimize]] writes one per cluster bucket so each gets its own
+    * stats row); they ride before `dataDir` in the manifest's list and
+    * share its conflict cleanup. */
   private[graft] def publish(
       spark: SparkSession, root: String, version: Long, dataDir: String,
       baseDirs: Seq[String] = Seq.empty,
       meta: Map[String, String] = Map.empty,
       schemaDdl: Option[String] = None,
-      stats: Map[String, String] = Map.empty): Unit = {
+      stats: Map[String, String] = Map.empty,
+      extraNewDirs: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, root)
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
-    val files = f.listStatus(new Path(s"$root/$dataDir")).toSeq
-      .filter(_.isFile).map(_.getPath.getName).sorted ++
-      f.globStatus(new Path(s"$root/$dataDir/day=*/*")).toSeq
-        .filter(_.isFile).map(s => s"${s.getPath.getParent.getName}/${s.getPath.getName}").sorted
+    val files = (extraNewDirs :+ dataDir).flatMap { nd =>
+      f.listStatus(new Path(s"$root/$nd")).toSeq
+        .filter(_.isFile).map(s => if (extraNewDirs.isEmpty) s.getPath.getName
+                                   else s"$nd/${s.getPath.getName}").sorted ++
+        f.globStatus(new Path(s"$root/$nd/day=*/*")).toSeq
+          .filter(_.isFile)
+          .map { s =>
+            val rel = s"${s.getPath.getParent.getName}/${s.getPath.getName}"
+            if (extraNewDirs.isEmpty) rel else s"$nd/$rel"
+          }.sorted
+    }
     // Braces are escaped too (legal JSON \u escapes) so the regex-based
     // manifest parser can bound the meta object with [^}]* — a literal
     // '}' inside a value would otherwise truncate the parse and silently
@@ -512,7 +592,7 @@ object VersionedStore {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val dirs = baseDirs :+ dataDir
+    val dirs = baseDirs ++ extraNewDirs :+ dataDir
     // schema + stats ride the same escaped-string discipline as meta
     // (flat stats keys — no nested braces, so each object is still
     // bounded by [^}]* for the regex parser).
@@ -527,7 +607,7 @@ object VersionedStore {
       try f.create(manifest, /* overwrite = */ false)
       catch {
         case _: java.io.IOException =>
-          f.delete(new Path(s"$root/$dataDir"), true)
+          (extraNewDirs :+ dataDir).foreach(d => f.delete(new Path(s"$root/$d"), true))
           throw new CommitConflict(version, root)
       }
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()

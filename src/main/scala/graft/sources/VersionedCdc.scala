@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graft.StreamingFrame
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.VersionedStore
+
+/** STREAM FROM the versioned table — the read half of the Delta-style
+  * loop whose write half is [[graft.streaming.VersionedStream]]. A
+  * [[VersionedStore]] is already a change log (each append commit
+  * references exactly one new data dir), so exposing it as a Structured
+  * Streaming source costs only an offset mapping: **offset = committed
+  * store version**. Each micro-batch reads
+  * `readChanges(lastVersion, latestVersion)` — the rows of the data dirs
+  * added in that version range, never a rescan of the table — and the
+  * engine's checkpoint persists the version watermark, so a restarted
+  * stream resumes exactly after the last version it processed. This is
+  * how derived tables (indexes, aggregates, dedup state) follow a
+  * 100 TB base table at batch-proportional cost: the base table IS the
+  * queue, no second system.
+  *
+  * Mechanics (the V1 `Source` seam, same as Delta Lake's DeltaSource —
+  * `getBatch` returns a DataFrame, so the store's manifest resolution,
+  * schema-evolution union and stats plumbing are reused verbatim):
+  *   - `getOffset` = the store's current committed version (a manifest
+  *     pointer read — no data touched).
+  *   - `getBatch((a, b])` = `readChanges(a, b)` re-stamped as a
+  *     streaming frame. Data dirs are immutable once committed and stay
+  *     referenced until [[VersionedStore.expire]], so a replayed range
+  *     re-reads byte-identical rows — recovery-deterministic the way
+  *     the engine requires.
+  *   - Versions before `startVersion` (option, default 0 = everything)
+  *     are never delivered.
+  *
+  * Contract edges, surfaced loudly rather than papered over:
+  *   - A COMPACTION inside an unconsumed range makes dir-level changes
+  *     undefined; `readChanges` throws and so does the stream — restart
+  *     from a fresh checkpoint after a full re-read, exactly Delta's
+  *     documented behavior when a stream falls behind a rewrite.
+  *   - An EXPIRED `sinceVersion` (checkpoint older than retention)
+  *     throws `IllegalStateException` — resume data is gone; silent
+  *     re-delivery of the whole table would double-count downstream.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream
+  *   .format("graft.sources.VersionedCdc")
+  *   .option("path", storeRoot)
+  *   .load()
+  * }}}
+  *
+  * Reference anchor: the reference app's ETL polls its store and
+  * re-derives downstream tables on a timer (`etl.dart` cron handlers);
+  * this source is that loop re-expressed as a Spark streaming seam with
+  * exactly-once accounting instead of wall-clock trust. */
+class VersionedCdc extends StreamSourceProvider with DataSourceRegister with Logging {
+
+  override def shortName(): String = "versioned-cdc"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "versioned-cdc needs .option(\"path\", <store root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      VersionedCdc.storeSchema(sqlContext.sparkSession, rootOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val start = parameters.get("startVersion").map(_.toLong).getOrElse(0L)
+    new VersionedCdcSource(sqlContext.sparkSession, root, start,
+      schema.getOrElse(VersionedCdc.storeSchema(sqlContext.sparkSession, root)))
+  }
+}
+
+object VersionedCdc {
+  /** The store's recorded schema (commit-time DDL — authoritative and
+    * data-free) with a read-schema fallback for pre-recording stores.
+    * The store must have at least one commit: a streaming source cannot
+    * conjure a schema from an empty directory, same as a parquet path
+    * stream. */
+  private[sources] def storeSchema(spark: SparkSession, root: String): StructType = {
+    val v = VersionedStore.currentVersion(spark, root)
+    require(v > 0, s"versioned-cdc source needs a committed store at $root " +
+      "(schema comes from the store; commit once before streaming)")
+    VersionedStore.schemaAt(spark, root, v).map(StructType.fromDDL)
+      .getOrElse(VersionedStore.readAt(spark, root, v).schema)
+  }
+}
+
+/** The running source instance — see [[VersionedCdc]] for semantics. */
+private[graft] class VersionedCdcSource(spark: SparkSession, root: String,
+                                        startVersion: Long,
+                                        override val schema: StructType)
+  extends Source with Logging {
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => throw new IllegalArgumentException(
+      s"versioned-cdc got a foreign offset ${other.getClass.getName}")
+  }
+
+  /** Latest committed version, or None before anything past
+    * `startVersion` exists — a pointer read, O(1) in table size. */
+  override def getOffset: Option[Offset] = {
+    val v = VersionedStore.currentVersion(spark, root)
+    if (v > startVersion) Some(LongOffset(v)) else None
+  }
+
+  /** The rows of versions (start, end] — the data dirs those commits
+    * added. Column order is projected to the declared schema (dirs union
+    * BY NAME across schema evolution; the engine aliases by POSITION). */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(versionOf).getOrElse(startVersion)
+    val to = versionOf(end)
+    val changed = VersionedStore.readChanges(spark, root, since, to)
+      .map { df =>
+        val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        StreamingFrame.asStreaming(df.select(cols.toSeq: _*))
+      }
+    changed.getOrElse(StreamingFrame.emptyStreaming(spark, schema))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedCdc[$root from v$startVersion]"
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.VersionedStore
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** STREAM-FROM-the-versioned-table gates (graft.sources.VersionedCdc):
+  * offsets are store versions, so delivery is exactly the committed
+  * appends — once each, in order, across restarts — and the documented
+  * contract edges (compaction mid-range, expired resume point) fail
+  * loudly instead of re-delivering. */
+class VersionedCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-cdc").toString
+
+  private def snap(day: String, users: (Long, Double)*) =
+    users.map { case (u, v) => (day, u, v) }.toDF("day", "user_id", "value")
+
+  private def cdc(root: String, opts: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format("graft.sources.VersionedCdc").option("path", root)
+    opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("each committed append is delivered exactly once; later appends arrive in later batches") {
+    val root = tmp(); val chk = tmp(); val sinkDir = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    VersionedStore.commitAppend(snap("2024-01-02", 2L -> 2.0, 3L -> 3.0), root)
+
+    def drain(): Unit = {
+      val q = cdc(root).writeStream
+        .format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(sinkDir).count() === 3L,
+      "both committed appends drain through the first run")
+
+    // New commits while the stream is DOWN are picked up by the next run
+    // from the checkpointed version offset — and nothing is re-delivered.
+    VersionedStore.commitAppend(snap("2024-01-03", 4L -> 4.0), root)
+    drain()
+    val rows = spark.read.parquet(sinkDir).orderBy("user_id").collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq === Seq(1L, 2L, 3L, 4L),
+      s"exactly-once across restarts, got ${rows.mkString(",")}")
+
+    // An idle run (no new versions) delivers nothing.
+    drain()
+    assert(spark.read.parquet(sinkDir).count() === 4L)
+  }
+
+  test("startVersion skips history: only versions after it are delivered") {
+    val root = tmp(); val chk = tmp(); val sinkDir = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    VersionedStore.commitAppend(snap("2024-01-02", 2L -> 2.0), root)
+    VersionedStore.commitAppend(snap("2024-01-03", 3L -> 3.0), root)
+    val q = cdc(root, Map("startVersion" -> "2")).writeStream
+      .format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val users = spark.read.parquet(sinkDir).collect().map(_.getAs[Long]("user_id")).toSeq
+    assert(users === Seq(3L), s"only the v3 append is after startVersion=2, got $users")
+  }
+
+  test("store -> stream -> store loop: a derived versioned table follows the base exactly") {
+    val base = tmp(); val derived = tmp(); val chk = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0), base)
+    VersionedStore.commitAppend(snap("2024-01-02", 3L -> 3.0), base)
+    // The full Delta-style loop: VersionedCdc source -> transform ->
+    // VersionedStream exactly-once sink into a SECOND store.
+    val q = graft.streaming.VersionedStream.startAppend(
+      cdc(base).withColumn("value", col("value") * 10),
+      derived, chk, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = VersionedStore.read(spark, derived).get.orderBy("user_id").collect()
+    assert(got.map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSeq
+      === Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // incremental follow: one more base append, one more drain
+    VersionedStore.commitAppend(snap("2024-01-03", 9L -> 9.0), base)
+    val q2 = graft.streaming.VersionedStream.startAppend(
+      cdc(base).withColumn("value", col("value") * 10),
+      derived, chk, trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(VersionedStore.read(spark, derived).get.count() === 4L)
+  }
+
+  test("a compaction inside the unconsumed range fails the stream loudly (no silent full replay)") {
+    val root = tmp(); val chk = tmp(); val sinkDir = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    val q0 = cdc(root).writeStream
+      .format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q0.awaitTermination()
+    // Snapshot rewrite lands AFTER the checkpointed version: dir-level
+    // changes across it are undefined, so the resumed stream must throw
+    // (the caller re-baselines), never re-deliver the table as "changes".
+    graft.streaming.VersionedStream.compact(spark, root)
+    val q1 = cdc(root).writeStream
+      .format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => Option(c.getMessage).exists(_.contains("snapshot rewrite"))),
+      s"expected the readChanges snapshot-rewrite error, got $err")
+  }
+
+  test("schema comes from the store's recorded DDL; an empty store is rejected up front") {
+    val root = tmp()
+    val e = intercept[IllegalArgumentException] { cdc(root) }
+    assert(e.getMessage.contains("committed store"),
+      s"empty store must be rejected at load(), got: ${e.getMessage}")
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    val df = cdc(root)
+    assert(df.isStreaming, "the source frame must be a streaming frame")
+    assert(df.schema.fieldNames.toSet === Set("day", "user_id", "value"))
+  }
+}

@@ -462,6 +462,26 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.read(spark, root).get.count() === 3)
   }
 
+  test("stream-maintained table is data-skippable: per-batch stats prune a point read to one dir") {
+    val root = tmp()
+    // Three micro-batches through the exactly-once sink's testable seam,
+    // each carrying manifest day-stats.
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").zipWithIndex.foreach { case (d, i) =>
+      graft.streaming.VersionedStream.commitBatch(
+        snap(d, (i + 1).toLong -> (i * 1.0)), i.toLong, root, statsCols = Seq("day"))
+    }
+    // replay of batch 1 must stay a no-op (ledger wins) with stats intact
+    graft.streaming.VersionedStream.commitBatch(
+      snap("2024-01-02", 99L -> 99.0), 1L, root, statsCols = Seq("day"))
+    assert(VersionedStore.currentVersion(spark, root) === 3L)
+    val kept = VersionedStore.prunedDirs(spark, root, 3L,
+      Seq(VersionedStore.ColRange.eq("day", "2024-01-02")))
+    assert(kept.size === 1, s"point read must open one streamed batch dir, got ${kept.size}")
+    val rows = VersionedStore.readAt(spark, root, 3L,
+        Seq(VersionedStore.ColRange.eq("day", "2024-01-02"))).collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("user_id") === 2L)
+  }
+
   test("schema evolution never merges TYPES: a type conflict fails at commit even with mergeSchema") {
     val root = tmp()
     VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
@@ -475,5 +495,74 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.currentVersion(spark, root) === 1L)
     // and the read path never saw it — no read-time union error possible
     assert(VersionedStore.read(spark, root).get.count() === 1)
+  }
+
+  test("optimize re-clusters into bucketed dirs: row-exact, and BOTH z-order dimensions prune") {
+    import org.apache.spark.sql.functions.{col, lit, datediff, to_date}
+    val root = tmp()
+    // 12 scattered appends: every append spans ALL users and ALL days, so
+    // before optimize NO single-column predicate can prune anything.
+    val days = (1 to 4).map(d => f"2024-01-$d%02d")
+    (0 until 12).foreach { i =>
+      val rows = for (d <- days; u <- 0L until 8L)
+        yield (d, u * 100 + i, (u * 100 + i).toDouble)
+      VersionedStore.commitAppend(
+        rows.toDF("day", "user_id", "value"), root, statsCols = Seq("day", "user_id"))
+    }
+    val before = VersionedStore.read(spark, root).get
+      .orderBy("day", "user_id").collect()
+    val probe = Seq(VersionedStore.ColRange.eq("day", "2024-01-02"),
+      VersionedStore.ColRange("user_id", Some("100"), Some("115")))
+    assert(VersionedStore.prunedDirs(spark, root, 12L, probe).size === 12,
+      "pre-optimize layout must be unprunable (every append spans everything)")
+
+    val zkey = graft.functions.ZOrder.zorder_key(
+      col("user_id"),
+      datediff(to_date(col("day").cast("string")), lit("1970-01-01").cast("date")).cast("long"))
+    val v = VersionedStore.optimize(spark, root, zkey, buckets = 8,
+      statsCols = Seq("day", "user_id"))
+    assert(v === 13L)
+
+    // row-exact rewrite
+    val after = VersionedStore.read(spark, root).get
+      .orderBy("day", "user_id").collect()
+    assert(after.toSeq === before.toSeq, "optimize must be a row-exact rewrite")
+
+    // the clustered layout prunes on the combined predicate AND on the
+    // leading dimension alone
+    val kept = VersionedStore.prunedDirs(spark, root, v, probe)
+    assert(kept.size < 8 && kept.nonEmpty,
+      s"z-clustered dirs must prune the 2-col point read, kept ${kept.size}/8")
+    val userOnly = VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange("user_id", Some("700"), Some("711"))))
+    assert(userOnly.size < 8,
+      s"the user dimension alone must prune too, kept ${userOnly.size}/8")
+    // and a predicated READ over the pruned dirs returns exactly the rows
+    val got = VersionedStore.readAt(spark, root, v, probe)
+      .filter(col("day") === lit("2024-01-02").cast("date") &&
+        col("user_id").between(100, 115))
+      .collect()
+    assert(got.length === 12, s"skip is an access path, never a filter: ${got.length}")
+  }
+
+  test("optimize survives skew and NULL cluster keys; change feed across it refuses dir-level diff") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    // all-equal keys (quantiles collapse) + NULL keys (must ride bucket 0)
+    val rows = Seq[(String, java.lang.Long, Double)](
+      ("2024-01-01", 5L, 1.0), ("2024-01-01", 5L, 2.0),
+      ("2024-01-01", null, 3.0), ("2024-01-01", 5L, 4.0))
+      .toDF("day", "user_id", "value")
+    VersionedStore.commitAppend(rows, root)
+    val v = VersionedStore.optimize(spark, root, col("user_id"), buckets = 4)
+    val vals = VersionedStore.read(spark, root).get
+      .collect().map(_.getAs[Double]("value")).sorted.toSeq
+    assert(vals === Seq(1.0, 2.0, 3.0, 4.0),
+      "collapsed quantiles and NULL keys must lose no rows")
+    val e = intercept[IllegalStateException] {
+      VersionedStore.readChanges(spark, root, sinceVersion = 1L, toVersion = v)
+    }
+    assert(e.getMessage.contains("snapshot rewrite"),
+      "a range spanning an optimize has no dir-level change feed")
   }
 }
