@@ -862,6 +862,27 @@ object SparkEntry {
           sum(floor(col("value") * 1000).cast("long")).as("val_q"))
         .orderBy("event_type")
     }),
+    // ROW-LEVEL DELETE in the versioned store — dir-granular
+    // copy-on-write (VersionedStore.deleteWhere): excising one day's
+    // 'click' rows from the 10-append store rewrites EXACTLY the one
+    // data dir whose day-range stats can hold the predicate; the other
+    // nine survive by reference (the require gates that — a delete that
+    // rewrites the table has regressed). The GDPR/contamination-excision
+    // seam at the storage tier; values oracle-checked against flat
+    // events minus the deleted slice.
+    "versioned_delete_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureDeletedEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-13"), Some("2024-01-15"))))
+        .filter(col("day").between(
+          lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
     // CHANGE-DATA-FEED read of the versioned store — the incremental-
     // consumer seam (readChanges): versions (5, current] of the
     // 10-append day-ranged store are exactly the appends that carried
@@ -1045,6 +1066,39 @@ object SparkEntry {
     p
   }
 
+  /** Build (once per corpus) the post-DELETE VersionedStore of events:
+    * the same 10 day-ranged appends as [[ensureVersionedEventsStore]],
+    * then `DELETE WHERE event_type = 'click' AND day = 2024-01-14` —
+    * pruned by the manifest day stats to the single days-13..15 dir,
+    * whose rewrite the require in `versioned_delete_read`'s build gates
+    * (9 of 10 original dirs must survive by reference). */
+  private def ensureDeletedEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_del", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      val before = VersionedStore.prunedDirs(s, tmp, 10L, Seq.empty).toSet
+      val v = VersionedStore.deleteWhere(s, tmp,
+        col("event_type") === "click" && col("day") === lit("2024-01-14").cast("date"),
+        prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-14")),
+        statsCols = Seq("day"))
+      val after = VersionedStore.prunedDirs(s, tmp, v, Seq.empty).toSet
+      require(after.intersect(before).size == before.size - 1,
+        s"targeted delete must rewrite exactly one dir, carried " +
+          s"${after.intersect(before).size}/${before.size}")
+    }
+    p
+  }
+
   /** Build (once per corpus) the Z-ORDER-optimized VersionedStore of
     * events: one unclustered full commit, then
     * [[graft.sinks.VersionedStore.optimize]] CLUSTER BY
@@ -1117,6 +1171,7 @@ object SparkEntry {
     BpeStore.ensure(Tables.documents(s, dir), artifactPath("bpe", dir))
     ensureVersionedEventsStore(s, dir)
     ensureZOptimizedEventsStore(s, dir)
+    ensureDeletedEventsStore(s, dir)
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -2263,6 +2318,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q
         |FROM events WHERE user_id BETWEEN 40 AND 49 AND CAST(ts AS DATE) = DATE '2024-01-10'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_delete_read" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |  AND NOT (event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_cdc_read" ->
       """SELECT event_type, count(*) AS n_events,

@@ -507,6 +507,85 @@ object VersionedStore {
     } finally { keyed.unpersist(); () }
   }
 
+  /** Row-level DELETE — copy-on-write at the store's dir granularity
+    * (the Delta `DELETE WHERE` move, manifest edition): rows matching
+    * `predicate` leave the CURRENT snapshot; every other row — and every
+    * data dir the predicate cannot touch — survives byte-identically.
+    *
+    * Cost shape, the reason this works at 100 TB: `prune` (the same
+    * [[ColRange]]s the read path skips with) bounds the candidate dirs
+    * through manifest stats BEFORE any data is read; each candidate then
+    * pays one pushed-down existence probe (`filter(pred).isEmpty` — a
+    * parquet scan that short-circuits on the first hit), and ONLY dirs
+    * that actually contain matches are rewritten. A targeted delete over
+    * a long-appended store rewrites one dir, not the table. Untouched
+    * dirs are carried into the new manifest by reference with their
+    * stats; rewritten dirs get fresh stats for `statsCols`.
+    *
+    * Semantics: SQL DELETE — a row is removed iff the predicate is TRUE;
+    * FALSE and NULL both keep it. A dir whose every row matches is
+    * dropped from the snapshot entirely. A delete that matches nothing
+    * is a NO-OP: returns the current version, commits nothing. Old
+    * versions still time-travel to the pre-delete rows until [[expire]].
+    * Like any rewrite, an append-range change feed across it is
+    * undefined: [[readChanges]] throws its snapshot-rewrite error and a
+    * [[graft.sources.VersionedCdc]] stream re-baselines.
+    *
+    * Concurrency: CAS at base+1 ([[commitAt]]'s contract) — an
+    * interleaved commit wins and the delete aborts with
+    * [[CommitConflict]], removing its prepared dirs; retry by re-running
+    * (the re-run re-reads the new base, so an interleaved append's rows
+    * are re-considered, never silently resurrected). */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  prune: Seq[ColRange] = Seq.empty,
+                  statsCols: Seq[String] = Seq.empty,
+                  meta: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to delete from: $root has no committed version")
+    val f = fs(spark, root)
+    val all = dataDirsOf(f, root, base)
+    val baseStats = statsOf(f, root, base)
+    val candidates =
+      if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
+    // Existence probe per candidate: dirs with no matching row are NOT
+    // rewritten (stats said "might match"; the data says no).
+    val touched = candidates.filter { d =>
+      !spark.read.parquet(s"$root/$d").filter(predicate).isEmpty
+    }
+    if (touched.isEmpty) return base
+    val untouched = all.filterNot(touched.contains)
+    val keep = not(coalesce(predicate, lit(false)))
+    val rewritten = touched.flatMap { d =>
+      val kept = spark.read.parquet(s"$root/$d").filter(keep)
+      if (kept.isEmpty) None else Some(prepare(kept, root))
+    }
+    if (rewritten.isEmpty && untouched.isEmpty)
+      throw new IllegalStateException(
+        s"deleteWhere would empty $root entirely; an empty snapshot has no " +
+          "readable schema — commit an explicit empty snapshot instead")
+    val carried = baseStats.filter { case (k, _) =>
+      untouched.contains(k.takeWhile(_ != '|')) }
+    val fresh = rewritten.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+    val schemaDdl = schemaOf(f, root, base)
+    if (rewritten.isEmpty)
+      // Every touched dir emptied out: the commit only DROPS dirs. The
+      // manifest's dataDir anchor re-uses the newest untouched dir,
+      // flagged carried so publish neither re-lists its files nor —
+      // on a lost commit race — deletes live data.
+      publish(spark, root, base + 1, untouched.last,
+        baseDirs = untouched.init,
+        meta = meta + ("delete" -> "where"), schemaDdl = schemaDdl,
+        stats = carried, dataDirIsCarried = true)
+    else
+      publish(spark, root, base + 1, rewritten.last,
+        baseDirs = untouched, extraNewDirs = rewritten.init,
+        meta = meta + ("delete" -> "where"), schemaDdl = schemaDdl,
+        stats = carried ++ fresh)
+    base + 1
+  }
+
   /** Per-dir min/max stats for `cols` over the freshly written `dir`,
     * flat-keyed `<dir>|<col>|{min,max,typ}` (flat so the regex manifest
     * parser stays sound — values escape braces, keys carry no nesting).
@@ -559,18 +638,24 @@ object VersionedStore {
     * `extraNewDirs` are ADDITIONAL fresh dirs of a multi-dir commit
     * ([[optimize]] writes one per cluster bucket so each gets its own
     * stats row); they ride before `dataDir` in the manifest's list and
-    * share its conflict cleanup. */
+    * share its conflict cleanup. `dataDirIsCarried` marks a commit whose
+    * `dataDir` is a LIVE dir of an earlier version ([[deleteWhere]] when
+    * every rewritten dir emptied out): it is then excluded from both the
+    * files listing (its own manifest listed it) and — critically — the
+    * conflict cleanup, which must never delete committed data. */
   private[graft] def publish(
       spark: SparkSession, root: String, version: Long, dataDir: String,
       baseDirs: Seq[String] = Seq.empty,
       meta: Map[String, String] = Map.empty,
       schemaDdl: Option[String] = None,
       stats: Map[String, String] = Map.empty,
-      extraNewDirs: Seq[String] = Seq.empty): Unit = {
+      extraNewDirs: Seq[String] = Seq.empty,
+      dataDirIsCarried: Boolean = false): Unit = {
     val f = fs(spark, root)
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
-    val files = (extraNewDirs :+ dataDir).flatMap { nd =>
+    val newDirs = if (dataDirIsCarried) extraNewDirs else extraNewDirs :+ dataDir
+    val files = newDirs.flatMap { nd =>
       f.listStatus(new Path(s"$root/$nd")).toSeq
         .filter(_.isFile).map(s => if (extraNewDirs.isEmpty) s.getPath.getName
                                    else s"$nd/${s.getPath.getName}").sorted ++
@@ -607,7 +692,7 @@ object VersionedStore {
       try f.create(manifest, /* overwrite = */ false)
       catch {
         case _: java.io.IOException =>
-          (extraNewDirs :+ dataDir).foreach(d => f.delete(new Path(s"$root/$d"), true))
+          newDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
           throw new CommitConflict(version, root)
       }
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()

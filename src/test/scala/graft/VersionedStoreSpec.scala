@@ -545,6 +545,63 @@ class VersionedStoreSpec extends SparkSpec {
     assert(got.length === 12, s"skip is an access path, never a filter: ${got.length}")
   }
 
+  test("deleteWhere rewrites ONLY dirs with matches; untouched dirs carried by reference, stats intact") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    (1 to 5).foreach { d =>
+      VersionedStore.commitAppend(
+        snap(f"2024-01-$d%02d", (d * 10L) -> 1.0, (d * 10L + 1) -> 2.0),
+        root, statsCols = Seq("day"))
+    }
+    val dirsBefore = (1 to 5).map(v => VersionedStore.history(spark, root)(v - 1))
+    // Delete one user's rows on one day, pruned by the day stats: only
+    // the 2024-01-03 dir may be rewritten.
+    val v = VersionedStore.deleteWhere(spark, root,
+      col("user_id") === 30L && col("day") === "2024-01-03",
+      prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-03")),
+      statsCols = Seq("day"))
+    assert(v === 6L)
+    val rows = VersionedStore.read(spark, root).get.orderBy("user_id").collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq
+      === Seq(10L, 11L, 20L, 21L, 31L, 40L, 41L, 50L, 51L),
+      "exactly the matching row leaves; NULL/false rows and other days survive")
+    // dir-level copy-on-write: 4 of 5 original dirs carried by REFERENCE
+    val after = VersionedStore.prunedDirs(spark, root, v, Seq.empty).toSet
+    val original = dirsBefore.map(_._2).toSet
+    assert(after.intersect(original).size === 4,
+      s"4 untouched dirs must be carried by reference, got ${after.intersect(original).size}")
+    // carried stats still prune, fresh stats cover the rewritten dir
+    val kept = VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange.eq("day", "2024-01-04")))
+    assert(kept.size === 1, "carried-forward stats must still skip")
+    // time travel: the pre-delete version still holds the row
+    assert(VersionedStore.readAt(spark, root, 5L).filter(col("user_id") === 30L).count() === 1L)
+  }
+
+  test("deleteWhere: no-match is a version-less no-op; NULL predicate keeps; all-matched dir is dropped") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root, statsCols = Seq("day"))
+    VersionedStore.commitAppend(Seq[(String, java.lang.Long, Double)](
+      ("2024-01-02", 2L, 2.0), ("2024-01-02", null, 3.0))
+      .toDF("day", "user_id", "value"), root, statsCols = Seq("day"))
+    // no-op: stats prune everything, nothing commits
+    assert(VersionedStore.deleteWhere(spark, root, col("user_id") === 99L,
+      prune = Seq(VersionedStore.ColRange.eq("day", "2024-03-01"))) === 2L)
+    assert(VersionedStore.currentVersion(spark, root) === 2L)
+    // stats overlap but no actual match: existence probe stops the rewrite
+    assert(VersionedStore.deleteWhere(spark, root, col("user_id") === 99L) === 2L)
+    assert(VersionedStore.currentVersion(spark, root) === 2L)
+    // user_id > 0 is NULL for the null row: SQL DELETE keeps it
+    val v = VersionedStore.deleteWhere(spark, root, col("user_id") > 0L)
+    assert(v === 3L)
+    val left = VersionedStore.read(spark, root).get.collect()
+    assert(left.length === 1 && left.head.isNullAt(left.head.fieldIndex("user_id")),
+      "NULL-predicate rows are kept; every TRUE row is gone, so day-01's dir is dropped")
+    assert(VersionedStore.prunedDirs(spark, root, v, Seq.empty).size === 1,
+      "the fully-matched dir must leave the snapshot, not persist as an empty rewrite")
+  }
+
   test("optimize survives skew and NULL cluster keys; change feed across it refuses dir-level diff") {
     import org.apache.spark.sql.functions.col
     val root = tmp()
