@@ -853,7 +853,10 @@ object SparkEntry {
         VersionedStore.ColRange.eq("day", "2024-01-10"))
       val all = VersionedStore.prunedDirs(s, p, v, Seq.empty)
       val opened = VersionedStore.prunedDirs(s, p, v, probe)
-      require(opened.size < all.size && opened.nonEmpty,
+      // opened may legitimately be EMPTY (a tiny corpus with no rows in
+      // the probed cell prunes everything — the ideal outcome; the read
+      // degrades to a schema-correct empty frame).
+      require(opened.size < all.size,
         s"z-clustered point read must prune (${opened.size}/${all.size} dirs)")
       VersionedStore.readAt(s, p, v, probe)
         .filter(col("user_id").between(40, 49) && col("day") === lit("2024-01-10").cast("date"))
