@@ -52,7 +52,7 @@ object ScaleBench {
     * "inc" is accepted as a shorthand for all of them. */
   val IncNames: Seq[String] =
     Seq("dedup_incremental_fixed", "dedup_incremental_fixed_bucketed",
-      "setjoin_incremental_fixed")
+      "setjoin_incremental_fixed", "versioned_cdc_fixed")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -199,9 +199,34 @@ object ScaleBench {
       graft.operators.SetJoin.similarPairsIncremental(
         graft.operators.ShingleStore.read(s, store), docs.filter(batchPred))
     }
+    // CDC drain with the batch size HELD FIXED while the store grows
+    // 10x in rows AND dirs (appends are equal ~rows/N slices, N scaled
+    // with the corpus): readChanges touches only the dirs the consumed
+    // range added, so the drain must stay flat — the O(batch)-never-
+    // O(table) claim of the change feed, measured. Store build is
+    // untimed ingest (ArtifactStore-published once per corpus).
+    val cdcFixed: (SparkSession, String) => DataFrame = (s, dir) => {
+      import graft.sinks.{ArtifactStore, VersionedStore}
+      val ev = graft.sources.Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val n = math.max(2, (ev.count() / 10000L).toInt)
+      val store = "/tmp/graft_cdcab_" + dirKey(dir)
+      ArtifactStore.ensure(ev, store) { (src, tmp) =>
+        (0 until n).foreach { i =>
+          VersionedStore.commitAppend(src.filter(col("event_id") % n === i), tmp)
+        }
+      }
+      VersionedStore.readChanges(s, store, sinceVersion = (n - 1).toLong)
+        .getOrElse(sys.error(s"cdc store at $store has no final append"))
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("value")).as("v"))
+    }
     Seq(("dedup_incremental_fixed", incPath),
         ("dedup_incremental_fixed_bucketed", incBucketed),
-        ("setjoin_incremental_fixed", incSetjoin))
+        ("setjoin_incremental_fixed", incSetjoin),
+        ("versioned_cdc_fixed", cdcFixed))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = timeFn(fn, srcDir)

@@ -886,6 +886,29 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // METADATA-ONLY COUNT over the versioned store — the Iceberg
+    // "answer from the manifest" seam (VersionedStore.countWhere): a
+    // day range aligned on the store's 3-day append boundaries is
+    // counted from per-dir manifest row counts with ZERO dirs read
+    // (the require gates that), while a misaligned range pays exactly
+    // its two boundary dirs as residual reads. Counts are oracle-checked
+    // against flat events — the split is an access path, never a guess.
+    "versioned_count_meta" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureVersionedEventsStore(s, dir)
+      val aligned = Seq(VersionedStore.ColRange("day", Some("2024-01-07"), Some("2024-01-09")))
+      val partial = Seq(VersionedStore.ColRange("day", Some("2024-01-08"), Some("2024-01-16")))
+      val (_, alignedResidual) = VersionedStore.countPlan(s, p, aligned)
+      require(alignedResidual.isEmpty,
+        s"aligned 3-day count must be metadata-only, residual=$alignedResidual")
+      val (_, partialResidual) = VersionedStore.countPlan(s, p, partial)
+      require(partialResidual.size <= 2,
+        s"misaligned count must read only boundary dirs, residual=$partialResidual")
+      import s.implicits._
+      Seq((VersionedStore.countWhere(s, p, aligned),
+        VersionedStore.countWhere(s, p, partial)))
+        .toDF("n_aligned", "n_partial")
+    }),
     // CHANGE-DATA-FEED read of the versioned store — the incremental-
     // consumer seam (readChanges): versions (5, current] of the
     // 10-append day-ranged store are exactly the appends that carried
@@ -2329,6 +2352,12 @@ object SparkEntry {
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
         |  AND NOT (event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_count_meta" ->
+      """SELECT
+        | (SELECT count(*) FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-09') AS n_aligned,
+        | (SELECT count(*) FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-16') AS n_partial""".stripMargin,
     "versioned_cdc_read" ->
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT user_id) AS n_users

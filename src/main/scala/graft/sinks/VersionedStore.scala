@@ -586,6 +586,74 @@ object VersionedStore {
     base + 1
   }
 
+  /** Metadata-first COUNT under a conjunction of [[ColRange]]s — the
+    * Iceberg "metadata-only query" seam: the count of rows where every
+    * range's `lo <= col <= hi` holds (an EMPTY `ranges` counts the whole
+    * snapshot from the manifest alone).
+    *
+    * Three-way dir split, all decided from the manifest before any data
+    * is touched:
+    *   - PRUNED: stats can't overlap some range — contributes 0.
+    *   - FULLY CONTAINED: for every range, the dir's [min, max] lies
+    *     inside [lo, hi] AND its recorded NULL count for that column is
+    *     0 (min/max say nothing about NULLs, and a NULL never satisfies
+    *     a range) — contributes its manifest row count, no read.
+    *   - RESIDUAL: overlaps but isn't contained, or predates row-count /
+    *     null-count recording — read and counted under the real
+    *     predicate (typed via the column itself; literals coerce).
+    * At 100 TB a time-range count over an aligned-append store is a
+    * manifest read plus at most two boundary-dir scans. Exactness is
+    * unconditional: the split is conservative, never a guess. */
+  def countWhere(spark: SparkSession, root: String,
+                 ranges: Seq[ColRange] = Seq.empty,
+                 version: Long = -1L): Long = {
+    val v = if (version < 0) currentVersion(spark, root) else version
+    require(v > 0, s"countWhere on empty store $root")
+    val f = fs(spark, root)
+    val stats = statsOf(f, root, v)
+    val (meta, residual) = countPlan(spark, root, ranges, v)
+    val metaCount = meta.map(d => stats(s"$d|#|rows").toLong).sum
+    val residualCount =
+      if (residual.isEmpty) 0L
+      else {
+        import org.apache.spark.sql.functions.{col => c, lit}
+        val pred = ranges.map { r =>
+          val bounded = Seq(
+            r.lo.map(lo => c(r.column) >= lit(lo)),
+            r.hi.map(hi => c(r.column) <= lit(hi))).flatten
+          bounded.reduceOption(_ && _).getOrElse(lit(true))
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        readDirs(spark, root, residual,
+          allDirs = dataDirsOf(f, root, v)).filter(pred).count()
+      }
+    metaCount + residualCount
+  }
+
+  /** The manifest-vs-read split [[countWhere]] will use for `ranges` —
+    * exposed so callers (and the spec gate) can assert how much data a
+    * metadata count actually touches: (fully-contained dirs, residual
+    * dirs to be read). Pruned dirs appear in neither. */
+  def countPlan(spark: SparkSession, root: String, ranges: Seq[ColRange],
+                version: Long = -1L): (Seq[String], Seq[String]) = {
+    val v = if (version < 0) currentVersion(spark, root) else version
+    val f = fs(spark, root)
+    val all = dataDirsOf(f, root, v)
+    val stats = statsOf(f, root, v)
+    val surviving =
+      if (ranges.isEmpty) all else pruneWithStats(all, stats, ranges)
+    def contained(d: String): Boolean = ranges.forall { r =>
+      (stats.get(s"$d|${r.column}|min"), stats.get(s"$d|${r.column}|max"),
+        stats.get(s"$d|${r.column}|typ"), stats.get(s"$d|${r.column}|nulls")) match {
+        case (Some(mn), Some(mx), Some(typ), Some(nulls)) =>
+          nulls == "0" &&
+            r.lo.forall(lo => statLe(typ, lo, mn)) &&
+            r.hi.forall(hi => statLe(typ, mx, hi))
+        case _ => false
+      }
+    }
+    surviving.partition(d => stats.contains(s"$d|#|rows") && contained(d))
+  }
+
   /** Per-dir min/max stats for `cols` over the freshly written `dir`,
     * flat-keyed `<dir>|<col>|{min,max,typ}` (flat so the regex manifest
     * parser stays sound — values escape braces, keys carry no nesting).
@@ -599,22 +667,30 @@ object VersionedStore {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"statsCols not in the committed schema: ${missing.mkString(",")}")
-    import org.apache.spark.sql.functions.{col => c, min, max}
+    import org.apache.spark.sql.functions.{col => c, count, lit, min, max, when}
     val aggs = cols.flatMap(n =>
-      Seq(min(c(n)).cast("string").as(s"mn_$n"), max(c(n)).cast("string").as(s"mx_$n")))
+      Seq(min(c(n)).cast("string").as(s"mn_$n"), max(c(n)).cast("string").as(s"mx_$n"),
+        count(when(c(n).isNull, lit(1))).as(s"nl_$n"))) :+
+      count(lit(1)).as("n_rows")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val types = df.schema.map(f => f.name -> f.dataType.typeName).toMap
-    cols.zipWithIndex.flatMap { case (n, i) =>
+    val colStats = cols.zipWithIndex.flatMap { case (n, i) =>
       // An all-NULL (or empty) batch yields NULL min/max: record nothing
       // for the column — the dir is then always kept, never mis-pruned.
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) Seq.empty
-      else Seq(
-        s"$dir|$n|min" -> row.getString(2 * i),
-        s"$dir|$n|max" -> row.getString(2 * i + 1),
+      // The NULL count is recorded regardless: [[countWhere]]'s
+      // fully-contained test needs it (min/max say nothing about NULLs).
+      val nulls = Seq(s"$dir|$n|nulls" -> row.getLong(3 * i + 2).toString)
+      if (row.isNullAt(3 * i) || row.isNullAt(3 * i + 1)) nulls
+      else nulls ++ Seq(
+        s"$dir|$n|min" -> row.getString(3 * i),
+        s"$dir|$n|max" -> row.getString(3 * i + 1),
         // decimal(p,s).typeName carries precision; key pruning off the
         // family so statLe matches ("decimal(10,2)" -> "decimal").
         s"$dir|$n|typ" -> types(n).takeWhile(_ != '('))
     }.toMap
+    // Per-dir ROW COUNT (the Iceberg manifest count — [[countWhere]]'s
+    // metadata-only answer) rides the same single aggregate.
+    colStats + (s"$dir|#|rows" -> row.getLong(3 * cols.size).toString)
   }
 
   /** Step 1: write the snapshot to a fresh uniquely-named data dir.

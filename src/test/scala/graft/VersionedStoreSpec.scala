@@ -602,6 +602,59 @@ class VersionedStoreSpec extends SparkSpec {
       "the fully-matched dir must leave the snapshot, not persist as an empty rewrite")
   }
 
+  test("countWhere: fully-contained dirs answer from the manifest ALONE — proven by deleting their bytes") {
+    val root = tmp()
+    (1 to 4).foreach { d =>
+      VersionedStore.commitAppend(
+        snap(f"2024-01-$d%02d", (d * 10L) -> 1.0, (d * 10L + 1) -> 2.0),
+        root, statsCols = Seq("day", "user_id"))
+    }
+    // Aligned range = whole dirs: both the empty-ranges whole-table count
+    // and the day-02..03 count must be metadata-only.
+    assert(VersionedStore.countWhere(spark, root) === 8L)
+    val aligned = Seq(VersionedStore.ColRange("day", Some("2024-01-02"), Some("2024-01-03")))
+    val (meta, residual) = VersionedStore.countPlan(spark, root, aligned)
+    assert(meta.size === 2 && residual.isEmpty,
+      s"aligned range must be fully manifest-answered, got meta=$meta residual=$residual")
+    assert(VersionedStore.countWhere(spark, root, aligned) === 4L)
+    // THE proof that no data is read: destroy the contained dirs' bytes;
+    // the metadata count still answers. (Destructive — spec-only.)
+    meta.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$d")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    assert(VersionedStore.countWhere(spark, root, aligned) === 4L,
+      "a fully-contained count must never open the data")
+    // A range cutting INTO a surviving dir goes residual and reads it.
+    val partial = Seq(VersionedStore.ColRange("user_id", Some("40"), Some("40")))
+    val (m2, r2) = VersionedStore.countPlan(spark, root, partial)
+    assert(m2.isEmpty && r2.size === 1, s"user 40 cuts into day-04's dir: $m2 / $r2")
+    assert(VersionedStore.countWhere(spark, root, partial) === 1L)
+  }
+
+  test("countWhere: NULLs force the residual path (manifest min/max says nothing about NULLs)") {
+    val root = tmp()
+    VersionedStore.commitAppend(Seq[(String, java.lang.Long, Double)](
+      ("2024-01-01", 1L, 1.0), ("2024-01-01", null, 2.0))
+      .toDF("day", "user_id", "value"), root, statsCols = Seq("day", "user_id"))
+    VersionedStore.commitAppend(snap("2024-01-02", 5L -> 5.0), root,
+      statsCols = Seq("day", "user_id"))
+    // user_id 1..5 covers both dirs, but dir 1 has a NULL user: a
+    // metadata count would wrongly include it — must go residual.
+    val range = Seq(VersionedStore.ColRange("user_id", Some("1"), Some("5")))
+    val (meta, residual) = VersionedStore.countPlan(spark, root, range)
+    assert(residual.size === 1 && meta.size === 1,
+      s"the NULL-carrying dir must be residual: meta=$meta residual=$residual")
+    assert(VersionedStore.countWhere(spark, root, range) === 2L,
+      "NULL never satisfies a range: the NULL row is excluded by the read-side predicate")
+    // A store that predates count recording (no stats at all) still
+    // counts correctly — everything residual.
+    val legacy = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0), legacy)
+    assert(VersionedStore.countWhere(spark, legacy,
+      Seq(VersionedStore.ColRange("user_id", Some("2"), Some("9")))) === 1L)
+  }
+
   test("optimize survives skew and NULL cluster keys; change feed across it refuses dir-level diff") {
     import org.apache.spark.sql.functions.col
     val root = tmp()
