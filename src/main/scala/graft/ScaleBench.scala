@@ -204,24 +204,29 @@ object ScaleBench {
     // with the corpus): readChanges touches only the dirs the consumed
     // range added, so the drain must stay flat — the O(batch)-never-
     // O(table) claim of the change feed, measured. Store build is
-    // untimed ingest (ArtifactStore-published once per corpus).
+    // untimed ingest (ArtifactStore-published once per corpus). The
+    // table is ORDERS — a fact table `synthesize` actually scales
+    // (events is copied as a dimension, which would make both legs
+    // read the same store and measure only cache warmth).
     val cdcFixed: (SparkSession, String) => DataFrame = (s, dir) => {
       import graft.sinks.{ArtifactStore, VersionedStore}
-      val ev = graft.sources.Tables.events(s, dir)
-        .select("event_id", "user_id", "event_type", "value")
-      val n = math.max(2, (ev.count() / 10000L).toInt)
+      import org.apache.spark.sql.functions.{count, lit, pmod, sum}
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val n = math.max(4, (ord.count() / 15000L).toInt)
       val store = "/tmp/graft_cdcab_" + dirKey(dir)
-      ArtifactStore.ensure(ev, store) { (src, tmp) =>
-        (0 until n).foreach { i =>
-          VersionedStore.commitAppend(src.filter(col("event_id") % n === i), tmp)
-        }
+      ArtifactStore.ensure(ord, store) { (src, tmp) =>
+        val sliced = src.withColumn("__slice", pmod(col("o_orderkey"), lit(n)))
+          .persist()
+        try (0 until n).foreach { i =>
+          VersionedStore.commitAppend(
+            sliced.filter(col("__slice") === i).drop("__slice"), tmp)
+        } finally { sliced.unpersist(); () }
       }
       VersionedStore.readChanges(s, store, sinceVersion = (n - 1).toLong)
         .getOrElse(sys.error(s"cdc store at $store has no final append"))
-        .groupBy("event_type")
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n"),
-          org.apache.spark.sql.functions.sum(col("value")).as("v"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("v"))
     }
     Seq(("dedup_incremental_fixed", incPath),
         ("dedup_incremental_fixed_bucketed", incBucketed),

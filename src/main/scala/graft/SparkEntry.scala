@@ -886,6 +886,27 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // MERGE (upsert) over the versioned store — the Delta MERGE INTO
+    // seam (VersionedStore.mergeInto): day-14 clicks are UPDATED
+    // (value doubled, full-row replace) and re-keyed day-14 purchases
+    // are INSERTED, in one copy-on-write commit whose build gates that
+    // exactly ONE of the ten day-ranged dirs was rewritten (the prune
+    // + probe passes bound the rewrite to the dir holding the matches).
+    // The post-merge day-13..15 aggregate is oracle-checked against the
+    // same upsert expressed over flat events in SQL.
+    "versioned_merge_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureMergedEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-13"), Some("2024-01-15"))))
+        .filter(col("day").between(
+          lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
     // METADATA-ONLY COUNT over the versioned store — the Iceberg
     // "answer from the manifest" seam (VersionedStore.countWhere): a
     // day range aligned on the store's 3-day append boundaries is
@@ -1120,6 +1141,48 @@ object SparkEntry {
       val after = VersionedStore.prunedDirs(s, tmp, v, Seq.empty).toSet
       require(after.intersect(before).size == before.size - 1,
         s"targeted delete must rewrite exactly one dir, carried " +
+          s"${after.intersect(before).size}/${before.size}")
+    }
+    p
+  }
+
+  /** Build (once per corpus) the post-MERGE VersionedStore of events:
+    * the same 10 day-ranged appends as [[ensureVersionedEventsStore]],
+    * then one [[graft.sinks.VersionedStore.mergeInto]] on `event_id`
+    * whose source UPDATES every day-14 click (value doubled) and
+    * INSERTS every day-14 purchase re-keyed out of the id space
+    * (+1e9, event_type 'synth'). The day prune bounds the match probe
+    * to the single days-13..15 dir; the require gates that exactly one
+    * original dir was rewritten (9 of 10 carried by reference). */
+  private def ensureMergedEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_mrg", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      val day14 = src.filter(col("day") === lit("2024-01-14").cast("date"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "day")
+      val updates = day14.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+      val inserts = day14.filter(col("event_type") === "purchase")
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+        .withColumn("event_type", lit("synth"))
+      val before = VersionedStore.prunedDirs(s, tmp, 10L, Seq.empty).toSet
+      val v = VersionedStore.mergeInto(s, tmp, updates.unionByName(inserts),
+        keys = Seq("event_id"),
+        prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-14")),
+        statsCols = Seq("day"))
+      val after = VersionedStore.prunedDirs(s, tmp, v, Seq.empty).toSet
+      require(after.intersect(before).size == before.size - 1,
+        s"targeted merge must rewrite exactly one dir, carried " +
           s"${after.intersect(before).size}/${before.size}")
     }
     p
@@ -2351,6 +2414,21 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
         |  AND NOT (event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_merge_read" ->
+      """WITH merged AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CASE WHEN event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14'
+        |       THEN value * 2 ELSE value END AS value
+        | FROM events
+        | UNION ALL
+        | SELECT 'synth', CAST(ts AS DATE) AS day, value
+        | FROM events
+        | WHERE CAST(ts AS DATE) = DATE '2024-01-14' AND event_type = 'purchase')
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM merged
+        |WHERE day BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_count_meta" ->
       """SELECT

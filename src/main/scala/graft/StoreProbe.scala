@@ -4,17 +4,24 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.sinks.VersionedStore
-import graft.sources.Tables
 
 /** One-shot measurement for the storage-tier mutation paths (PERF.md's
-  * delete table): on a fresh 10-append day-ranged events store, time
+  * delete table): on a fresh 10-append key-ranged ORDERS store, time
   *
-  *   1. `delete_pruned`   — deleteWhere with the day ColRange prune
-  *                          (stats bound the candidates to ONE dir)
+  *   1. `delete_pruned`   — deleteWhere with the o_orderkey ColRange
+  *                          prune (stats bound the candidates to ONE dir)
   *   2. `delete_unpruned` — same predicate, no prune (existence probes
   *                          sweep every dir; still rewrites only one)
   *   3. `delete_rewrite`  — the naive alternative: filter the whole
   *                          snapshot and commit it (O(table) rewrite)
+  *
+  * The table is ORDERS, not events: `ScaleBench.synthesize` scales the
+  * fact tables and copies events as a dimension, so an events store
+  * would be byte-identical at sf0.1 and sf1 and the "sf1" run would
+  * measure nothing but page-cache warmth. Appends are CONTIGUOUS
+  * o_orderkey range slices (approx-quantile bounds), so the manifest's
+  * per-dir [min, max] are disjoint and a keyed delete is prunable to
+  * exactly one dir — the aligned-append layout a real ingest produces.
   *
   * Each variant runs on its own freshly built store (delete mutates, so
   * repeated timing over one store would no-op); build time is reported
@@ -34,22 +41,30 @@ object StoreProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    // 10 contiguous key slices: [q0, q1), [q1, q2), ... — half-open, so
+    // the union is exact and per-dir key stats are disjoint.
+    val qs = orders.stat.approxQuantile(
+      "o_orderkey", (1 until 10).map(_ / 10.0).toArray, 0.0001).map(_.toLong)
+    val lows = Long.MinValue +: qs.toSeq
+    val highs = qs.toSeq :+ Long.MaxValue
+
     def freshStore(): (String, Double) = {
       val root = java.nio.file.Files.createTempDirectory("graft-delprobe").toString
-      val ev = Tables.events(spark, sfDir).withColumn("day", to_date(col("ts")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "day")
-      val d0 = java.time.LocalDate.of(2024, 1, 1)
       val t0 = System.nanoTime()
-      (0 until 10).foreach { i =>
+      lows.zip(highs).foreach { case (lo, hi) =>
         VersionedStore.commitAppend(
-          ev.filter(col("day").between(
-            lit(d0.plusDays(i * 3L).toString).cast("date"),
-            lit(d0.plusDays(i * 3L + 2).toString).cast("date"))),
-          root, statsCols = Seq("day"))
+          orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi),
+          root, statsCols = Seq("o_orderkey"))
       }
       (root, (System.nanoTime() - t0) / 1e9)
     }
-    def pred = col("event_type") === "click" && col("day") === lit("2024-01-14").cast("date")
+    // Target: slice 5's range, further restricted — a realistic "delete
+    // these keys' bad rows" mutation wholly inside one dir.
+    val (lo5, hi5) = (lows(5), highs(5))
+    def pred = col("o_orderstatus") === "F" &&
+      col("o_orderkey") >= lo5 && col("o_orderkey") < hi5
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
       val v = f
@@ -58,15 +73,16 @@ object StoreProbe {
 
     val (r1, ingest1) = freshStore()
     val (tPruned, _) = timed(VersionedStore.deleteWhere(spark, r1, pred,
-      prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-14")),
-      statsCols = Seq("day")))
+      prune = Seq(VersionedStore.ColRange("o_orderkey",
+        Some(lo5.toString), Some((hi5 - 1).toString))),
+      statsCols = Seq("o_orderkey")))
     val (r2, _) = freshStore()
     val (tUnpruned, _) = timed(VersionedStore.deleteWhere(spark, r2, pred,
-      statsCols = Seq("day")))
+      statsCols = Seq("o_orderkey")))
     val (r3, _) = freshStore()
     val (tRewrite, _) = timed {
       val kept = VersionedStore.read(spark, r3).get.filter(not(coalesce(pred, lit(false))))
-      VersionedStore.commit(kept, r3, statsCols = Seq("day"))
+      VersionedStore.commit(kept, r3, statsCols = Seq("o_orderkey"))
     }
     // sanity: all three leave the same surviving row count
     def n(root: String): Long = VersionedStore.read(spark, root).get.count()

@@ -654,6 +654,222 @@ object VersionedStore {
     surviving.partition(d => stats.contains(s"$d|#|rows") && contained(d))
   }
 
+  /** Row-level UPDATE — `UPDATE SET col = expr, ... WHERE predicate`,
+    * completing the DML triad ([[deleteWhere]], [[mergeInto]]) with the
+    * same dir-granular copy-on-write shape: `prune` + existence probes
+    * bound the rewrite to dirs that actually hold matching rows; each
+    * such dir is rewritten with `set`'s expressions applied to matching
+    * rows and every other row byte-equal; untouched dirs — at 100 TB,
+    * almost all — carry by reference with their stats.
+    *
+    * Semantics: SQL UPDATE — a row is updated iff the predicate is TRUE
+    * (FALSE and NULL leave it untouched); `set` columns must already
+    * exist in the schema with unchanged types (adding columns is
+    * [[commitAppend]]+mergeSchema's job; changing types is nobody's).
+    * `set` expressions see the PRE-update row (standard UPDATE
+    * semantics: all assignments evaluate against the old values).
+    * A no-match update is a version-less no-op. Same CAS contract and
+    * change-feed caveat as [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  prune: Seq[ColRange] = Seq.empty,
+                  statsCols: Seq[String] = Seq.empty,
+                  meta: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col => c, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to update in: $root has no committed version")
+    val f = fs(spark, root)
+    val all = dataDirsOf(f, root, base)
+    val baseStats = statsOf(f, root, base)
+    val recorded = schemaOf(f, root, base)
+    recorded.foreach { ddl =>
+      val cols = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames.toSet
+      val unknown = set.keySet.diff(cols)
+      require(unknown.isEmpty,
+        s"SET names columns not in the recorded schema: ${unknown.mkString(",")}")
+    }
+    val candidates =
+      if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
+    val touched = candidates.filter { d =>
+      !spark.read.parquet(s"$root/$d").filter(predicate).isEmpty
+    }
+    if (touched.isEmpty) return base
+    val untouched = all.filterNot(touched.contains)
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = touched.map { d =>
+      val df = spark.read.parquet(s"$root/$d")
+      val updated = df.select(df.columns.map { n =>
+        set.get(n) match {
+          case Some(expr) => when(hit, expr).otherwise(c(n)).as(n)
+          case None => c(n)
+        }
+      }.toSeq: _*)
+      prepare(updated, root)
+    }
+    val carried = baseStats.filter { case (k, _) =>
+      untouched.contains(k.takeWhile(_ != '|')) }
+    val fresh = rewritten.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+    publish(spark, root, base + 1, rewritten.last,
+      baseDirs = untouched, extraNewDirs = rewritten.init,
+      meta = meta + ("update" -> s"set:${set.keys.toSeq.sorted.mkString("+")}"),
+      schemaDdl = recorded, stats = carried ++ fresh)
+    base + 1
+  }
+
+  /** RESTORE — the Delta `RESTORE TABLE ... TO VERSION AS OF v` move:
+    * commit a NEW version whose snapshot is byte-identical to version
+    * `toVersion`, by referencing that version's data dirs — no data is
+    * copied, the restore is a manifest-only commit (O(dirs), not
+    * O(table)), and history is preserved: the bad versions stay
+    * time-travelable until [[expire]], the restore is just the newest
+    * edition. The restored manifest carries `toVersion`'s schema and
+    * stats verbatim, so data skipping keeps working. Restoring to the
+    * current version is a no-op (returns the current version). Same
+    * CAS arbitration as any commit. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              meta: Map[String, String] = Map.empty): Long = {
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root)
+    require(toVersion > 0, s"versions start at 1, got $toVersion")
+    if (!f.exists(manifestPath(root, toVersion)))
+      throw new IllegalArgumentException(
+        s"version $toVersion of $root does not exist (never committed, or expired)")
+    if (toVersion == cur) return cur
+    val dirs = dataDirsOf(f, root, toVersion)
+    publish(spark, root, cur + 1, dirs.last, baseDirs = dirs.init,
+      meta = meta + ("restore" -> toVersion.toString),
+      schemaDdl = schemaOf(f, root, toVersion),
+      stats = statsOf(f, root, toVersion),
+      dataDirIsCarried = true)
+    cur + 1
+  }
+
+  /** MERGE (upsert) — the Delta `MERGE INTO target USING source ON
+    * target.k = source.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` move, manifest edition: every target row whose key
+    * tuple appears in `source` is REPLACED by the source row; every
+    * source row matching nothing is INSERTED. Copy-on-write at dir
+    * granularity, two-pass like Delta's:
+    *
+    *   Pass 1 (find touched dirs): candidate dirs are bounded from the
+    *   manifest alone — the caller's `prune` ranges plus DERIVED ranges
+    *   [min(source.k), max(source.k)] per key column (sound because a
+    *   match must carry a key the source contains; dirs without key
+    *   stats are kept). One key-column-pruned probe job unions the
+    *   candidates, semi-joins the source's distinct keys, and returns
+    *   the dirs that actually hold matches.
+    *
+    *   Pass 2 (rewrite + append): each touched dir is rewritten minus
+    *   its matched rows (anti-join; AQE broadcasts the batch-sized key
+    *   set); the source lands whole as one fresh dir. Untouched dirs —
+    *   at 100 TB, almost all of them — are carried by reference with
+    *   their stats.
+    *
+    * Work is O(touched dirs + source), never O(table): a daily upsert
+    * over a long-appended keyed store probes the few dirs whose key
+    * range overlaps the batch and rewrites only those with real matches.
+    *
+    * Semantics and guard rails:
+    *   - `source` rows with a fully-non-NULL key tuple must be UNIQUE on
+    *     `keys` (two updates for one target row is ambiguous — throws,
+    *     like Delta's multiple-matches error). NULL-keyed source rows
+    *     never match (SQL equality) and simply insert; NULL-keyed target
+    *     rows never match and survive.
+    *   - `prune` is a caller ASSERTION that matched target rows live
+    *     only in dirs overlapping the ranges (e.g. "this batch only
+    *     touches day X"). A wrong assertion leaves stale matched rows
+    *     behind (the new version would hold both editions); the derived
+    *     key ranges need no assertion — they are implied by equality.
+    *   - Schema policy is [[commitAppend]]'s: source schema must equal
+    *     the recorded schema, `mergeSchema` opts into additive drift,
+    *     type conflicts always throw.
+    *   - Same CAS contract as [[deleteWhere]]: publishes at base+1 or
+    *     aborts with [[CommitConflict]], cleaning its prepared dirs.
+    *     Old versions still time-travel to the pre-merge rows; a change
+    *     feed across a merge that rewrote dirs is a snapshot rewrite
+    *     ([[readChanges]] throws; a pure-insert merge — zero touched
+    *     dirs — stays a clean append and the feed reads just the batch).
+    * Returns the committed version (the unchanged current version when
+    * `source` is empty). */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+                keys: Seq[String],
+                prune: Seq[ColRange] = Seq.empty,
+                statsCols: Seq[String] = Seq.empty,
+                mergeSchema: Boolean = false,
+                meta: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name, lit, max, min}
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to merge into: $root has no committed version")
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val missing = keys.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"merge keys not in the source schema: ${missing.mkString(",")}")
+    if (source.isEmpty) return base
+
+    val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
+    val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
+      .filter(c("count") > 1).take(1)
+    require(dup.isEmpty,
+      s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
+        "two source rows matching one target row is ambiguous")
+
+    val f = fs(spark, root)
+    val all = dataDirsOf(f, root, base)
+    val baseStats = statsOf(f, root, base)
+    // Derived key ranges: one aggregate over the source, min/max per key
+    // in the stats' external string form. All-NULL keys derive nothing.
+    val aggRow = source.agg(
+      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string"))).head,
+      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string"))).tail: _*).head()
+    val derived = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (aggRow.isNullAt(2 * i)) None
+      else Some(ColRange(k, Some(aggRow.getString(2 * i)), Some(aggRow.getString(2 * i + 1))))
+    }
+    val candidates = pruneWithStats(all, baseStats, prune ++ derived)
+
+    // Pass 1: ONE probe job over all candidates, column-pruned to the
+    // keys, each scan tagged with its dir. A dir missing a key column
+    // (pre-evolution dir) reads that key as NULL and can never match.
+    val srcKeys = source.select(keys.map(c): _*).filter(keyedNonNull).distinct()
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else candidates.map { d =>
+        val df = spark.read.parquet(s"$root/$d")
+        keys.foldLeft(df) { (acc, k) =>
+          if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
+        }.select(keys.map(c): _*).withColumn("__graft_dir", lit(d))
+      }.reduce(_ unionByName _)
+        .join(srcKeys, keys, "left_semi")
+        .select("__graft_dir").distinct().collect().map(_.getString(0)).toSet
+    val untouched = all.filterNot(touched)
+
+    // Pass 2: rewrite touched dirs minus their matched rows; append the
+    // source as its own dir (schema-policed like any append).
+    val srcDir = prepare(source, root)
+    val merged =
+      try mergedSchemaDdl(schemaOf(f, root, base),
+        writtenSchema(spark, root, srcDir, source), mergeSchema, root)
+      catch { case e: Throwable =>
+        f.delete(new Path(s"$root/$srcDir"), true); throw e }
+    val rewritten = touched.toSeq.sorted.flatMap { d =>
+      val kept = spark.read.parquet(s"$root/$d")
+        .join(srcKeys, keys, "left_anti")
+      if (kept.isEmpty) None else Some(prepare(kept, root))
+    }
+    val carried = baseStats.filter { case (k, _) =>
+      untouched.contains(k.takeWhile(_ != '|')) }
+    val fresh = (rewritten :+ srcDir)
+      .flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+    publish(spark, root, base + 1, srcDir,
+      baseDirs = untouched, extraNewDirs = rewritten,
+      meta = (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta) +
+        ("merge" -> s"upsert:${keys.mkString("+")}"),
+      schemaDdl = Some(merged), stats = carried ++ fresh)
+    base + 1
+  }
+
   /** Per-dir min/max stats for `cols` over the freshly written `dir`,
     * flat-keyed `<dir>|<col>|{min,max,typ}` (flat so the regex manifest
     * parser stays sound — values escape braces, keys carry no nesting).

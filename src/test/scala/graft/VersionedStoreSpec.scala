@@ -655,6 +655,161 @@ class VersionedStoreSpec extends SparkSpec {
       Seq(VersionedStore.ColRange("user_id", Some("2"), Some("9")))) === 1L)
   }
 
+  test("updateWhere: SET sees pre-update rows, only matching dirs rewrite, unknown SET column throws") {
+    val root = tmp()
+    (1 to 3).foreach { d =>
+      VersionedStore.commitAppend(snap(f"2024-01-$d%02d", (d * 10L) -> 1.0),
+        root, statsCols = Seq("day"))
+    }
+    val before = VersionedStore.prunedDirs(spark, root, 3L, Seq.empty).toSet
+    // Two assignments referencing each other's OLD values: standard
+    // UPDATE evaluates both against the pre-update row, so a swap works.
+    val v = VersionedStore.updateWhere(spark, root,
+      col("day") === "2024-01-02",
+      set = Map("value" -> (col("value") + col("user_id")),
+        "user_id" -> (col("user_id") + lit(100L))),
+      prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-02")),
+      statsCols = Seq("day"))
+    assert(v === 4L)
+    val after = VersionedStore.prunedDirs(spark, root, v, Seq.empty).toSet
+    assert(after.intersect(before).size === before.size - 1,
+      "only day-02's dir may be rewritten")
+    val got = VersionedStore.read(spark, root).get.orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSeq
+    assert(got === Seq(10L -> 1.0, 30L -> 1.0, 120L -> 21.0),
+      "value must see the OLD user_id (20), not the updated one")
+    // NULL predicate keeps (SQL UPDATE); no-match is a version-less no-op.
+    assert(VersionedStore.updateWhere(spark, root,
+      col("day") === lit(null).cast("string"),
+      set = Map("value" -> lit(0.0))) === v)
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.updateWhere(spark, root, col("day") === "2024-01-01",
+        set = Map("no_such" -> lit(1))))
+    assert(e.getMessage.contains("not in the recorded schema"))
+  }
+
+  test("restore: manifest-only commit references the old version's dirs; history survives; expire keeps them") {
+    val root = tmp()
+    val v1 = VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    VersionedStore.commitAppend(snap("2024-01-02", 2L -> 2.0), root)
+    VersionedStore.commit(snap("2024-01-03", 3L -> 333.0), root) // bad rewrite
+    assert(VersionedStore.read(spark, root).get.count() === 1L)
+    val v4 = VersionedStore.restore(spark, root, 2L)
+    assert(v4 === 4L)
+    // Byte-identical snapshot, by REFERENCE: v4 lists exactly v2's dirs.
+    assert(VersionedStore.prunedDirs(spark, root, v4, Seq.empty) ===
+      VersionedStore.prunedDirs(spark, root, 2L, Seq.empty))
+    val got = VersionedStore.read(spark, root).get.orderBy("user_id").collect()
+      .map(_.getAs[Double]("value")).toSeq
+    assert(got === Seq(1.0, 2.0))
+    // The bad version stays time-travelable; restore-to-current no-ops.
+    assert(VersionedStore.readAt(spark, root, 3L).collect()
+      .head.getAs[Double]("value") === 333.0)
+    assert(VersionedStore.restore(spark, root, v4) === v4)
+    // Expire to the last 2 versions: the restore's referenced dirs (from
+    // v1/v2's appends) must survive the sweep because v4 references them.
+    VersionedStore.expire(spark, root, keepLast = 2)
+    assert(VersionedStore.read(spark, root).get.count() === 2L)
+    intercept[IllegalArgumentException](VersionedStore.readAt(spark, root, v1))
+  }
+
+  test("mergeInto: upsert rewrites ONLY the matched dir, inserts land as one new dir, old version time-travels") {
+    val root = tmp()
+    (1 to 4).foreach { d =>
+      VersionedStore.commitAppend(
+        snap(f"2024-01-$d%02d", (d * 10L) -> 1.0, (d * 10L + 1) -> 2.0),
+        root, statsCols = Seq("day", "user_id"))
+    }
+    val before = VersionedStore.prunedDirs(spark, root, 4L, Seq.empty).toSet
+    // user 21 exists (day-02 dir): update to 99.0; user 77 is new: insert.
+    val src = Seq(("2024-01-02", 21L, 99.0), ("2024-02-01", 77L, 7.0))
+      .toDF("day", "user_id", "value")
+    val v = VersionedStore.mergeInto(spark, root, src, Seq("user_id"),
+      statsCols = Seq("day", "user_id"))
+    assert(v === 5L)
+    val after = VersionedStore.prunedDirs(spark, root, v, Seq.empty).toSet
+    // Derived key range [21, 77] overlaps dirs 2..4 but only day-02's dir
+    // holds a match: exactly one of the four original dirs is rewritten.
+    assert(after.intersect(before).size === before.size - 1,
+      s"one dir rewritten, got carried ${after.intersect(before).size}/${before.size}")
+    val got = VersionedStore.read(spark, root).get
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSeq
+    assert(got === Seq(10L -> 1.0, 11L -> 2.0, 20L -> 1.0, 21L -> 99.0,
+      30L -> 1.0, 31L -> 2.0, 40L -> 1.0, 41L -> 2.0, 77L -> 7.0))
+    // Time travel: version 4 still shows the pre-merge row.
+    val old = VersionedStore.readAt(spark, root, 4L)
+      .filter(col("user_id") === 21L).collect()
+    assert(old.head.getAs[Double]("value") === 2.0)
+    // The rewritten + inserted dirs carry fresh stats: a point read of
+    // the new user prunes to one dir.
+    val pr = VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange.eq("user_id", "77")))
+    assert(pr.size === 1, s"insert dir must be stats-addressable, got $pr")
+  }
+
+  test("mergeInto: pure-insert merge touches nothing and stays a clean append for the change feed") {
+    val root = tmp()
+    (1 to 3).foreach { d =>
+      VersionedStore.commitAppend(snap(f"2024-01-$d%02d", (d * 10L) -> 1.0),
+        root, statsCols = Seq("user_id"))
+    }
+    val before = VersionedStore.prunedDirs(spark, root, 3L, Seq.empty).toSet
+    val src = Seq(("2024-03-01", 900L, 9.0)).toDF("day", "user_id", "value")
+    val v = VersionedStore.mergeInto(spark, root, src, Seq("user_id"),
+      statsCols = Seq("user_id"))
+    val after = VersionedStore.prunedDirs(spark, root, v, Seq.empty).toSet
+    assert(before.subsetOf(after), "no original dir may be rewritten")
+    // Change feed across the pure-insert merge: exactly the batch.
+    val changes = VersionedStore.readChanges(spark, root, sinceVersion = 3L).get.collect()
+    assert(changes.length === 1 && changes.head.getAs[Long]("user_id") === 900L)
+  }
+
+  test("mergeInto guards: duplicate source keys throw; NULL keys insert without matching; empty source no-ops") {
+    val root = tmp()
+    VersionedStore.commitAppend(Seq[(String, java.lang.Long, Double)](
+      ("2024-01-01", 1L, 1.0), ("2024-01-01", null, 5.0))
+      .toDF("day", "user_id", "value"), root, statsCols = Seq("user_id"))
+    // Two source rows updating user 1 is ambiguous.
+    val dup = Seq(("2024-01-02", 1L, 2.0), ("2024-01-03", 1L, 3.0))
+      .toDF("day", "user_id", "value")
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.mergeInto(spark, root, dup, Seq("user_id")))
+    assert(e.getMessage.contains("duplicate"))
+    // NULL-keyed source row inserts; NULL-keyed target row survives; two
+    // NULL-keyed source rows are NOT duplicates (they never match).
+    val src = Seq[(String, java.lang.Long, Double)](
+      ("2024-01-02", null, 6.0), ("2024-01-02", null, 7.0), ("2024-01-02", 1L, 2.0))
+      .toDF("day", "user_id", "value")
+    val v = VersionedStore.mergeInto(spark, root, src, Seq("user_id"))
+    val vals = VersionedStore.read(spark, root).get.collect()
+      .map(_.getAs[Double]("value")).sorted.toSeq
+    assert(vals === Seq(2.0, 5.0, 6.0, 7.0),
+      "user 1 updated; NULL target kept; both NULL sources inserted")
+    // Empty source: no new version.
+    val v2 = VersionedStore.mergeInto(spark, root,
+      src.limit(0), Seq("user_id"))
+    assert(v2 === v)
+  }
+
+  test("mergeInto: schema drift rejected by default, additive with mergeSchema; type conflict always throws") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root)
+    val drifted = Seq(("2024-01-02", 1L, 2.0, "x"))
+      .toDF("day", "user_id", "value", "tag")
+    intercept[IllegalArgumentException](
+      VersionedStore.mergeInto(spark, root, drifted, Seq("user_id")))
+    val v = VersionedStore.mergeInto(spark, root, drifted, Seq("user_id"),
+      mergeSchema = true)
+    val rows = VersionedStore.readAt(spark, root, v).collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("tag") === "x")
+    val conflict = Seq(("2024-01-03", 1L, "not-a-double", "y"))
+      .toDF("day", "user_id", "value", "tag")
+    intercept[IllegalArgumentException](
+      VersionedStore.mergeInto(spark, root, conflict, Seq("user_id"),
+        mergeSchema = true))
+  }
+
   test("optimize survives skew and NULL cluster keys; change feed across it refuses dir-level diff") {
     import org.apache.spark.sql.functions.col
     val root = tmp()
