@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.sinks.VersionedStore
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Manifest-commit gates: readers resolve data through the manifest (a
   * half-written prepare dir is invisible), a crash between manifest and
