@@ -95,7 +95,52 @@ object StoreProbe {
       f""""delete_unpruned_sec":$tUnpruned%.3f,""" +
       f""""delete_rewrite_sec":$tRewrite%.3f,""" +
       s""""rows_after":${n(r1)}}""")
-    Seq(r1, r2, r3).foreach { r =>
+
+    // Probe A/B: the DML existence probe as ONE union-tagged job
+    // (VersionedStore.probeMatching) vs the sequential per-dir
+    // filter(pred).isEmpty loop it replaced. A no-match predicate makes
+    // the probe the WHOLE cost (no rewrite follows), and slicing one
+    // 50-dir store's dir list gives both x-axis points without a second
+    // ingest. Expectation: the loop grows linearly in dir count (a
+    // scheduler round-trip per dir); the single job stays ~flat.
+    val probeDirs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIRS", "50").toInt
+    val rootP = java.nio.file.Files.createTempDirectory("graft-probeab").toString
+    val qsP = orders.stat.approxQuantile(
+      "o_orderkey", (1 until probeDirs).map(_.toDouble / probeDirs).toArray, 0.0001)
+      .map(_.toLong)
+    (Long.MinValue +: qsP.toSeq).zip(qsP.toSeq :+ Long.MaxValue).foreach {
+      case (lo, hi) =>
+        VersionedStore.commitAppend(
+          orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi),
+          rootP, statsCols = Seq("o_orderkey"))
+    }
+    val allDirs = VersionedStore.prunedDirs(spark, rootP,
+      VersionedStore.currentVersion(spark, rootP), Seq.empty)
+    val noMatch = col("o_orderstatus") === "NO_SUCH_STATUS"
+    def probeSeq(dirs: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val hits = dirs.filter { d =>
+        !spark.read.parquet(s"$rootP/$d").filter(noMatch).isEmpty }
+      require(hits.isEmpty); (System.nanoTime() - t0) / 1e9
+    }
+    val recordedDdl = VersionedStore.schemaAt(spark, rootP,
+      VersionedStore.currentVersion(spark, rootP))
+    def probeOne(dirs: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val hits = VersionedStore.probeMatching(spark, rootP, dirs, noMatch, recordedDdl)
+      require(hits.isEmpty); (System.nanoTime() - t0) / 1e9
+    }
+    val d10 = allDirs.take(10)
+    // warm both paths once (JIT + parquet footer cache), then measure
+    probeSeq(d10); probeOne(d10)
+    val (s10, o10) = (probeSeq(d10), probeOne(d10))
+    val (sAll, oAll) = (probeSeq(allDirs), probeOne(allDirs))
+    println(s"""{"metric":"store_probe_ab","sf_dir":"$sfDir",""" +
+      s""""dirs_small":${d10.size},"dirs_full":${allDirs.size},""" +
+      f""""seq_small_sec":$s10%.3f,"seq_full_sec":$sAll%.3f,""" +
+      f""""onejob_small_sec":$o10%.3f,"onejob_full_sec":$oAll%.3f}""")
+
+    (Seq(r1, r2, r3) :+ rootP).foreach { r =>
       val p = new org.apache.hadoop.fs.Path(r)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     }

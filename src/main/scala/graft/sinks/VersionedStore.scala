@@ -491,17 +491,30 @@ object VersionedStore {
           }
           (first +: mids) :+ (c(kcol) >= lit(bounds.last))
         }
-      val dirs = preds.flatMap { p =>
-        val slice = keyed.filter(p).sortWithinPartitions(c(kcol))
-          .select(snapshot.columns.map(c).toSeq: _*)
-        if (slice.isEmpty) None else Some(prepare(slice, root))
+      // Bucket occupancy in ONE aggregate job over the cached snapshot
+      // (max of a 0/1 flag per slice predicate), replacing a per-bucket
+      // sequential `isEmpty` loop — N probe jobs collapse to one, so
+      // empty-slice detection costs one scheduler round at any bucket
+      // count. Skewed keys collapsing quantiles leave empty slices; they
+      // are skipped, never committed as schema-less dirs.
+      import org.apache.spark.sql.functions.{max, when}
+      val occAggs = preds.zipWithIndex.map { case (p, i) =>
+        max(when(p, lit(1)).otherwise(lit(0))).as(s"occ_$i") }
+      val occRow = keyed.agg(occAggs.head, occAggs.tail: _*).head()
+      val dirs = preds.zipWithIndex.flatMap { case (p, i) =>
+        if (occRow.isNullAt(i) || occRow.getInt(i) == 0) None
+        else Some(prepare(keyed.filter(p).sortWithinPartitions(c(kcol))
+          .select(snapshot.columns.map(c).toSeq: _*), root))
       }
       require(dirs.nonEmpty, s"optimize of $root produced no data dirs")
       val schemaDdl = schemaOf(fs(spark, root), root, base)
         .getOrElse(writtenSchema(spark, root, dirs.head, snapshot).toDDL)
       val stats = dirs.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+      // Base meta carries forward (the stream ledger survives OPTIMIZE,
+      // like Delta's SetTransaction records).
       publish(spark, root, base + 1, dirs.last, baseDirs = Seq.empty,
-        meta = meta + ("optimize" -> s"cluster-by:${buckets}b"),
+        meta = metaAt(spark, root, base) ++ meta +
+          ("optimize" -> s"cluster-by:${buckets}b"),
         schemaDdl = Some(schemaDdl), stats = stats, extraNewDirs = dirs.init)
       base + 1
     } finally { keyed.unpersist(); () }
@@ -531,29 +544,51 @@ object VersionedStore {
     * undefined: [[readChanges]] throws its snapshot-rewrite error and a
     * [[graft.sources.VersionedCdc]] stream re-baselines.
     *
+    * `prune` is a caller ASSERTION, and unlike the read path it is
+    * CORRECTNESS-BEARING: on reads a wrong skip range merely reads more;
+    * here a range that excludes a dir actually holding matching rows
+    * silently leaves those rows UNDELETED — fatal for the GDPR/excision
+    * use-case. Pass ranges only when the predicate provably implies them
+    * (e.g. the predicate itself carries `key >= lo && key <= hi`). When
+    * the stakes demand proof, set `verifyPrune = true`: the existence
+    * probe then sweeps EVERY dir (one job — pushed-down predicate
+    * columns only, each dir short-circuiting at its first match) and the
+    * delete fails loudly BEFORE any rewrite if a pruned-out dir matches.
+    * Verification reads the predicate's columns across the table, so it
+    * trades the prune's O(touched) scan bound for certainty — still far
+    * cheaper than the rewrite it guards.
+    *
     * Concurrency: CAS at base+1 ([[commitAt]]'s contract) — an
     * interleaved commit wins and the delete aborts with
     * [[CommitConflict]], removing its prepared dirs; retry by re-running
     * (the re-run re-reads the new base, so an interleaved append's rows
-    * are re-considered, never silently resurrected). */
+    * are re-considered, never silently resurrected). The base version's
+    * commit meta — notably [[graft.streaming.VersionedStream]]'s
+    * exactly-once batch ledger — is carried forward (Delta carries
+    * SetTransaction records through DELETE the same way), so a stream
+    * replay arriving after the delete still sees its watermark. */
   def deleteWhere(spark: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column,
                   prune: Seq[ColRange] = Seq.empty,
                   statsCols: Seq[String] = Seq.empty,
-                  meta: Map[String, String] = Map.empty): Long = {
+                  meta: Map[String, String] = Map.empty,
+                  verifyPrune: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val base = currentVersion(spark, root)
     require(base > 0, s"nothing to delete from: $root has no committed version")
     val f = fs(spark, root)
     val all = dataDirsOf(f, root, base)
     val baseStats = statsOf(f, root, base)
+    val baseMeta = metaOf(f, root, base)
     val candidates =
       if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
-    // Existence probe per candidate: dirs with no matching row are NOT
-    // rewritten (stats said "might match"; the data says no).
-    val touched = candidates.filter { d =>
-      !spark.read.parquet(s"$root/$d").filter(predicate).isEmpty
-    }
+    // Existence probe — ONE job over the candidates (every dir when
+    // verifying the prune): dirs with no matching row are NOT rewritten
+    // (stats said "might match"; the data says no).
+    val matched = probeMatching(spark, root,
+      if (verifyPrune) all else candidates, predicate, schemaOf(f, root, base))
+    if (verifyPrune) requireSoundPrune("deleteWhere", root, matched, candidates)
+    val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
     val untouched = all.filterNot(touched.contains)
     val keep = not(coalesce(predicate, lit(false)))
@@ -576,12 +611,12 @@ object VersionedStore {
       // on a lost commit race — deletes live data.
       publish(spark, root, base + 1, untouched.last,
         baseDirs = untouched.init,
-        meta = meta + ("delete" -> "where"), schemaDdl = schemaDdl,
+        meta = baseMeta ++ meta + ("delete" -> "where"), schemaDdl = schemaDdl,
         stats = carried, dataDirIsCarried = true)
     else
       publish(spark, root, base + 1, rewritten.last,
         baseDirs = untouched, extraNewDirs = rewritten.init,
-        meta = meta + ("delete" -> "where"), schemaDdl = schemaDdl,
+        meta = baseMeta ++ meta + ("delete" -> "where"), schemaDdl = schemaDdl,
         stats = carried ++ fresh)
     base + 1
   }
@@ -668,14 +703,17 @@ object VersionedStore {
     * [[commitAppend]]+mergeSchema's job; changing types is nobody's).
     * `set` expressions see the PRE-update row (standard UPDATE
     * semantics: all assignments evaluate against the old values).
-    * A no-match update is a version-less no-op. Same CAS contract and
-    * change-feed caveat as [[deleteWhere]]. */
+    * A no-match update is a version-less no-op. Same CAS contract,
+    * change-feed caveat, ledger carry-forward, and `prune`
+    * caller-ASSERTION / `verifyPrune` proof option as [[deleteWhere]] —
+    * a wrong prune here silently leaves matching rows UN-updated. */
   def updateWhere(spark: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
                   prune: Seq[ColRange] = Seq.empty,
                   statsCols: Seq[String] = Seq.empty,
-                  meta: Map[String, String] = Map.empty): Long = {
+                  meta: Map[String, String] = Map.empty,
+                  verifyPrune: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col => c, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
     val base = currentVersion(spark, root)
@@ -683,6 +721,7 @@ object VersionedStore {
     val f = fs(spark, root)
     val all = dataDirsOf(f, root, base)
     val baseStats = statsOf(f, root, base)
+    val baseMeta = metaOf(f, root, base)
     val recorded = schemaOf(f, root, base)
     recorded.foreach { ddl =>
       val cols = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames.toSet
@@ -692,9 +731,10 @@ object VersionedStore {
     }
     val candidates =
       if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
-    val touched = candidates.filter { d =>
-      !spark.read.parquet(s"$root/$d").filter(predicate).isEmpty
-    }
+    val matched = probeMatching(spark, root,
+      if (verifyPrune) all else candidates, predicate, recorded)
+    if (verifyPrune) requireSoundPrune("updateWhere", root, matched, candidates)
+    val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
     val untouched = all.filterNot(touched.contains)
     val hit = coalesce(predicate, lit(false))
@@ -713,7 +753,8 @@ object VersionedStore {
     val fresh = rewritten.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
     publish(spark, root, base + 1, rewritten.last,
       baseDirs = untouched, extraNewDirs = rewritten.init,
-      meta = meta + ("update" -> s"set:${set.keys.toSeq.sorted.mkString("+")}"),
+      meta = baseMeta ++ meta +
+        ("update" -> s"set:${set.keys.toSeq.sorted.mkString("+")}"),
       schemaDdl = recorded, stats = carried ++ fresh)
     base + 1
   }
@@ -727,7 +768,15 @@ object VersionedStore {
     * edition. The restored manifest carries `toVersion`'s schema and
     * stats verbatim, so data skipping keeps working. Restoring to the
     * current version is a no-op (returns the current version). Same
-    * CAS arbitration as any commit. */
+    * CAS arbitration as any commit.
+    *
+    * Ledger semantics: the restored manifest carries `toVersion`'s meta,
+    * but [[graft.streaming.VersionedStream]]'s exactly-once batch-ledger
+    * keys are taken from the CURRENT version — restoring the OLD ledger
+    * values would regress each writer's replay watermark, and the batches
+    * between toVersion and now really were delivered once already (the
+    * restore undoes their ROWS deliberately; replaying them afterwards
+    * would re-apply data the operator just chose to discard). */
   def restore(spark: SparkSession, root: String, toVersion: Long,
               meta: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, root)
@@ -739,12 +788,19 @@ object VersionedStore {
     if (toVersion == cur) return cur
     val dirs = dataDirsOf(f, root, toVersion)
     publish(spark, root, cur + 1, dirs.last, baseDirs = dirs.init,
-      meta = meta + ("restore" -> toVersion.toString),
+      meta = metaOf(f, root, toVersion) ++ ledgerEntries(metaOf(f, root, cur)) ++
+        meta + ("restore" -> toVersion.toString),
       schemaDdl = schemaOf(f, root, toVersion),
       stats = statsOf(f, root, toVersion),
       dataDirIsCarried = true)
     cur + 1
   }
+
+  /** The subset of a commit's meta that is [[graft.streaming
+    * .VersionedStream]]'s per-writer exactly-once batch ledger: the keyed
+    * `batch.<writerId>` entries plus the legacy un-keyed `batchId`. */
+  private[graft] def ledgerEntries(m: Map[String, String]): Map[String, String] =
+    m.filter { case (k, _) => k == "batchId" || k.startsWith("batch.") }
 
   /** MERGE (upsert) — the Delta `MERGE INTO target USING source ON
     * target.k = source.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
@@ -818,6 +874,7 @@ object VersionedStore {
     val f = fs(spark, root)
     val all = dataDirsOf(f, root, base)
     val baseStats = statsOf(f, root, base)
+    val baseMeta = metaOf(f, root, base)
     // Derived key ranges: one aggregate over the source, min/max per key
     // in the stats' external string form. All-NULL keys derive nothing.
     val aggRow = source.agg(
@@ -862,12 +919,69 @@ object VersionedStore {
       untouched.contains(k.takeWhile(_ != '|')) }
     val fresh = (rewritten :+ srcDir)
       .flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+    // Base meta (stream ledger included) carries forward through MERGE.
     publish(spark, root, base + 1, srcDir,
       baseDirs = untouched, extraNewDirs = rewritten,
-      meta = (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta) +
+      meta = baseMeta ++
+        (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta) +
         ("merge" -> s"upsert:${keys.mkString("+")}"),
       schemaDdl = Some(merged), stats = carried ++ fresh)
     base + 1
+  }
+
+  /** ONE existence-probe job over `dirs`: the subset holding at least one
+    * row matching `predicate`. Each dir contributes a column-pruned,
+    * predicate-pushed scan capped at one row (`limit(1)` short-circuits a
+    * dir as soon as a match surfaces); the per-dir legs union into a
+    * SINGLE job. The alternative — a sequential per-dir
+    * `filter(pred).isEmpty` loop — pays one scheduler round-trip PER DIR,
+    * so on a thousand-dir store the loop's job-launch latency alone costs
+    * tens of seconds before any byte is read; here probe wall-time is one
+    * scheduler round regardless of dir count (measured in
+    * [[graft.StoreProbe]]'s probe A/B). */
+  private[graft] def probeMatching(spark: SparkSession, root: String,
+                                   dirs: Seq[String],
+                                   predicate: org.apache.spark.sql.Column,
+                                   schemaDdl: Option[String] = None): Set[String] = {
+    import org.apache.spark.sql.functions.lit
+    if (dirs.isEmpty) return Set.empty
+    // The store's recorded schema spares every leg its plan-time footer
+    // read — without it, schema inference is a sequential per-dir driver
+    // cost and the "one job" still pays a linear planning term (measured
+    // in StoreProbe's A/B). Missing columns of pre-evolution dirs read as
+    // NULL under an explicit schema, same as the read path.
+    val schema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    // Relation resolution (one FS listing per dir) happens eagerly inside
+    // spark.read.parquet and is the remaining per-dir driver cost — build
+    // the legs on concurrent driver threads so a thousand-dir probe pays
+    // max(listing latency), not sum. SparkSession is thread-safe; each
+    // thread gets its own DataFrameReader.
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val legs = Await.result(Future.traverse(dirs.toList) { d => Future {
+      val reader = schema.fold(spark.read)(spark.read.schema)
+      reader.parquet(s"$root/$d").filter(predicate)
+        .select(lit(d).as("__graft_dir")).limit(1)
+    }}, Duration.Inf)
+    legs.reduce(_ unionByName _)
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Wrong-prune guard shared by [[deleteWhere]]/[[updateWhere]]: when the
+    * caller asked for `verifyPrune`, the probe ran over ALL dirs, and any
+    * match in a dir the prune ranges had excluded means the prune
+    * assertion was WRONG — the mutation would have silently left matching
+    * rows behind. Fails loudly BEFORE any rewrite, naming the dirs. */
+  private def requireSoundPrune(op: String, root: String,
+                                matched: Set[String],
+                                candidates: Seq[String]): Unit = {
+    val escaped = matched.diff(candidates.toSet)
+    if (escaped.nonEmpty)
+      throw new IllegalStateException(
+        s"$op on $root: prune ranges exclude dirs that DO contain matching " +
+          s"rows (${escaped.toSeq.sorted.mkString(", ")}); the prune " +
+          "assertion is wrong — widen or drop the ranges")
   }
 
   /** Per-dir min/max stats for `cols` over the freshly written `dir`,
@@ -947,16 +1061,17 @@ object VersionedStore {
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
     val newDirs = if (dataDirIsCarried) extraNewDirs else extraNewDirs :+ dataDir
+    // Audit field: every entry is `<dir>/`-prefixed relative to root,
+    // uniformly across single- and multi-dir commits (manifests written
+    // before this carried bare filenames for single-dir commits — tooling
+    // parsing `files` must accept both legacy forms).
     val files = newDirs.flatMap { nd =>
       f.listStatus(new Path(s"$root/$nd")).toSeq
-        .filter(_.isFile).map(s => if (extraNewDirs.isEmpty) s.getPath.getName
-                                   else s"$nd/${s.getPath.getName}").sorted ++
+        .filter(_.isFile).map(s => s"$nd/${s.getPath.getName}").sorted ++
         f.globStatus(new Path(s"$root/$nd/day=*/*")).toSeq
           .filter(_.isFile)
-          .map { s =>
-            val rel = s"${s.getPath.getParent.getName}/${s.getPath.getName}"
-            if (extraNewDirs.isEmpty) rel else s"$nd/$rel"
-          }.sorted
+          .map(s => s"$nd/${s.getPath.getParent.getName}/${s.getPath.getName}")
+          .sorted
     }
     // Braces are escaped too (legal JSON \u escapes) so the regex-based
     // manifest parser can bound the meta object with [^}]* — a literal

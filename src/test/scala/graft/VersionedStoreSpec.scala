@@ -830,4 +830,83 @@ class VersionedStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("snapshot rewrite"),
       "a range spanning an optimize has no dir-level change feed")
   }
+
+  test("ledger survives DML: a replayed batch after DELETE/UPDATE/MERGE/OPTIMIZE never double-appends") {
+    import graft.streaming.VersionedStream
+    val root = tmp()
+    // A stream-maintained store: foreachBatch is at-least-once on crash
+    // recovery, so after ANY maintenance commit a replay of the last batch
+    // may arrive. The table-side ledger must survive that commit.
+    VersionedStream.commitBatch(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0), 0L, root)
+    VersionedStream.commitBatch(snap("2024-01-02", 3L -> 3.0, 4L -> 4.0), 1L, root)
+    def rows() = VersionedStore.read(spark, root).get.count()
+    def replay() =
+      VersionedStream.commitBatch(snap("2024-01-02", 3L -> 3.0, 4L -> 4.0), 1L, root)
+
+    VersionedStore.deleteWhere(spark, root, col("user_id") === 2L)
+    val n1 = rows(); replay()
+    assert(rows() === n1, "replay after deleteWhere must be skipped by the carried ledger")
+
+    VersionedStore.updateWhere(spark, root, col("user_id") === 1L,
+      set = Map("value" -> lit(9.0)))
+    val n2 = rows(); replay()
+    assert(rows() === n2, "replay after updateWhere must be skipped")
+
+    VersionedStore.mergeInto(spark, root,
+      snap("2024-01-03", 5L -> 5.0), keys = Seq("user_id"))
+    val n3 = rows(); replay()
+    assert(rows() === n3, "replay after mergeInto must be skipped")
+
+    VersionedStore.optimize(spark, root, col("user_id"), buckets = 2)
+    val n4 = rows(); replay()
+    assert(rows() === n4, "replay after optimize must be skipped")
+
+    // The ledger was carried, not frozen: a genuinely NEW batch still lands.
+    VersionedStream.commitBatch(snap("2024-01-04", 6L -> 6.0), 2L, root)
+    assert(rows() === n4 + 1, "a new batch id must still append after DML")
+  }
+
+  test("restore keeps the CURRENT ledger watermark, not the restored version's") {
+    import graft.streaming.VersionedStream
+    val root = tmp()
+    VersionedStream.commitBatch(snap("2024-01-01", 1L -> 1.0), 0L, root) // v1: ledger 0
+    VersionedStream.commitBatch(snap("2024-01-02", 2L -> 2.0), 1L, root) // v2: ledger 1
+    VersionedStore.restore(spark, root, 1L) // rows of v1, but batch 1 WAS delivered
+    assert(VersionedStore.currentMeta(spark, root)("batch.default") === "1",
+      "restore must not regress the replay watermark to the restored version's")
+    val n = VersionedStore.read(spark, root).get.count()
+    VersionedStream.commitBatch(snap("2024-01-02", 2L -> 2.0), 1L, root)
+    assert(VersionedStore.read(spark, root).get.count() === n,
+      "a replay of the deliberately-restored-away batch must stay a no-op")
+  }
+
+  test("verifyPrune: a wrong prune assertion fails loudly BEFORE any rewrite; a sound one passes") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0), root,
+      statsCols = Seq("user_id"))
+    VersionedStore.commitAppend(snap("2024-01-02", 10L -> 1.0, 20L -> 2.0), root,
+      statsCols = Seq("user_id"))
+    val before = VersionedStore.currentVersion(spark, root)
+    // value==1.0 matches rows in BOTH dirs, but the prune claims dir 1 only.
+    val wrong = Seq(VersionedStore.ColRange("user_id", Some("1"), Some("2")))
+    val e = intercept[IllegalStateException] {
+      VersionedStore.deleteWhere(spark, root, col("value") === 1.0,
+        prune = wrong, verifyPrune = true)
+    }
+    assert(e.getMessage.contains("prune"), s"unexpected: ${e.getMessage}")
+    assert(VersionedStore.currentVersion(spark, root) === before,
+      "a failed prune verification must commit nothing")
+    // Without verification the wrong prune is the documented hazard:
+    // the excluded dir's matching row survives.
+    VersionedStore.deleteWhere(spark, root, col("value") === 1.0, prune = wrong)
+    assert(VersionedStore.read(spark, root).get
+      .filter(col("value") === 1.0).count() === 1L,
+      "documented: a wrong unverified prune leaves matches outside its ranges")
+    // A sound prune under verification deletes the remainder.
+    VersionedStore.deleteWhere(spark, root, col("value") === 1.0,
+      prune = Seq(VersionedStore.ColRange("user_id", Some("10"), Some("10"))),
+      verifyPrune = true)
+    assert(VersionedStore.read(spark, root).get
+      .filter(col("value") === 1.0).count() === 0L)
+  }
 }
