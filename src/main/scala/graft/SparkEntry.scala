@@ -886,6 +886,26 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // ROW-LEVEL UPDATE in the versioned store — the UPDATE SET ... WHERE
+    // seam (VersionedStore.updateWhere), completing the DML triad: day-14
+    // clicks get value tripled in ONE copy-on-write dir rewrite (build
+    // gates 9 of 10 dirs carried by reference) with the prune assertion
+    // PROVEN via verifyPrune's all-dir probe. The post-update day-13..15
+    // aggregate is oracle-checked against the same UPDATE expressed over
+    // flat events in SQL.
+    "versioned_update_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureUpdatedEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-13"), Some("2024-01-15"))))
+        .filter(col("day").between(
+          lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
     // MERGE (upsert) over the versioned store — the Delta MERGE INTO
     // seam (VersionedStore.mergeInto): day-14 clicks are UPDATED
     // (value doubled, full-row replace) and re-keyed day-14 purchases
@@ -964,6 +984,23 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table("graft_cdc_counts").orderBy("event_type")
+    }),
+    // CDC-MAINTAINED DERIVED TABLE — the flagship storage-tier loop as a
+    // DuckDB-gated query: a base VersionedStore streams through the real
+    // VersionedCdc source into a transform and lands in a SECOND
+    // versioned store via the exactly-once VersionedStream sink, resumed
+    // across two drains (build gates one derived commit per drain and
+    // the batch ledger — see ensureCdcDerivedEventsStore). The derived
+    // table's aggregate must equal the same transform over flat events.
+    "versioned_cdc_derived" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureCdcDerivedEventsStore(s, dir)
+      VersionedStore.read(s, p).get
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("val_q")).as("sum_val_q"))
+        .orderBy("event_type")
     }),
     // Morton/Z-order layout key over (user, day) — the multi-dim
     // data-layout lever (sort by this before writing → row-group min/max
@@ -1146,6 +1183,94 @@ object SparkEntry {
     p
   }
 
+  /** Build (once per corpus) the post-UPDATE VersionedStore of events:
+    * the same 10 day-ranged appends as [[ensureVersionedEventsStore]],
+    * then `UPDATE SET value = value * 3 WHERE event_type = 'click' AND
+    * day = 2024-01-14` with the day prune VERIFIED (`verifyPrune` —
+    * the probe sweeps every dir in one job and would fail loudly if the
+    * prune assertion excluded a matching dir). The require gates the
+    * copy-on-write bound: exactly one of the ten dirs rewrites. */
+  private def ensureUpdatedEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_upd", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      val before = VersionedStore.prunedDirs(s, tmp, 10L, Seq.empty).toSet
+      val v = VersionedStore.updateWhere(s, tmp,
+        col("event_type") === "click" && col("day") === lit("2024-01-14").cast("date"),
+        set = Map("value" -> (col("value") * 3)),
+        prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-14")),
+        statsCols = Seq("day"),
+        verifyPrune = true)
+      val after = VersionedStore.prunedDirs(s, tmp, v, Seq.empty).toSet
+      require(after.intersect(before).size == before.size - 1,
+        s"targeted update must rewrite exactly one dir, carried " +
+          s"${after.intersect(before).size}/${before.size}")
+    }
+    p
+  }
+
+  /** Build (once per corpus) the CDC-DERIVED VersionedStore: a scratch
+    * base store receives two rounds of week-sliced event appends, and a
+    * real [[graft.sources.VersionedCdc]] → transform →
+    * [[graft.streaming.VersionedStream]] pipeline drains it into the
+    * derived store between rounds — the full base-table→stream→derived-
+    * table loop, checkpoint-resumed across the two drains. The requires
+    * gate the incremental contract: exactly one derived commit per
+    * drain (never a rescan of the base) and the exactly-once ledger at
+    * batch 1. Scratch base + checkpoint are deleted after the build. */
+  private def ensureCdcDerivedEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_cdc_drv", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-cdcbase").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft-cdcchk").toString
+      val slices = Seq(("2024-01-01", "2024-01-08"), ("2024-01-09", "2024-01-15"),
+        ("2024-01-16", "2024-01-22"), ("2024-01-23", "2024-01-30"))
+      def appendSlice(i: Int): Unit = {
+        val (lo, hi) = slices(i)
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(lit(lo).cast("date"), lit(hi).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          base, statsCols = Seq("day"))
+      }
+      def drain(): Unit = {
+        val q = graft.streaming.VersionedStream.startAppend(
+          s.readStream.format("graft.sources.VersionedCdc")
+            .option("path", base).load()
+            .withColumn("val_q", floor(col("value") * 1000).cast("long"))
+            .select("event_id", "day", "event_type", "user_id", "val_q"),
+          tmp, chk,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          statsCols = Seq("day"))
+        q.awaitTermination()
+      }
+      appendSlice(0); appendSlice(1); drain() // batch 0: base versions (0, 2]
+      appendSlice(2); appendSlice(3); drain() // batch 1: resume, versions (2, 4]
+      val v = VersionedStore.currentVersion(s, tmp)
+      require(v == 2L,
+        s"two drains must commit exactly two derived versions (batch-" +
+          s"proportional, never a base rescan), got $v")
+      require(graft.streaming.VersionedStream.lastBatchId(s, tmp) == 1L,
+        "the derived store's exactly-once ledger must record batch 1")
+      Seq(base, chk).foreach { r =>
+        val pth = new org.apache.hadoop.fs.Path(r)
+        pth.getFileSystem(s.sessionState.newHadoopConf()).delete(pth, true)
+      }
+    }
+    p
+  }
+
   /** Build (once per corpus) the post-MERGE VersionedStore of events:
     * the same 10 day-ranged appends as [[ensureVersionedEventsStore]],
     * then one [[graft.sinks.VersionedStore.mergeInto]] on `event_id`
@@ -1261,6 +1386,9 @@ object SparkEntry {
     ensureVersionedEventsStore(s, dir)
     ensureZOptimizedEventsStore(s, dir)
     ensureDeletedEventsStore(s, dir)
+    ensureUpdatedEventsStore(s, dir)
+    ensureMergedEventsStore(s, dir)
+    ensureCdcDerivedEventsStore(s, dir)
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -2415,6 +2543,17 @@ object SparkEntry {
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
         |  AND NOT (event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_update_read" ->
+      """WITH updated AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CASE WHEN event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14'
+        |       THEN value * 3 ELSE value END AS value
+        | FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM updated
+        |WHERE day BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_merge_read" ->
       """WITH merged AS (
         | SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2443,6 +2582,11 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_cdc_stream" ->
       """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_cdc_derived" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_q
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "zorder_events" ->
       """WITH e AS (SELECT event_id, user_id,
