@@ -32,18 +32,23 @@ import org.apache.spark.sql.functions._
 object BpeStore {
 
   def ensure(docs: DataFrame, path: String,
-             maxMerges: Int = 256, sampleDocs: Int = 400,
-             sampleBytes: Long = 512L << 10): Unit =
+             maxMerges: Int = 8192, sampleDocs: Int = 4000,
+             sampleBytes: Long = 4L << 20): Unit =
     graft.sinks.ArtifactStore.ensure(docs, path) { (src, tmp) =>
       val spark = src.sparkSession
-      // Deterministic bounded sample: smallest doc_ids first, byte-capped.
+      // Deterministic bounded sample: smallest doc_ids first, capped at
+      // sampleBytes of UTF-8 (the sample stops at the first doc crossing
+      // the cap, so it can overshoot by at most that one document).
       val collected = src.select(col("doc_id"), col("text"))
         .orderBy("doc_id").limit(sampleDocs).collect()
       val sample = scala.collection.mutable.ArrayBuffer.empty[String]
       var bytes = 0L
       collected.foreach { r =>
         val t = r.getString(1)
-        if (t != null && bytes < sampleBytes) { sample += t; bytes += t.length }
+        if (t != null && bytes < sampleBytes) {
+          sample += t
+          bytes += t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        }
       }
       val merges = BpeTokenizer.train(sample, maxMerges)
       def hex(s: String): String =
