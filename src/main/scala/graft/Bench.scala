@@ -1,6 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Second-process contamination probe: re-run ONE query in a fresh JVM
+    * (same classpath + JVM args as this one, reps=2, no vacuum, no
+    * further isolation recursion) and return its isolated median.
+    * PERF.md's round-10 honesty note proved the in-suite med≫min flag
+    * cannot catch late-suite long-JVM debris — both the median AND the
+    * min inflate — so the only mechanical tell is a second process; this
+    * automates the forensic step that previously needed a manual re-run
+    * (onlinetime_7d read 6.18 s in-suite vs 0.71 s isolated in round
+    * 10). Returns None on any child failure — a broken probe must never
+    * fabricate an isolated number. */
+  private def isolatedRun(name: String, sfDir: String, cpus: String): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      val outFile = java.nio.file.Files.createTempFile("graft-iso", ".json")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      env.put("SPARK_GRAFT_BENCH_ONLY", name)
+      env.put("SPARK_GRAFT_REPS", "2")
+      env.put("SPARK_GRAFT_ISOLATE", "0") // no recursion
+      env.put("SPARK_GRAFT_VACUUM", "0")  // the parent already vacuumed
+      env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(java.io.File.createTempFile("graft-iso-log", ".txt"))
+      val rc = pb.start().waitFor()
+      if (rc != 0) return None
+      val body = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+      java.nio.file.Files.deleteIfExists(outFile)
+      ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.Ee+-]+)").r
+        .findFirstMatchIn(body).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,11 +64,12 @@ object Bench {
     // runs concurrently with it (the SKILL.md gotcha), so the bench path
     // is the sanctioned maintenance window — and the census assertion
     // below keeps "stale generations accumulate forever" from regressing.
+    val doVacuum = sys.env.getOrElse("SPARK_GRAFT_VACUUM", "1") == "1"
     val artifactErr =
       try {
-        val live = SparkEntry.ensureStoredArtifacts(spark, sfDir, vacuum = true)
+        val live = SparkEntry.ensureStoredArtifacts(spark, sfDir, vacuum = doVacuum)
         val census = SparkEntry.bucketedWarehouseCensus(spark, sfDir)
-        if (census != live)
+        if (doVacuum && census != live)
           Some(s"post-vacuum warehouse census != live set: " +
             s"stale=${census.diff(live).mkString(",")} missing=${live.diff(census).mkString(",")}")
         else None
@@ -140,7 +181,29 @@ object Bench {
       if (ok.nonEmpty && hot * 4 >= ok.size)
         s""","load_flag":"median>>min on $hot/${ok.size} queries - loaded host; prefer a re-run""""
       else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_sec":$mn,"spread_sec":$sp,"reps":$reps,"errors":$es,"artifact_build_sec":$artifactSec$loadFlag,"sf":"$sfDir"}"""
+    // Automated second-process probe on the worst in-suite outliers: the
+    // top medians (late-suite debris inflates med AND min, so med≫min
+    // can't catch it) plus any med≫min-flagged query, capped at 4 child
+    // JVMs. isolated_sec per outlier rides the canonical record so the
+    // round number needs no manual forensics. Opt-out (and recursion
+    // guard for the children): SPARK_GRAFT_ISOLATE=0; filtered runs
+    // never probe.
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "1") == "1" && only.isEmpty
+    val isoPairs: Seq[(String, Double)] =
+      if (!isolate || ok.isEmpty) Seq.empty
+      else {
+        val byMed = ok.sortBy(-_._2._1).take(3).map(_._1)
+        val flagged = ok.collect {
+          case (k, (med, min, _)) if med > min * 1.5 && med - min > 0.5 => k }
+        (byMed ++ flagged).distinct.take(4).flatMap { n =>
+          System.err.println(s"[bench] isolated probe: $n ...")
+          isolatedRun(n, sfDir, cpus).map(n -> _)
+        }
+      }
+    val isoField =
+      if (isoPairs.isEmpty) ""
+      else s""","isolated_sec":${isoPairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_sec":$mn,"spread_sec":$sp,"reps":$reps,"errors":$es,"artifact_build_sec":$artifactSec$loadFlag$isoField,"sf":"$sfDir"}"""
     println(line)
     // Stdout gets truncated by log capture at the driver (two rounds of
     // mid-record JSON tails); the FILE is the durable record — the full

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.VersionedStore
+
+/** Dir-count decade leg for the storage tier (PERF.md round 11): the
+  * round-10 DML/CDC probes ran at 10–96 dirs, small enough that the
+  * manifest term hides — every manifest carries ALL dirs' flat stats and
+  * is regex-parsed per read, so manifest work grows with TABLE WIDTH
+  * (dir count), independent of row count. This probe builds key-ranged
+  * ORDERS stores at ~100 and ~1000 dirs from the same sf corpus (so ONLY
+  * the dir count changes) and times the manifest-bound operations:
+  *
+  *   ingest_sec        N sequential appends (manifest write is O(N) per
+  *                     append → the curve exposes the O(N²) total term)
+  *   parse_plan_sec    prunedDirs over a point ColRange (one manifest
+  *                     read + stats parse + prune sweep)
+  *   count_meta_sec    countWhere on an aligned range (metadata-only)
+  *   delete_pruned_sec deleteWhere bounded by stats to one dir
+  *   probe_all_sec     the single-job existence probe over EVERY dir
+  *                     (deleteWhere with no prune, no-match predicate —
+  *                     probe cost only, nothing rewrites)
+  *   merge_sec         mergeInto of a one-dir-sized batch (derived key
+  *                     ranges bound the probe)
+  *   cdc_sec           readChanges over the last 10 versions + count
+  *
+  * Fresh-JVM protocol. Usage: runMain graft.StoreDirsProbe <sfDir> [n1,n2]. */
+object StoreDirsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sizes = args.lift(1).getOrElse("100,1000").split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "7")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .persist()
+    orders.count()
+    def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+    sizes.foreach { n =>
+      val qs = orders.stat.approxQuantile(
+        "o_orderkey", (1 until n).map(_.toDouble / n).toArray, 1e-6).map(_.toLong).distinct
+      val lows = Long.MinValue +: qs.toSeq
+      val highs = qs.toSeq :+ Long.MaxValue
+      val root = java.nio.file.Files.createTempDirectory(s"graft-dirs$n").toString
+      val tIn0 = System.nanoTime()
+      lows.zip(highs).foreach { case (lo, hi) =>
+        VersionedStore.commitAppend(
+          orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi),
+          root, statsCols = Seq("o_orderkey"))
+      }
+      val ingestSec = secs(tIn0)
+      val v = VersionedStore.currentVersion(spark, root)
+      val dirs = VersionedStore.prunedDirs(spark, root, v, Seq.empty)
+      val manifestBytes = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/_manifests/$v.json")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p).getLen
+      }
+
+      // mid-table slice bounds for the targeted ops
+      val (lo5, hi5) = (lows(lows.length / 2), highs(lows.length / 2))
+      val midRange = VersionedStore.ColRange(
+        "o_orderkey", Some(lo5.toString), Some((hi5 - 1).toString))
+
+      val tP0 = System.nanoTime()
+      val opened = VersionedStore.prunedDirs(spark, root, v, Seq(midRange))
+      val parseSec = secs(tP0)
+      require(opened.size <= 2, s"point range must prune to ~1 dir, got ${opened.size}")
+
+      val tC0 = System.nanoTime()
+      val cnt = VersionedStore.countWhere(spark, root, Seq(midRange))
+      val countSec = secs(tC0)
+      require(cnt > 0)
+
+      // change feed over the last 10 APPENDS (a feed across the DML
+      // below is a snapshot rewrite and correctly refuses dir-level diff)
+      val tF0 = System.nanoTime()
+      val feed = VersionedStore.readChanges(spark, root, sinceVersion = v - 10,
+        toVersion = v).map(_.count()).getOrElse(0L)
+      val cdcSec = secs(tF0)
+      require(feed > 0, "the last 10 appends must appear in the change feed")
+
+      // single-job probe over EVERY dir: no-match predicate → pure probe
+      val tA0 = System.nanoTime()
+      val vNoop = VersionedStore.deleteWhere(spark, root,
+        col("o_orderstatus") === "NO_SUCH_STATUS")
+      val probeAllSec = secs(tA0)
+      require(vNoop == v, "no-match delete must be a version-less no-op")
+
+      val tD0 = System.nanoTime()
+      val vDel = VersionedStore.deleteWhere(spark, root,
+        col("o_orderstatus") === "F" &&
+          col("o_orderkey") >= lo5 && col("o_orderkey") < hi5,
+        prune = Seq(midRange), statsCols = Seq("o_orderkey"))
+      val deleteSec = secs(tD0)
+
+      // one-dir-sized upsert batch: keys inside the mid slice
+      val batch = orders
+        .filter(col("o_orderkey") >= lo5 && col("o_orderkey") < hi5)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val tM0 = System.nanoTime()
+      val vMrg = VersionedStore.mergeInto(spark, root, batch,
+        keys = Seq("o_orderkey"), statsCols = Seq("o_orderkey"))
+      val mergeSec = secs(tM0)
+      require(vMrg == vDel + 1)
+
+      println(s"""{"metric":"store_dirs","sf_dir":"$sfDir","dirs":${dirs.size},""" +
+        s""""manifest_bytes":$manifestBytes,""" +
+        f""""ingest_sec":$ingestSec%.2f,"parse_plan_sec":$parseSec%.3f,""" +
+        f""""count_meta_sec":$countSec%.3f,"probe_all_sec":$probeAllSec%.2f,""" +
+        f""""delete_pruned_sec":$deleteSec%.2f,"merge_sec":$mergeSec%.2f,""" +
+        f""""cdc_sec":$cdcSec%.2f}""")
+
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    spark.stop()
+  }
+}

@@ -952,10 +952,10 @@ object VersionedStore {
     // NULL under an explicit schema, same as the read path.
     val schema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     // Relation resolution (one FS listing per dir) happens eagerly inside
-    // spark.read.parquet and is the remaining per-dir driver cost — build
-    // the legs on concurrent driver threads so a thousand-dir probe pays
-    // max(listing latency), not sum. SparkSession is thread-safe; each
-    // thread gets its own DataFrameReader.
+    // spark.read.parquet and is a per-dir driver cost — build the legs on
+    // concurrent driver threads so a thousand-dir probe pays max(listing
+    // latency), not sum. SparkSession is thread-safe; each thread gets
+    // its own DataFrameReader.
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -964,8 +964,16 @@ object VersionedStore {
       reader.parquet(s"$root/$d").filter(predicate)
         .select(lit(d).as("__graft_dir")).limit(1)
     }}, Duration.Inf)
-    legs.reduce(_ unionByName _)
-      .collect().map(_.getString(0)).toSet
+    // BOUNDED unions, collected concurrently: a single pairwise
+    // unionByName reduce over N legs re-analyzes the growing plan each
+    // step — O(N²) driver analysis, measured as the 28×-at-10×-dirs
+    // super-linearity in StoreDirsProbe (59 s at 1000 dirs). Groups of
+    // 64 keep each plan small (analysis O(N·64) total) and the group
+    // jobs overlap on the scheduler.
+    val groups = legs.grouped(64).toSeq
+    Await.result(Future.traverse(groups) { g => Future {
+      g.reduce(_ unionByName _).collect().map(_.getString(0))
+    }}, Duration.Inf).flatten.toSet
   }
 
   /** Wrong-prune guard shared by [[deleteWhere]]/[[updateWhere]]: when the
