@@ -906,6 +906,26 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")
     }),
+    // RESTORE over the versioned store — the operational undo
+    // (VersionedStore.restore): a wrong whole-day delete is undone by a
+    // manifest-only commit referencing the pre-delete dirs (build gates
+    // zero data copy + the bad version staying time-travelable). The
+    // restored snapshot must read as if the delete never happened, so
+    // the oracle is plain flat events; data skipping still works through
+    // the verbatim-carried stats (the ColRange read proves it).
+    "versioned_restore_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureRestoredEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-13"), Some("2024-01-15"))))
+        .filter(col("day").between(
+          lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
     // MERGE (upsert) over the versioned store — the Delta MERGE INTO
     // seam (VersionedStore.mergeInto): day-14 clicks are UPDATED
     // (value doubled, full-row replace) and re-keyed day-14 purchases
@@ -1219,6 +1239,45 @@ object SparkEntry {
     p
   }
 
+  /** Build (once per corpus) the post-RESTORE VersionedStore: the same
+    * 10 day-ranged appends, then a deliberately WRONG delete (all
+    * day-14 rows) followed by `RESTORE TO` the pre-delete version — the
+    * operational undo story. The requires gate that the restore is a
+    * manifest-only commit (every pre-delete dir carried by reference,
+    * zero new data dirs) and that the bad version stays time-travelable.
+    * The snapshot must read byte-identically to the never-deleted
+    * store, so the oracle is plain flat events. */
+  private def ensureRestoredEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_rst", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      val good = VersionedStore.currentVersion(s, tmp)
+      val bad = VersionedStore.deleteWhere(s, tmp,
+        col("day") === lit("2024-01-14").cast("date"),
+        prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-14")),
+        statsCols = Seq("day"))
+      val goodDirs = VersionedStore.prunedDirs(s, tmp, good, Seq.empty).toSet
+      val restored = VersionedStore.restore(s, tmp, good)
+      val restoredDirs = VersionedStore.prunedDirs(s, tmp, restored, Seq.empty).toSet
+      require(restoredDirs == goodDirs,
+        "restore must reference the restored version's dirs verbatim (manifest-only)")
+      require(VersionedStore.readAt(s, tmp, bad)
+        .filter(col("day") === lit("2024-01-14").cast("date")).isEmpty,
+        "the bad version must stay time-travelable after restore")
+    }
+    p
+  }
+
   /** Build (once per corpus) the CDC-DERIVED VersionedStore: a scratch
     * base store receives two rounds of week-sliced event appends, and a
     * real [[graft.sources.VersionedCdc]] → transform →
@@ -1388,6 +1447,7 @@ object SparkEntry {
     ensureDeletedEventsStore(s, dir)
     ensureUpdatedEventsStore(s, dir)
     ensureMergedEventsStore(s, dir)
+    ensureRestoredEventsStore(s, dir)
     ensureCdcDerivedEventsStore(s, dir)
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
@@ -2553,6 +2613,12 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM updated
         |WHERE day BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_restore_read" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_merge_read" ->
       """WITH merged AS (

@@ -140,4 +140,60 @@ class ArtifactStoreSpec extends SparkSpec {
       assert(readV(art) === "v3", "a later publish proceeds normally")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("cross-process trust: a marker-matched artifact is NOT rebuilt; mutation and source change both force rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      // File-backed source (cross-process trust requires input files).
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .write.mode("overwrite").parquet(s"$root/src")
+      val src = spark.read.parquet(s"$root/src")
+      val art = s"$root/art"
+      var builds = 0
+      def ensure(d: org.apache.spark.sql.DataFrame): Unit =
+        ArtifactStore.ensure(d, art) { (df, tmp) =>
+          builds += 1
+          df.write.mode("overwrite").parquet(s"$tmp/t")
+        }
+      ensure(src)
+      assert(builds === 1)
+      ensure(src)
+      assert(builds === 1, "same process, same source: cached record")
+      // Fresh process simulation: in-memory records gone, disk marker intact.
+      ArtifactStore.forgetProcessRecords()
+      ensure(src)
+      assert(builds === 1, "fresh process must TRUST the marker-matched artifact")
+      // In-place mutation invalidates: marker deleted, next fresh process rebuilds.
+      ArtifactStore.invalidate(art)
+      ArtifactStore.forgetProcessRecords()
+      ensure(src)
+      assert(builds === 2, "a mutated artifact must never be trusted across processes")
+      // Source change (regenerated data): fingerprint differs, rebuild.
+      Thread.sleep(1100) // mtime granularity
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .write.mode("overwrite").parquet(s"$root/src")
+      ArtifactStore.forgetProcessRecords()
+      ensure(spark.read.parquet(s"$root/src"))
+      assert(builds === 3, "regenerated source must force a rebuild")
+      assert(spark.read.parquet(s"$art/t").count() === 3L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("in-memory sources never trust disk: fingerprint is constant, freshness is per-process only") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      val art = s"$root/art"
+      var builds = 0
+      def ensure(): Unit =
+        ArtifactStore.ensure(Seq("x").toDF("v"), art) { (df, tmp) =>
+          builds += 1
+          df.write.mode("overwrite").parquet(s"$tmp/t")
+        }
+      ensure(); assert(builds === 1)
+      ensure(); assert(builds === 1, "per-process record still caches")
+      ArtifactStore.forgetProcessRecords()
+      ensure()
+      assert(builds === 2, "a fileless source must rebuild in a fresh process")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
