@@ -1022,6 +1022,21 @@ object SparkEntry {
           sum(col("val_q")).as("sum_val_q"))
         .orderBy("event_type")
     }),
+    // INCREMENTALLY MAINTAINED AGGREGATE VIEW — the materialized-view
+    // half of the CDC loop (graft.streaming.AggregateView): a
+    // per-(day, event_type) count+sum view follows the base store
+    // through change-feed deltas combined with only the TOUCHED view
+    // keys and upserted via MERGE — never a base rescan (build gates
+    // the version shape + ledger). The view must equal the same GROUP
+    // BY computed from flat events.
+    "versioned_agg_view" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureAggViewEventsStore(s, dir)
+      VersionedStore.read(s, p).get
+        .select(col("day").cast("string").as("day"),
+          col("event_type"), col("n_rows"), col("sum_val_q"))
+        .orderBy("day", "event_type")
+    }),
     // Morton/Z-order layout key over (user, day) — the multi-dim
     // data-layout lever (sort by this before writing → row-group min/max
     // pruning works for BOTH dimensions). The fused shift-mask codegen is
@@ -1330,6 +1345,55 @@ object SparkEntry {
     p
   }
 
+  /** Build (once per corpus) the INCREMENTALLY MAINTAINED AGGREGATE VIEW:
+    * the same scratch-base + two-round drain shape as
+    * [[ensureCdcDerivedEventsStore]], but the derived store is a
+    * per-(day, event_type) additive aggregate kept current by
+    * [[graft.streaming.AggregateView]] — CDC deltas combined with the
+    * view's touched keys and MERGE'd, never a base rescan. The requires
+    * gate the view's version shape (first-batch commit + one merge) and
+    * the exactly-once ledger. */
+  private def ensureAggViewEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_agg_view", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-aggbase").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft-aggchk").toString
+      val slices = Seq(("2024-01-01", "2024-01-08"), ("2024-01-09", "2024-01-15"),
+        ("2024-01-16", "2024-01-22"), ("2024-01-23", "2024-01-30"))
+      def appendSlice(i: Int): Unit = {
+        val (lo, hi) = slices(i)
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(lit(lo).cast("date"), lit(hi).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          base, statsCols = Seq("day"))
+      }
+      def drain(): Unit = {
+        val q = graft.streaming.AggregateView.start(
+          s.readStream.format("graft.sources.VersionedCdc")
+            .option("path", base).load()
+            .withColumn("val_q", floor(col("value") * 1000).cast("long")),
+          tmp, chk,
+          keys = Seq("day", "event_type"), sumCols = Seq("val_q"),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      appendSlice(0); appendSlice(1); drain() // batch 0 -> first-commit view
+      appendSlice(2); appendSlice(3); drain() // batch 1 -> ONE keyed merge
+      val v = VersionedStore.currentVersion(s, tmp)
+      require(v == 2L,
+        s"two drains must leave the view at version 2 (commit + merge), got $v")
+      require(graft.streaming.VersionedStream.lastBatchId(s, tmp) == 1L,
+        "the view's exactly-once ledger must record batch 1")
+      Seq(base, chk).foreach { r =>
+        val pth = new org.apache.hadoop.fs.Path(r)
+        pth.getFileSystem(s.sessionState.newHadoopConf()).delete(pth, true)
+      }
+    }
+    p
+  }
+
   /** Build (once per corpus) the post-MERGE VersionedStore of events:
     * the same 10 day-ranged appends as [[ensureVersionedEventsStore]],
     * then one [[graft.sinks.VersionedStore.mergeInto]] on `event_id`
@@ -1449,6 +1513,7 @@ object SparkEntry {
     ensureMergedEventsStore(s, dir)
     ensureRestoredEventsStore(s, dir)
     ensureCdcDerivedEventsStore(s, dir)
+    ensureAggViewEventsStore(s, dir)
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -2654,6 +2719,11 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_users,
         | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_q
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_agg_view" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_q
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "zorder_events" ->
       """WITH e AS (SELECT event_id, user_id,
         |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num

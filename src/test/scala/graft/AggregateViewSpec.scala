@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.VersionedStore
+import graft.streaming.AggregateView
+import org.apache.spark.sql.functions.{col, lit}
+
+/** The incrementally maintained aggregate view: delta-combine equals a
+  * full recompute, replays are exactly-once through the table ledger,
+  * and NULL group keys fail loudly instead of forking groups. */
+class AggregateViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-aggview").toString
+
+  private def rows(day: String, pairs: (String, Long)*) =
+    pairs.map { case (t, v) => (day, t, v) }.toDF("day", "event_type", "v")
+
+  test("incremental maintenance equals full recompute across three batches") {
+    val view = tmp()
+    val b0 = rows("2024-01-01", "click" -> 10L, "click" -> 5L, "view" -> 1L)
+    val b1 = rows("2024-01-01", "click" -> 7L, "scroll" -> 2L)
+    val b2 = rows("2024-01-02", "view" -> 3L)
+    AggregateView.applyBatch(b0, 0L, view, Seq("day", "event_type"), Seq("v"))
+    AggregateView.applyBatch(b1, 1L, view, Seq("day", "event_type"), Seq("v"))
+    AggregateView.applyBatch(b2, 2L, view, Seq("day", "event_type"), Seq("v"))
+    // NOTE: the view partitions by day, and partition-value inference
+    // reads the string day back as DATE — compare via toString.
+    val got = VersionedStore.read(spark, view).get
+      .select("day", "event_type", "n_rows", "sum_v")
+      .orderBy("day", "event_type")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = b0.unionByName(b1).unionByName(b2)
+      .groupBy("day", "event_type")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("v")).as("sum_v"))
+      .orderBy("day", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect.toSeq,
+      "delta-combined view must equal the batch GROUP BY over the union")
+    // the view advanced one version per batch: commit + 2 merges
+    assert(VersionedStore.currentVersion(spark, view) === 3L)
+  }
+
+  test("replayed batches are exactly-once: no double-add, before or after later batches") {
+    val view = tmp()
+    val b0 = rows("2024-01-01", "click" -> 10L)
+    val b1 = rows("2024-01-01", "click" -> 7L)
+    AggregateView.applyBatch(b0, 0L, view, Seq("day", "event_type"), Seq("v"))
+    AggregateView.applyBatch(b0, 0L, view, Seq("day", "event_type"), Seq("v")) // replay
+    AggregateView.applyBatch(b1, 1L, view, Seq("day", "event_type"), Seq("v"))
+    AggregateView.applyBatch(b0, 0L, view, Seq("day", "event_type"), Seq("v")) // stale replay
+    AggregateView.applyBatch(b1, 1L, view, Seq("day", "event_type"), Seq("v")) // replay
+    val r = VersionedStore.read(spark, view).get.collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_rows") === 2L, "two real rows, however many replays")
+    assert(r.head.getAs[Long]("sum_v") === 17L)
+  }
+
+  test("NULL group keys throw loudly (MERGE would fork the group); view stays uncommitted") {
+    val view = tmp()
+    val bad = Seq((null.asInstanceOf[String], "click", 1L)).toDF("day", "event_type", "v")
+    val e = intercept[IllegalArgumentException] {
+      AggregateView.applyBatch(bad, 0L, view, Seq("day", "event_type"), Seq("v"))
+    }
+    assert(e.getMessage.contains("NULL group keys"))
+    assert(VersionedStore.currentVersion(spark, view) === 0L)
+  }
+
+  test("merge commits carry the ledger AND other writers' entries survive view maintenance") {
+    val view = tmp()
+    AggregateView.applyBatch(rows("2024-01-01", "click" -> 1L), 0L, view,
+      Seq("day", "event_type"), Seq("v"))
+    // a second writer (e.g. a raw append stream) stamps its own ledger key
+    graft.streaming.VersionedStream.commitBatch(
+      rows("2024-01-09", "click" -> 9L)
+        .groupBy("day", "event_type")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"),
+          org.apache.spark.sql.functions.sum(col("v")).as("sum_v")),
+      0L, view, writerId = "other")
+    AggregateView.applyBatch(rows("2024-01-01", "view" -> 2L), 1L, view,
+      Seq("day", "event_type"), Seq("v"))
+    val meta = VersionedStore.currentMeta(spark, view)
+    assert(meta("batch.default") === "1")
+    assert(meta("batch.other") === "0",
+      "view maintenance must carry the other writer's ledger entry")
+  }
+}
