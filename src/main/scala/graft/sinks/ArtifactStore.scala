@@ -156,6 +156,10 @@ object ArtifactStore {
         throw new java.io.IOException(
           s"ArtifactStore: publish rename $tmp -> $target failed; new artifact intact at $tmp")
       if (fs.exists(old)) fs.delete(old, true)
+      // A rebuilt artifact reuses the path with NEW content at the SAME
+      // versions — any VersionedStore living inside it must not be served
+      // from the parsed-manifest cache of the previous generation.
+      VersionedStore.invalidateCachedManifests(path)
     } finally fs.delete(lock, false)
   }
 

@@ -1129,19 +1129,68 @@ object VersionedStore {
   def metaAt(spark: SparkSession, root: String, version: Long): Map[String, String] =
     if (version == 0) Map.empty else metaOf(fs(spark, root), root, version)
 
+  /** One manifest, parsed ONCE per JVM: manifests are IMMUTABLE after
+    * their create-if-absent commit, so the parse is cacheable — and at
+    * table width the repeated parse was the dominant commit-path cost
+    * (StoreDirsProbe: a 1000-dir manifest is ~378 KB and one commit
+    * re-parsed it ~6 times across metaOf/statsOf/schemaOf/dataDirsOf —
+    * roughly half the 0.55 s/append). The cache key carries the
+    * manifest's (modTime, length) so a same-path store rebuilt from
+    * scratch can't serve stale fields even without the explicit
+    * [[invalidateCachedManifests]] hook [[ArtifactStore.publish]] fires. */
+  private final case class ParsedManifest(
+      dataDir: String, dataDirs: Seq[String],
+      meta: Map[String, String], stats: Map[String, String],
+      schema: Option[String])
+
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Long), ParsedManifest]()
+  private val ManifestCacheCap = 256
+
+  /** Drop every cached manifest of stores under `root` — called by
+    * [[ArtifactStore.publish]] after swapping a rebuilt artifact into a
+    * reused path (same versions, different content). */
+  private[sinks] def invalidateCachedManifests(root: String): Unit = {
+    val it = manifestCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.startsWith(root)) it.remove()
+  }
+
+  private def parsedManifest(f: FileSystem, root: String, v: Long): ParsedManifest = {
+    val st = f.getFileStatus(manifestPath(root, v))
+    val key = (s"$root#$v", v, st.getModificationTime, st.getLen)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
+    val body = manifestBody(f, root, v)
+    val pm = ParsedManifest(
+      dataDir = """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest $v of $root has no dataDir")).group(1),
+      dataDirs = """"dataDirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body) match {
+        case Some(m) => """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(m.group(1))
+          .map(g => unescape(g.group(1))).toSeq
+        case None => Seq.empty // pre-append manifest: accessor falls back to dataDir
+      },
+      meta = flatObjectOf(body, "meta"),
+      stats = flatObjectOf(body, "stats"),
+      schema = """"schema":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+        .map(m => unescape(m.group(1))))
+    if (manifestCache.size() >= ManifestCacheCap) manifestCache.clear()
+    manifestCache.put(key, pm)
+    pm
+  }
+
   private def metaOf(f: FileSystem, root: String, v: Long): Map[String, String] =
-    flatObjectOf(manifestBody(f, root, v), "meta")
+    parsedManifest(f, root, v).meta
 
   /** The flat stats map of a version's manifest (empty for pre-stats
     * manifests) — keys `<dir>|<col>|{min,max,typ}`, see [[commit]]. */
   private def statsOf(f: FileSystem, root: String, v: Long): Map[String, String] =
-    flatObjectOf(manifestBody(f, root, v), "stats")
+    parsedManifest(f, root, v).stats
 
   /** The recorded table schema (DDL) of a version, when the manifest
     * carries one — absent for stores written before schema recording. */
   private[graft] def schemaOf(f: FileSystem, root: String, v: Long): Option[String] =
-    """"schema":\s*"((?:[^"\\]|\\.)*)"""".r
-      .findFirstMatchIn(manifestBody(f, root, v)).map(m => unescape(m.group(1)))
+    parsedManifest(f, root, v).schema
 
   /** The recorded schema DDL of `version` (None when the manifest
     * predates schema recording) — the public read of the commit-time
@@ -1196,20 +1245,14 @@ object VersionedStore {
   /** Resolve a committed version's NEWEST data dir (the one its commit
     * added) through its manifest. */
   private def dataDirOf(f: FileSystem, root: String, v: Long): String =
-    """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(manifestBody(f, root, v))
-      .getOrElse(throw new IllegalStateException(s"manifest $v of $root has no dataDir"))
-      .group(1)
+    parsedManifest(f, root, v).dataDir
 
   /** ALL data dirs a version references, in commit order. Append commits
     * reference earlier versions' dirs; pre-append manifests carry only
     * the single `dataDir` field. */
   private def dataDirsOf(f: FileSystem, root: String, v: Long): Seq[String] = {
-    val body = manifestBody(f, root, v)
-    """"dataDirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body) match {
-      case Some(m) => """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(m.group(1))
-        .map(g => unescape(g.group(1))).toSeq
-      case None => Seq(dataDirOf(f, root, v))
-    }
+    val pm = parsedManifest(f, root, v)
+    if (pm.dataDirs.nonEmpty) pm.dataDirs else Seq(pm.dataDir)
   }
 
   /** Garbage-collect data dirs no manifest references and stale tmp

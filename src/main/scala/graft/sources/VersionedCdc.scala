@@ -80,8 +80,12 @@ class VersionedCdc extends StreamSourceProvider with DataSourceRegister with Log
                             parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
     val start = parameters.get("startVersion").map(_.toLong).getOrElse(0L)
+    val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    maxVersions.foreach(n => require(n >= 1,
+      s"maxVersionsPerBatch must be >= 1, got $n"))
     new VersionedCdcSource(sqlContext.sparkSession, root, start,
-      schema.getOrElse(VersionedCdc.storeSchema(sqlContext.sparkSession, root)))
+      schema.getOrElse(VersionedCdc.storeSchema(sqlContext.sparkSession, root)),
+      maxVersions)
   }
 }
 
@@ -100,11 +104,30 @@ object VersionedCdc {
   }
 }
 
-/** The running source instance — see [[VersionedCdc]] for semantics. */
+/** The running source instance — see [[VersionedCdc]] for semantics.
+  *
+  * Admission control (the FileStreamSource/DeltaSource seam): the source
+  * implements [[SupportsAdmissionControl]] so the engine asks
+  * `latestOffset(start, limit)` instead of the uncapped `getOffset`, and
+  * [[SupportsTriggerAvailableNow]] so `Trigger.AvailableNow` PINS the end
+  * version at stream start (a commit racing the drain is left for the
+  * next run — exact available-now semantics, no fallback warning). The
+  * `maxVersionsPerBatch` option rate-limits each micro-batch to N store
+  * versions — versions are this source's admission granularity the way
+  * files are FileStreamSource's — so a backlogged resume drains in
+  * bounded-memory batches (each a separate exactly-once commit
+  * downstream) instead of one giant catch-up batch. */
 private[graft] class VersionedCdcSource(spark: SparkSession, root: String,
                                         startVersion: Long,
-                                        override val schema: StructType)
-  extends Source with Logging {
+                                        override val schema: StructType,
+                                        maxVersionsPerBatch: Option[Long] = None)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+  with Logging {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows,
+    Offset => ConnectorOffset}
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset       => l.offset
@@ -113,8 +136,50 @@ private[graft] class VersionedCdcSource(spark: SparkSession, root: String,
       s"versioned-cdc got a foreign offset ${other.getClass.getName}")
   }
 
+  private def versionOfConnector(o: ConnectorOffset): Long = o match {
+    case v1: Offset => versionOf(v1)
+    case other => throw new IllegalArgumentException(
+      s"versioned-cdc got a foreign offset ${other.getClass.getName}")
+  }
+
+  /** Pinned end version for an AvailableNow run (None outside one). */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(VersionedStore.currentVersion(spark, root))
+    logInfo(s"versioned-cdc: AvailableNow pinned at v${availableNowCap.get}")
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** The engine's admission question: the next batch's end offset given
+    * `limit`. `ReadMaxRows(n)` caps the batch at n VERSIONS past `start`;
+    * an AvailableNow pin caps the whole run. Echoes `start` when nothing
+    * new (the engine reads an unchanged offset as "no batch"). */
+  override def latestOffset(startOffset: ConnectorOffset,
+                            limit: ReadLimit): ConnectorOffset = {
+    val start = Option(startOffset).map(versionOfConnector).getOrElse(startVersion)
+    val current = VersionedStore.currentVersion(spark, root)
+    val pinned = availableNowCap.fold(current)(math.min(current, _))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(pinned, start + r.maxRows())
+      case _ => pinned
+    }
+    if (capped > start) LongOffset(capped)
+    else if (start > startVersion) LongOffset(start)
+    else null
+  }
+
+  override def reportLatestOffset(): ConnectorOffset = {
+    val v = VersionedStore.currentVersion(spark, root)
+    if (v > startVersion) LongOffset(v) else null
+  }
+
   /** Latest committed version, or None before anything past
-    * `startVersion` exists — a pointer read, O(1) in table size. */
+    * `startVersion` exists — a pointer read, O(1) in table size. (The
+    * engine uses [[latestOffset]] for admission-control sources; this
+    * stays for the plain-Source contract and direct callers.) */
   override def getOffset: Option[Offset] = {
     val v = VersionedStore.currentVersion(spark, root)
     if (v > startVersion) Some(LongOffset(v)) else None

@@ -125,4 +125,31 @@ class VersionedCdcSpec extends SparkSpec {
     assert(df.isStreaming, "the source frame must be a streaming frame")
     assert(df.schema.fieldNames.toSet === Set("day", "user_id", "value"))
   }
+
+  test("maxVersionsPerBatch: an AvailableNow drain delivers bounded batches, one per version") {
+    val root = tmp(); val chk = tmp(); val derived = tmp()
+    (1 to 4).foreach { i =>
+      VersionedStore.commitAppend(snap(s"2024-01-0$i", i.toLong -> i.toDouble), root)
+    }
+    // Admission control caps each micro-batch at ONE store version; the
+    // AvailableNow run drains the backlog as four bounded batches, each
+    // its own exactly-once commit downstream (a backlogged resume at
+    // 100 TB must never become one giant catch-up batch).
+    val q = graft.streaming.VersionedStream.startAppend(
+      cdc(root, Map("maxVersionsPerBatch" -> "1")),
+      derived, chk, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(VersionedStore.currentVersion(spark, derived) === 4L,
+      "four base versions -> four rate-limited batches -> four derived commits")
+    assert(graft.streaming.VersionedStream.lastBatchId(spark, derived) === 3L)
+    assert(VersionedStore.read(spark, derived).get.count() === 4L)
+    // and the pinned AvailableNow end: a commit landing after the drain
+    // is picked up by the NEXT run, exactly once
+    VersionedStore.commitAppend(snap("2024-01-05", 5L -> 5.0), root)
+    val q2 = graft.streaming.VersionedStream.startAppend(
+      cdc(root, Map("maxVersionsPerBatch" -> "1")),
+      derived, chk, trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(VersionedStore.read(spark, derived).get.count() === 5L)
+  }
 }
