@@ -113,12 +113,26 @@ object StoreDirsProbe {
       val mergeSec = secs(tM0)
       require(vMrg == vDel + 1)
 
+      // Maintenance lifecycle at width: expire old versions (manifest
+      // deletes + liveness bookkeeping over ALL manifests) then vacuum
+      // (cross-manifest referenced-dir sweep + orphan deletes).
+      val before = VersionedStore.read(spark, root).get.count()
+      val tE0 = System.nanoTime()
+      VersionedStore.expire(spark, root, keepLast = 5)
+      val expireSec = secs(tE0)
+      val tV0 = System.nanoTime()
+      VersionedStore.vacuum(spark, root)
+      val vacuumSec = secs(tV0)
+      require(VersionedStore.read(spark, root).get.count() == before,
+        "expire+vacuum must not change the current snapshot")
+
       println(s"""{"metric":"store_dirs","sf_dir":"$sfDir","dirs":${dirs.size},""" +
         s""""manifest_bytes":$manifestBytes,""" +
         f""""ingest_sec":$ingestSec%.2f,"parse_plan_sec":$parseSec%.3f,""" +
         f""""count_meta_sec":$countSec%.3f,"probe_all_sec":$probeAllSec%.2f,""" +
         f""""delete_pruned_sec":$deleteSec%.2f,"merge_sec":$mergeSec%.2f,""" +
-        f""""cdc_sec":$cdcSec%.2f}""")
+        f""""cdc_sec":$cdcSec%.2f,""" +
+        f""""expire_sec":$expireSec%.2f,"vacuum_sec":$vacuumSec%.2f}""")
 
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

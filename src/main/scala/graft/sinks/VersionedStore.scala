@@ -244,11 +244,16 @@ object VersionedStore {
     * manifest directory listing. */
   def history(spark: SparkSession, root: String): Seq[(Long, String)] = {
     val f = fs(spark, root)
+    committedVersions(f, root).map(v => (v, dataDirOf(f, root, v)))
+  }
+
+  /** All committed version numbers, ascending — a manifest-dir listing,
+    * no manifest is opened. */
+  private def committedVersions(f: FileSystem, root: String): Seq[Long] = {
     val mdir = new Path(s"$root/_manifests")
     if (!f.exists(mdir)) Seq.empty
     else f.listStatus(mdir).toSeq.filter(_.isFile)
       .map(_.getPath.getName.stripSuffix(".json").toLong).sorted
-      .map(v => (v, dataDirOf(f, root, v)))
   }
 
   /** Snapshot retention (`expire_snapshots`): drop all but the newest
@@ -260,13 +265,15 @@ object VersionedStore {
   def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"must keep at least the current version, got $keepLast")
     val f = fs(spark, root)
-    val live = history(spark, root)
+    // Version NUMBERS only — resolving each version's dataDir (history's
+    // contract) would open every manifest for a field expire never uses.
+    val live = committedVersions(f, root)
     if (live.isEmpty) return
     // Pin the pointer to the newest version BEFORE deleting manifests:
     // currentVersion rolls forward from the pointer, so a stale pointer
     // naming an expired version would otherwise strand readers below the
     // surviving range.
-    aimPointer(spark, root, live.last._1)
+    aimPointer(spark, root, live.last)
     // Candidate dirs = everything the DROPPED manifests referenced, read
     // BEFORE deleting them; delete the candidates no surviving manifest
     // still uses. Append commits share dirs across versions, so an
@@ -278,10 +285,14 @@ object VersionedStore {
     // `prepare` directory safe — unreferenced-by-design debris is
     // vacuum()'s job, in a maintenance window.
     val dropped = live.dropRight(keepLast)
-    val candidates = dropped.flatMap { case (v, _) => dataDirsOf(f, root, v) }.toSet
-    dropped.foreach { case (v, _) => f.delete(manifestPath(root, v), false) }
-    val stillReferenced = history(spark, root)
-      .flatMap { case (v, _) => dataDirsOf(f, root, v) }.toSet
+    // Read the survivors' dir lists BEFORE the manifest deletes, from the
+    // already-listed version set — a second listing sweep after the
+    // deletes re-parsed every manifest and was the dominant expire cost
+    // at 1000 versions (measured 49.6 s; now ~O(dropped dirs-regex)).
+    val stillReferenced = live.takeRight(keepLast)
+      .flatMap(v => dataDirsOf(f, root, v)).toSet
+    val candidates = dropped.flatMap(v => dataDirsOf(f, root, v)).toSet
+    dropped.foreach(v => f.delete(manifestPath(root, v), false))
     candidates.diff(stillReferenced)
       .foreach(d => f.delete(new Path(s"$root/$d"), true))
   }
@@ -501,11 +512,20 @@ object VersionedStore {
       val occAggs = preds.zipWithIndex.map { case (p, i) =>
         max(when(p, lit(1)).otherwise(lit(0))).as(s"occ_$i") }
       val occRow = keyed.agg(occAggs.head, occAggs.tail: _*).head()
-      val dirs = preds.zipWithIndex.flatMap { case (p, i) =>
-        if (occRow.isNullAt(i) || occRow.getInt(i) == 0) None
-        else Some(prepare(keyed.filter(p).sortWithinPartitions(c(kcol))
-          .select(snapshot.columns.map(c).toSeq: _*), root))
-      }
+      // Bucket writes run CONCURRENTLY (disjoint slices of one persisted
+      // frame; each prepare is its own job) — sequential writes serialize
+      // N scheduler round-trips for no reason. Future.traverse preserves
+      // bucket order in `dirs`, so the manifest lists dirs in cluster-key
+      // order as before.
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val dirs = Await.result(
+        Future.traverse(preds.zipWithIndex.toList) { case (p, i) => Future {
+          if (occRow.isNullAt(i) || occRow.getInt(i) == 0) None
+          else Some(prepare(keyed.filter(p).sortWithinPartitions(c(kcol))
+            .select(snapshot.columns.map(c).toSeq: _*), root))
+        }}, Duration.Inf).flatten
       require(dirs.nonEmpty, s"optimize of $root produced no data dirs")
       val schemaDdl = schemaOf(fs(spark, root), root, base)
         .getOrElse(writtenSchema(spark, root, dirs.head, snapshot).toDDL)
@@ -1138,14 +1158,35 @@ object VersionedStore {
     * manifest's (modTime, length) so a same-path store rebuilt from
     * scratch can't serve stale fields even without the explicit
     * [[invalidateCachedManifests]] hook [[ArtifactStore.publish]] fires. */
-  private final case class ParsedManifest(
-      dataDir: String, dataDirs: Seq[String],
-      meta: Map[String, String], stats: Map[String, String],
-      schema: Option[String])
+  /** Fields parse LAZILY, each on first use: the stats object is by far
+    * the most expensive regex (6 entries per dir per column — thousands
+    * at table width) and most accessors never need it — an eager parse
+    * made [[expire]] at 1000 versions pay the stats sweep for every
+    * dropped manifest (measured 49.6 s; lazy + one history pass → see
+    * PERF round 11). */
+  private final class ParsedManifest(body: String, root: String, v: Long) {
+    lazy val dataDir: String =
+      """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest $v of $root has no dataDir")).group(1)
+    lazy val dataDirs: Seq[String] =
+      """"dataDirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body) match {
+        case Some(m) => """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(m.group(1))
+          .map(g => unescape(g.group(1))).toSeq
+        case None => Seq.empty // pre-append manifest: accessor falls back to dataDir
+      }
+    lazy val meta: Map[String, String] = flatObjectOf(body, "meta")
+    lazy val stats: Map[String, String] = flatObjectOf(body, "stats")
+    lazy val schema: Option[String] =
+      """"schema":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+        .map(m => unescape(m.group(1)))
+  }
 
+  // Cap sized for the lazy form (entries retain the manifest BODY until
+  // evicted): 64 × a wide table's ~400 KB manifest ≈ 25 MB bound.
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long, Long), ParsedManifest]()
-  private val ManifestCacheCap = 256
+  private val ManifestCacheCap = 64
 
   /** Drop every cached manifest of stores under `root` — called by
     * [[ArtifactStore.publish]] after swapping a rebuilt artifact into a
@@ -1160,20 +1201,7 @@ object VersionedStore {
     val key = (s"$root#$v", v, st.getModificationTime, st.getLen)
     val hit = manifestCache.get(key)
     if (hit != null) return hit
-    val body = manifestBody(f, root, v)
-    val pm = ParsedManifest(
-      dataDir = """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
-        .getOrElse(throw new IllegalStateException(
-          s"manifest $v of $root has no dataDir")).group(1),
-      dataDirs = """"dataDirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body) match {
-        case Some(m) => """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(m.group(1))
-          .map(g => unescape(g.group(1))).toSeq
-        case None => Seq.empty // pre-append manifest: accessor falls back to dataDir
-      },
-      meta = flatObjectOf(body, "meta"),
-      stats = flatObjectOf(body, "stats"),
-      schema = """"schema":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
-        .map(m => unescape(m.group(1))))
+    val pm = new ParsedManifest(manifestBody(f, root, v), root, v)
     if (manifestCache.size() >= ManifestCacheCap) manifestCache.clear()
     manifestCache.put(key, pm)
     pm
