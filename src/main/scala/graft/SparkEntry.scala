@@ -926,6 +926,23 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // VERSION DIFF over the versioned store — the audit seam
+    // (VersionedStore.diff): "what did the UPDATE commit actually
+    // change?" answered as a multiset insert/delete frame between the
+    // pre- and post-update versions. Every changed row is a day-14
+    // click appearing twice — deleted at its original value, inserted
+    // at value*3 — which the oracle states directly over flat events.
+    "versioned_diff_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureUpdatedEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.diff(s, p, v - 1, v)
+        .groupBy(col("__change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("__change").as("change"), col("n"), col("sum_value"))
+        .orderBy("change")
+    }),
     // MERGE (upsert) over the versioned store — the Delta MERGE INTO
     // seam (VersionedStore.mergeInto): day-14 clicks are UPDATED
     // (value doubled, full-row replace) and re-keyed day-14 purchases
@@ -2685,6 +2702,18 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_diff_read" ->
+      """WITH clicks AS (
+        | SELECT value FROM events
+        | WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14')
+        |SELECT 'delete' AS change, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM clicks
+        |UNION ALL
+        |SELECT 'insert' AS change, count(*) AS n,
+        | CAST(sum(CAST(value * 3 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM clicks
+        |ORDER BY change""".stripMargin,
     "versioned_merge_read" ->
       """WITH merged AS (
         | SELECT event_type, CAST(ts AS DATE) AS day,

@@ -256,6 +256,34 @@ object VersionedStore {
       .map(_.getPath.getName.stripSuffix(".json").toLong).sorted
   }
 
+  /** Row-level DIFF between two committed versions — the audit sibling
+    * of [[readChanges]]: where the change feed reads an APPEND range at
+    * O(batch) and refuses rewrites, diff answers "what did this commit
+    * (DML, merge, restore, anything) actually change?" for ANY version
+    * pair, as a (change ∈ insert|delete, row) frame with MULTISET
+    * semantics (`exceptAll` both ways — duplicate rows count, an updated
+    * row appears as its delete + its insert). Cost is two snapshot scans
+    * plus two anti-join shuffles — O(table), the honest price of a
+    * content diff; use [[readChanges]] when the range is append-only.
+    * Schema evolution: columns missing on one side read as NULL of the
+    * other side's type, same as the evolved read path. */
+  def diff(spark: SparkSession, root: String,
+           fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val a = readAt(spark, root, fromVersion)
+    val b = readAt(spark, root, toVersion)
+    val want = b.schema.fields.toSeq ++
+      a.schema.fields.toSeq.filterNot(f => b.schema.fieldNames.contains(f.name))
+    def align(df: DataFrame): DataFrame =
+      df.select(want.map { f =>
+        if (df.columns.contains(f.name)) c(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val (av, bv) = (align(a), align(b))
+    bv.exceptAll(av).withColumn("__change", lit("insert"))
+      .unionByName(av.exceptAll(bv).withColumn("__change", lit("delete")))
+  }
+
   /** Snapshot retention (`expire_snapshots`): drop all but the newest
     * `keepLast` versions — delete their manifests first (after which the
     * version is unreadable and [[vacuum]]-able), then their data dirs.

@@ -880,6 +880,33 @@ class VersionedStoreSpec extends SparkSpec {
       "a replay of the deliberately-restored-away batch must stay a no-op")
   }
 
+  test("diff: any version pair audits as multiset insert/delete rows; schema evolution aligns NULLs") {
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0), root)
+    VersionedStore.commitAppend(snap("2024-01-02", 3L -> 3.0), root)
+    // an append range diffs as pure inserts (the change feed's content)
+    val d12 = VersionedStore.diff(spark, root, 1L, 2L).collect()
+    assert(d12.length === 1 && d12.head.getAs[String]("__change") === "insert")
+    assert(d12.head.getAs[Long]("user_id") === 3L)
+    // an UPDATE audits as its delete + its insert
+    VersionedStore.updateWhere(spark, root, col("user_id") === 2L,
+      set = Map("value" -> lit(9.0)))
+    val d23 = VersionedStore.diff(spark, root, 2L, 3L)
+    val ins = d23.filter(col("__change") === "insert").collect()
+    val del = d23.filter(col("__change") === "delete").collect()
+    assert(ins.length === 1 && ins.head.getAs[Double]("value") === 9.0)
+    assert(del.length === 1 && del.head.getAs[Double]("value") === 2.0)
+    // schema evolution: the old side reads the added column as NULL
+    VersionedStore.commitAppend(
+      snap("2024-01-03", 4L -> 4.0).withColumn("tag", lit("x")),
+      root, mergeSchema = true)
+    val d34 = VersionedStore.diff(spark, root, 3L, 4L).collect()
+    assert(d34.length === 1 && d34.head.getAs[String]("tag") === "x")
+    // a reversed pair flips insert/delete roles
+    val d43 = VersionedStore.diff(spark, root, 4L, 3L).collect()
+    assert(d43.length === 1 && d43.head.getAs[String]("__change") === "delete")
+  }
+
   test("verifyPrune: a wrong prune assertion fails loudly BEFORE any rewrite; a sound one passes") {
     val root = tmp()
     VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0), root,
