@@ -936,7 +936,13 @@ object SparkEntry {
       import graft.sinks.VersionedStore
       val p = ensureUpdatedEventsStore(s, dir)
       val v = VersionedStore.currentVersion(s, p)
-      VersionedStore.diff(s, p, v - 1, v)
+      // Scoped to the UPDATE's own day range: skip prunes both sides to
+      // the touched dirs through manifest stats, the predicate makes the
+      // sides exactly comparable — the audit pays O(scope), not O(table).
+      VersionedStore.diff(s, p, v - 1, v,
+          skip = Seq(VersionedStore.ColRange("day", Some("2024-01-13"), Some("2024-01-15"))),
+          scope = Some(col("day").between(
+            lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date"))))
         .groupBy(col("__change"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -266,12 +266,29 @@ object VersionedStore {
     * plus two anti-join shuffles — O(table), the honest price of a
     * content diff; use [[readChanges]] when the range is append-only.
     * Schema evolution: columns missing on one side read as NULL of the
-    * other side's type, same as the evolved read path. */
+    * other side's type, same as the evolved read path.
+    *
+    * SCOPED audit: when the caller knows where the changes live (a DML's
+    * own prune range), `scope` bounds BOTH sides to rows satisfying the
+    * predicate, with `skip` pruning dirs through manifest stats first.
+    * Soundness needs both halves — skip alone could keep a stats-less
+    * dir on one side and prune its twin on the other, fabricating
+    * changes; the row predicate makes the two sides exactly comparable,
+    * and the scoped diff is the true diff restricted to the scope. */
   def diff(spark: SparkSession, root: String,
-           fromVersion: Long, toVersion: Long): DataFrame = {
+           fromVersion: Long, toVersion: Long,
+           skip: Seq[ColRange] = Seq.empty,
+           scope: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, lit}
-    val a = readAt(spark, root, fromVersion)
-    val b = readAt(spark, root, toVersion)
+    require(scope.nonEmpty || skip.isEmpty,
+      "diff: skip ranges need the matching row-level scope predicate — " +
+        "stats pruning alone is one-sided and would fabricate changes")
+    def side(v: Long): DataFrame = {
+      val df = readAt(spark, root, v, skip)
+      scope.fold(df)(df.filter)
+    }
+    val a = side(fromVersion)
+    val b = side(toVersion)
     val want = b.schema.fields.toSeq ++
       a.schema.fields.toSeq.filterNot(f => b.schema.fieldNames.contains(f.name))
     def align(df: DataFrame): DataFrame =

@@ -905,6 +905,16 @@ class VersionedStoreSpec extends SparkSpec {
     // a reversed pair flips insert/delete roles
     val d43 = VersionedStore.diff(spark, root, 4L, 3L).collect()
     assert(d43.length === 1 && d43.head.getAs[String]("__change") === "delete")
+    // a SCOPE covering the changes equals the unscoped audit; skip
+    // without the matching predicate is rejected (one-sided pruning
+    // would fabricate changes)
+    val scoped = VersionedStore.diff(spark, root, 2L, 3L,
+      scope = Some(col("user_id") === 2L)).collect()
+    assert(scoped.length === 2, "scope covering the changes = full audit")
+    intercept[IllegalArgumentException] {
+      VersionedStore.diff(spark, root, 2L, 3L,
+        skip = Seq(VersionedStore.ColRange.eq("user_id", "2")))
+    }
   }
 
   test("verifyPrune: a wrong prune assertion fails loudly BEFORE any rewrite; a sound one passes") {
