@@ -215,7 +215,7 @@ object ScaleBench {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val n = math.max(4, (ord.count() / 15000L).toInt)
       val store = "/tmp/graft_cdcab_" + dirKey(dir)
-      ArtifactStore.ensure(ord, store) { (src, tmp) =>
+      ArtifactStore.ensure(ord, store, builderId = "vs2") { (src, tmp) =>
         val sliced = src.withColumn("__slice", pmod(col("o_orderkey"), lit(n)))
           .persist()
         try (0 until n).foreach { i =>

@@ -1194,7 +1194,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -1218,7 +1218,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_del", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -1252,7 +1252,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_upd", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -1289,7 +1289,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_rst", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -1329,7 +1329,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_cdc_drv", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       val base = java.nio.file.Files.createTempDirectory("graft-cdcbase").toString
       val chk = java.nio.file.Files.createTempDirectory("graft-cdcchk").toString
       val slices = Seq(("2024-01-01", "2024-01-08"), ("2024-01-09", "2024-01-15"),
@@ -1380,7 +1380,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_agg_view", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       val base = java.nio.file.Files.createTempDirectory("graft-aggbase").toString
       val chk = java.nio.file.Files.createTempDirectory("graft-aggchk").toString
       val slices = Seq(("2024-01-01", "2024-01-08"), ("2024-01-09", "2024-01-15"),
@@ -1429,7 +1429,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_mrg", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -1469,7 +1469,7 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_z", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p) { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
       VersionedStore.commit(
         src.select("event_id", "ts", "user_id", "event_type", "value", "day"), tmp)
       VersionedStore.optimize(s, tmp,

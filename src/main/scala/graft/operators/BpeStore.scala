@@ -34,7 +34,8 @@ object BpeStore {
   def ensure(docs: DataFrame, path: String,
              maxMerges: Int = 8192, sampleDocs: Int = 4000,
              sampleBytes: Long = 4L << 20): Unit =
-    graft.sinks.ArtifactStore.ensure(docs, path) { (src, tmp) =>
+    graft.sinks.ArtifactStore.ensure(docs, path,
+      builderId = s"bpe1:m=$maxMerges:d=$sampleDocs:b=$sampleBytes") { (src, tmp) =>
       val spark = src.sparkSession
       // Deterministic bounded sample: smallest doc_ids first, capped at
       // sampleBytes of UTF-8 (the sample stops at the first doc crossing

@@ -22,7 +22,7 @@ object LmStore {
   /** Build the model tables at `path` from the reference corpus unless
     * this process already built them from the same source data. */
   def ensure(train: DataFrame, path: String): Unit =
-    graft.sinks.ArtifactStore.ensure(train, path)(writeTables)
+    graft.sinks.ArtifactStore.ensure(train, path, builderId = "lm1")(writeTables)
 
   private def writeTables(train: DataFrame, tmpRoot: String): Unit = {
     val tb = CacheRegistry.persistBounded(TextAnalysis.lmBigrams(train))

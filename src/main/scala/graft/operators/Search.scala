@@ -113,7 +113,7 @@ object Search {
     * Freshness, build caching, and crash-safe publish all ride
     * [[graft.sinks.ArtifactStore]] (shared with the shingle table). */
   def ensureLexicalIndex(docs: DataFrame, path: String): Unit =
-    graft.sinks.ArtifactStore.ensure(docs, path)(writeIndexTables)
+    graft.sinks.ArtifactStore.ensure(docs, path, builderId = "lex1")(writeIndexTables)
 
   /** Unconditional rebuild + atomic publish (rebuilding is idempotent). */
   def writeLexicalIndex(docs: DataFrame, path: String): Unit =

@@ -33,7 +33,7 @@ object ShingleStore {
   /** Build the shingle table at `path` unless this process already built
     * it from the same source data. */
   def ensure(docs: DataFrame, path: String): Unit =
-    graft.sinks.ArtifactStore.ensure(docs, path)(writeTable)
+    graft.sinks.ArtifactStore.ensure(docs, path, builderId = "sh1")(writeTable)
 
   /** Unconditional rebuild + atomic publish (idempotent). */
   def write(docs: DataFrame, path: String): Unit =

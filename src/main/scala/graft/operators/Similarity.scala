@@ -473,7 +473,8 @@ object Similarity {
     * centroids + an assignment-table join — no Lloyd step, no corpus
     * argmin. */
   def ensureIvfIndex(embeddings: DataFrame, path: String, nlist: Int = 16): Unit =
-    graft.sinks.ArtifactStore.ensure(embeddings, path) { (df, tmp) =>
+    graft.sinks.ArtifactStore.ensure(embeddings, path,
+      builderId = s"ivf1:nlist=$nlist") { (df, tmp) =>
       // centroids are registry-persisted inside ivfModel; the bounded LRU
       // owns their lifecycle (no manual unpersist — a registry entry left
       // live here is reused by any in-session annIvf over the same corpus).
@@ -668,7 +669,7 @@ object Similarity {
     * At 100 TB the codes table IS the searchable corpus (≈ 32× smaller
     * than the floats); the float table is only probed by re-rank. */
   def ensurePqIndex(embeddings: DataFrame, path: String): Unit =
-    graft.sinks.ArtifactStore.ensure(embeddings, path) { (df, tmp) =>
+    graft.sinks.ArtifactStore.ensure(embeddings, path, builderId = "pq1") { (df, tmp) =>
       val baseQ = sharedBase(df).withColumn("q", quantized(col("e")))
       val (codes, codebooks) = pqModelOn(baseQ)
       graft.sinks.SnapshotStore.overwriteLatest(codebooks, s"$tmp/codebooks")

@@ -103,10 +103,18 @@ object ArtifactStore {
     * write every table of the artifact under `tmpRoot` and be
     * deterministic in its source (every build here is — the property the
     * golden oracles already depend on). */
-  def ensure(source: DataFrame, path: String)
+  /** `builderId` salts the trust fingerprint with the BUILD's identity —
+    * version token plus parameters (e.g. `"bpe1:m=8192:d=4000"`). The
+    * source fingerprint alone says the INPUT is unchanged; after a code
+    * or parameter change a later process would otherwise trust and serve
+    * the stale artifact built by the old logic. Builders whose logic or
+    * parameters change must change their id; parameterized builders
+    * derive it from their parameters so no manual bump can be missed. */
+  def ensure(source: DataFrame, path: String, builderId: String = "")
             (build: (DataFrame, String) => Unit): Unit =
     pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      val fp = sourceFingerprint(source)
+      val srcFp = sourceFingerprint(source)
+      val fp = if (builderId.isEmpty) srcFp else s"$srcFp|$builderId"
       if (built.get(path).contains(fp)) return
       val fileBacked = source.inputFiles.nonEmpty
       val conf = source.sparkSession.sessionState.newHadoopConf()

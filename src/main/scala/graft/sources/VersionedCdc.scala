@@ -95,7 +95,7 @@ object VersionedCdc {
     * The store must have at least one commit: a streaming source cannot
     * conjure a schema from an empty directory, same as a parquet path
     * stream. */
-  private[sources] def storeSchema(spark: SparkSession, root: String): StructType = {
+  private[graft] def storeSchema(spark: SparkSession, root: String): StructType = {
     val v = VersionedStore.currentVersion(spark, root)
     require(v > 0, s"versioned-cdc source needs a committed store at $root " +
       "(schema comes from the store; commit once before streaming)")
@@ -126,8 +126,8 @@ private[graft] class VersionedCdcSource(spark: SparkSession, root: String,
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
   with Logging {
 
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows,
-    Offset => ConnectorOffset}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+    ReadLimit, ReadMaxRows, Offset => ConnectorOffset}
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset       => l.offset
@@ -162,13 +162,28 @@ private[graft] class VersionedCdcSource(spark: SparkSession, root: String,
     val start = Option(startOffset).map(versionOfConnector).getOrElse(startVersion)
     val current = VersionedStore.currentVersion(spark, root)
     val pinned = availableNowCap.fold(current)(math.min(current, _))
-    val capped = limit match {
-      case r: ReadMaxRows => math.min(pinned, start + r.maxRows())
-      case _ => pinned
+    val capped = maxRowsOf(limit) match {
+      case Some(n) => math.min(pinned, start + n)
+      case None    => pinned
     }
     if (capped > start) LongOffset(capped)
     else if (start > startVersion) LongOffset(start)
     else null
+  }
+
+  /** The per-batch version cap inside `limit`, if any. The engine may hand
+    * a [[CompositeReadLimit]] (e.g. a minRows config composed alongside
+    * maxVersionsPerBatch) — falling through to the uncapped pin there
+    * would silently drain a backlogged resume in one giant batch, so the
+    * composite is unwrapped the way FileStreamSource unwraps it: take the
+    * contained ReadMaxRows component (the tightest, if several). */
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows => Some(r.maxRows())
+    case c: CompositeReadLimit =>
+      val caps: Seq[Long] =
+        c.getReadLimits.toSeq.collect { case r: ReadMaxRows => r.maxRows() }
+      caps.reduceOption(math.min(_, _))
+    case _ => None
   }
 
   override def reportLatestOffset(): ConnectorOffset = {

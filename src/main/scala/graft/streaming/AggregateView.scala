@@ -98,10 +98,16 @@ object AggregateView {
           // semi-join; at 100 TB the view read is also stats-skippable).
           val touched = VersionedStore.readAt(spark, derived, base)
             .join(broadcast(deltas.select(kcols: _*)), keys, "left_semi")
+          // BOTH sides coalesce: a batch whose values are all NULL for a
+          // group yields a NULL sum delta, and old + NULL = NULL would
+          // silently overwrite the accumulated value under the MERGE's
+          // full-row replace. NULL-as-zero is the view's declared sum
+          // semantics (adding no non-NULL values changes nothing).
           val combined = deltas.alias("d")
             .join(touched.alias("t"), keys, "left_outer")
             .select(kcols ++ valueCols.map { v =>
-              (coalesce(col(s"t.$v"), lit(0L)) + col(s"d.$v")).as(v)
+              (coalesce(col(s"t.$v"), lit(0L)) +
+                coalesce(col(s"d.$v"), lit(0L))).as(v)
             }: _*)
           VersionedStore.mergeInto(spark, derived, combined, keys = keys,
             statsCols = keys, meta = ledger)

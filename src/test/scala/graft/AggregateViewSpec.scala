@@ -58,6 +58,25 @@ class AggregateViewSpec extends SparkSpec {
     assert(r.head.getAs[Long]("sum_v") === 17L)
   }
 
+  test("an all-NULL-valued delta never overwrites an accumulated sum with NULL") {
+    val view = tmp()
+    AggregateView.applyBatch(rows("2024-01-01", "click" -> 10L), 0L, view,
+      Seq("day", "event_type"), Seq("v"))
+    // A batch whose every v is NULL for the group: sum(v) delta is NULL,
+    // and the combine's full-row MERGE replace would corrupt the view to
+    // NULL without the delta-side coalesce. Also a NEW key seen only with
+    // NULL values: its sum lands as 0 (declared null-as-zero semantics).
+    val nullBatch = Seq(
+      ("2024-01-01", "click", Option.empty[Long]),
+      ("2024-01-01", "scroll", Option.empty[Long])).toDF("day", "event_type", "v")
+    AggregateView.applyBatch(nullBatch, 1L, view, Seq("day", "event_type"), Seq("v"))
+    val got = VersionedStore.read(spark, view).get
+      .select("event_type", "n_rows", "sum_v").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("click", 2L, 10L), ("scroll", 1L, 0L)),
+      "NULL deltas add zero; they never null out the accumulator")
+  }
+
   test("NULL group keys throw loudly (MERGE would fork the group); view stays uncommitted") {
     val view = tmp()
     val bad = Seq((null.asInstanceOf[String], "click", 1L)).toDF("day", "event_type", "v")

@@ -179,6 +179,37 @@ class ArtifactStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("builderId salts the trust fingerprint: changed build params force rebuild, same params trust") {
+    val root = java.nio.file.Files.createTempDirectory("artstore").toString
+    try {
+      Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(s"$root/src")
+      val src = spark.read.parquet(s"$root/src")
+      val art = s"$root/art"
+      var builds = 0
+      def ensure(id: String): Unit =
+        ArtifactStore.ensure(src, art, builderId = id) { (df, tmp) =>
+          builds += 1
+          df.write.mode("overwrite").parquet(s"$tmp/t")
+        }
+      ensure("b:m=256"); assert(builds === 1)
+      // Fresh process, SAME params: the marker matches — trust, no rebuild.
+      ArtifactStore.forgetProcessRecords()
+      ensure("b:m=256")
+      assert(builds === 1, "identical source + identical build params: trust")
+      // Fresh process, CHANGED params (the r11 hazard: maxMerges 256→8192
+      // with an unchanged corpus): source fingerprint alone would trust
+      // the stale artifact built by the old parameters — the salt must
+      // force the rebuild.
+      ArtifactStore.forgetProcessRecords()
+      ensure("b:m=8192")
+      assert(builds === 2, "changed build params must invalidate the stale artifact")
+      // Same process, params flip back: fingerprint differs from the
+      // recorded one, rebuild again (no stale per-process trust either).
+      ensure("b:m=256")
+      assert(builds === 3)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("in-memory sources never trust disk: fingerprint is constant, freshness is per-process only") {
     val root = java.nio.file.Files.createTempDirectory("artstore").toString
     try {

@@ -126,6 +126,31 @@ class VersionedCdcSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSet === Set("day", "user_id", "value"))
   }
 
+  test("a CompositeReadLimit's ReadMaxRows component still caps the batch (never the uncapped pin)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = tmp()
+    (1 to 5).foreach { i =>
+      VersionedStore.commitAppend(snap(s"2024-01-0$i", i.toLong -> i.toDouble), root)
+    }
+    val src = new graft.sources.VersionedCdcSource(spark, root, 0L,
+      graft.sources.VersionedCdc.storeSchema(spark, root),
+      maxVersionsPerBatch = Some(2L))
+    // Plain ReadMaxRows caps at start + 2.
+    assert(src.latestOffset(LongOffset(0L), ReadLimit.maxRows(2L))
+      === LongOffset(2L))
+    // The engine may COMPOSE limits (e.g. minRows alongside the cap):
+    // the contained ReadMaxRows must still apply — falling through to
+    // the uncapped pin would drain a backlogged resume in one batch.
+    val composite = ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(1L, 60000L), ReadLimit.maxRows(2L)))
+    assert(src.latestOffset(LongOffset(0L), composite) === LongOffset(2L))
+    assert(src.latestOffset(LongOffset(2L), composite) === LongOffset(4L))
+    // No cap component: full backlog.
+    assert(src.latestOffset(LongOffset(0L), ReadLimit.allAvailable())
+      === LongOffset(5L))
+  }
+
   test("maxVersionsPerBatch: an AvailableNow drain delivers bounded batches, one per version") {
     val root = tmp(); val chk = tmp(); val derived = tmp()
     (1 to 4).foreach { i =>
