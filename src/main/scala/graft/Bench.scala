@@ -200,10 +200,28 @@ object Bench {
           isolatedRun(n, sfDir, cpus).map(n -> _)
         }
       }
+    // Probe semantics, labeled so the record is self-interpreting:
+    // isolated ≤ in-suite PROVES suite contamination (the in-suite number
+    // was inflated by debris); isolated > in-suite is fresh-JVM
+    // codegen/JIT warmup, NOT a regression signal — the probe is an
+    // upper bound there, never a floor.
     val isoField =
       if (isoPairs.isEmpty) ""
-      else s""","isolated_sec":${isoPairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_sec":$mn,"spread_sec":$sp,"reps":$reps,"errors":$es,"artifact_build_sec":$artifactSec$loadFlag$isoField,"sf":"$sfDir"}"""
+      else {
+        val meds = ok.toMap
+        val labels = isoPairs.map { case (k, v) =>
+          val lbl = if (meds.get(k).exists(m => v <= m._1)) "cheaper" else "warmup"
+          jstr(k) + ":" + jstr(lbl)
+        }
+        s""","isolated_sec":${isoPairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")}""" +
+          s""","isolated_label":${labels.mkString("{", ",", "}")}"""
+      }
+    // BPE memo telemetry (JVM-global across the suite's encoders): the
+    // frozen-at-cap policy's health — a hit rate collapsing toward zero
+    // would mean the memo froze on an unrepresentative prefix.
+    val (mmH, mmM, mmC) = graft.functions.BpeRanks.globalMemoStats
+    val memoField = s""","bpe_memo":{"hits":$mmH,"misses":$mmM,"cap_frozen":$mmC}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_sec":$mn,"spread_sec":$sp,"reps":$reps,"errors":$es,"artifact_build_sec":$artifactSec$loadFlag$isoField$memoField,"sf":"$sfDir"}"""
     println(line)
     // Stdout gets truncated by log capture at the driver (two rounds of
     // mid-record JSON tails); the FILE is the durable record — the full

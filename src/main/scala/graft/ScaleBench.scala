@@ -52,7 +52,8 @@ object ScaleBench {
     * "inc" is accepted as a shorthand for all of them. */
   val IncNames: Seq[String] =
     Seq("dedup_incremental_fixed", "dedup_incremental_fixed_bucketed",
-      "setjoin_incremental_fixed", "versioned_cdc_fixed")
+      "setjoin_incremental_fixed", "versioned_cdc_fixed",
+      "aggview_fixed", "aggview_recompute")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -228,10 +229,44 @@ object ScaleBench {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("v"))
     }
+    // AGGREGATE-VIEW maintenance with the batch HELD FIXED while the
+    // base grows 10×: the view is seeded once from corpus-minus-batch
+    // (untimed warmup ingest); each timed rep applies ONE fixed-size
+    // batch — delta aggregate O(batch), touched-keys semi-join, keyed
+    // MERGE — under a fresh ledger id (read back from the store, so a
+    // replayed path can never no-op a rep; the repeated delta re-merges
+    // the same keys, so per-rep cost shape is scale-comparable). The
+    // claim: maintenance is batch-proportional. The RECOMPUTE twin is
+    // the full GROUP BY over the grown base — the cost the view avoids —
+    // whose exponent must read ~linear; the pair is the A/B.
+    val aggViewFixed: (SparkSession, String) => DataFrame = (s, dir) => {
+      import graft.sinks.VersionedStore
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val batchPredO = col("o_orderkey") < 100000000L && col("o_orderkey") % 10 === 9
+      val view = "/tmp/graft_aggab_" + dirKey(dir)
+      if (VersionedStore.currentVersion(s, view) == 0L)
+        graft.streaming.AggregateView.applyBatch(
+          ord.filter(!batchPredO), 0L, view,
+          keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+      val nextId = graft.streaming.VersionedStream.lastBatchId(s, view) + 1
+      graft.streaming.AggregateView.applyBatch(
+        ord.filter(batchPredO), nextId, view,
+        keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+      VersionedStore.read(s, view).get
+        .groupBy().agg(count(lit(1)).as("n_groups"))
+    }
+    val aggRecompute: (SparkSession, String) => DataFrame = (s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("sum_p"))
+        .groupBy().agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n"))
     Seq(("dedup_incremental_fixed", incPath),
         ("dedup_incremental_fixed_bucketed", incBucketed),
         ("setjoin_incremental_fixed", incSetjoin),
-        ("versioned_cdc_fixed", cdcFixed))
+        ("versioned_cdc_fixed", cdcFixed),
+        ("aggview_fixed", aggViewFixed),
+        ("aggview_recompute", aggRecompute))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = timeFn(fn, srcDir)

@@ -415,6 +415,24 @@ object SparkEntry {
       BpeStore.ensure(Tables.documents(s, dir), p)
       Sampling.budgetSelectBpe(Tables.documents(s, dir), BpeStore.readRanks(s, p))
     }),
+    // BPE at a PRODUCTION vocabulary, oracle-gated: the deterministic
+    // Zipfian stress corpus (the testdata fixture saturates at 89
+    // merges) trains the full 8192-merge table; the query runs the
+    // codegen'd greedy encoder over the whole corpus and DuckDB compares
+    // against the stored counts of the INDEPENDENT rank-order-replay
+    // encoder — two implementations of the published algorithm agreeing
+    // doc-for-doc at real vocabulary scale. The require makes the
+    // vocabulary size itself a loud gate.
+    "token_count_bpe_stress" -> ((s, dir) => {
+      val store = ensureBpeStressStore(s)
+      val ranks = BpeStore.readRanks(s, store)
+      require(ranks.merges.size >= 4096,
+        s"stress vocabulary must be production-scale, got ${ranks.merges.size} merges")
+      s.read.parquet(s"$BpeStressCorpusRoot/docs")
+        .select(col("doc_id"),
+          graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
@@ -1014,11 +1032,16 @@ object SparkEntry {
     // every committed append exactly once into a complete-mode memory
     // sink). Gates the full streaming read path — source schema from the
     // store's recorded DDL, readChanges per micro-batch, engine offset
-    // bookkeeping — against the flat-events oracle.
+    // bookkeeping — against the flat-events oracle. maxVersionsPerBatch
+    // makes the drain the RATE-LIMITED backlog path a real consumer uses
+    // (10 backlogged versions -> 2 bounded batches, each its own admission
+    // round), so the bench row prices admission control, not just the
+    // single-giant-batch shortcut; the complete-mode final counts are
+    // batching-invariant, so the oracle is unchanged.
     "versioned_cdc_stream" -> ((s, dir) => {
       val p = ensureVersionedEventsStore(s, dir)
       val q = s.readStream.format("graft.sources.VersionedCdc")
-        .option("path", p).load()
+        .option("path", p).option("maxVersionsPerBatch", "5").load()
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"))
         .writeStream.format("memory").queryName("graft_cdc_counts")
@@ -1058,6 +1081,20 @@ object SparkEntry {
       VersionedStore.read(s, p).get
         .select(col("day").cast("string").as("day"),
           col("event_type"), col("n_rows"), col("sum_val_q"))
+        .orderBy("day", "event_type")
+    }),
+    // WIDE aggregate view — the breadth gate: multi-key, two sums, and
+    // grow-only min/max maintained through the same CDC loop, with avg
+    // derived at read (sum/count — averages never compose, so they are
+    // never stored). Every aggregate must equal the flat GROUP BY.
+    "versioned_agg_view_wide" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureAggViewWideEventsStore(s, dir)
+      graft.streaming.AggregateView.avgAt(
+        VersionedStore.read(s, p).get, Seq("val_q"))
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n_rows"), col("sum_val_q"), col("sum_val_c"),
+          col("min_val_q"), col("max_val_q"), col("avg_val_q"))
         .orderBy("day", "event_type")
     }),
     // Morton/Z-order layout key over (user, day) — the multi-dim
@@ -1417,6 +1454,53 @@ object SparkEntry {
     p
   }
 
+  /** The WIDE sibling of [[ensureAggViewEventsStore]]: multi-key
+    * (day, event_type), TWO sums, and grow-only min/max over the same
+    * two-round drain — gating the aggregate-surface breadth (count,
+    * sums, extrema; avg derives at read) on one view. */
+  private def ensureAggViewWideEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_agg_view_w", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-aggwbase").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft-aggwchk").toString
+      val slices = Seq(("2024-01-01", "2024-01-08"), ("2024-01-09", "2024-01-15"),
+        ("2024-01-16", "2024-01-22"), ("2024-01-23", "2024-01-30"))
+      def appendSlice(i: Int): Unit = {
+        val (lo, hi) = slices(i)
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(lit(lo).cast("date"), lit(hi).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          base, statsCols = Seq("day"))
+      }
+      def drain(): Unit = {
+        val q = graft.streaming.AggregateView.start(
+          s.readStream.format("graft.sources.VersionedCdc")
+            .option("path", base).load()
+            .withColumn("val_q", floor(col("value") * 1000).cast("long"))
+            .withColumn("val_c", floor(col("value") * 7).cast("long")),
+          tmp, chk,
+          keys = Seq("day", "event_type"),
+          sumCols = Seq("val_q", "val_c"),
+          minCols = Seq("val_q"), maxCols = Seq("val_q"),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      appendSlice(0); appendSlice(1); drain() // batch 0 -> first-commit view
+      appendSlice(2); appendSlice(3); drain() // batch 1 -> ONE keyed merge
+      require(VersionedStore.currentVersion(s, tmp) == 2L,
+        "two drains must leave the wide view at version 2 (commit + merge)")
+      require(graft.streaming.VersionedStream.lastBatchId(s, tmp) == 1L,
+        "the wide view's exactly-once ledger must record batch 1")
+      Seq(base, chk).foreach { r =>
+        val pth = new org.apache.hadoop.fs.Path(r)
+        pth.getFileSystem(s.sessionState.newHadoopConf()).delete(pth, true)
+      }
+    }
+    p
+  }
+
   /** Build (once per corpus) the post-MERGE VersionedStore of events:
     * the same 10 day-ranged appends as [[ensureVersionedEventsStore]],
     * then one [[graft.sinks.VersionedStore.mergeInto]] on `event_id`
@@ -1489,6 +1573,38 @@ object SparkEntry {
   def bpeGoldenDir(dir: String): String =
     BpeStore.goldenDir(artifactPath("bpe", dir))
 
+  private val BpeStressCorpusRoot = "/tmp/graft_bpe_stress_corpus"
+  private val BpeStressStoreRoot = "/tmp/graft_bpe_stress_store"
+  private val BpeStressDocs = 20000L
+
+  /** Golden counts of the STRESS vocabulary's replay encoder. */
+  def bpeStressGoldenDir: String = BpeStore.goldenDir(BpeStressStoreRoot)
+
+  /** The PRODUCTION-vocabulary BPE fixture: the testdata corpus has ~31
+    * distinct words and saturates BPE training at ~89 merges, so the
+    * registered token_count_bpe prices a toy merge table. This corpus is
+    * [[BpeProbe.stressDoc]]'s deterministic Zipfian text (~10⁵ distinct
+    * words) published as a FILE-BACKED artifact (sf-independent, same
+    * bytes every build), so its 8192-merge BpeStore — trainer, golden
+    * replay counts, cross-process trust — rides the standard machinery
+    * and the greedy-vs-replay equivalence gates in CORRECTNESS at a real
+    * vocabulary, not only in the probe. */
+  private def ensureBpeStressStore(s: SparkSession): String = {
+    import s.implicits._
+    val docsPath = s"$BpeStressCorpusRoot/docs"
+    val fs = new org.apache.hadoop.fs.Path(docsPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath)))
+      graft.sinks.ArtifactStore.publish(s, BpeStressCorpusRoot) { tmp =>
+        s.range(0L, BpeStressDocs)
+          .map(i => (i, BpeProbe.stressDoc(i)))
+          .toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$tmp/docs")
+      }
+    BpeStore.ensure(s.read.parquet(docsPath), BpeStressStoreRoot)
+    BpeStressStoreRoot
+  }
+
   /** Catalog name of the BUCKETED shingle table for a testdata sf dir
     * (same content-addressing, but a table identifier — bucket metadata
     * lives in the catalog, not the parquet footers). */
@@ -1529,6 +1645,7 @@ object SparkEntry {
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
       artifactPath("lmmodel", dir))
     BpeStore.ensure(Tables.documents(s, dir), artifactPath("bpe", dir))
+    ensureBpeStressStore(s)
     ensureVersionedEventsStore(s, dir)
     ensureZOptimizedEventsStore(s, dir)
     ensureDeletedEventsStore(s, dir)
@@ -1537,6 +1654,7 @@ object SparkEntry {
     ensureRestoredEventsStore(s, dir)
     ensureCdcDerivedEventsStore(s, dir)
     ensureAggViewEventsStore(s, dir)
+    ensureAggViewWideEventsStore(s, dir)
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -2329,6 +2447,10 @@ object SparkEntry {
         |FROM read_parquet('__GRAFT_BPE_GOLDEN__/*.parquet') g
         |JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "token_count_bpe_stress" ->
+      """SELECT doc_id, n_tokens
+        |FROM read_parquet('__GRAFT_BPE_STRESS_GOLDEN__/*.parquet')
+        |ORDER BY doc_id""".stripMargin,
     "budget_select_bpe" ->
       """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
         | s AS (SELECT doc_id,
@@ -2759,6 +2881,17 @@ object SparkEntry {
         | count(*) AS n_rows,
         | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_q
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_agg_view_wide" ->
+      """WITH q AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |   CAST(floor(value * 1000) AS BIGINT) AS val_q,
+        |   CAST(floor(value * 7) AS BIGINT) AS val_c
+        |  FROM events)
+        |SELECT day, event_type, count(*) AS n_rows,
+        | CAST(sum(val_q) AS BIGINT) AS sum_val_q,
+        | CAST(sum(val_c) AS BIGINT) AS sum_val_c,
+        | min(val_q) AS min_val_q, max(val_q) AS max_val_q,
+        | CAST(sum(val_q) AS DOUBLE) / count(*) AS avg_val_q
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "zorder_events" ->
       """WITH e AS (SELECT event_id, user_id,
         |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num

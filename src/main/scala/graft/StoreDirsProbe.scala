@@ -26,11 +26,25 @@ import graft.sinks.VersionedStore
   *                     ranges bound the probe)
   *   cdc_sec           readChanges over the last 10 versions + count
   *
-  * Fresh-JVM protocol. Usage: runMain graft.StoreDirsProbe <sfDir> [n1,n2]. */
+  * A third arg adds the MANIFEST-DECADE leg: stores of n tiny (one-row)
+  * appends at e.g. 100,1000,10000 dirs, so the parquet write is a small
+  * CONSTANT and the per-append curve exposes the manifest term alone —
+  * the log-segment format's flatness claim (an O(table-dirs) manifest
+  * rewrite per append showed here as a linear last_append curve and an
+  * O(N²) ingest total). Reported per leg: total + last-append mean over
+  * the final 10% of commits, delta-manifest bytes, checkpoint count and
+  * max bytes, plan/count latencies, expire+vacuum at width.
+  *
+  * Fresh-JVM protocol. Usage:
+  *   runMain graft.StoreDirsProbe <sfDir> [n1,n2] [m1,m2,...] */
 object StoreDirsProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val sizes = args.lift(1).getOrElse("100,1000").split(",").map(_.trim.toInt).toSeq
+    def ints(s: Option[String], dflt: String): Seq[Int] =
+      s.getOrElse(dflt).split(",").map(_.trim).filter(_.matches("\\d+"))
+        .map(_.toInt).filter(_ > 0).toSeq
+    val sizes = ints(args.lift(1), "100,1000")
+    val manifestSizes = ints(args.lift(2), "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "7")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,10 +67,13 @@ object StoreDirsProbe {
       val highs = qs.toSeq :+ Long.MaxValue
       val root = java.nio.file.Files.createTempDirectory(s"graft-dirs$n").toString
       val tIn0 = System.nanoTime()
+      var lastAppendSec = 0.0
       lows.zip(highs).foreach { case (lo, hi) =>
+        val tA = System.nanoTime()
         VersionedStore.commitAppend(
           orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi),
           root, statsCols = Seq("o_orderkey"))
+        lastAppendSec = secs(tA)
       }
       val ingestSec = secs(tIn0)
       val v = VersionedStore.currentVersion(spark, root)
@@ -128,7 +145,8 @@ object StoreDirsProbe {
 
       println(s"""{"metric":"store_dirs","sf_dir":"$sfDir","dirs":${dirs.size},""" +
         s""""manifest_bytes":$manifestBytes,""" +
-        f""""ingest_sec":$ingestSec%.2f,"parse_plan_sec":$parseSec%.3f,""" +
+        f""""ingest_sec":$ingestSec%.2f,"last_append_sec":$lastAppendSec%.3f,""" +
+        f""""parse_plan_sec":$parseSec%.3f,""" +
         f""""count_meta_sec":$countSec%.3f,"probe_all_sec":$probeAllSec%.2f,""" +
         f""""delete_pruned_sec":$deleteSec%.2f,"merge_sec":$mergeSec%.2f,""" +
         f""""cdc_sec":$cdcSec%.2f,""" +
@@ -136,6 +154,60 @@ object StoreDirsProbe {
 
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+
+    // ── Manifest-decade leg: n one-row appends, constant write cost ──
+    manifestSizes.foreach { m =>
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory(s"graft-mdec$m").toString
+      val tailN = math.max(1, m / 10)
+      var tailSec = 0.0
+      val tIn0 = System.nanoTime()
+      (1 to m).foreach { i =>
+        val tA = System.nanoTime()
+        VersionedStore.commitAppend(
+          Seq((i.toLong, i * 2.0)).toDF("k", "v"), root, statsCols = Seq("k"))
+        if (i > m - tailN) tailSec += secs(tA)
+      }
+      val ingestSec = secs(tIn0)
+      val lastAppendMean = tailSec / tailN
+      val v = VersionedStore.currentVersion(spark, root)
+      val hconf = spark.sessionState.newHadoopConf()
+      def len(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).getFileStatus(hp).getLen
+      }
+      val manifestBytes = len(s"$root/_manifests/$v.json")
+      // sizes materialized NOW — expire below deletes dropped checkpoints
+      // and a java.io.File handle reports 0 for a deleted file
+      val cpLens = new java.io.File(s"$root/_manifests").listFiles
+        .filter(_.getName.endsWith(".checkpoint")).map(_.length).toSeq
+      val tP0 = System.nanoTime()
+      val opened = VersionedStore.prunedDirs(spark, root, v,
+        Seq(VersionedStore.ColRange.eq("k", (m / 2).toString)))
+      val parseSec = secs(tP0)
+      require(opened.size == 1, s"point range must prune to 1 dir, got ${opened.size}")
+      val tC0 = System.nanoTime()
+      val cnt = VersionedStore.countWhere(spark, root,
+        Seq(VersionedStore.ColRange("k", Some("1"), Some(m.toString))))
+      val countSec = secs(tC0)
+      require(cnt == m.toLong, s"metadata count must see all $m rows, got $cnt")
+      val tE0 = System.nanoTime()
+      VersionedStore.expire(spark, root, keepLast = 5)
+      val expireSec = secs(tE0)
+      val tV0 = System.nanoTime()
+      VersionedStore.vacuum(spark, root)
+      val vacuumSec = secs(tV0)
+      require(VersionedStore.read(spark, root).get.count() == m.toLong,
+        "expire+vacuum must not change the current snapshot")
+      println(s"""{"metric":"manifest_decade","appends":$m,""" +
+        f""""ingest_sec":$ingestSec%.2f,"last_append_mean_sec":$lastAppendMean%.4f,""" +
+        s""""manifest_bytes":$manifestBytes,"checkpoints":${cpLens.length},""" +
+        s""""max_checkpoint_bytes":${if (cpLens.isEmpty) 0L else cpLens.max},""" +
+        f""""parse_plan_sec":$parseSec%.3f,"count_meta_sec":$countSec%.3f,""" +
+        f""""expire_sec":$expireSec%.2f,"vacuum_sec":$vacuumSec%.2f}""")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(hconf).delete(p, true)
     }
     spark.stop()
   }

@@ -47,7 +47,8 @@ object Verify {
       // THIS run's sf dir (the golden parquet is a per-corpus artifact;
       // a static map can't know the dir).
       .map { case (k, v) =>
-        (k, v.replace("__GRAFT_BPE_GOLDEN__", SparkEntry.bpeGoldenDir(sfDir))) }
+        (k, v.replace("__GRAFT_BPE_GOLDEN__", SparkEntry.bpeGoldenDir(sfDir))
+          .replace("__GRAFT_BPE_STRESS_GOLDEN__", SparkEntry.bpeStressGoldenDir)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -216,6 +216,11 @@ object BpeRanks {
       _ => new java.util.concurrent.ConcurrentHashMap[String, Integer]())
   }
 
+  /** JVM-global memo telemetry for the bench record: (hits, misses,
+    * cap-frozen insert attempts) across every vocabulary's memo. */
+  def globalMemoStats: (Long, Long, Long) =
+    (memoHits.sum(), memoMisses.sum(), memoCapped.sum())
+
   // Memo telemetry, JVM-global (LongAdder: uncontended-cheap across
   // executor threads) — read by graft.BpeProbe's PERF measurement,
   // never by the query path.

@@ -164,7 +164,8 @@ object VersionedStore {
       if (sinceVersion == 0) Seq.empty[String] else dataDirsOf(f, root, sinceVersion)
     val after = dataDirsOf(f, root, to)
     val beforeSet = before.toSet
-    if (!before.forall(after.contains))
+    val afterSet = after.toSet
+    if (!before.forall(afterSet))
       throw new IllegalStateException(
         s"versions $sinceVersion..$to of $root span a snapshot rewrite " +
           "(compaction); dir-level changes are undefined — read the full table")
@@ -252,7 +253,8 @@ object VersionedStore {
   private def committedVersions(f: FileSystem, root: String): Seq[Long] = {
     val mdir = new Path(s"$root/_manifests")
     if (!f.exists(mdir)) Seq.empty
-    else f.listStatus(mdir).toSeq.filter(_.isFile)
+    else f.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
       .map(_.getPath.getName.stripSuffix(".json").toLong).sorted
   }
 
@@ -319,25 +321,57 @@ object VersionedStore {
     // naming an expired version would otherwise strand readers below the
     // surviving range.
     aimPointer(spark, root, live.last)
-    // Candidate dirs = everything the DROPPED manifests referenced, read
-    // BEFORE deleting them; delete the candidates no surviving manifest
-    // still uses. Append commits share dirs across versions, so an
-    // expired version's added dir may still back the current snapshot —
-    // it stays until a compaction stops referencing it, after which the
-    // next expire sees it among the then-dropped manifest's dirs and
-    // collects it. Scoping the sweep to dropped-manifest dirs (never a
-    // bare data-* listing) keeps a concurrent writer's in-flight
-    // `prepare` directory safe — unreferenced-by-design debris is
-    // vacuum()'s job, in a maintenance window.
     val dropped = live.dropRight(keepLast)
-    // Read the survivors' dir lists BEFORE the manifest deletes, from the
-    // already-listed version set — a second listing sweep after the
-    // deletes re-parsed every manifest and was the dominant expire cost
-    // at 1000 versions (measured 49.6 s; now ~O(dropped dirs-regex)).
-    val stillReferenced = live.takeRight(keepLast)
-      .flatMap(v => dataDirsOf(f, root, v)).toSet
-    val candidates = dropped.flatMap(v => dataDirsOf(f, root, v)).toSet
-    dropped.foreach(v => f.delete(manifestPath(root, v), false))
+    if (dropped.isEmpty) return
+    val survivors = live.takeRight(keepLast)
+    // The oldest survivor must stay resolvable AFTER its delta chain is
+    // cut: if it is a delta commit without a checkpoint, materialize one
+    // now (while the chain is intact). Checkpoints are derived and
+    // idempotent, so a crash between this write and the manifest deletes
+    // costs nothing.
+    val oldest = survivors.head
+    if (parsedManifest(f, root, oldest).base.nonEmpty &&
+        !f.exists(checkpointPath(root, oldest)))
+      writeCheckpoint(spark, root, oldest, resolvedState(f, root, oldest))
+    // Candidate dirs = everything the DROPPED manifests ADDED (their own
+    // add/full lists) PLUS the dirs of any dropped version's CHECKPOINT:
+    // a dir whose adding manifest was dropped by an EARLIER expire stayed
+    // alive through the then-oldest survivor's checkpoint, which thereby
+    // inherited its ownership — when that version is dropped in turn, its
+    // checkpoint is the only record left naming the dir. Together these
+    // are the complete garbage-candidate set at O(dropped edits +
+    // dropped-checkpoint dirs), never a chain resolution per dropped
+    // version. Delete the candidates no surviving version still
+    // references. Scoping the sweep to dropped-record dirs (never a bare
+    // data-* listing) keeps a concurrent writer's in-flight `prepare`
+    // directory safe — unreferenced-by-design debris is vacuum()'s job.
+    val candidates = dropped.flatMap { v =>
+      val cp = if (f.exists(checkpointPath(root, v)))
+        fullState(parsedCheckpoint(f, root, v)).dirs else Seq.empty
+      ownDirsOf(f, root, v) ++ cp
+    }.toSet
+    // Survivors' referenced dirs in O(dirs + survivor edits): the oldest
+    // survivor's resolved state, plus every later survivor's own ADDS
+    // (a dir removed by a later DML is still referenced by the earlier
+    // survivors that can time-travel to it, so removals never shrink the
+    // union; full manifests contribute their own list directly).
+    var stillReferenced = resolvedState(f, root, oldest).dirs.toSet
+    survivors.tail.foreach { v =>
+      val pm = parsedManifest(f, root, v)
+      stillReferenced ++= (if (pm.base.isEmpty) fullState(pm).dirs else pm.addDirs)
+    }
+    dropped.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(checkpointPath(root, v), false)
+    }
+    // Re-list AFTER the manifest deletes: a commit that landed DURING
+    // this expire (e.g. a concurrent restore referencing a dropped
+    // version's dirs) must keep its dirs — without this, the restore's
+    // data would be deleted out from under its new manifest. Only NEW
+    // manifests (beyond the initial snapshot) are parsed — cheap.
+    committedVersions(f, root).filterNot(live.toSet).foreach { v =>
+      stillReferenced ++= dataDirsOf(f, root, v)
+    }
     candidates.diff(stillReferenced)
       .foreach(d => f.delete(new Path(s"$root/$d"), true))
   }
@@ -410,13 +444,8 @@ object VersionedStore {
                      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val base =
-      if (baseVersion == 0) Seq.empty[String]
-      else dataDirsOf(f, root, baseVersion)
     val baseSchema =
       if (baseVersion == 0) None else schemaOf(f, root, baseVersion)
-    val baseStats = if (baseVersion == 0) Map.empty[String, String]
-                    else statsOf(f, root, baseVersion)
     val dir = prepare(df, root)
     // Enforce against the WRITTEN dir's read-back schema, not the input
     // plan's: the day-partition encoding round-trips a string day as an
@@ -429,10 +458,20 @@ object VersionedStore {
       try mergedSchemaDdl(baseSchema, writtenSchema(spark, root, dir, df), mergeSchema, root)
       catch { case e: Throwable =>
         f.delete(new Path(s"$root/$dir"), true); throw e }
-    publish(spark, root, baseVersion + 1, dir, baseDirs = base,
-      meta = if (mergeSchema) meta + ("mergeSchema" -> "true") else meta,
-      schemaDdl = Some(merged),
-      stats = baseStats ++ statsFor(spark, root, dir, statsCols))
+    val metaOut = if (mergeSchema) meta + ("mergeSchema" -> "true") else meta
+    val fresh = statsFor(spark, root, dir, statsCols)
+    // Log-segment append: the manifest is O(batch) — one added dir, its
+    // stats, the schema and meta — NEVER a re-list of the base version's
+    // dirs or a re-serialization of the table-wide stats map. The base's
+    // state resolves through the segments at read time.
+    if (baseVersion == 0)
+      publish(spark, root, 1, dir, meta = metaOut,
+        schemaDdl = Some(merged), stats = fresh)
+    else
+      publishDelta(spark, root, baseVersion + 1,
+        addDirs = Seq(dir), removedDirs = Seq.empty,
+        meta = metaOut, schemaDdl = Some(merged),
+        statsForAdded = fresh, anchor = dir)
     baseVersion + 1
   }
 
@@ -575,10 +614,11 @@ object VersionedStore {
       val schemaDdl = schemaOf(fs(spark, root), root, base)
         .getOrElse(writtenSchema(spark, root, dirs.head, snapshot).toDDL)
       val stats = dirs.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
-      // Base meta carries forward (the stream ledger survives OPTIMIZE,
-      // like Delta's SetTransaction records).
+      // The base's LEDGER entries carry forward (the stream replay
+      // watermark survives OPTIMIZE, like Delta's SetTransaction
+      // records); descriptive markers of earlier commits do not.
       publish(spark, root, base + 1, dirs.last, baseDirs = Seq.empty,
-        meta = metaAt(spark, root, base) ++ meta +
+        meta = ledgerEntries(metaAt(spark, root, base)) ++ meta +
           ("optimize" -> s"cluster-by:${buckets}b"),
         schemaDdl = Some(schemaDdl), stats = stats, extraNewDirs = dirs.init)
       base + 1
@@ -657,32 +697,49 @@ object VersionedStore {
     if (touched.isEmpty) return base
     val untouched = all.filterNot(touched.contains)
     val keep = not(coalesce(predicate, lit(false)))
-    val rewritten = touched.flatMap { d =>
-      val kept = spark.read.parquet(s"$root/$d").filter(keep)
-      if (kept.isEmpty) None else Some(prepare(kept, root))
+    // Touched dirs rewrite CONCURRENTLY (disjoint inputs, each prepare its
+    // own job) — a wide GDPR-style delete over 100+ dirs would otherwise
+    // serialize one scheduler round-trip per dir (optimize's bucket
+    // writes got the same treatment; measured in StoreProbe's DML A/B).
+    // Future.traverse preserves dir order in `rewritten`.
+    val rewritten = {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(touched.toList) { d => Future {
+          val kept = spark.read.parquet(s"$root/$d").filter(keep)
+          if (kept.isEmpty) None else Some(prepare(kept, root))
+        }}, Duration.Inf).flatten
     }
     if (rewritten.isEmpty && untouched.isEmpty)
       throw new IllegalStateException(
         s"deleteWhere would empty $root entirely; an empty snapshot has no " +
           "readable schema — commit an explicit empty snapshot instead")
-    val carried = baseStats.filter { case (k, _) =>
-      untouched.contains(k.takeWhile(_ != '|')) }
     val fresh = rewritten.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
     val schemaDdl = schemaOf(f, root, base)
+    // Log-segment commit: removed = the touched dirs, add = their
+    // rewrites. Untouched dirs (at 100 TB, almost all) are never
+    // re-listed — the base's state resolves through the segments. Meta
+    // carries ONLY the base's LEDGER entries (the exactly-once replay
+    // watermark must survive DML) plus this op's marker — descriptive
+    // markers of earlier commits do not accumulate (restore's
+    // ledger-only discipline, applied uniformly).
+    val metaOut = ledgerEntries(baseMeta) ++ meta + ("delete" -> "where")
     if (rewritten.isEmpty)
       // Every touched dir emptied out: the commit only DROPS dirs. The
       // manifest's dataDir anchor re-uses the newest untouched dir,
-      // flagged carried so publish neither re-lists its files nor —
+      // flagged carried so publishDelta neither lists its files nor —
       // on a lost commit race — deletes live data.
-      publish(spark, root, base + 1, untouched.last,
-        baseDirs = untouched.init,
-        meta = baseMeta ++ meta + ("delete" -> "where"), schemaDdl = schemaDdl,
-        stats = carried, dataDirIsCarried = true)
+      publishDelta(spark, root, base + 1,
+        addDirs = Seq.empty, removedDirs = touched,
+        meta = metaOut, schemaDdl = schemaDdl, statsForAdded = Map.empty,
+        anchor = untouched.last, anchorIsCarried = true)
     else
-      publish(spark, root, base + 1, rewritten.last,
-        baseDirs = untouched, extraNewDirs = rewritten.init,
-        meta = baseMeta ++ meta + ("delete" -> "where"), schemaDdl = schemaDdl,
-        stats = carried ++ fresh)
+      publishDelta(spark, root, base + 1,
+        addDirs = rewritten, removedDirs = touched,
+        meta = metaOut, schemaDdl = schemaDdl, statsForAdded = fresh,
+        anchor = rewritten.last)
     base + 1
   }
 
@@ -801,26 +858,31 @@ object VersionedStore {
     if (verifyPrune) requireSoundPrune("updateWhere", root, matched, candidates)
     val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
-    val untouched = all.filterNot(touched.contains)
     val hit = coalesce(predicate, lit(false))
-    val rewritten = touched.map { d =>
-      val df = spark.read.parquet(s"$root/$d")
-      val updated = df.select(df.columns.map { n =>
-        set.get(n) match {
-          case Some(expr) => when(hit, expr).otherwise(c(n)).as(n)
-          case None => c(n)
-        }
-      }.toSeq: _*)
-      prepare(updated, root)
+    // Concurrent per-dir rewrites, like deleteWhere — order preserved.
+    val rewritten = {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(touched.toList) { d => Future {
+          val df = spark.read.parquet(s"$root/$d")
+          val updated = df.select(df.columns.map { n =>
+            set.get(n) match {
+              case Some(expr) => when(hit, expr).otherwise(c(n)).as(n)
+              case None => c(n)
+            }
+          }.toSeq: _*)
+          prepare(updated, root)
+        }}, Duration.Inf)
     }
-    val carried = baseStats.filter { case (k, _) =>
-      untouched.contains(k.takeWhile(_ != '|')) }
     val fresh = rewritten.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
-    publish(spark, root, base + 1, rewritten.last,
-      baseDirs = untouched, extraNewDirs = rewritten.init,
-      meta = baseMeta ++ meta +
+    publishDelta(spark, root, base + 1,
+      addDirs = rewritten, removedDirs = touched,
+      meta = ledgerEntries(baseMeta) ++ meta +
         ("update" -> s"set:${set.keys.toSeq.sorted.mkString("+")}"),
-      schemaDdl = recorded, stats = carried ++ fresh)
+      schemaDdl = recorded, statsForAdded = fresh,
+      anchor = rewritten.last)
     base + 1
   }
 
@@ -965,7 +1027,6 @@ object VersionedStore {
       }.reduce(_ unionByName _)
         .join(srcKeys, keys, "left_semi")
         .select("__graft_dir").distinct().collect().map(_.getString(0)).toSet
-    val untouched = all.filterNot(touched)
 
     // Pass 2: rewrite touched dirs minus their matched rows; append the
     // source as its own dir (schema-policed like any append).
@@ -975,22 +1036,30 @@ object VersionedStore {
         writtenSchema(spark, root, srcDir, source), mergeSchema, root)
       catch { case e: Throwable =>
         f.delete(new Path(s"$root/$srcDir"), true); throw e }
-    val rewritten = touched.toSeq.sorted.flatMap { d =>
-      val kept = spark.read.parquet(s"$root/$d")
-        .join(srcKeys, keys, "left_anti")
-      if (kept.isEmpty) None else Some(prepare(kept, root))
+    // Concurrent per-dir rewrites, like deleteWhere — order preserved.
+    val rewritten = {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(touched.toSeq.sorted.toList) { d => Future {
+          val kept = spark.read.parquet(s"$root/$d")
+            .join(srcKeys, keys, "left_anti")
+          if (kept.isEmpty) None else Some(prepare(kept, root))
+        }}, Duration.Inf).flatten
     }
-    val carried = baseStats.filter { case (k, _) =>
-      untouched.contains(k.takeWhile(_ != '|')) }
     val fresh = (rewritten :+ srcDir)
       .flatMap(d => statsFor(spark, root, d, statsCols)).toMap
-    // Base meta (stream ledger included) carries forward through MERGE.
-    publish(spark, root, base + 1, srcDir,
-      baseDirs = untouched, extraNewDirs = rewritten,
-      meta = baseMeta ++
+    // The base's LEDGER entries carry forward through MERGE (the stream
+    // replay watermark survives, like Delta's SetTransaction records);
+    // descriptive markers of earlier commits do not accumulate.
+    publishDelta(spark, root, base + 1,
+      addDirs = rewritten :+ srcDir, removedDirs = touched.toSeq.sorted,
+      meta = ledgerEntries(baseMeta) ++
         (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta) +
         ("merge" -> s"upsert:${keys.mkString("+")}"),
-      schemaDdl = Some(merged), stats = carried ++ fresh)
+      schemaDdl = Some(merged), statsForAdded = fresh,
+      anchor = srcDir)
     base + 1
   }
 
@@ -1146,17 +1215,7 @@ object VersionedStore {
           .map(s => s"$nd/${s.getPath.getParent.getName}/${s.getPath.getName}")
           .sorted
     }
-    // Braces are escaped too (legal JSON \u escapes) so the regex-based
-    // manifest parser can bound the meta object with [^}]* — a literal
-    // '}' inside a value would otherwise truncate the parse and silently
-    // drop metadata (including the exactly-once batchId ledger).
-    def js(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case '{' => "\\u007b"; case '}' => "\\u007d"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def js(s: String): String = jsString(s)
     val dirs = baseDirs ++ extraNewDirs :+ dataDir
     // schema + stats ride the same escaped-string discipline as meta
     // (flat stats keys — no nested braces, so each object is still
@@ -1177,6 +1236,66 @@ object VersionedStore {
       }
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     aimPointer(spark, root, version)
+  }
+
+  /** The DELTA commit record — the log-segment sibling of [[publish]]:
+    * instead of re-listing the base version's every dir and stat (an
+    * O(table-dirs) manifest write per commit — cumulative O(N²) ingest,
+    * the one named scale ceiling of the monolithic format), the manifest
+    * carries only this commit's EDIT: `base` (always version−1 — the CAS
+    * arbitration is unchanged, the create-if-absent at base+1 still
+    * loses to any interleaved commit), `add` dirs (with their stats and
+    * files audit), and `removed` dirs. Readers derive the full state via
+    * [[resolvedState]]: nearest checkpoint/full anchor + the delta tail.
+    * `meta` and `schema` stay FULL per manifest (both are small and both
+    * are read per-version far more often than the dir list).
+    * `anchorIsCarried` marks a commit with no new dirs (a delete that
+    * emptied every touched dir) whose `dataDir` anchor is a live earlier
+    * dir — excluded from files listing and conflict cleanup, like
+    * [[publish]]'s dataDirIsCarried. After the commit, [[maybeCheckpoint]]
+    * materializes a checkpoint when the delta tail is long enough. */
+  private def publishDelta(
+      spark: SparkSession, root: String, version: Long,
+      addDirs: Seq[String], removedDirs: Seq[String],
+      meta: Map[String, String],
+      schemaDdl: Option[String],
+      statsForAdded: Map[String, String],
+      anchor: String, anchorIsCarried: Boolean = false): Unit = {
+    require(version >= 2, s"a delta commit needs a base version, got $version")
+    val f = fs(spark, root)
+    val manifest = manifestPath(root, version)
+    f.mkdirs(manifest.getParent)
+    val files = addDirs.flatMap { nd =>
+      f.listStatus(new Path(s"$root/$nd")).toSeq
+        .filter(_.isFile).map(s => s"$nd/${s.getPath.getName}").sorted ++
+        f.globStatus(new Path(s"$root/$nd/day=*/*")).toSeq
+          .filter(_.isFile)
+          .map(s => s"$nd/${s.getPath.getParent.getName}/${s.getPath.getName}")
+          .sorted
+    }
+    val schemaField =
+      schemaDdl.map(d => s""" "schema": ${jsString(d)},\n""").getOrElse("")
+    val body =
+      s"""{"version": $version, "base": ${version - 1}, "dataDir": ${jsString(anchor)},
+         | "add": [${addDirs.map(jsString).mkString(", ")}],
+         | "removed": [${removedDirs.map(jsString).mkString(", ")}],
+         | "meta": {${meta.toSeq.sortBy(_._1).map { case (k, v) =>
+             s"${jsString(k)}: ${jsString(v)}" }.mkString(", ")}},
+         |$schemaField "stats": {${statsForAdded.toSeq.sortBy(_._1).map { case (k, v) =>
+             s"${jsString(k)}: ${jsString(v)}" }.mkString(", ")}},
+         | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
+    val out =
+      try f.create(manifest, /* overwrite = */ false)
+      catch {
+        case _: java.io.IOException =>
+          // only the FRESH dirs are ours to clean; a carried anchor is
+          // committed data and never appears in addDirs
+          addDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
+          throw new CommitConflict(version, root)
+      }
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    aimPointer(spark, root, version)
+    maybeCheckpoint(spark, root, version)
   }
 
   /** The commit metadata of the CURRENT version (empty map when the store
@@ -1214,12 +1333,22 @@ object VersionedStore {
       """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
         .getOrElse(throw new IllegalStateException(
           s"manifest $v of $root has no dataDir")).group(1)
-    lazy val dataDirs: Seq[String] =
-      """"dataDirs":\s*\[([^\]]*)\]""".r.findFirstMatchIn(body) match {
+    private def dirArray(field: String): Seq[String] =
+      ("\"" + field + """":\s*\[([^\]]*)\]""").r.findFirstMatchIn(body) match {
         case Some(m) => """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(m.group(1))
           .map(g => unescape(g.group(1))).toSeq
-        case None => Seq.empty // pre-append manifest: accessor falls back to dataDir
+        case None => Seq.empty
       }
+    lazy val dataDirs: Seq[String] = dirArray("dataDirs")
+    /** LOG-SEGMENT fields (delta manifests only — see [[publishDelta]]):
+      * `base` names the version this commit's state derives from (always
+      * version−1), `addDirs`/`removedDirs` the dir-level edit. A manifest
+      * without `base` is FULL — its dataDirs/stats ARE the state (every
+      * pre-segment manifest, plus full-snapshot commits and restores). */
+    lazy val base: Option[Long] =
+      """"base":\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    lazy val addDirs: Seq[String] = dirArray("add")
+    lazy val removedDirs: Seq[String] = dirArray("removed")
     lazy val meta: Map[String, String] = flatObjectOf(body, "meta")
     lazy val stats: Map[String, String] = flatObjectOf(body, "stats")
     lazy val schema: Option[String] =
@@ -1239,6 +1368,144 @@ object VersionedStore {
   private[sinks] def invalidateCachedManifests(root: String): Unit = {
     val it = manifestCache.keySet().iterator()
     while (it.hasNext) if (it.next()._1.startsWith(root)) it.remove()
+    val it2 = resolvedCache.keySet().iterator()
+    while (it2.hasNext) if (it2.next()._1.startsWith(root)) it2.remove()
+  }
+
+  // ───────────────────────── log segments ─────────────────────────
+  // The RESOLVED STATE of a version — its full data-dir list and flat
+  // stats map. Full manifests carry it verbatim; delta manifests derive
+  // it from their base's state plus their add/remove edit (the
+  // Delta-Lake log shape: JSON commit records + periodic checkpoints).
+
+  private final case class StoreState(dirs: Seq[String], stats: Map[String, String])
+
+  /** Resolved states, keyed like the manifest cache on the version's
+    * manifest identity (modTime, length) so a rebuilt same-path store
+    * can't serve a stale chain. States at table width are large (the
+    * stats map is O(dirs × cols)), so the cap is small — resolution of
+    * version v+1 finds v's cached state and folds ONE delta, which is
+    * the hot path (monotone readers following a growing store). */
+  private val resolvedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Long), StoreState]()
+  private val ResolvedCacheCap = 8
+
+  private def stateCacheKey(f: FileSystem, root: String, v: Long): (String, Long, Long, Long) = {
+    val st = f.getFileStatus(manifestPath(root, v))
+    (s"$root#$v", v, st.getModificationTime, st.getLen)
+  }
+
+  private def checkpointPath(root: String, v: Long) =
+    new Path(s"$root/_manifests/$v.checkpoint")
+
+  /** One delta step: base state + (remove, add) edit. Removed dirs drop
+    * their stats rows; added dirs bring their own (recorded in the delta
+    * manifest at commit time). */
+  private def applyDelta(base: StoreState, pm: ParsedManifest): StoreState = {
+    val removed = pm.removedDirs.toSet
+    val dirs =
+      (if (removed.isEmpty) base.dirs else base.dirs.filterNot(removed)) ++ pm.addDirs
+    val stats =
+      (if (removed.isEmpty) base.stats
+       else base.stats.filter { case (k, _) => !removed.contains(k.takeWhile(_ != '|')) }) ++
+        pm.stats
+    StoreState(dirs, stats)
+  }
+
+  private def fullState(pm: ParsedManifest): StoreState =
+    StoreState(if (pm.dataDirs.nonEmpty) pm.dataDirs else Seq(pm.dataDir), pm.stats)
+
+  /** The state of version `v`: walk back through delta manifests until a
+    * cached state, a checkpoint file, or a full manifest anchors the
+    * chain, then fold the collected deltas forward. Iterative (no
+    * recursion — chains reach 10⁴ versions), cost O(tail) small parses +
+    * one O(dirs) anchor parse; with a warm cache the monotone-reader
+    * path is one delta fold. */
+  private def resolvedState(f: FileSystem, root: String, v: Long): StoreState = {
+    var chain = List.empty[ParsedManifest] // ascending once collected via prepend
+    var cur = v
+    var anchor: StoreState = null
+    while (anchor == null) {
+      val key = stateCacheKey(f, root, cur)
+      val hit = resolvedCache.get(key)
+      if (hit != null) anchor = hit
+      else {
+        val pm = parsedManifest(f, root, cur)
+        pm.base match {
+          case None => anchor = fullState(pm)
+          case Some(b) =>
+            if (f.exists(checkpointPath(root, cur)))
+              anchor = fullState(parsedCheckpoint(f, root, cur))
+            else { chain ::= pm; cur = b }
+        }
+      }
+    }
+    val out = chain.foldLeft(anchor)(applyDelta)
+    if (resolvedCache.size() >= ResolvedCacheCap) resolvedCache.clear()
+    resolvedCache.put(stateCacheKey(f, root, v), out)
+    out
+  }
+
+  private def parsedCheckpoint(f: FileSystem, root: String, v: Long): ParsedManifest = {
+    val p = checkpointPath(root, v)
+    val in = f.open(p)
+    val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+               finally in.close()
+    new ParsedManifest(body, root, v)
+  }
+
+  /** Checkpoint cadence: a checkpoint lands when the delta tail since the
+    * last anchor reaches max(MinCheckpointTail, dirs/CheckpointDirsPerTail)
+    * — the ADAPTIVE interval that keeps the amortized checkpoint bytes
+    * per commit CONSTANT at any table width (a 10⁴-dir table checkpoints
+    * every ~156 commits: ~4 MB / 156 ≈ the same ~26 KB/commit a 10³-dir
+    * table pays), while a reader's uncached resolution stays O(dirs) —
+    * proportional to the state it must materialize anyway. */
+  private val MinCheckpointTail = 16
+  private val CheckpointDirsPerTail = 64
+
+  /** After a delta commit at `v`: if the tail of deltas since the nearest
+    * anchor (full manifest or checkpoint) is long enough, materialize
+    * `v`'s resolved state as `<v>.checkpoint`. Idempotent and derived —
+    * a crash after the manifest but before the checkpoint costs nothing
+    * (the next qualifying commit writes one); losers never get here
+    * (only `v`'s winning writer runs this, so no same-version race).
+    * Written tmp-then-rename so a concurrent reader never sees a torn
+    * file; [[expire]] also calls this for the oldest survivor before
+    * cutting its chain. */
+  private def maybeCheckpoint(spark: SparkSession, root: String, v: Long): Unit = {
+    val f = fs(spark, root)
+    var cur = v
+    var tail = 0
+    var anchored = false
+    while (!anchored) {
+      val pm = parsedManifest(f, root, cur)
+      pm.base match {
+        case None => anchored = true
+        case Some(b) =>
+          if (f.exists(checkpointPath(root, cur))) anchored = true
+          else { tail += 1; cur = b }
+      }
+    }
+    if (tail < MinCheckpointTail) return
+    val st = resolvedState(f, root, v)
+    val interval = math.max(MinCheckpointTail, st.dirs.size / CheckpointDirsPerTail)
+    if (tail >= interval) writeCheckpoint(spark, root, v, st)
+  }
+
+  private def writeCheckpoint(spark: SparkSession, root: String, v: Long,
+                              st: StoreState): Unit = {
+    val f = fs(spark, root)
+    val body =
+      s"""{"version": $v, "dataDir": ${jsString(st.dirs.last)},
+         | "dataDirs": [${st.dirs.map(jsString).mkString(", ")}],
+         | "stats": {${st.stats.toSeq.sortBy(_._1).map { case (k, x) =>
+             s"${jsString(k)}: ${jsString(x)}" }.mkString(", ")}}}""".stripMargin
+    val tmp = new Path(s"$root/_manifests/$v.checkpoint.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(tmp.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, checkpointPath(root, v), Options.Rename.OVERWRITE)
   }
 
   private def parsedManifest(f: FileSystem, root: String, v: Long): ParsedManifest = {
@@ -1255,10 +1522,14 @@ object VersionedStore {
   private def metaOf(f: FileSystem, root: String, v: Long): Map[String, String] =
     parsedManifest(f, root, v).meta
 
-  /** The flat stats map of a version's manifest (empty for pre-stats
-    * manifests) — keys `<dir>|<col>|{min,max,typ}`, see [[commit]]. */
-  private def statsOf(f: FileSystem, root: String, v: Long): Map[String, String] =
-    parsedManifest(f, root, v).stats
+  /** The flat stats map of a version's RESOLVED state (empty for
+    * pre-stats manifests) — keys `<dir>|<col>|{min,max,typ}`, see
+    * [[commit]]. Full manifests carry it verbatim; delta manifests
+    * resolve through the log segments. */
+  private def statsOf(f: FileSystem, root: String, v: Long): Map[String, String] = {
+    val pm = parsedManifest(f, root, v)
+    if (pm.base.isEmpty) pm.stats else resolvedState(f, root, v).stats
+  }
 
   /** The recorded table schema (DDL) of a version, when the manifest
     * carries one — absent for stores written before schema recording. */
@@ -1279,6 +1550,19 @@ object VersionedStore {
           .findAllMatchIn(m.group(1))
           .map(g => unescape(g.group(1)) -> unescape(g.group(2))).toMap
     })
+
+  /** JSON string literal with braces escaped too (legal JSON \u escapes)
+    * so the regex-based manifest parser can bound flat objects with
+    * [^}]* — a literal '}' inside a value would otherwise truncate the
+    * parse and silently drop metadata (including the exactly-once
+    * batchId ledger). */
+  private def jsString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case '{' => "\\u007b"; case '}' => "\\u007d"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   private def unescape(s: String): String =
     """\\(u[0-9a-fA-F]{4}|.)""".r.replaceAllIn(s, m => {
@@ -1320,12 +1604,25 @@ object VersionedStore {
   private def dataDirOf(f: FileSystem, root: String, v: Long): String =
     parsedManifest(f, root, v).dataDir
 
-  /** ALL data dirs a version references, in commit order. Append commits
-    * reference earlier versions' dirs; pre-append manifests carry only
-    * the single `dataDir` field. */
+  /** ALL data dirs a version references, in commit order. Full manifests
+    * carry the list verbatim (pre-append manifests only the single
+    * `dataDir`); delta manifests resolve through the log segments. */
   private def dataDirsOf(f: FileSystem, root: String, v: Long): Seq[String] = {
     val pm = parsedManifest(f, root, v)
-    if (pm.dataDirs.nonEmpty) pm.dataDirs else Seq(pm.dataDir)
+    if (pm.base.isEmpty) fullState(pm).dirs else resolvedState(f, root, v).dirs
+  }
+
+  /** The dirs a version's OWN commit introduced — a full manifest's list,
+    * a delta's add list. Never a chain resolution: this is [[expire]]'s
+    * candidate sweep (every dir enters the store through exactly one
+    * manifest, so the union over dropped manifests' own-dirs is exactly
+    * the dirs that can have become garbage) and stays O(dropped edits).
+    * A restore's carried full list over-approximates harmlessly (its
+    * dirs are also owned by their true adders; the survivors' reference
+    * sweep keeps anything still live). */
+  private def ownDirsOf(f: FileSystem, root: String, v: Long): Seq[String] = {
+    val pm = parsedManifest(f, root, v)
+    if (pm.base.isEmpty) fullState(pm).dirs else pm.addDirs
   }
 
   /** Garbage-collect data dirs no manifest references and stale tmp
@@ -1337,12 +1634,28 @@ object VersionedStore {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
+    // Referenced = the union of EVERY live version's resolved dirs,
+    // computed as one ascending fold (deltas chain base = version−1, so
+    // each step is O(edit); full manifests reset the state; the first
+    // version anchors via its checkpoint when expire cut its chain) —
+    // never a per-version chain resolution.
     val referenced: Set[String] = {
-      val mdir = new Path(s"$root/_manifests")
-      if (!f.exists(mdir)) Set.empty
-      else f.listStatus(mdir).toSeq.filter(_.isFile)
-        .map(_.getPath.getName.stripSuffix(".json").toLong)
-        .flatMap(v => dataDirsOf(f, root, v)).toSet
+      val versions = committedVersions(f, root)
+      var refs = Set.empty[String]
+      var first = true
+      versions.foreach { v =>
+        val pm = parsedManifest(f, root, v)
+        // Union over every live version's state, in O(dirs + total edits):
+        // a referenced dir is either in the FIRST live version's resolved
+        // state or was ADDED by a later live manifest (a removal never
+        // shrinks the union — the versions before it still reference the
+        // dir); full manifests contribute their own list directly.
+        if (pm.base.isEmpty) refs ++= fullState(pm).dirs
+        else if (first) refs ++= resolvedState(f, root, v).dirs
+        else refs ++= pm.addDirs
+        first = false
+      }
+      refs
     }
     f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
@@ -1350,5 +1663,9 @@ object VersionedStore {
       .foreach(s => f.delete(s.getPath, true))
     val tmp = new Path(s"$root/_current.tmp")
     if (f.exists(tmp)) f.delete(tmp, false)
+    f.globStatus(new Path(s"$root/_manifests/*.checkpoint.tmp-*")) match {
+      case null => ()
+      case ts => ts.foreach(s => f.delete(s.getPath, false))
+    }
   }
 }

@@ -58,6 +58,33 @@ class AggregateViewSpec extends SparkSpec {
     assert(r.head.getAs[Long]("sum_v") === 17L)
   }
 
+  test("min/max compose grow-only across batches; avg derives at read as sum/count") {
+    val view = tmp()
+    def apply(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      AggregateView.applyBatch(b, id, view, Seq("day", "event_type"), Seq("v"),
+        minCols = Seq("v"), maxCols = Seq("v"))
+    apply(rows("2024-01-01", "click" -> 10L, "click" -> 4L), 0L)
+    apply(rows("2024-01-01", "click" -> 7L, "click" -> 12L), 1L)
+    // all-NULL delta: least/greatest skip NULLs, so extrema never regress
+    apply(Seq(("2024-01-01", "click", Option.empty[Long]))
+      .toDF("day", "event_type", "v"), 2L)
+    val got = AggregateView.avgAt(
+      VersionedStore.read(spark, view).get, Seq("v")).collect().head
+    assert(got.getAs[Long]("n_rows") === 5L)
+    assert(got.getAs[Long]("sum_v") === 33L)
+    assert(got.getAs[Long]("min_v") === 4L, "min must survive later batches and NULL deltas")
+    assert(got.getAs[Long]("max_v") === 12L, "max must grow across batches")
+    assert(got.getAs[Double]("avg_v") === 33.0 / 5, "avg = sum/count at read")
+    // full-recompute equivalence for every aggregate
+    val all = rows("2024-01-01", "click" -> 10L, "click" -> 4L,
+      "click" -> 7L, "click" -> 12L)
+    val exp = all.groupBy("day", "event_type")
+      .agg(org.apache.spark.sql.functions.min(col("v")).as("mn"),
+        org.apache.spark.sql.functions.max(col("v")).as("mx")).collect().head
+    assert(got.getAs[Long]("min_v") === exp.getAs[Long]("mn"))
+    assert(got.getAs[Long]("max_v") === exp.getAs[Long]("mx"))
+  }
+
   test("an all-NULL-valued delta never overwrites an accumulated sum with NULL") {
     val view = tmp()
     AggregateView.applyBatch(rows("2024-01-01", "click" -> 10L), 0L, view,

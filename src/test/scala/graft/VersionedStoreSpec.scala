@@ -150,6 +150,63 @@ class VersionedStoreSpec extends SparkSpec {
     assert(dataDirs.length === 3)
   }
 
+  test("log segments: append manifests stay O(batch) — byte size flat as the table widens") {
+    val root = tmp()
+    (1 to 40).foreach { i =>
+      VersionedStore.commitAppend(
+        snap(f"2024-${(i - 1) / 28 + 1}%02d-${(i - 1) % 28 + 1}%02d",
+          i.toLong -> i.toDouble), root,
+        statsCols = Seq("user_id"))
+    }
+    def manifestLen(v: Long): Long = new java.io.File(s"$root/_manifests/$v.json").length
+    // The monolithic format re-listed every dir and its stats per commit:
+    // manifest 40 was ~20× manifest 2. A delta record carries only its
+    // own edit — byte size must NOT grow with the table's dir count.
+    assert(manifestLen(40) < manifestLen(2) * 2,
+      s"append manifest must be O(batch): v2=${manifestLen(2)}B v40=${manifestLen(40)}B")
+    // Resolution still yields the full state: count, stats skipping, and
+    // time travel all see every appended dir.
+    assert(VersionedStore.read(spark, root).get.count() === 40L)
+    assert(VersionedStore.countWhere(spark, root,
+      Seq(VersionedStore.ColRange("user_id", Some("11"), Some("20")))) === 10L)
+    val pruned = VersionedStore.prunedDirs(spark, root, 40L,
+      Seq(VersionedStore.ColRange.eq("user_id", "7")))
+    assert(pruned.size === 1, s"per-dir stats must survive segmentation: $pruned")
+    assert(VersionedStore.readAt(spark, root, 25L).count() === 25L)
+    // The delta tail triggered at least one checkpoint (MinCheckpointTail
+    // deltas after the full v1), and readers resolve through it.
+    val cps = new java.io.File(s"$root/_manifests").listFiles
+      .filter(_.getName.endsWith(".checkpoint"))
+    assert(cps.nonEmpty, "a 40-delta chain must have materialized a checkpoint")
+    assert(cps.forall(_.length > 0), "checkpoints must be complete files, never torn")
+  }
+
+  test("log segments: expire cuts the chain safely — oldest survivor checkpointed, tail resolvable") {
+    val root = tmp()
+    (1 to 24).foreach { i =>
+      VersionedStore.commitAppend(
+        snap(f"2024-01-$i%02d", i.toLong -> i.toDouble), root,
+        statsCols = Seq("user_id"))
+    }
+    VersionedStore.expire(spark, root, keepLast = 6)
+    // Every survivor still time-travels, including the ones whose delta
+    // chain now starts at the checkpointed oldest survivor.
+    (19 to 24).foreach { v =>
+      assert(VersionedStore.readAt(spark, root, v.toLong).count() === v.toLong,
+        s"survivor $v must resolve after the chain was cut")
+    }
+    assertThrows[IllegalArgumentException](VersionedStore.readAt(spark, root, 18L))
+    // The change feed over the surviving range still works.
+    assert(VersionedStore.readChanges(spark, root, 19L, 24L).get.count() === 5L)
+    // Stats-driven pruning still works through the checkpoint.
+    assert(VersionedStore.prunedDirs(spark, root, 24L,
+      Seq(VersionedStore.ColRange.eq("user_id", "3"))).size === 1)
+    // A fresh append continues the chain on top of the cut.
+    VersionedStore.commitAppend(snap("2024-02-01", 99L -> 9.0), root,
+      statsCols = Seq("user_id"))
+    assert(VersionedStore.read(spark, root).get.count() === 25L)
+  }
+
   test("expire after appends never deletes a dir the surviving versions still read") {
     val root = tmp()
     (1 to 3).foreach(i =>
