@@ -140,6 +140,24 @@ object StoreProbe {
       f""""seq_small_sec":$s10%.3f,"seq_full_sec":$sAll%.3f,""" +
       f""""onejob_small_sec":$o10%.3f,"onejob_full_sec":$oAll%.3f}""")
 
+    // DML-WIDTH A/B: per-touched-dir rewrites run CONCURRENTLY (round
+    // 12), so a wide delete touching ~20 dirs must cost ~max(per-dir
+    // rewrite) + one commit — NOT 10× the 2-dir delete's scheduler
+    // round-trips. Disjoint key ranges on the same 50-dir store, narrow
+    // first, so the wide leg's dirs are untouched by the narrow one.
+    val boundsP = (Long.MinValue +: qsP.toSeq) :+ Long.MaxValue
+    def rangePred(i0: Int, i1: Int) = col("o_orderstatus") === "F" &&
+      col("o_orderkey") >= boundsP(i0) && col("o_orderkey") < boundsP(i1)
+    def rangeCols(i0: Int, i1: Int) = Seq(VersionedStore.ColRange("o_orderkey",
+      Some(boundsP(i0).toString), Some((boundsP(i1) - 1).toString)))
+    val (tDel2, _) = timed(VersionedStore.deleteWhere(spark, rootP,
+      rangePred(2, 4), prune = rangeCols(2, 4), statsCols = Seq("o_orderkey")))
+    val (tDel20, _) = timed(VersionedStore.deleteWhere(spark, rootP,
+      rangePred(10, 30), prune = rangeCols(10, 30), statsCols = Seq("o_orderkey")))
+    println(s"""{"metric":"store_dml_width","sf_dir":"$sfDir",""" +
+      f""""delete_2dir_sec":$tDel2%.3f,"delete_20dir_sec":$tDel20%.3f,""" +
+      f""""width_ratio":${tDel20 / tDel2}%.2f}""")
+
     (Seq(r1, r2, r3) :+ rootP).foreach { r =>
       val p = new org.apache.hadoop.fs.Path(r)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

@@ -1571,26 +1571,45 @@ object VersionedStore {
         if (g.startsWith("u")) Integer.parseInt(g.drop(1), 16).toChar.toString else g)
     })
 
-  /** Atomic pointer swap: write `_current.tmp`, rename OVERWRITE onto
-    * `_current`. Monotone: never aims backwards (a slow writer finishing
-    * version N after N+1 committed must not regress the cache). */
+  /** Atomic pointer swap: write a UNIQUELY-named tmp, rename OVERWRITE
+    * onto `_current`. The tmp name carries a UUID — concurrent writers
+    * sharing one tmp path would clobber each other's bytes and checksum
+    * sidecars mid-aim (caught by the multi-process ContentionProbe).
+    * Monotone: never aims backwards (a slow writer finishing version N
+    * after N+1 committed must not regress the cache). */
   private def aimPointer(spark: SparkSession, root: String, version: Long): Unit = {
     val f = fs(spark, root)
     if (readPointer(f, root).getOrElse(0L) >= version) return
-    val tmp = new Path(s"$root/_current.tmp")
+    val tmp = new Path(s"$root/_current.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val fc = FileContext.getFileContext(tmp.toUri, spark.sessionState.newHadoopConf())
     fc.rename(tmp, pointerPath(root), Options.Rename.OVERWRITE)
   }
 
+  /** Pointer read, tolerant of the cross-process aim window: on a local
+    * ChecksumFileSystem the data file and its .crc sidecar rename as TWO
+    * steps, so a read racing a concurrent aim can see new bytes under
+    * the old checksum (ChecksumException) or a torn value. The pointer
+    * is a CACHE of "max committed version" — never the truth — so after
+    * one short retry the read degrades to None and [[currentVersion]]
+    * rolls forward from the manifests, which is always correct. */
   private def readPointer(f: FileSystem, root: String): Option[Long] = {
-    val p = pointerPath(root)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+    def attempt(): Option[Long] = {
+      val p = pointerPath(root)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    }
+    try attempt()
+    catch {
+      case _: java.io.IOException | _: NumberFormatException =>
+        Thread.sleep(10)
+        try attempt()
+        catch { case _: java.io.IOException | _: NumberFormatException => None }
     }
   }
 
@@ -1661,11 +1680,12 @@ object VersionedStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
       .filterNot(s => referenced.contains(s.getPath.getName))
       .foreach(s => f.delete(s.getPath, true))
-    val tmp = new Path(s"$root/_current.tmp")
-    if (f.exists(tmp)) f.delete(tmp, false)
-    f.globStatus(new Path(s"$root/_manifests/*.checkpoint.tmp-*")) match {
-      case null => ()
-      case ts => ts.foreach(s => f.delete(s.getPath, false))
-    }
+    Seq(s"$root/_current.tmp*", s"$root/_manifests/*.checkpoint.tmp-*")
+      .foreach { pat =>
+        f.globStatus(new Path(pat)) match {
+          case null => ()
+          case ts => ts.foreach(s => f.delete(s.getPath, false))
+        }
+      }
   }
 }

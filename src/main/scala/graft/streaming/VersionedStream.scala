@@ -105,8 +105,13 @@ object VersionedStream {
       val meta = VersionedStore.metaAt(spark, root, base)
       if (batchId <= lastOf(meta, writerId)) return
       try {
+        // Carry the base's LEDGER entries (every writer's watermark) plus
+        // this writer's new position — never the base's descriptive
+        // markers (a "delete"/"optimize" marker would otherwise ride
+        // every later batch's manifest forever, misdescribing it).
         VersionedStore.commitAppendAt(batch, root, base,
-          meta + (ledgerKey(writerId) -> batchId.toString), statsCols)
+          VersionedStore.ledgerEntries(meta) +
+            (ledgerKey(writerId) -> batchId.toString), statsCols)
         committed = true
       } catch {
         case _: VersionedStore.CommitConflict => () // stale base: re-read, retry
@@ -131,6 +136,11 @@ object VersionedStream {
     if (base == 0)
       throw new IllegalStateException(s"nothing committed at $root to compact")
     val df = VersionedStore.readAt(spark, root, base)
-    VersionedStore.commitAt(df, root, base, VersionedStore.metaAt(spark, root, base))
+    // Ledger-only carry + this op's own marker, like every other
+    // maintenance commit (exactly-once survives compaction; stale
+    // descriptive markers do not).
+    VersionedStore.commitAt(df, root, base,
+      VersionedStore.ledgerEntries(VersionedStore.metaAt(spark, root, base)) +
+        ("compact" -> "full"))
   }
 }

@@ -921,6 +921,17 @@ class VersionedStoreSpec extends SparkSpec {
     // The ledger was carried, not frozen: a genuinely NEW batch still lands.
     VersionedStream.commitBatch(snap("2024-01-04", 6L -> 6.0), 2L, root)
     assert(rows() === n4 + 1, "a new batch id must still append after DML")
+
+    // Descriptive markers do NOT accumulate: every commit's meta carries
+    // the LEDGER entries plus its OWN marker only — after the streaming
+    // append above, none of the earlier DML/optimize markers survive
+    // (they described those commits, not this one).
+    val m = VersionedStore.currentMeta(spark, root)
+    assert(m("batch.default") === "2")
+    Seq("delete", "update", "merge", "optimize", "compact").foreach { k =>
+      assert(!m.contains(k),
+        s"stale descriptive marker '$k' must not ride later commits: $m")
+    }
   }
 
   test("restore keeps the CURRENT ledger watermark, not the restored version's") {
