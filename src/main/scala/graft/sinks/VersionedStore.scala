@@ -702,21 +702,28 @@ object VersionedStore {
     // serialize one scheduler round-trip per dir (optimize's bucket
     // writes got the same treatment; measured in StoreProbe's DML A/B).
     // Future.traverse preserves dir order in `rewritten`.
-    val rewritten = {
+    // Each future rewrites AND stats its dir — a separate sequential
+    // statsFor pass would re-serialize one scheduler round-trip per dir
+    // (measured: the 20-dir delete's residual linear term).
+    val rewrittenWithStats = {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(
         Future.traverse(touched.toList) { d => Future {
           val kept = spark.read.parquet(s"$root/$d").filter(keep)
-          if (kept.isEmpty) None else Some(prepare(kept, root))
+          if (kept.isEmpty) None else {
+            val nd = prepare(kept, root)
+            Some((nd, statsFor(spark, root, nd, statsCols)))
+          }
         }}, Duration.Inf).flatten
     }
+    val rewritten = rewrittenWithStats.map(_._1)
     if (rewritten.isEmpty && untouched.isEmpty)
       throw new IllegalStateException(
         s"deleteWhere would empty $root entirely; an empty snapshot has no " +
           "readable schema — commit an explicit empty snapshot instead")
-    val fresh = rewritten.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+    val fresh = rewrittenWithStats.flatMap(_._2).toMap
     val schemaDdl = schemaOf(f, root, base)
     // Log-segment commit: removed = the touched dirs, add = their
     // rewrites. Untouched dirs (at 100 TB, almost all) are never
@@ -859,8 +866,8 @@ object VersionedStore {
     val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
     val hit = coalesce(predicate, lit(false))
-    // Concurrent per-dir rewrites, like deleteWhere — order preserved.
-    val rewritten = {
+    // Concurrent per-dir rewrite + stats, like deleteWhere — order kept.
+    val rewrittenWithStats = {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -873,10 +880,12 @@ object VersionedStore {
               case None => c(n)
             }
           }.toSeq: _*)
-          prepare(updated, root)
+          val nd = prepare(updated, root)
+          (nd, statsFor(spark, root, nd, statsCols))
         }}, Duration.Inf)
     }
-    val fresh = rewritten.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+    val rewritten = rewrittenWithStats.map(_._1)
+    val fresh = rewrittenWithStats.flatMap(_._2).toMap
     publishDelta(spark, root, base + 1,
       addDirs = rewritten, removedDirs = touched,
       meta = ledgerEntries(baseMeta) ++ meta +
@@ -1036,8 +1045,8 @@ object VersionedStore {
         writtenSchema(spark, root, srcDir, source), mergeSchema, root)
       catch { case e: Throwable =>
         f.delete(new Path(s"$root/$srcDir"), true); throw e }
-    // Concurrent per-dir rewrites, like deleteWhere — order preserved.
-    val rewritten = {
+    // Concurrent per-dir rewrite + stats, like deleteWhere — order kept.
+    val rewrittenWithStats = {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -1045,11 +1054,15 @@ object VersionedStore {
         Future.traverse(touched.toSeq.sorted.toList) { d => Future {
           val kept = spark.read.parquet(s"$root/$d")
             .join(srcKeys, keys, "left_anti")
-          if (kept.isEmpty) None else Some(prepare(kept, root))
+          if (kept.isEmpty) None else {
+            val nd = prepare(kept, root)
+            Some((nd, statsFor(spark, root, nd, statsCols)))
+          }
         }}, Duration.Inf).flatten
     }
-    val fresh = (rewritten :+ srcDir)
-      .flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+    val rewritten = rewrittenWithStats.map(_._1)
+    val fresh = rewrittenWithStats.flatMap(_._2).toMap ++
+      statsFor(spark, root, srcDir, statsCols)
     // The base's LEDGER entries carry forward through MERGE (the stream
     // replay watermark survives, like Delta's SetTransaction records);
     // descriptive markers of earlier commits do not accumulate.
