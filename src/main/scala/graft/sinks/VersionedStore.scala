@@ -102,8 +102,11 @@ object VersionedStore {
            skip: Seq[ColRange] = Seq.empty): Option[DataFrame] = {
     val v = currentVersion(spark, root)
     if (v == 0) None
-    else Some(readDirs(spark, root, prunedDirs(spark, root, v, skip),
-      allDirs = dataDirsOf(fs(spark, root), root, v)))
+    else {
+      val f = fs(spark, root)
+      Some(readDirs(spark, root, prunedDirs(spark, root, v, skip),
+        allDirs = dataDirsOf(f, root, v), schemaDdl = schemaOf(f, root, v)))
+    }
   }
 
   /** Union the referenced data dirs — each dir runs its OWN partition
@@ -115,11 +118,29 @@ object VersionedStore {
     * the Delta/Iceberg read semantics for evolved tables. An EMPTY dir
     * list (a `skip` that pruned everything) still needs a schema, so it
     * degrades to the full list filtered to zero rows — correctness never
-    * depends on pruning. */
+    * depends on pruning.
+    *
+    * Wide-table shape (the 10⁴-dir leg caught both terms): legs build on
+    * CONCURRENT driver threads (relation resolution is one FS listing +
+    * footer read per dir — sequential, that is a linear driver stall),
+    * with the recorded schema sparing every leg its footer inference;
+    * and unions reduce in BOUNDED groups of 64 (a single pairwise reduce
+    * re-analyzes the growing plan each step — O(N²) driver analysis,
+    * the same term probeMatching measured and fixed at the probe tier). */
   private def readDirs(spark: SparkSession, root: String, dirs: Seq[String],
-                       allDirs: Seq[String] = Seq.empty): DataFrame = {
+                       allDirs: Seq[String] = Seq.empty,
+                       schemaDdl: Option[String] = None): DataFrame = {
     val use = if (dirs.nonEmpty) dirs else allDirs
-    val df = use.map(d => spark.read.parquet(s"$root/$d"))
+    val schema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val legs = Await.result(Future.traverse(use.toList) { d => Future {
+      val reader = schema.fold(spark.read)(spark.read.schema)
+      reader.parquet(s"$root/$d")
+    }}, Duration.Inf)
+    val df = legs.grouped(64).toSeq
+      .map(_.reduce(_.unionByName(_, allowMissingColumns = true)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     if (dirs.nonEmpty) df else df.limit(0)
   }
@@ -173,7 +194,8 @@ object VersionedStore {
     if (added.isEmpty) None
     else {
       val kept = pruneWithStats(added, statsOf(f, root, to), skip)
-      Some(readDirs(spark, root, kept, allDirs = added))
+      Some(readDirs(spark, root, kept, allDirs = added,
+        schemaDdl = schemaOf(f, root, to)))
     }
   }
 
@@ -191,7 +213,8 @@ object VersionedStore {
       throw new IllegalArgumentException(
         s"version $version of $root does not exist (never committed, or expired)")
     readDirs(spark, root, prunedDirs(spark, root, version, skip),
-      allDirs = dataDirsOf(f, root, version))
+      allDirs = dataDirsOf(f, root, version),
+      schemaDdl = schemaOf(f, root, version))
   }
 
   /** The data dirs of `version` that SURVIVE manifest-stats pruning under
@@ -347,7 +370,7 @@ object VersionedStore {
     // directory safe — unreferenced-by-design debris is vacuum()'s job.
     val candidates = dropped.flatMap { v =>
       val cp = if (f.exists(checkpointPath(root, v)))
-        fullState(parsedCheckpoint(f, root, v)).dirs else Seq.empty
+        fullDirs(parsedCheckpoint(f, root, v)) else Seq.empty
       ownDirsOf(f, root, v) ++ cp
     }.toSet
     // Survivors' referenced dirs in O(dirs + survivor edits): the oldest
@@ -358,7 +381,7 @@ object VersionedStore {
     var stillReferenced = resolvedState(f, root, oldest).dirs.toSet
     survivors.tail.foreach { v =>
       val pm = parsedManifest(f, root, v)
-      stillReferenced ++= (if (pm.base.isEmpty) fullState(pm).dirs else pm.addDirs)
+      stillReferenced ++= (if (pm.base.isEmpty) fullDirs(pm) else pm.addDirs)
     }
     dropped.foreach { v =>
       f.delete(manifestPath(root, v), false)
@@ -788,7 +811,8 @@ object VersionedStore {
           bounded.reduceOption(_ && _).getOrElse(lit(true))
         }.reduceOption(_ && _).getOrElse(lit(true))
         readDirs(spark, root, residual,
-          allDirs = dataDirsOf(f, root, v)).filter(pred).count()
+          allDirs = dataDirsOf(f, root, v),
+          schemaDdl = schemaOf(f, root, v)).filter(pred).count()
       }
     metaCount + residualCount
   }
@@ -1426,7 +1450,14 @@ object VersionedStore {
   }
 
   private def fullState(pm: ParsedManifest): StoreState =
-    StoreState(if (pm.dataDirs.nonEmpty) pm.dataDirs else Seq(pm.dataDir), pm.stats)
+    StoreState(fullDirs(pm), pm.stats)
+
+  /** A full manifest's (or checkpoint's) dir list WITHOUT forcing the
+    * lazy stats parse — the stats object is by far the largest regex in
+    * a wide record (6 entries × dirs × cols), and the expire/vacuum
+    * sweeps only need dirs. */
+  private def fullDirs(pm: ParsedManifest): Seq[String] =
+    if (pm.dataDirs.nonEmpty) pm.dataDirs else Seq(pm.dataDir)
 
   /** The state of version `v`: walk back through delta manifests until a
     * cached state, a checkpoint file, or a full manifest anchors the
@@ -1654,7 +1685,7 @@ object VersionedStore {
     * sweep keeps anything still live). */
   private def ownDirsOf(f: FileSystem, root: String, v: Long): Seq[String] = {
     val pm = parsedManifest(f, root, v)
-    if (pm.base.isEmpty) fullState(pm).dirs else pm.addDirs
+    if (pm.base.isEmpty) fullDirs(pm) else pm.addDirs
   }
 
   /** Garbage-collect data dirs no manifest references and stale tmp
@@ -1682,7 +1713,7 @@ object VersionedStore {
         // state or was ADDED by a later live manifest (a removal never
         // shrinks the union — the versions before it still reference the
         // dir); full manifests contribute their own list directly.
-        if (pm.base.isEmpty) refs ++= fullState(pm).dirs
+        if (pm.base.isEmpty) refs ++= fullDirs(pm)
         else if (first) refs ++= resolvedState(f, root, v).dirs
         else refs ++= pm.addDirs
         first = false
