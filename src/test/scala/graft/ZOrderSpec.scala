@@ -62,20 +62,29 @@ class ZOrderSpec extends SparkSpec {
     // The layout claim proven against ACTUAL written files, not tile math:
     // each output file's footer min/max per column is what row-group /
     // file pruning consults, so the fraction of files whose [min, max]
-    // overlaps a predicate IS the scan fraction after pruning. 16k rows
-    // over a 128x128 (a, b) grid, 16 range-partitioned sorted files —
-    // file == row group here; the same stats argument applies per row
-    // group inside larger files.
+    // overlaps a predicate IS the scan fraction after pruning. Full
+    // 128x128 (a, b) grid; each layout's file boundaries are EXPLICIT
+    // bucket columns written via partitionBy from a single task — one
+    // file per bucket, no sampled range-partitioner boundaries, so the
+    // expected fractions are exact and the test is deterministic under
+    // any suite load. File == row group here; the same stats argument
+    // applies per row group inside larger files.
     val root = java.nio.file.Files.createTempDirectory("zorder").toString
     try {
       val df = spark.range(1L << 14).select(
         (col("id") % 128).as("a"),
-        ((col("id") * 2654435761L) % 128).as("b")) // decorrelated second dim
+        (col("id") / 128).cast("long").as("b")) // full grid: every (a, b) pair once
+      // z layout: zk runs 0..16383; consecutive blocks of 1024 are exact
+      // 32x32 tiles, so bucket = zk/1024 gives 16 tile files.
       df.withColumn("zk", zorder_key(col("a"), col("b")))
-        .repartitionByRange(16, col("zk")).sortWithinPartitions("zk")
-        .drop("zk").write.parquet(s"$root/byz")
-      df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
-        .write.parquet(s"$root/bya")
+        .withColumn("zbkt", (col("zk") / 1024).cast("long"))
+        .coalesce(1).sortWithinPartitions("zk").drop("zk")
+        .write.partitionBy("zbkt").parquet(s"$root/byz")
+      // control layout: 16 files of 8 consecutive a-values, each spanning
+      // the full b domain (the grid guarantees it).
+      df.withColumn("abkt", (col("a") / 8).cast("long"))
+        .coalesce(1).sortWithinPartitions("a")
+        .write.partitionBy("abkt").parquet(s"$root/bya")
       // fraction of files a predicate c ∈ [lo, hi] must still read
       def scanFrac(dir: String, c: String, lo: Long, hi: Long): Double = {
         val st = spark.read.parquet(dir)
@@ -85,17 +94,17 @@ class ZOrderSpec extends SparkSpec {
       }
       // predicate selecting 1/8 of either domain
       val (lo, hi) = (0L, 15L)
-      // single-column sort: leading column prunes hard…
-      assert(scanFrac(s"$root/bya", "a", lo, hi) <= 0.25,
-        "a-sorted layout must prune a-predicates to ~2/16 files")
+      // single-column sort: leading column prunes hard (exactly 2/16 files)…
+      assert(scanFrac(s"$root/bya", "a", lo, hi) === 0.125,
+        "a-sorted layout must prune a-predicates to exactly 2/16 files")
       // …but the other dimension reads EVERYTHING (the 100 TB failure mode)
-      assert(scanFrac(s"$root/bya", "b", lo, hi) >= 0.9,
+      assert(scanFrac(s"$root/bya", "b", lo, hi) === 1.0,
         "a-sorted layout cannot prune b-predicates")
-      // z-ordered: both dimensions prune to the tile bands that overlap
-      assert(scanFrac(s"$root/byz", "a", lo, hi) <= 0.5,
-        "z-layout must prune a-predicates")
-      assert(scanFrac(s"$root/byz", "b", lo, hi) <= 0.5,
-        "z-layout must prune b-predicates")
+      // z-ordered: 32x32 tiles; [0,15] overlaps the 4 tiles in one band
+      assert(scanFrac(s"$root/byz", "a", lo, hi) === 0.25,
+        "z-layout must prune a-predicates to the 4 overlapping tiles")
+      assert(scanFrac(s"$root/byz", "b", lo, hi) === 0.25,
+        "z-layout must prune b-predicates to the 4 overlapping tiles")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 }
