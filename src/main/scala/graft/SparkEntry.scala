@@ -988,6 +988,25 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")
     }),
+    // TYPE-WIDENING schema evolution over the versioned store — the
+    // Iceberg type-promotion seam (VersionedStore widensTo lattice): a
+    // store born with INT user ids and FLOAT values widens to
+    // BIGINT/DOUBLE at commit 6 with ZERO dir rewrites (the build gates
+    // that, plus version 5 time-traveling at its narrow schema); the
+    // read unions five narrow and five wide dirs through the widened
+    // recorded schema. Values oracle-checked against flat events with
+    // the first half's float round trip applied — the promotion must be
+    // lossless, not a lossy reinterpretation.
+    "versioned_widen_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureWidenedEventsStore(s, dir)
+      VersionedStore.read(s, p).get
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"),
+          max(col("user_id")).as("max_user"))
+        .orderBy("event_type")
+    }),
     // METADATA-ONLY COUNT over the versioned store — the Iceberg
     // "answer from the manifest" seam (VersionedStore.countWhere): a
     // day range aligned on the store's 3-day append boundaries is
@@ -1539,6 +1558,48 @@ object SparkEntry {
       require(after.intersect(before).size == before.size - 1,
         s"targeted merge must rewrite exactly one dir, carried " +
           s"${after.intersect(before).size}/${before.size}")
+    }
+    p
+  }
+
+  /** Build (once per corpus) the TYPE-WIDENED VersionedStore of events:
+    * the first five day-ranged appends commit NARROW (`user_id` INT,
+    * `value` FLOAT — a store born before anyone foresaw 64-bit ids),
+    * the sixth widens both columns to BIGINT/DOUBLE under the
+    * mergeSchema opt-in (Iceberg type promotion / Delta type widening),
+    * and the last four append at the wide schema flag-free. The narrow
+    * dirs are NEVER rewritten — readers get them through the parquet
+    * reader's native widening promotion — which the requires gate along
+    * with time travel keeping version 5's narrow schema. */
+  private def ensureWidenedEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val p = artifactPath("vstore_events_wid", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        val slice = src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        val (batch, widen) =
+          if (i < 5) (slice.withColumn("user_id", col("user_id").cast("int"))
+            .withColumn("value", col("value").cast("float")), false)
+          else (slice, i == 5) // first wide append carries the promotion
+        VersionedStore.commitAppend(batch, tmp, statsCols = Seq("day"),
+          mergeSchema = widen)
+      }
+      val dirsBefore = VersionedStore.prunedDirs(s, tmp, 5L, Seq.empty).toSet
+      val dirsAfter = VersionedStore.prunedDirs(s, tmp, 10L, Seq.empty).toSet
+      require(dirsBefore.subsetOf(dirsAfter),
+        "widening must never rewrite the narrow dirs — promotion is metadata-only")
+      val wide = VersionedStore.read(s, tmp).get.schema
+      require(wide("user_id").dataType == LongType && wide("value").dataType == DoubleType,
+        s"recorded schema must promote to BIGINT/DOUBLE, got ${wide.toDDL}")
+      val narrow = VersionedStore.readAt(s, tmp, 5L).schema
+      require(narrow("user_id").dataType == IntegerType && narrow("value").dataType == FloatType,
+        s"version 5 must time-travel with its own narrow schema, got ${narrow.toDDL}")
     }
     p
   }
@@ -2856,6 +2917,15 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM merged
         |WHERE day BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_widen_read" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(floor(
+        |   CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |        THEN CAST(CAST(value AS REAL) AS DOUBLE)
+        |        ELSE value END * 1000) AS BIGINT)) AS BIGINT) AS val_q,
+        | max(user_id) AS max_user
+        |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_count_meta" ->
       """SELECT

@@ -432,15 +432,25 @@ object VersionedStore {
     *
     * Schema policy (explicit, enforced AT COMMIT — never a read-time
     * surprise): the batch's schema must equal the store's recorded
-    * schema (names+types, order- and nullability-insensitive) or the
-    * commit throws. `mergeSchema = true` opts into ADDITIVE evolution:
-    * new columns append to the recorded schema (older dirs read them as
-    * NULL — [[readDirs]]), the merge is recorded in the manifest
-    * (`schema` + meta key `mergeSchema`), and a TYPE CONFLICT on a
-    * shared column still fails loudly at commit — no flag makes two
-    * types silently coexist. Stores written before schema recording
-    * (no `schema` in the base manifest) skip the check and start
-    * recording from this commit.
+    * schema (names+types, order- and nullability-insensitive) — or be
+    * losslessly NARROWER on the [[widensTo]] lattice (appending int
+    * rows to a long column writes a narrow dir that reads back exactly
+    * through the recorded type) — or the commit throws. `mergeSchema =
+    * true` opts into evolution, two shapes, both recorded in the
+    * manifest (`schema` + meta key `mergeSchema`): ADDITIVE — new
+    * columns append to the recorded schema, older dirs read them as
+    * NULL ([[readDirs]]); and TYPE WIDENING — a shared column may
+    * promote along byte → short → int → long or float → double
+    * (Iceberg type promotion / Delta type widening), after which older
+    * narrow dirs read through the widened recorded schema via the
+    * parquet reader's native promotion, no rewrite, no cast node. Any
+    * type change OFF that lattice still fails loudly at commit — no
+    * flag makes two incompatible types coexist. A live STREAMING
+    * reader's schema is fixed at query start, so a widening commit
+    * mid-stream fails that stream at its next batch (restart to pick
+    * up the wider schema) — the Delta behavior. Stores written before
+    * schema recording (no `schema` in the base manifest) skip the
+    * check and start recording from this commit.
     *
     * `statsCols` as in [[commit]]; earlier dirs' stats carry forward in
     * the manifest, so the latest manifest alone answers any skip query. */
@@ -507,35 +517,77 @@ object VersionedStore {
     try spark.read.parquet(s"$root/$dir").schema
     catch { case _: org.apache.spark.sql.AnalysisException => df.schema }
 
+  /** Lossless widening lattice (the Iceberg type-promotion / Delta
+    * type-widening set this store supports): the integral chain
+    * byte → short → int → long, and float → double. A value of the
+    * narrower type reads back EXACTLY through the wider one, and the
+    * Spark 4 parquet vectorized reader performs these promotions
+    * natively when handed the wider requested schema — so after a
+    * widening commit, older (narrower) dirs need no rewrite and no
+    * cast node: [[readDirs]]' recorded-schema read covers them. */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val fractional = Seq[DataType](FloatType, DoubleType)
+    def chainLt(chain: Seq[DataType]) = {
+      val (i, j) = (chain.indexOf(from), chain.indexOf(to))
+      i >= 0 && j >= 0 && i < j
+    }
+    chainLt(integral) || chainLt(fractional)
+  }
+
   /** Enforce the append schema policy; returns the DDL to record. */
   private def mergedSchemaDdl(baseDdl: Option[String],
                               newSchema: org.apache.spark.sql.types.StructType,
                               mergeSchema: Boolean, root: String): String = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{StructField, StructType}
     baseDdl match {
       case None => newSchema.toDDL // legacy store or first commit: adopt
       case Some(ddl) =>
         val base = StructType.fromDDL(ddl)
         val baseTypes = base.map(f => f.name -> f.dataType).toMap
         val dfTypes = newSchema.map(f => f.name -> f.dataType).toMap
+        // Shared columns resolve to the WIDER type when one side widens
+        // losslessly into the other; anything off the lattice is still a
+        // loud commit-time failure — no flag makes two incompatible
+        // types coexist. A NARROWER batch needs no flag (the recorded
+        // schema doesn't move; the new dir reads back exactly through
+        // the wider recorded type). PROMOTION — the recorded schema
+        // widening to admit the batch — is schema evolution and takes
+        // the same mergeSchema opt-in as added columns.
         val conflicts = dfTypes.collect {
-          case (n, t) if baseTypes.get(n).exists(_ != t) =>
+          case (n, t) if baseTypes.get(n).exists(b =>
+              b != t && !widensTo(t, b) && !widensTo(b, t)) =>
             s"$n: ${baseTypes(n).simpleString} -> ${t.simpleString}"
         }
         if (conflicts.nonEmpty)
           throw new IllegalArgumentException(
             s"append to $root changes column TYPES (${conflicts.mkString("; ")}); " +
-              "rewrite via a full-snapshot commit instead — no flag merges types")
+              "only lossless widening (byte->short->int->long, float->double) " +
+              "evolves in place — rewrite via a full-snapshot commit instead")
+        val promoted = base.filter(f =>
+          dfTypes.get(f.name).exists(t => widensTo(f.dataType, t)))
         val added = newSchema.filterNot(f => baseTypes.contains(f.name))
         val dropped = baseTypes.keySet.diff(dfTypes.keySet)
-        if (added.isEmpty && dropped.isEmpty) ddl
+        if (added.isEmpty && dropped.isEmpty && promoted.isEmpty) ddl
         else if (!mergeSchema)
           throw new IllegalArgumentException(
             s"append to $root drifts from the recorded schema " +
               s"(added: ${added.map(_.name).mkString(",")}; " +
-              s"missing: ${dropped.mkString(",")}); " +
-              "pass mergeSchema = true to evolve additively")
-        else StructType(base.fields ++ added).toDDL
+              s"missing: ${dropped.mkString(",")}; " +
+              s"widened: ${promoted.map(f => s"${f.name}: " +
+                s"${f.dataType.simpleString} -> ${dfTypes(f.name).simpleString}")
+                .mkString(",")}); " +
+              "pass mergeSchema = true to evolve additively / widen types")
+        else {
+          val widenedBase = base.fields.map { f =>
+            if (promoted.exists(_.name == f.name))
+              StructField(f.name, dfTypes(f.name), f.nullable, f.metadata)
+            else f
+          }
+          StructType(widenedBase ++ added).toDDL
+        }
     }
   }
 
