@@ -79,6 +79,21 @@ object VersionedStore {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Dedicated bounded pool for driver-side FS fan-out (relation
+    * resolution, footer probes, concurrent DML dir rewrites). These
+    * tasks BLOCK on filesystem IO; queueing thousands of them on
+    * `ExecutionContext.global` — the CPU-sized ForkJoinPool every other
+    * library in the JVM shares — would starve its other users at 10⁴
+    * dirs. Sized to useful FS parallelism (not dir count: excess tasks
+    * queue), daemon threads so the JVM never hangs on exit. */
+  private lazy val ioPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(64, math.max(8, Runtime.getRuntime.availableProcessors * 2)),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-vstore-io"); t.setDaemon(true); t
+        }))
+
   private def manifestPath(root: String, v: Long) = new Path(s"$root/_manifests/$v.json")
   private def pointerPath(root: String) = new Path(s"$root/_current")
 
@@ -134,7 +149,7 @@ object VersionedStore {
     val schema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    implicit val ec: ExecutionContext = ioPool
     val legs = Await.result(Future.traverse(use.toList) { d => Future {
       val reader = schema.fold(spark.read)(spark.read.schema)
       reader.parquet(s"$root/$d")
@@ -387,13 +402,24 @@ object VersionedStore {
       f.delete(manifestPath(root, v), false)
       f.delete(checkpointPath(root, v), false)
     }
-    // Re-list AFTER the manifest deletes: a commit that landed DURING
-    // this expire (e.g. a concurrent restore referencing a dropped
-    // version's dirs) must keep its dirs — without this, the restore's
-    // data would be deleted out from under its new manifest. Only NEW
-    // manifests (beyond the initial snapshot) are parsed — cheap.
-    committedVersions(f, root).filterNot(live.toSet).foreach { v =>
-      stillReferenced ++= dataDirsOf(f, root, v)
+    // Re-list AFTER the manifest deletes, LOOPING until a pass observes
+    // no new manifests: a commit that landed DURING this expire (e.g. a
+    // concurrent restore referencing a dropped version's dirs) must
+    // keep its dirs — each pass folds in every manifest the previous
+    // pass hadn't seen, so the window shrinks to a single list-to-
+    // delete gap. That residual gap is inherently unobservable without
+    // a lock, so this is DAMAGE LIMITATION, not a concurrency
+    // guarantee: the documented contract stays authoritative — expire
+    // runs from a maintenance window, never concurrently with writers
+    // or restores. Only NEW manifests (beyond the initial snapshot)
+    // are parsed per pass — cheap.
+    var seen = live.toSet
+    var grew = true
+    while (grew) {
+      val fresh = committedVersions(f, root).filterNot(seen)
+      grew = fresh.nonEmpty
+      fresh.foreach { v => stillReferenced ++= dataDirsOf(f, root, v) }
+      seen ++= fresh
     }
     candidates.diff(stillReferenced)
       .foreach(d => f.delete(new Path(s"$root/$d"), true))
@@ -678,7 +704,7 @@ object VersionedStore {
       // order as before.
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      implicit val ec: ExecutionContext = ioPool
       val dirs = Await.result(
         Future.traverse(preds.zipWithIndex.toList) { case (p, i) => Future {
           if (occRow.isNullAt(i) || occRow.getInt(i) == 0) None
@@ -783,7 +809,7 @@ object VersionedStore {
     val rewrittenWithStats = {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      implicit val ec: ExecutionContext = ioPool
       Await.result(
         Future.traverse(touched.toList) { d => Future {
           val kept = spark.read.parquet(s"$root/$d").filter(keep)
@@ -946,7 +972,7 @@ object VersionedStore {
     val rewrittenWithStats = {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      implicit val ec: ExecutionContext = ioPool
       Await.result(
         Future.traverse(touched.toList) { d => Future {
           val df = spark.read.parquet(s"$root/$d")
@@ -1074,71 +1100,128 @@ object VersionedStore {
     val missing = keys.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"merge keys not in the source schema: ${missing.mkString(",")}")
-    if (source.isEmpty) return base
 
     val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
-    val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
-      .filter(c("count") > 1).take(1)
-    require(dup.isEmpty,
-      s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
-        "two source rows matching one target row is ambiguous")
+    // ONE source pass folds what used to be three jobs (emptiness probe,
+    // duplicate-key check, derived key ranges): row count, non-NULL-keyed
+    // count vs distinct-tuple count (count(DISTINCT k...) skips tuples
+    // with any NULL — exactly the keyedNonNull population, so nk > nd
+    // IFF some tuple repeats), and min/max per key in the stats' external
+    // string form (all-NULL keys derive nothing).
+    import org.apache.spark.sql.functions.{count, countDistinct, when}
+    val srcAggs = Seq(count(lit(1)).as("__n"),
+      count(when(keyedNonNull, lit(1))).as("__nk"),
+      countDistinct(c(keys.head), keys.tail.map(c): _*).as("__nd")) ++
+      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string")))
+    val aggRow = source.agg(srcAggs.head, srcAggs.tail: _*).head()
+    if (aggRow.getLong(0) == 0L) return base
+    if (aggRow.getLong(1) != aggRow.getLong(2)) {
+      // failure path only: pay one more job for a concrete example
+      val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
+        .filter(c("count") > 1).take(1)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
+          "two source rows matching one target row is ambiguous")
+    }
+    val derived = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (aggRow.isNullAt(3 + 2 * i)) None
+      else Some(ColRange(k, Some(aggRow.getString(3 + 2 * i)),
+        Some(aggRow.getString(3 + 2 * i + 1))))
+    }
 
     val f = fs(spark, root)
     val all = dataDirsOf(f, root, base)
     val baseStats = statsOf(f, root, base)
     val baseMeta = metaOf(f, root, base)
-    // Derived key ranges: one aggregate over the source, min/max per key
-    // in the stats' external string form. All-NULL keys derive nothing.
-    val aggRow = source.agg(
-      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string"))).head,
-      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string"))).tail: _*).head()
-    val derived = keys.zipWithIndex.flatMap { case (k, i) =>
-      if (aggRow.isNullAt(2 * i)) None
-      else Some(ColRange(k, Some(aggRow.getString(2 * i)), Some(aggRow.getString(2 * i + 1))))
-    }
     val candidates = pruneWithStats(all, baseStats, prune ++ derived)
+    val recordedDdl = schemaOf(f, root, base)
+
+    // SMALL-SOURCE fast path (the aggregate-view / point-upsert shape):
+    // when the source's distinct key set is tiny, COLLECT it and match
+    // via a literal key predicate instead of semi/anti JOINS — the
+    // probe's predicate pushes into the parquet scans (row-group
+    // pruning, no broadcast build job), and every rewrite becomes a
+    // pushed-down filter. Above the threshold the join path stands —
+    // a literal predicate over millions of tuples is its own pathology.
+    val srcKeys = source.select(keys.map(c): _*).filter(keyedNonNull).distinct()
+    val ndistinct = aggRow.getLong(2)
+    val keyPred: Option[org.apache.spark.sql.Column] =
+      if (ndistinct > 1024) None
+      else Some(srcKeys.collect().map { r =>
+        keys.zipWithIndex.map { case (k, i) => c(k) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))) // all-NULL keys match nothing
 
     // Pass 1: ONE probe job over all candidates, column-pruned to the
     // keys, each scan tagged with its dir. A dir missing a key column
-    // (pre-evolution dir) reads that key as NULL and can never match.
-    val srcKeys = source.select(keys.map(c): _*).filter(keyedNonNull).distinct()
+    // (pre-evolution dir) reads that key as NULL and can never match
+    // (the recorded schema aligns it; NULL <=> literal is false).
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else candidates.map { d =>
-        val df = spark.read.parquet(s"$root/$d")
-        keys.foldLeft(df) { (acc, k) =>
-          if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
-        }.select(keys.map(c): _*).withColumn("__graft_dir", lit(d))
-      }.reduce(_ unionByName _)
-        .join(srcKeys, keys, "left_semi")
-        .select("__graft_dir").distinct().collect().map(_.getString(0)).toSet
+      else keyPred match {
+        case Some(p) => probeMatching(spark, root, candidates, p, recordedDdl)
+        case None => candidates.map { d =>
+          val df = spark.read.parquet(s"$root/$d")
+          keys.foldLeft(df) { (acc, k) =>
+            if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
+          }.select(keys.map(c): _*).withColumn("__graft_dir", lit(d))
+        }.reduce(_ unionByName _)
+          .join(srcKeys, keys, "left_semi")
+          .select("__graft_dir").distinct().collect().map(_.getString(0)).toSet
+      }
 
     // Pass 2: rewrite touched dirs minus their matched rows; append the
-    // source as its own dir (schema-policed like any append).
+    // source as its own dir (schema-policed like any append). A source
+    // whose schema ALREADY equals the recorded one (names+types; the
+    // steady-state of every maintained table) skips the written-dir
+    // schema-inference read — the policy can't drift when nothing moved.
     val srcDir = prepare(source, root)
+    val sameAsRecorded = recordedDdl.exists { ddl =>
+      val rec = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      rec.length == source.schema.length && rec.forall(rf =>
+        source.schema.find(_.name == rf.name).exists(_.dataType == rf.dataType))
+    }
     val merged =
-      try mergedSchemaDdl(schemaOf(f, root, base),
-        writtenSchema(spark, root, srcDir, source), mergeSchema, root)
+      try if (sameAsRecorded) recordedDdl.get
+        else mergedSchemaDdl(recordedDdl,
+          writtenSchema(spark, root, srcDir, source), mergeSchema, root)
       catch { case e: Throwable =>
         f.delete(new Path(s"$root/$srcDir"), true); throw e }
-    // Concurrent per-dir rewrite + stats, like deleteWhere — order kept.
-    val rewrittenWithStats = {
+    // Concurrent per-dir rewrites (write-only futures), then ONE batched
+    // stats job over every fresh dir: emptiness detection rides the
+    // per-dir row counts (an all-matched dir writes empty, reads back as
+    // zero rows, and is deleted instead of referenced), so neither a
+    // per-dir emptiness probe nor a per-dir stats job survives.
+    val rewrittenAll = {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      implicit val ec: ExecutionContext = ioPool
       Await.result(
         Future.traverse(touched.toSeq.sorted.toList) { d => Future {
-          val kept = spark.read.parquet(s"$root/$d")
-            .join(srcKeys, keys, "left_anti")
-          if (kept.isEmpty) None else {
-            val nd = prepare(kept, root)
-            Some((nd, statsFor(spark, root, nd, statsCols)))
+          // reading through the known merged schema (rather than
+          // re-inferring per dir) spares every rewrite its schema-
+          // inference job; a pre-evolution dir's missing columns read
+          // as NULL, a pre-widening dir reads widened — the rewrite
+          // normalizes the dir to the current schema.
+          val dirDf = spark.read
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(merged))
+            .parquet(s"$root/$d")
+          val kept = keyPred match {
+            case Some(p) =>
+              dirDf.filter(!org.apache.spark.sql.functions.coalesce(p, lit(false)))
+            case None    => dirDf.join(srcKeys, keys, "left_anti")
           }
-        }}, Duration.Inf).flatten
+          prepare(kept, root)
+        }}, Duration.Inf)
     }
-    val rewritten = rewrittenWithStats.map(_._1)
-    val fresh = rewrittenWithStats.flatMap(_._2).toMap ++
-      statsFor(spark, root, srcDir, statsCols)
+    val allStats = statsForDirs(spark, root, rewrittenAll :+ srcDir,
+      statsCols, schemaDdl = Some(merged))
+    val emptyDirs = rewrittenAll.filter(d =>
+      allStats.get(s"$d|#|rows").forall(_.toLong == 0L)).toSet
+    emptyDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
+    val rewritten = rewrittenAll.filterNot(emptyDirs)
+    val fresh = allStats.filterNot { case (k, _) =>
+      emptyDirs.exists(d => k.startsWith(s"$d|")) }
     // The base's LEDGER entries carry forward through MERGE (the stream
     // replay watermark survives, like Delta's SetTransaction records);
     // descriptive markers of earlier commits do not accumulate.
@@ -1181,7 +1264,7 @@ object VersionedStore {
     // its own DataFrameReader.
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    implicit val ec: ExecutionContext = ioPool
     val legs = Await.result(Future.traverse(dirs.toList) { d => Future {
       val reader = schema.fold(spark.read)(spark.read.schema)
       reader.parquet(s"$root/$d").filter(predicate)
@@ -1220,11 +1303,21 @@ object VersionedStore {
     * parser stays sound — values escape braces, keys carry no nesting).
     * One aggregate job over the new dir: O(batch), never O(table). */
   private def statsFor(spark: SparkSession, root: String, dir: String,
-                       cols: Seq[String]): Map[String, String] = {
-    if (cols.isEmpty) return Map.empty
+                       cols: Seq[String], forceRows: Boolean = false,
+                       schemaDdl: Option[String] = None): Map[String, String] = {
+    if (cols.isEmpty && !forceRows) return Map.empty
     require(cols.forall(c => !c.contains("|")),
       s"stats column names must not contain '|': ${cols.mkString(",")}")
-    val df = spark.read.parquet(s"$root/$dir")
+    // A caller that already knows the dir's read schema (the recorded /
+    // just-merged DDL) spares this read its schema-inference job — the
+    // VALUES still come from the committed bytes. An empty write can
+    // leave nothing to read (AQE may emit zero partitions) — that IS
+    // the zero-row answer forceRows callers want.
+    val reader = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .fold(spark.read)(spark.read.schema)
+    val df = try reader.parquet(s"$root/$dir")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return Map(s"$dir|#|rows" -> "0") }
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"statsCols not in the committed schema: ${missing.mkString(",")}")
@@ -1252,6 +1345,51 @@ object VersionedStore {
     // Per-dir ROW COUNT (the Iceberg manifest count — [[countWhere]]'s
     // metadata-only answer) rides the same single aggregate.
     colStats + (s"$dir|#|rows" -> row.getLong(3 * cols.size).toString)
+  }
+
+  /** [[statsFor]] over MANY dirs in ONE job: per-dir legs (explicit
+    * schema — no inference) union with a dir tag and aggregate grouped
+    * by it, so a W-dir DML pays one stats job instead of W+1. A dir
+    * absent from the result (empty write) simply contributes no keys —
+    * callers read its row count as 0 via `get(...).forall`. */
+  private def statsForDirs(spark: SparkSession, root: String, dirs: Seq[String],
+                           cols: Seq[String],
+                           schemaDdl: Option[String]): Map[String, String] = {
+    if (dirs.isEmpty) return Map.empty
+    require(cols.forall(c => !c.contains("|")),
+      s"stats column names must not contain '|': ${cols.mkString(",")}")
+    import org.apache.spark.sql.functions.{col => c, count, lit, min, max, when}
+    val reader = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .fold(spark.read)(spark.read.schema)
+    val legs = dirs.map { d =>
+      val df = try Some(reader.parquet(s"$root/$d"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      df.map(_.withColumn("__graft_stats_dir", lit(d)))
+    }.flatten
+    if (legs.isEmpty) return Map.empty
+    val missing = cols.filterNot(legs.head.columns.contains)
+    require(missing.isEmpty,
+      s"statsCols not in the committed schema: ${missing.mkString(",")}")
+    val aggs = cols.flatMap(n =>
+      Seq(min(c(n)).cast("string").as(s"mn_$n"), max(c(n)).cast("string").as(s"mx_$n"),
+        count(when(c(n).isNull, lit(1))).as(s"nl_$n"))) :+
+      count(lit(1)).as("n_rows")
+    val rows = legs.reduce(_ unionByName _)
+      .groupBy(c("__graft_stats_dir"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val types = legs.head.schema.map(f => f.name -> f.dataType.typeName).toMap
+    rows.flatMap { row =>
+      val dir = row.getString(0)
+      val colStats = cols.zipWithIndex.flatMap { case (n, i) =>
+        val nulls = Seq(s"$dir|$n|nulls" -> row.getLong(1 + 3 * i + 2).toString)
+        if (row.isNullAt(1 + 3 * i) || row.isNullAt(1 + 3 * i + 1)) nulls
+        else nulls ++ Seq(
+          s"$dir|$n|min" -> row.getString(1 + 3 * i),
+          s"$dir|$n|max" -> row.getString(1 + 3 * i + 1),
+          s"$dir|$n|typ" -> types(n).takeWhile(_ != '('))
+      }
+      colStats :+ (s"$dir|#|rows" -> row.getLong(1 + 3 * cols.size).toString)
+    }.toMap
   }
 
   /** Step 1: write the snapshot to a fresh uniquely-named data dir.
@@ -1384,7 +1522,17 @@ object VersionedStore {
       }
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     aimPointer(spark, root, version)
-    maybeCheckpoint(spark, root, version)
+    // BEST-EFFORT: the manifest create above IS the commit point; a
+    // transient FS error in the derived, idempotent checkpoint must not
+    // surface an already-committed append as a failure (a streaming
+    // caller that only retries on CommitConflict would fail its query
+    // for a batch that actually landed). Skipping costs nothing — the
+    // next qualifying commit writes the checkpoint.
+    try maybeCheckpoint(spark, root, version)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[VersionedStore] checkpoint at $root v$version skipped: ${e.getMessage}")
+    }
   }
 
   /** The commit metadata of the CURRENT version (empty map when the store

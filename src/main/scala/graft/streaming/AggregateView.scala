@@ -90,18 +90,52 @@ object AggregateView {
                                 maxCols: Seq[String] = Seq.empty,
                                 writerId: String = VersionedStream.DefaultWriter): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= VersionedStream.lastBatchId(spark, derived, writerId) ||
-      batch.isEmpty) return
+    if (batchId <= VersionedStream.lastBatchId(spark, derived, writerId)) return
+
+    // AQE OFF for the maintenance window (restored below): every frame
+    // here is batch-sized by construction and every store read is a
+    // pushed-down single-dir scan, so AQE's runtime re-planning buys
+    // nothing — while its stage-by-stage execution submits each tiny
+    // exchange as its OWN scheduler job, multiplying the per-batch job
+    // constant this path exists to keep flat.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     val kcols: Seq[Column] = keys.map(col)
+    // NULL-as-zero applied IN the delta aggregate (not only at combine):
+    // a group first seen with all-NULL values must store sum = 0 on the
+    // first-batch adopt path exactly as it would after a merge — the
+    // two commit paths may never disagree on a stored value.
     val aggs = (count(lit(1)).as("n_rows") +:
-      sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"))) ++
       minCols.map(c => min(col(c)).as(s"min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"max_$c"))
+    // ONE materialization of the delta aggregate: everything downstream
+    // (control checks, combine, the merge's probe/rewrite/write) reads
+    // it repeatedly, and an unpinned plan would re-aggregate the batch
+    // per consumer — most of the view's measured per-batch constant.
+    // persist (lazy) rather than an eager checkpoint: the control
+    // aggregate right below materializes the cache, so pinning costs no
+    // job of its own.
     val deltas = batch.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
-    require(deltas.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      .persist()
+    try {
+    // ONE control job over the cached deltas: emptiness, the NULL-key
+    // gate, and the per-key delta ranges (which let the view-side read
+    // prune through its own key stats below) share a single aggregate.
+    val ctrlAggs = count(lit(1)).as("__n") +: keys.flatMap(k => Seq(
+      count(when(col(k).isNull, lit(1))).as(s"__nulls_$k"),
+      min(col(k)).cast("string").as(s"__mn_$k"),
+      max(col(k)).cast("string").as(s"__mx_$k")))
+    val ctrl = deltas.agg(ctrlAggs.head, ctrlAggs.tail: _*).head()
+    if (ctrl.getAs[Long]("__n") == 0L) return // empty batch: nothing to commit
+    require(keys.forall(k => ctrl.getAs[Long](s"__nulls_$k") == 0L),
       s"aggregate view on $derived: NULL group keys would fork the group " +
         s"under MERGE semantics — filter or coalesce the keys upstream")
+    val deltaRanges = keys.flatMap { k =>
+      Option(ctrl.getAs[String](s"__mn_$k")).map(mn =>
+        VersionedStore.ColRange(k, Some(mn), Some(ctrl.getAs[String](s"__mx_$k"))))
+    }
 
     var committed = false
     while (!committed) {
@@ -115,37 +149,47 @@ object AggregateView {
           VersionedStore.commit(deltas, derived, meta = ledger,
             statsCols = keys)
         } else {
-          // Current values for only the TOUCHED keys (broadcast
-          // semi-join; at 100 TB the view read is also stats-skippable).
-          val touched = VersionedStore.readAt(spark, derived, base)
+          // Current values for only the TOUCHED keys: the delta key
+          // ranges prune the view's dirs through its manifest stats
+          // (statsCols = keys) BEFORE the broadcast semi-join — at
+          // 100 TB a day-sliced batch opens only the view dirs its key
+          // span overlaps.
+          val touched = VersionedStore.readAt(spark, derived, base, deltaRanges)
             .join(broadcast(deltas.select(kcols: _*)), keys, "left_semi")
-          // BOTH sides coalesce on the additive columns: a batch whose
-          // values are all NULL for a group yields a NULL sum delta, and
-          // old + NULL = NULL would silently overwrite the accumulated
-          // value under the MERGE's full-row replace. NULL-as-zero is the
-          // view's declared sum semantics (adding no non-NULL values
-          // changes nothing). min/max compose via least/greatest, which
-          // SKIP nulls (null only when both sides are) — the same
-          // stale-proof behavior without a sentinel.
-          val addCols = "n_rows" +: sumCols.map(c => s"sum_$c")
-          val combined = deltas.alias("d")
-            .join(touched.alias("t"), keys, "left_outer")
-            .select(kcols ++
-              addCols.map { v =>
-                (coalesce(col(s"t.$v"), lit(0L)) +
-                  coalesce(col(s"d.$v"), lit(0L))).as(v)
-              } ++
-              minCols.map { c =>
-                least(col(s"t.min_$c"), col(s"d.min_$c")).as(s"min_$c") } ++
-              maxCols.map { c =>
-                greatest(col(s"t.max_$c"), col(s"d.max_$c")).as(s"max_$c") }: _*)
-          VersionedStore.mergeInto(spark, derived, combined, keys = keys,
+          // COMBINE as union + re-aggregate, not an outer join: additive
+          // aggregates compose under their own functions (sum of {old,
+          // delta} = old + delta with SQL's NULL-skipping giving the
+          // declared null-as-zero semantics — the delta side is already
+          // coalesced to 0, a legacy NULL accumulator adds as zero;
+          // min/max of the pair ARE least/greatest-with-null-skip). One
+          // aggregate replaces the join and its second broadcast build.
+          val viewCols = kcols ++ (("n_rows" +: sumCols.map(c => s"sum_$c")) ++
+            minCols.map(c => s"min_$c") ++ maxCols.map(c => s"max_$c")).map(col)
+          val combAggs = (sum(col("n_rows")).as("n_rows") +:
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
+            minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+            maxCols.map(c => max(col(s"max_$c")).as(s"max_$c"))
+          val combined = touched.select(viewCols: _*)
+            .unionByName(deltas.select(viewCols: _*))
+            .groupBy(kcols: _*).agg(combAggs.head, combAggs.tail: _*)
+            // Same single-materialization rationale as deltas: mergeInto
+            // consumes its source several times (stats, probe, anti-join
+            // rewrite, the data write); unpinned, each consumption would
+            // re-read the view store and re-join. Lazy persist again —
+            // mergeInto's own control aggregate materializes it.
+            .persist()
+          try VersionedStore.mergeInto(spark, derived, combined, keys = keys,
             statsCols = keys, meta = ledger)
+          finally combined.unpersist(blocking = false)
         }
         committed = true
       } catch {
         case _: VersionedStore.CommitConflict => () // stale base: re-read, retry
       }
+    }
+    } finally {
+      deltas.unpersist(blocking = false)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
   }
 }

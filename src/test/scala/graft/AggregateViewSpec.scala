@@ -104,6 +104,48 @@ class AggregateViewSpec extends SparkSpec {
       "NULL deltas add zero; they never null out the accumulator")
   }
 
+  test("a group FIRST seen with all-NULL values stores sum 0 on the adopt path too") {
+    // The first-batch commit adopts the delta aggregate directly; it must
+    // store the same value the merge path would — sum 0, never NULL —
+    // for a group whose batch values are all NULL (the two paths may not
+    // disagree on what an identical batch writes).
+    val view = tmp()
+    val nullFirst = Seq(("2024-01-01", "click", Option.empty[Long]))
+      .toDF("day", "event_type", "v")
+    AggregateView.applyBatch(nullFirst, 0L, view, Seq("day", "event_type"), Seq("v"))
+    val r = VersionedStore.read(spark, view).get.collect()
+    assert(r.length === 1 && !r.head.isNullAt(r.head.fieldIndex("sum_v")) &&
+      r.head.getAs[Long]("sum_v") === 0L,
+      "adopt path must coalesce all-NULL sums to 0 like the merge path")
+  }
+
+  test("steady-state maintenance batch schedules a BOUNDED number of jobs") {
+    // The view's per-batch constant is scheduler rounds × upstream
+    // re-evaluation: deltas and the combined frame are pinned once
+    // (localCheckpoint) and the control checks share single aggregates,
+    // so a maintenance batch must stay within a fixed job budget — a
+    // regression here is exactly the ~10-jobs-per-batch constant the
+    // probe tier measured before the fold.
+    val view = tmp()
+    AggregateView.applyBatch(rows("2024-01-01", "click" -> 10L, "view" -> 1L),
+      0L, view, Seq("day", "event_type"), Seq("v"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AggregateView.applyBatch(rows("2024-01-02", "click" -> 3L), 1L, view,
+        Seq("day", "event_type"), Seq("v"))
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val n = jobs.get()
+    info(s"jobs per maintenance batch: $n")
+    assert(n <= 8, s"a maintenance batch must schedule <= 8 jobs, saw $n")
+  }
+
   test("NULL group keys throw loudly (MERGE would fork the group); view stays uncommitted") {
     val view = tmp()
     val bad = Seq((null.asInstanceOf[String], "click", 1L)).toDF("day", "event_type", "v")
