@@ -195,7 +195,13 @@ object Bench {
         val byMed = ok.sortBy(-_._2._1).take(3).map(_._1)
         val flagged = ok.collect {
           case (k, (med, min, _)) if med > min * 1.5 && med - min > 0.5 => k }
-        (byMed ++ flagged).distinct.take(4).flatMap { n =>
+        // High-VARIANCE queries (spread exceeding the min itself) are the
+        // builder-vs-driver divergence drivers (round 12: the two recall
+        // gates alone carried 14 s of cross-environment spread) — probe
+        // them too so the canonical record names its own volatility.
+        val volatile = ok.collect {
+          case (k, (_, min, spread)) if spread > min && spread > 0.5 => k }
+        (byMed ++ flagged ++ volatile).distinct.take(8).flatMap { n =>
           System.err.println(s"[bench] isolated probe: $n ...")
           isolatedRun(n, sfDir, cpus).map(n -> _)
         }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.VersionedStore
+
+/** SYNTHETIC-WIDTH leg for the storage tier (PERF.md round 13): the
+  * manifest-decade probe measured real appends up to 10⁴ dirs; its open
+  * question was checkpoint-READ headroom — checkpoints are O(state)
+  * (3.3 MB at 10⁴ ⇒ ~35 MB at 10⁵) and a fresh reader pays one full
+  * checkpoint parse before its first plan. Building 10⁵ dirs by real
+  * one-row appends would take half a day for no extra information, so
+  * the WIDTH is synthesized (the VERDICT-sanctioned shape): one real
+  * one-row dir hard-linked into 10⁵ sibling dirs, one wide manifest
+  * publishing them all with synthesized per-dir key stats (min=max=i,
+  * rows=1), a short real delta tail, and an [[VersionedStore.expire]]
+  * that materializes the at-width checkpoint through the product path.
+  * The MEASURE phase then runs in a FRESH JVM (cold caches — the
+  * fresh-reader story), timing:
+  *
+  *   plan_sec        prunedDirs over a point ColRange — resolvedState's
+  *                   delta-tail walk + the full checkpoint parse + the
+  *                   10⁵-entry stats prune (THE fresh-reader cost)
+  *   plan_warm_sec   the same plan again (parsed-state caches hot)
+  *   count_meta_sec  metadata-only countWhere over the full key range
+  *   append_sec      one real commitAppend at width + its delta bytes
+  *                   (the flat-commit claim at 10× the measured decade)
+  *   point_read_sec  prunedDirs + the 1-dir read it bounds
+  *
+  * Usage: runMain graft.WidthProbe [dirs]  (parent builds, then spawns
+  * the measure child — the [[ContentionProbe]] fresh-JVM pattern). */
+object WidthProbe {
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("measure") => measureMain(args(1), args(2).toInt)
+    case _ => parentMain(args.headOption.map(_.toInt).getOrElse(100000))
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "7")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def parentMain(n: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val spark = session()
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(s"graft-width$n").toString
+    System.err.println(s"[width] building synthetic $n-dir store at $root ...")
+    val tB0 = System.nanoTime()
+
+    // One REAL one-row dir: the template every synthetic dir hard-links.
+    VersionedStore.commitAppend(Seq((0L, 0.0)).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    val realDir = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("data-")).head
+    val part = realDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+
+    // n synthetic dirs (hard links — 2 inodes each, no data copied) with
+    // synthesized per-dir stats: dir i holds key i exactly. The stats
+    // are what plan/count read; the bytes behind them are the template's.
+    val synthDirs = (1 to n).map(i => f"data-synth-$i%07d")
+    val stats = scala.collection.mutable.Map.empty[String, String]
+    // the carried template needs its stats re-stated on the full
+    // manifest too, or every plan keeps it as a stats-less dir
+    stats ++= Seq(
+      s"${realDir.getName}|k|min" -> "0", s"${realDir.getName}|k|max" -> "0",
+      s"${realDir.getName}|k|typ" -> "long",
+      s"${realDir.getName}|k|nulls" -> "0", s"${realDir.getName}|#|rows" -> "1")
+    synthDirs.zipWithIndex.foreach { case (d, idx) =>
+      val i = idx + 1
+      val dir = java.nio.file.Paths.get(root, d)
+      java.nio.file.Files.createDirectory(dir)
+      java.nio.file.Files.createLink(dir.resolve(part.getName), part.toPath)
+      stats ++= Seq(
+        s"$d|k|min" -> i.toString, s"$d|k|max" -> i.toString,
+        s"$d|k|typ" -> "long", s"$d|k|nulls" -> "0", s"$d|#|rows" -> "1")
+    }
+    // The wide commit: one full manifest referencing every synthetic dir
+    // (plus the template), stats riding it — the state a 10⁵-append
+    // store would have resolved to.
+    VersionedStore.publish(spark, root, 2L, synthDirs.last,
+      baseDirs = Seq(realDir.getName), extraNewDirs = synthDirs.init,
+      schemaDdl = Some("k BIGINT,v DOUBLE"), stats = stats.toMap)
+    // Short REAL delta tail, then expire materializes the at-width
+    // checkpoint for the oldest survivor through the product path.
+    ((n + 1) to (n + 20)).foreach { i =>
+      VersionedStore.commitAppend(Seq((i.toLong, i * 2.0)).toDF("k", "v"),
+        root, statsCols = Seq("k"))
+    }
+    VersionedStore.expire(spark, root, keepLast = 20)
+    val buildSec = (System.nanoTime() - tB0) / 1e9
+    val cpBytes = new java.io.File(s"$root/_manifests").listFiles()
+      .filter(_.getName.endsWith(".checkpoint")).map(_.length).max
+    System.err.println(f"[width] built in $buildSec%.1f s, checkpoint $cpBytes bytes")
+
+    // Fresh JVM for the cold-reader measurements.
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.WidthProbe", "measure", root, n.toString)).asJava)
+    pb.redirectErrorStream(false)
+    pb.inheritIO()
+    require(pb.start().waitFor() == 0, "measure child failed")
+
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    spark.stop()
+  }
+
+  private def measureMain(root: String, n: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+    val v = VersionedStore.currentVersion(spark, root)
+    val mid = (n / 2).toString
+    val tP0 = System.nanoTime()
+    val opened = VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange.eq("k", mid)))
+    val planSec = secs(tP0)
+    require(opened.size == 1, s"point range must prune to 1 dir, got ${opened.size}")
+    val tW0 = System.nanoTime()
+    VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange.eq("k", mid)))
+    val planWarmSec = secs(tW0)
+
+    val tC0 = System.nanoTime()
+    val cnt = VersionedStore.countWhere(spark, root,
+      Seq(VersionedStore.ColRange("k", Some("1"), Some(n.toString))))
+    val countSec = secs(tC0)
+    require(cnt == n.toLong, s"metadata count must see all $n synth rows, got $cnt")
+
+    val tA0 = System.nanoTime()
+    val v2 = VersionedStore.commitAppend(
+      Seq((n + 999L, 1.0)).toDF("k", "v"), root, statsCols = Seq("k"))
+    val appendSec = secs(tA0)
+    val mf = new java.io.File(s"$root/_manifests/$v2.json")
+    val deltaBytes = mf.length()
+
+    val tR0 = System.nanoTime()
+    val pointRows = VersionedStore.readAt(spark, root, v,
+      Seq(VersionedStore.ColRange.eq("k", mid))).count()
+    val pointReadSec = secs(tR0)
+
+    val cpBytes = new java.io.File(s"$root/_manifests").listFiles()
+      .filter(_.getName.endsWith(".checkpoint")).map(_.length).max
+    println(s"""{"metric":"store_width_synth","dirs":$n,""" +
+      f""""plan_sec":$planSec%.3f,"plan_warm_sec":$planWarmSec%.3f,""" +
+      f""""count_meta_sec":$countSec%.3f,""" +
+      f""""append_sec":$appendSec%.3f,"append_delta_bytes":$deltaBytes,""" +
+      f""""point_read_sec":$pointReadSec%.3f,"point_read_rows":$pointRows,""" +
+      s""""max_checkpoint_bytes":$cpBytes}""")
+    spark.stop()
+  }
+}

@@ -95,14 +95,62 @@ object VersionedStore {
         }))
 
   private def manifestPath(root: String, v: Long) = new Path(s"$root/_manifests/$v.json")
+
+  /** ATOMIC create-if-absent with content — the commit arbitration
+    * primitive. On HDFS-like filesystems `create(overwrite = false)` is
+    * atomic and suffices. On the LOCAL filesystem it is exists-then-
+    * create — two processes racing the same version can BOTH pass the
+    * exists check, silently clobbering the winner's manifest while both
+    * report success (a lost commit; the maintenance-interleaved
+    * contention probe caught exactly this as missing writer rows). The
+    * local path instead writes the full body to a uuid tmp file and
+    * hard-LINKS it into place: POSIX link(2) fails atomically when the
+    * target exists, and the content is complete at link time, so a
+    * reader can never observe a half-written manifest either. Returns
+    * true iff this caller won the create. */
+  private def createExclusive(f: FileSystem, p: Path, body: Array[Byte]): Boolean =
+    if (f.getUri.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = target.resolveSibling(
+        s"${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, body)
+      try { java.nio.file.Files.createLink(target, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.FileSystemException =>
+          // link unsupported (exotic mount): degrade to the Hadoop path
+          try { val out = f.create(p, false)
+            try out.write(body) finally out.close(); true }
+          catch { case _: java.io.IOException => false }
+      }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try { val out = f.create(p, false)
+        try out.write(body) finally out.close(); true }
+      catch { case _: java.io.IOException => false }
+    }
   private def pointerPath(root: String) = new Path(s"$root/_current")
 
   /** Latest committed version: the pointer, rolled forward past any
     * manifest the pointer doesn't know about yet (crash-between-manifest-
-    * and-pointer). 0 = empty store. Read-only. */
+    * and-pointer). 0 = empty store. Read-only.
+    *
+    * A DEGRADED pointer read (concurrent swap, checksum-twin mid-rename)
+    * — or a pointer naming an already-expired version — must NOT roll
+    * forward from its bad anchor: after an expire, manifest 1 is gone,
+    * so a walk from 0 terminates immediately and resurrects a version
+    * number an earlier expire retired; a writer would then commit into
+    * the retired slot and the next expire silently reaps its data (the
+    * maintenance-interleaved contention probe caught exactly this as
+    * lost writer rows). Those paths anchor on the manifest-directory
+    * LISTING instead — O(#manifests), degraded path only. */
   def currentVersion(spark: SparkSession, root: String): Long = {
     val f = fs(spark, root)
-    var v = readPointer(f, root).getOrElse(0L)
+    var v = readPointer(f, root) match {
+      case Some(p) if p > 0 && f.exists(manifestPath(root, p)) => p
+      case _ => committedVersions(f, root).lastOption.getOrElse(0L)
+    }
     while (f.exists(manifestPath(root, v + 1))) v += 1
     v
   }
@@ -1429,6 +1477,19 @@ object VersionedStore {
     val f = fs(spark, root)
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
+    // Version 1 means EMPTY STORE. Publishing it while any manifest
+    // exists is a stale-base symptom (a degraded pointer read answering
+    // 0 on an expired-history store) — and the retired slot would look
+    // FREE to the create arbitration, so the commit would "succeed" and
+    // the next expire would reap it. Loud failure instead; first-commit-
+    // only listing cost.
+    if (version == 1) {
+      val existing = committedVersions(f, root)
+      require(existing.isEmpty,
+        s"cannot commit version 1 of $root: versions " +
+          s"${existing.head}..${existing.last} exist — stale base " +
+          "(degraded pointer read on an expired-history store?)")
+    }
     val newDirs = if (dataDirIsCarried) extraNewDirs else extraNewDirs :+ dataDir
     // Audit field: every entry is `<dir>/`-prefixed relative to root,
     // uniformly across single- and multi-dir commits (manifests written
@@ -1454,14 +1515,10 @@ object VersionedStore {
          | "meta": {${meta.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
          |$schemaField "stats": {${stats.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
-    val out =
-      try f.create(manifest, /* overwrite = */ false)
-      catch {
-        case _: java.io.IOException =>
-          newDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
-          throw new CommitConflict(version, root)
-      }
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!createExclusive(f, manifest, body.getBytes(StandardCharsets.UTF_8))) {
+      newDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
+      throw new CommitConflict(version, root)
+    }
     aimPointer(spark, root, version)
   }
 
@@ -1490,6 +1547,13 @@ object VersionedStore {
       anchor: String, anchorIsCarried: Boolean = false): Unit = {
     require(version >= 2, s"a delta commit needs a base version, got $version")
     val f = fs(spark, root)
+    // A delta whose base manifest is GONE would commit into a retired
+    // version slot (stale pinned base after an expire) — readers could
+    // never resolve its chain, and the next expire would reap it. One
+    // exists() per commit buys the loud failure.
+    require(f.exists(manifestPath(root, version - 1)),
+      s"cannot commit version $version of $root: base manifest " +
+        s"${version - 1} does not exist (expired, or a stale pinned base)")
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
     val files = addDirs.flatMap { nd =>
@@ -1511,16 +1575,12 @@ object VersionedStore {
          |$schemaField "stats": {${statsForAdded.toSeq.sortBy(_._1).map { case (k, v) =>
              s"${jsString(k)}: ${jsString(v)}" }.mkString(", ")}},
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
-    val out =
-      try f.create(manifest, /* overwrite = */ false)
-      catch {
-        case _: java.io.IOException =>
-          // only the FRESH dirs are ours to clean; a carried anchor is
-          // committed data and never appears in addDirs
-          addDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
-          throw new CommitConflict(version, root)
-      }
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!createExclusive(f, manifest, body.getBytes(StandardCharsets.UTF_8))) {
+      // only the FRESH dirs are ours to clean; a carried anchor is
+      // committed data and never appears in addDirs
+      addDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
+      throw new CommitConflict(version, root)
+    }
     aimPointer(spark, root, version)
     // BEST-EFFORT: the manifest create above IS the commit point; a
     // transient FS error in the derived, idempotent checkpoint must not
@@ -1893,10 +1953,18 @@ object VersionedStore {
     * so this can never delete committed data — but an IN-FLIGHT `prepare`
     * of a live writer is unreferenced by design, so run vacuum only when
     * no commit is in progress (the usual table-maintenance window). */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 0L): Unit = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
+    // `minAgeMs`: a concurrent writer's IN-FLIGHT prepare dir is
+    // unreferenced by design until its manifest lands — a vacuum racing
+    // that window would delete data a moment before it's committed. The
+    // age floor (Delta's retention-check shape) makes vacuum safe to run
+    // alongside writers: pass a bound comfortably above the longest
+    // prepare-to-publish gap. The default 0 keeps the original
+    // maintenance-window semantics (reap everything now).
+    val cutoff = System.currentTimeMillis() - minAgeMs
     // Referenced = the union of EVERY live version's resolved dirs,
     // computed as one ascending fold (deltas chain base = version−1, so
     // each step is O(edit); full manifests reset the state; the first
@@ -1923,8 +1991,10 @@ object VersionedStore {
     f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
       .filterNot(s => referenced.contains(s.getPath.getName))
+      .filter(s => minAgeMs == 0L || s.getModificationTime < cutoff)
       .foreach(s => f.delete(s.getPath, true))
-    Seq(s"$root/_current.tmp*", s"$root/_manifests/*.checkpoint.tmp-*")
+    Seq(s"$root/_current.tmp*", s"$root/_manifests/*.checkpoint.tmp-*",
+        s"$root/_manifests/*.json.tmp-*") // crashed createExclusive debris
       .foreach { pat =>
         f.globStatus(new Path(pat)) match {
           case null => ()
