@@ -1007,6 +1007,24 @@ object SparkEntry {
           max(col("user_id")).as("max_user"))
         .orderBy("event_type")
     }),
+    // COLUMN RENAME over the versioned store — the Iceberg/Delta
+    // column-mapping seam (VersionedStore.renameColumn): a store whose
+    // first five appends call the value column `val` renames it to
+    // `value` in a METADATA-ONLY commit (build gates zero dir rewrites
+    // + old name under time travel), then appends five more batches
+    // under the new name. The read unions pre- and post-rename dirs
+    // through the logical->physical map; values oracle-checked against
+    // flat events — a rename must be invisible to the data.
+    "versioned_rename_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureRenamedEventsStore(s, dir)
+      VersionedStore.read(s, p).get
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
     // METADATA-ONLY COUNT over the versioned store — the Iceberg
     // "answer from the manifest" seam (VersionedStore.countWhere): a
     // day range aligned on the store's 3-day append boundaries is
@@ -1600,6 +1618,47 @@ object SparkEntry {
       val narrow = VersionedStore.readAt(s, tmp, 5L).schema
       require(narrow("user_id").dataType == IntegerType && narrow("value").dataType == FloatType,
         s"version 5 must time-travel with its own narrow schema, got ${narrow.toDDL}")
+    }
+    p
+  }
+
+  /** Build (once per corpus) the RENAMED VersionedStore of events: the
+    * first five day-ranged appends commit with the value column named
+    * `val`, commit 6 is a METADATA-ONLY `renameColumn(val -> value)`
+    * (Iceberg/Delta column-mapping shape — the physical parquet name is
+    * fixed at birth, the manifest's logical→physical map moves), and the
+    * last five appends use the new name. The requires gate that the
+    * rename referenced every dir verbatim (zero rewrites) and that time
+    * travel below it still reads `val`. */
+  private def ensureRenamedEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_ren", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      def slice(i: Int) = src.filter(col("day").between(
+        lit(d0.plusDays(i * 3L).toString).cast("date"),
+        lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+      (0 until 5).foreach { i =>
+        VersionedStore.commitAppend(
+          slice(i).select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value").as("val"), col("day")),
+          tmp, statsCols = Seq("day"))
+      }
+      val dirsBefore = VersionedStore.prunedDirs(s, tmp, 5L, Seq.empty).toSet
+      val vRen = VersionedStore.renameColumn(s, tmp, "val", "value")
+      val dirsAfter = VersionedStore.prunedDirs(s, tmp, vRen, Seq.empty).toSet
+      require(dirsAfter == dirsBefore,
+        "rename must reference the same dirs verbatim — metadata-only")
+      (5 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          slice(i).select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      require(VersionedStore.readAt(s, tmp, 5L).columns.contains("val"),
+        "time travel below the rename must read the old name")
+      require(VersionedStore.read(s, tmp).get.columns.contains("value"),
+        "the current version must read the new name")
     }
     p
   }
@@ -2925,6 +2984,12 @@ object SparkEntry {
         |        THEN CAST(CAST(value AS REAL) AS DOUBLE)
         |        ELSE value END * 1000) AS BIGINT)) AS BIGINT) AS val_q,
         | max(user_id) AS max_user
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_rename_read" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q,
+        | count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_count_meta" ->

@@ -155,6 +155,119 @@ object VersionedStore {
     v
   }
 
+  // ── Column mapping (rename via stable physical names) ──────────────
+  //
+  // The Delta/Iceberg column-mapping move, manifest edition: a column's
+  // PHYSICAL parquet name is fixed at its birth and never changes;
+  // [[renameColumn]] is a metadata-only commit that updates the
+  // logical→physical map riding every manifest's meta (`colmap.<logical>`
+  // = physical, carried through every commit path like the stream
+  // ledger). Writers translate logical→physical just before the parquet
+  // write ([[toPhysical]] inside the commit paths); readers request the
+  // PHYSICAL schema per dir and alias back to logical ([[readDirs]]) —
+  // so a rename rewrites NOTHING, history stays byte-identical, and
+  // time travel shows each version under its own names (schema and
+  // colmap are both per-version records). With no renames the map is
+  // empty and every hook below is the identity.
+  //
+  // Stats note: per-dir stats record the LOGICAL name current at their
+  // write time; after a rename, skips on the new name find no stats for
+  // older dirs and keep them — conservative, never wrong.
+
+  /** logical → physical map of a version (empty = identity). */
+  private def colmapOf(f: FileSystem, root: String, v: Long): Map[String, String] =
+    if (v == 0) Map.empty
+    else metaOf(f, root, v).collect {
+      case (k, p) if k.startsWith("colmap.") => k.stripPrefix("colmap.") -> p
+    }
+
+  /** The map as manifest-meta entries (the carry representation). */
+  private def colmapMeta(m: Map[String, String]): Map[String, String] =
+    m.map { case (l, p) => s"colmap.$l" -> p }
+
+  /** Meta entries every commit must carry forward from its base: the
+    * exactly-once stream ledger and the column mapping. */
+  private[graft] def carriedEntries(m: Map[String, String]): Map[String, String] =
+    ledgerEntries(m) ++ m.filter(_._1.startsWith("colmap."))
+
+  /** Reject frames referencing a RETIRED physical name: after a rename,
+    * the old name is neither logical (the rename removed it) nor free
+    * (the renamed column still writes it physically) — accepting it
+    * would silently alias into the renamed column or collide at write. */
+  private def requireNoRetiredNames(df: DataFrame,
+                                    colmap: Map[String, String],
+                                    root: String): Unit = {
+    val retired = colmap.values.toSet -- colmap.keySet
+    val misuse = df.columns.toSet.intersect(retired)
+    require(misuse.isEmpty,
+      s"write to $root uses retired PHYSICAL column name(s) " +
+        s"${misuse.mkString(",")} (renamed away) — use the current logical name")
+  }
+
+  /** Rename the frame's columns logical→physical for a parquet write. */
+  private def toPhysical(df: DataFrame, colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.select(df.columns.map(c =>
+      org.apache.spark.sql.functions.col(c).as(colmap.getOrElse(c, c))).toSeq: _*)
+
+  /** Rename physical→logical after a parquet read. */
+  private def toLogical(df: DataFrame, colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else {
+      val rev = colmap.map(_.swap)
+      df.select(df.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(rev.getOrElse(c, c))).toSeq: _*)
+    }
+
+  /** A logical schema DDL rewritten to the physical field names. */
+  private def physicalDdl(ddl: String, colmap: Map[String, String]): String =
+    if (colmap.isEmpty) ddl
+    else {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      StructType(StructType.fromDDL(ddl).fields.map(f =>
+        StructField(colmap.getOrElse(f.name, f.name), f.dataType,
+          f.nullable, f.metadata))).toDDL
+    }
+
+  /** RENAME COLUMN — metadata-only (Iceberg/Delta column-mapping shape):
+    * no dir is rewritten; the commit records the new logical schema and
+    * the updated logical→physical map. Readers of the new version see
+    * `to`; time travel below it still sees `from`. Fails loudly when
+    * `from` is absent or `to` already exists. A live streaming reader's
+    * schema is fixed at query start — it fails at its next batch and
+    * restarts under the new name, like any schema change. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to rename in: $root has no committed version")
+    val ddl = schemaOf(f, root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root records no schema (legacy store) — commit once before renaming"))
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType.fromDDL(ddl)
+    require(schema.fieldNames.contains(from),
+      s"cannot rename $from: not a column of $root (${schema.fieldNames.mkString(",")})")
+    require(!schema.fieldNames.contains(to),
+      s"cannot rename $from to $to: $to already exists in $root")
+    val colmap = colmapOf(f, root, base)
+    val physical = colmap.getOrElse(from, from)
+    val newMap = (colmap - from) + (to -> physical)
+    val newDdl = StructType(schema.fields.map(fd =>
+      if (fd.name == from) StructField(to, fd.dataType, fd.nullable, fd.metadata)
+      else fd)).toDDL
+    publishDelta(spark, root, base + 1,
+      addDirs = Seq.empty, removedDirs = Seq.empty,
+      // the NEW map REPLACES the carried one — a stale colmap.<from>
+      // entry surviving alongside colmap.<to> would leave two logical
+      // names claiming one physical column
+      meta = ledgerEntries(metaOf(f, root, base)) ++ colmapMeta(newMap) +
+        ("rename" -> s"$from->$to"),
+      schemaDdl = Some(newDdl), statsForAdded = Map.empty,
+      anchor = dataDirOf(f, root, base), anchorIsCarried = true)
+    base + 1
+  }
+
   /** The current committed snapshot as a DataFrame; empty-schema-less
     * reads are the caller's concern — returns None when nothing has ever
     * been committed. Readers resolve the data directory through the
@@ -168,7 +281,8 @@ object VersionedStore {
     else {
       val f = fs(spark, root)
       Some(readDirs(spark, root, prunedDirs(spark, root, v, skip),
-        allDirs = dataDirsOf(f, root, v), schemaDdl = schemaOf(f, root, v)))
+        allDirs = dataDirsOf(f, root, v), schemaDdl = schemaOf(f, root, v),
+        colmap = colmapOf(f, root, v)))
     }
   }
 
@@ -192,9 +306,13 @@ object VersionedStore {
     * the same term probeMatching measured and fixed at the probe tier). */
   private def readDirs(spark: SparkSession, root: String, dirs: Seq[String],
                        allDirs: Seq[String] = Seq.empty,
-                       schemaDdl: Option[String] = None): DataFrame = {
+                       schemaDdl: Option[String] = None,
+                       colmap: Map[String, String] = Map.empty): DataFrame = {
     val use = if (dirs.nonEmpty) dirs else allDirs
-    val schema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    // dirs store PHYSICAL column names (stable across renames); request
+    // the physical schema per leg and alias the union back to logical.
+    val schema = schemaDdl.map(d =>
+      org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ioPool
@@ -205,7 +323,7 @@ object VersionedStore {
     val df = legs.grouped(64).toSeq
       .map(_.reduce(_.unionByName(_, allowMissingColumns = true)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    if (dirs.nonEmpty) df else df.limit(0)
+    toLogical(if (dirs.nonEmpty) df else df.limit(0), colmap)
   }
 
   /** Incremental consumption — the change-data-feed of an append-commit
@@ -258,7 +376,7 @@ object VersionedStore {
     else {
       val kept = pruneWithStats(added, statsOf(f, root, to), skip)
       Some(readDirs(spark, root, kept, allDirs = added,
-        schemaDdl = schemaOf(f, root, to)))
+        schemaDdl = schemaOf(f, root, to), colmap = colmapOf(f, root, to)))
     }
   }
 
@@ -277,7 +395,8 @@ object VersionedStore {
         s"version $version of $root does not exist (never committed, or expired)")
     readDirs(spark, root, prunedDirs(spark, root, version, skip),
       allDirs = dataDirsOf(f, root, version),
-      schemaDdl = schemaOf(f, root, version))
+      schemaDdl = schemaOf(f, root, version),
+      colmap = colmapOf(f, root, version))
   }
 
   /** The data dirs of `version` that SURVIVE manifest-stats pruning under
@@ -487,12 +606,18 @@ object VersionedStore {
              meta: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    val next = currentVersion(spark, root) + 1
-    val dir = prepare(df, root)
-    publish(spark, root, next, dir, meta = meta,
-      schemaDdl = Some(writtenSchema(spark, root, dir, df).toDDL),
-      stats = statsFor(spark, root, dir, statsCols))
-    next
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root)
+    val colmap = colmapOf(f, root, base)
+    requireNoRetiredNames(df, colmap, root)
+    val pdf = toPhysical(df, colmap)
+    val dir = prepare(pdf, root)
+    publish(spark, root, base + 1, dir,
+      meta = colmapMeta(colmap) ++ meta,
+      schemaDdl = Some(
+        toLogicalSchema(writtenSchema(spark, root, dir, pdf), colmap).toDDL),
+      stats = statsFor(spark, root, dir, statsCols, colmap = colmap))
+    base + 1
   }
 
   /** APPEND commit — the batch-proportional edition: the new version's
@@ -553,20 +678,38 @@ object VersionedStore {
     val f = fs(spark, root)
     val baseSchema =
       if (baseVersion == 0) None else schemaOf(f, root, baseVersion)
-    val dir = prepare(df, root)
+    val colmap = colmapOf(f, root, baseVersion)
+    requireNoRetiredNames(df, colmap, root)
+    val pdf = toPhysical(df, colmap)
+    val dir = prepare(pdf, root)
     // Enforce against the WRITTEN dir's read-back schema, not the input
     // plan's: the day-partition encoding round-trips a string day as an
     // inferred DATE, and a policy comparing pre-write schemas would
     // reject every append after a compaction (whose input IS a read).
     // The written schema is also what readers union, so it is the one
     // whose drift actually matters. A rejected append deletes its
-    // prepared dir — same cleanup as a lost commit race.
+    // prepared dir — same cleanup as a lost commit race. (The read-back
+    // is physical; the policy compares LOGICAL names.)
     val merged =
-      try mergedSchemaDdl(baseSchema, writtenSchema(spark, root, dir, df), mergeSchema, root)
-      catch { case e: Throwable =>
+      try {
+        val m = mergedSchemaDdl(baseSchema,
+          toLogicalSchema(writtenSchema(spark, root, dir, pdf), colmap),
+          mergeSchema, root)
+        // a freshly ADDED column is born with physical = logical; its
+        // name colliding with an older column's retired physical name
+        // would make two logical columns share one parquet column
+        val clash = colmap.values.toSet
+          .intersect(org.apache.spark.sql.types.StructType.fromDDL(m)
+            .fieldNames.toSet -- colmap.keySet)
+        require(clash.isEmpty,
+          s"append to $root adds column(s) ${clash.mkString(",")} whose name " +
+            "is the retired PHYSICAL name of a renamed column — pick another name")
+        m
+      } catch { case e: Throwable =>
         f.delete(new Path(s"$root/$dir"), true); throw e }
-    val metaOut = if (mergeSchema) meta + ("mergeSchema" -> "true") else meta
-    val fresh = statsFor(spark, root, dir, statsCols)
+    val metaOut = colmapMeta(colmap) ++
+      (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta)
+    val fresh = statsFor(spark, root, dir, statsCols, colmap = colmap)
     // Log-segment append: the manifest is O(batch) — one added dir, its
     // stats, the schema and meta — NEVER a re-list of the base version's
     // dirs or a re-serialization of the table-wide stats map. The base's
@@ -590,6 +733,17 @@ object VersionedStore {
                             df: DataFrame): org.apache.spark.sql.types.StructType =
     try spark.read.parquet(s"$root/$dir").schema
     catch { case _: org.apache.spark.sql.AnalysisException => df.schema }
+
+  /** A (physical) read-back schema mapped to its logical field names. */
+  private def toLogicalSchema(s: org.apache.spark.sql.types.StructType,
+                              colmap: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (colmap.isEmpty) s
+    else {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val rev = colmap.map(_.swap)
+      StructType(s.fields.map(f =>
+        StructField(rev.getOrElse(f.name, f.name), f.dataType, f.nullable, f.metadata)))
+    }
 
   /** Lossless widening lattice (the Iceberg type-promotion / Delta
     * type-widening set this store supports): the integral chain
@@ -676,10 +830,16 @@ object VersionedStore {
                meta: Map[String, String] = Map.empty,
                statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    val dir = prepare(df, root)
-    publish(spark, root, baseVersion + 1, dir, meta = meta,
-      schemaDdl = Some(writtenSchema(spark, root, dir, df).toDDL),
-      stats = statsFor(spark, root, dir, statsCols))
+    val f = fs(spark, root)
+    val colmap = colmapOf(f, root, baseVersion)
+    requireNoRetiredNames(df, colmap, root)
+    val pdf = toPhysical(df, colmap)
+    val dir = prepare(pdf, root)
+    publish(spark, root, baseVersion + 1, dir,
+      meta = colmapMeta(colmap) ++ meta,
+      schemaDdl = Some(
+        toLogicalSchema(writtenSchema(spark, root, dir, pdf), colmap).toDDL),
+      stats = statsFor(spark, root, dir, statsCols, colmap = colmap))
     baseVersion + 1
   }
 
@@ -717,6 +877,7 @@ object VersionedStore {
     val base = currentVersion(spark, root)
     require(base > 0, s"nothing to optimize: $root has no committed version")
     val kcol = "__graft_cluster_key"
+    val colmap = colmapOf(fs(spark, root), root, base)
     val snapshot = readAt(spark, root, base)
     val keyed = snapshot.withColumn(kcol, clusterKey.cast("double")).persist()
     try {
@@ -756,18 +917,21 @@ object VersionedStore {
       val dirs = Await.result(
         Future.traverse(preds.zipWithIndex.toList) { case (p, i) => Future {
           if (occRow.isNullAt(i) || occRow.getInt(i) == 0) None
-          else Some(prepare(keyed.filter(p).sortWithinPartitions(c(kcol))
-            .select(snapshot.columns.map(c).toSeq: _*), root))
+          else Some(prepare(toPhysical(
+            keyed.filter(p).sortWithinPartitions(c(kcol))
+              .select(snapshot.columns.map(c).toSeq: _*), colmap), root))
         }}, Duration.Inf).flatten
       require(dirs.nonEmpty, s"optimize of $root produced no data dirs")
       val schemaDdl = schemaOf(fs(spark, root), root, base)
-        .getOrElse(writtenSchema(spark, root, dirs.head, snapshot).toDDL)
-      val stats = dirs.flatMap(d => statsFor(spark, root, d, statsCols)).toMap
+        .getOrElse(toLogicalSchema(
+          writtenSchema(spark, root, dirs.head, snapshot), colmap).toDDL)
+      val stats = statsForDirs(spark, root, dirs, statsCols,
+        schemaDdl = Some(schemaDdl), colmap = colmap)
       // The base's LEDGER entries carry forward (the stream replay
       // watermark survives OPTIMIZE, like Delta's SetTransaction
       // records); descriptive markers of earlier commits do not.
       publish(spark, root, base + 1, dirs.last, baseDirs = Seq.empty,
-        meta = ledgerEntries(metaAt(spark, root, base)) ++ meta +
+        meta = carriedEntries(metaAt(spark, root, base)) ++ meta +
           ("optimize" -> s"cluster-by:${buckets}b"),
         schemaDdl = Some(schemaDdl), stats = stats, extraNewDirs = dirs.init)
       base + 1
@@ -834,13 +998,15 @@ object VersionedStore {
     val all = dataDirsOf(f, root, base)
     val baseStats = statsOf(f, root, base)
     val baseMeta = metaOf(f, root, base)
+    val colmap = colmapOf(f, root, base)
     val candidates =
       if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
     // Existence probe — ONE job over the candidates (every dir when
     // verifying the prune): dirs with no matching row are NOT rewritten
     // (stats said "might match"; the data says no).
     val matched = probeMatching(spark, root,
-      if (verifyPrune) all else candidates, predicate, schemaOf(f, root, base))
+      if (verifyPrune) all else candidates, predicate, schemaOf(f, root, base),
+      colmap)
     if (verifyPrune) requireSoundPrune("deleteWhere", root, matched, candidates)
     val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
@@ -860,10 +1026,11 @@ object VersionedStore {
       implicit val ec: ExecutionContext = ioPool
       Await.result(
         Future.traverse(touched.toList) { d => Future {
-          val kept = spark.read.parquet(s"$root/$d").filter(keep)
+          val kept = toLogical(spark.read.parquet(s"$root/$d"), colmap)
+            .filter(keep)
           if (kept.isEmpty) None else {
-            val nd = prepare(kept, root)
-            Some((nd, statsFor(spark, root, nd, statsCols)))
+            val nd = prepare(toPhysical(kept, colmap), root)
+            Some((nd, statsFor(spark, root, nd, statsCols, colmap = colmap)))
           }
         }}, Duration.Inf).flatten
     }
@@ -881,7 +1048,7 @@ object VersionedStore {
     // watermark must survive DML) plus this op's marker — descriptive
     // markers of earlier commits do not accumulate (restore's
     // ledger-only discipline, applied uniformly).
-    val metaOut = ledgerEntries(baseMeta) ++ meta + ("delete" -> "where")
+    val metaOut = carriedEntries(baseMeta) ++ meta + ("delete" -> "where")
     if (rewritten.isEmpty)
       // Every touched dir emptied out: the commit only DROPS dirs. The
       // manifest's dataDir anchor re-uses the newest untouched dir,
@@ -938,7 +1105,8 @@ object VersionedStore {
         }.reduceOption(_ && _).getOrElse(lit(true))
         readDirs(spark, root, residual,
           allDirs = dataDirsOf(f, root, v),
-          schemaDdl = schemaOf(f, root, v)).filter(pred).count()
+          schemaDdl = schemaOf(f, root, v),
+          colmap = colmapOf(f, root, v)).filter(pred).count()
       }
     metaCount + residualCount
   }
@@ -1008,10 +1176,11 @@ object VersionedStore {
       require(unknown.isEmpty,
         s"SET names columns not in the recorded schema: ${unknown.mkString(",")}")
     }
+    val colmap = colmapOf(f, root, base)
     val candidates =
       if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
     val matched = probeMatching(spark, root,
-      if (verifyPrune) all else candidates, predicate, recorded)
+      if (verifyPrune) all else candidates, predicate, recorded, colmap)
     if (verifyPrune) requireSoundPrune("updateWhere", root, matched, candidates)
     val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
@@ -1023,22 +1192,22 @@ object VersionedStore {
       implicit val ec: ExecutionContext = ioPool
       Await.result(
         Future.traverse(touched.toList) { d => Future {
-          val df = spark.read.parquet(s"$root/$d")
+          val df = toLogical(spark.read.parquet(s"$root/$d"), colmap)
           val updated = df.select(df.columns.map { n =>
             set.get(n) match {
               case Some(expr) => when(hit, expr).otherwise(c(n)).as(n)
               case None => c(n)
             }
           }.toSeq: _*)
-          val nd = prepare(updated, root)
-          (nd, statsFor(spark, root, nd, statsCols))
+          val nd = prepare(toPhysical(updated, colmap), root)
+          (nd, statsFor(spark, root, nd, statsCols, colmap = colmap))
         }}, Duration.Inf)
     }
     val rewritten = rewrittenWithStats.map(_._1)
     val fresh = rewrittenWithStats.flatMap(_._2).toMap
     publishDelta(spark, root, base + 1,
       addDirs = rewritten, removedDirs = touched,
-      meta = ledgerEntries(baseMeta) ++ meta +
+      meta = carriedEntries(baseMeta) ++ meta +
         ("update" -> s"set:${set.keys.toSeq.sorted.mkString("+")}"),
       schemaDdl = recorded, statsForAdded = fresh,
       anchor = rewritten.last)
@@ -1183,6 +1352,7 @@ object VersionedStore {
     val baseMeta = metaOf(f, root, base)
     val candidates = pruneWithStats(all, baseStats, prune ++ derived)
     val recordedDdl = schemaOf(f, root, base)
+    val colmap = colmapOf(f, root, base)
 
     // SMALL-SOURCE fast path (the aggregate-view / point-upsert shape):
     // when the source's distinct key set is tiny, COLLECT it and match
@@ -1207,9 +1377,9 @@ object VersionedStore {
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else keyPred match {
-        case Some(p) => probeMatching(spark, root, candidates, p, recordedDdl)
+        case Some(p) => probeMatching(spark, root, candidates, p, recordedDdl, colmap)
         case None => candidates.map { d =>
-          val df = spark.read.parquet(s"$root/$d")
+          val df = toLogical(spark.read.parquet(s"$root/$d"), colmap)
           keys.foldLeft(df) { (acc, k) =>
             if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
           }.select(keys.map(c): _*).withColumn("__graft_dir", lit(d))
@@ -1223,7 +1393,9 @@ object VersionedStore {
     // whose schema ALREADY equals the recorded one (names+types; the
     // steady-state of every maintained table) skips the written-dir
     // schema-inference read — the policy can't drift when nothing moved.
-    val srcDir = prepare(source, root)
+    requireNoRetiredNames(source, colmap, root)
+    val psource = toPhysical(source, colmap)
+    val srcDir = prepare(psource, root)
     val sameAsRecorded = recordedDdl.exists { ddl =>
       val rec = org.apache.spark.sql.types.StructType.fromDDL(ddl)
       rec.length == source.schema.length && rec.forall(rf =>
@@ -1232,7 +1404,8 @@ object VersionedStore {
     val merged =
       try if (sameAsRecorded) recordedDdl.get
         else mergedSchemaDdl(recordedDdl,
-          writtenSchema(spark, root, srcDir, source), mergeSchema, root)
+          toLogicalSchema(writtenSchema(spark, root, srcDir, psource), colmap),
+          mergeSchema, root)
       catch { case e: Throwable =>
         f.delete(new Path(s"$root/$srcDir"), true); throw e }
     // Concurrent per-dir rewrites (write-only futures), then ONE batched
@@ -1251,19 +1424,20 @@ object VersionedStore {
           // inference job; a pre-evolution dir's missing columns read
           // as NULL, a pre-widening dir reads widened — the rewrite
           // normalizes the dir to the current schema.
-          val dirDf = spark.read
-            .schema(org.apache.spark.sql.types.StructType.fromDDL(merged))
-            .parquet(s"$root/$d")
+          val dirDf = toLogical(spark.read
+            .schema(org.apache.spark.sql.types.StructType
+              .fromDDL(physicalDdl(merged, colmap)))
+            .parquet(s"$root/$d"), colmap)
           val kept = keyPred match {
             case Some(p) =>
               dirDf.filter(!org.apache.spark.sql.functions.coalesce(p, lit(false)))
             case None    => dirDf.join(srcKeys, keys, "left_anti")
           }
-          prepare(kept, root)
+          prepare(toPhysical(kept, colmap), root)
         }}, Duration.Inf)
     }
     val allStats = statsForDirs(spark, root, rewrittenAll :+ srcDir,
-      statsCols, schemaDdl = Some(merged))
+      statsCols, schemaDdl = Some(merged), colmap = colmap)
     val emptyDirs = rewrittenAll.filter(d =>
       allStats.get(s"$d|#|rows").forall(_.toLong == 0L)).toSet
     emptyDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
@@ -1275,7 +1449,7 @@ object VersionedStore {
     // descriptive markers of earlier commits do not accumulate.
     publishDelta(spark, root, base + 1,
       addDirs = rewritten :+ srcDir, removedDirs = touched.toSeq.sorted,
-      meta = ledgerEntries(baseMeta) ++
+      meta = carriedEntries(baseMeta) ++
         (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta) +
         ("merge" -> s"upsert:${keys.mkString("+")}"),
       schemaDdl = Some(merged), statsForAdded = fresh,
@@ -1296,7 +1470,8 @@ object VersionedStore {
   private[graft] def probeMatching(spark: SparkSession, root: String,
                                    dirs: Seq[String],
                                    predicate: org.apache.spark.sql.Column,
-                                   schemaDdl: Option[String] = None): Set[String] = {
+                                   schemaDdl: Option[String] = None,
+                                   colmap: Map[String, String] = Map.empty): Set[String] = {
     import org.apache.spark.sql.functions.lit
     if (dirs.isEmpty) return Set.empty
     // The store's recorded schema spares every leg its plan-time footer
@@ -1304,7 +1479,8 @@ object VersionedStore {
     // cost and the "one job" still pays a linear planning term (measured
     // in StoreProbe's A/B). Missing columns of pre-evolution dirs read as
     // NULL under an explicit schema, same as the read path.
-    val schema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = schemaDdl.map(d =>
+      org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
     // Relation resolution (one FS listing per dir) happens eagerly inside
     // spark.read.parquet and is a per-dir driver cost — build the legs on
     // concurrent driver threads so a thousand-dir probe pays max(listing
@@ -1315,7 +1491,7 @@ object VersionedStore {
     implicit val ec: ExecutionContext = ioPool
     val legs = Await.result(Future.traverse(dirs.toList) { d => Future {
       val reader = schema.fold(spark.read)(spark.read.schema)
-      reader.parquet(s"$root/$d").filter(predicate)
+      toLogical(reader.parquet(s"$root/$d"), colmap).filter(predicate)
         .select(lit(d).as("__graft_dir")).limit(1)
     }}, Duration.Inf)
     // BOUNDED unions, collected concurrently: a single pairwise
@@ -1352,7 +1528,8 @@ object VersionedStore {
     * One aggregate job over the new dir: O(batch), never O(table). */
   private def statsFor(spark: SparkSession, root: String, dir: String,
                        cols: Seq[String], forceRows: Boolean = false,
-                       schemaDdl: Option[String] = None): Map[String, String] = {
+                       schemaDdl: Option[String] = None,
+                       colmap: Map[String, String] = Map.empty): Map[String, String] = {
     if (cols.isEmpty && !forceRows) return Map.empty
     require(cols.forall(c => !c.contains("|")),
       s"stats column names must not contain '|': ${cols.mkString(",")}")
@@ -1360,10 +1537,12 @@ object VersionedStore {
     // just-merged DDL) spares this read its schema-inference job — the
     // VALUES still come from the committed bytes. An empty write can
     // leave nothing to read (AQE may emit zero partitions) — that IS
-    // the zero-row answer forceRows callers want.
-    val reader = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    // the zero-row answer forceRows callers want. Dirs hold PHYSICAL
+    // names; stats record under the LOGICAL names of this commit.
+    val reader = schemaDdl
+      .map(d => org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
       .fold(spark.read)(spark.read.schema)
-    val df = try reader.parquet(s"$root/$dir")
+    val df = try toLogical(reader.parquet(s"$root/$dir"), colmap)
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return Map(s"$dir|#|rows" -> "0") }
     val missing = cols.filterNot(df.columns.contains)
@@ -1402,15 +1581,17 @@ object VersionedStore {
     * callers read its row count as 0 via `get(...).forall`. */
   private def statsForDirs(spark: SparkSession, root: String, dirs: Seq[String],
                            cols: Seq[String],
-                           schemaDdl: Option[String]): Map[String, String] = {
+                           schemaDdl: Option[String],
+                           colmap: Map[String, String] = Map.empty): Map[String, String] = {
     if (dirs.isEmpty) return Map.empty
     require(cols.forall(c => !c.contains("|")),
       s"stats column names must not contain '|': ${cols.mkString(",")}")
     import org.apache.spark.sql.functions.{col => c, count, lit, min, max, when}
-    val reader = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    val reader = schemaDdl
+      .map(d => org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
       .fold(spark.read)(spark.read.schema)
     val legs = dirs.map { d =>
-      val df = try Some(reader.parquet(s"$root/$d"))
+      val df = try Some(toLogical(reader.parquet(s"$root/$d"), colmap))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       df.map(_.withColumn("__graft_stats_dir", lit(d)))
     }.flatten
