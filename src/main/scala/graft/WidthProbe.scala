@@ -64,9 +64,10 @@ object WidthProbe {
       .filter(_.getName.startsWith("data-")).head
     val part = realDir.listFiles().filter(_.getName.endsWith(".parquet")).head
 
-    // n synthetic dirs (hard links — 2 inodes each, no data copied) with
-    // synthesized per-dir stats: dir i holds key i exactly. The stats
-    // are what plan/count read; the bytes behind them are the template's.
+    // n synthetic dirs (the ~1 KB template COPIED per dir — hard links
+    // hit ext4's 65k-links-per-inode cap at this width) with synthesized
+    // per-dir stats: dir i holds key i exactly. The stats are what
+    // plan/count read; the bytes behind them are the template's.
     val synthDirs = (1 to n).map(i => f"data-synth-$i%07d")
     val stats = scala.collection.mutable.Map.empty[String, String]
     // the carried template needs its stats re-stated on the full
@@ -79,7 +80,7 @@ object WidthProbe {
       val i = idx + 1
       val dir = java.nio.file.Paths.get(root, d)
       java.nio.file.Files.createDirectory(dir)
-      java.nio.file.Files.createLink(dir.resolve(part.getName), part.toPath)
+      java.nio.file.Files.copy(part.toPath, dir.resolve(part.getName))
       stats ++= Seq(
         s"$d|k|min" -> i.toString, s"$d|k|max" -> i.toString,
         s"$d|k|typ" -> "long", s"$d|k|nulls" -> "0", s"$d|#|rows" -> "1")

@@ -1811,12 +1811,18 @@ object VersionedStore {
       """"dataDir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
         .getOrElse(throw new IllegalStateException(
           s"manifest $v of $root has no dataDir")).group(1)
-    private def dirArray(field: String): Seq[String] =
-      ("\"" + field + """":\s*\[([^\]]*)\]""").r.findFirstMatchIn(body) match {
-        case Some(m) => """"((?:[^"\\]|\\.)+)"""".r.findAllMatchIn(m.group(1))
-          .map(g => unescape(g.group(1))).toSeq
-        case None => Seq.empty
-      }
+    private def dirArray(field: String): Seq[String] = {
+      val tag = "\"" + field + "\":"
+      val at = body.indexOf(tag)
+      if (at < 0) return Seq.empty
+      val open = body.indexOf('[', at + tag.length)
+      if (open < 0 ||
+          !body.substring(at + tag.length, open).forall(_.isWhitespace))
+        return Seq.empty
+      val close = body.indexOf(']', open)
+      if (close < 0) Seq.empty
+      else scanQuoted(body, open + 1, close).toSeq
+    }
     lazy val dataDirs: Seq[String] = dirArray("dataDirs")
     /** LOG-SEGMENT fields (delta manifests only — see [[publishDelta]]):
       * `base` names the version this commit's state derives from (always
@@ -2027,14 +2033,61 @@ object VersionedStore {
   def schemaAt(spark: SparkSession, root: String, version: Long): Option[String] =
     schemaOf(fs(spark, root), root, version)
 
+  private val UnescapePat = """\\(u[0-9a-fA-F]{4}|.)""".r
+
+  /** All quoted strings of `s` within [from, until), by hand scan — the
+    * per-ENTRY parser for manifest/checkpoint fields. A 10⁵-dir
+    * checkpoint holds ~5×10⁵ stats entries; a regex engine invocation
+    * per entry put the cold fresh-reader plan at seconds (the
+    * WidthProbe's 10⁵ leg), where this single in-place pass runs the
+    * same 20 MB in tens of milliseconds. jsString escapes quotes and
+    * braces, so a bare '"' always delimits. */
+  private def scanQuoted(s: String, from: Int, until: Int): Iterator[String] =
+    new Iterator[String] {
+      private var i = s.indexOf('"', from)
+      def hasNext: Boolean = i >= 0 && i < until
+      def next(): String = {
+        var j = i + 1
+        while (j < until && s.charAt(j) != '"') {
+          if (s.charAt(j) == '\\') j += 2 else j += 1
+        }
+        val out = unescape(s.substring(i + 1, math.min(j, until)))
+        i = s.indexOf('"', j + 1)
+        out
+      }
+    }
+
+  /** Locate `"<field>": {...}` in `body` as [contentStart, contentEnd) —
+    * indexOf-based (the writers emit exactly this shape; values escape
+    * every brace, so the first '}' closes the object). */
+  private def flatObjectBounds(body: String, field: String): Option[(Int, Int)] = {
+    val tag = "\"" + field + "\":"
+    val at = body.indexOf(tag)
+    if (at < 0) return None
+    val open = body.indexOf('{', at + tag.length)
+    if (open < 0) return None
+    // only whitespace may sit between the colon and the brace — anything
+    // else means the field's value isn't an object (defensive)
+    if (!body.substring(at + tag.length, open).forall(_.isWhitespace)) return None
+    val close = body.indexOf('}', open)
+    if (close < 0) None else Some((open + 1, close))
+  }
+
   private def flatObjectOf(body: String, field: String): Map[String, String] =
-    (("\"" + field + """":\s*\{([^}]*)\}""").r.findFirstMatchIn(body) match {
+    flatObjectBounds(body, field) match {
       case None => Map.empty[String, String]
-      case Some(m) =>
-        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-          .findAllMatchIn(m.group(1))
-          .map(g => unescape(g.group(1)) -> unescape(g.group(2))).toMap
-    })
+      case Some((from, until)) =>
+        // entries are `"k": "v"` pairs — the quoted strings alternate
+        // key, value (jsString guarantees no unescaped quote or brace
+        // inside either), so pairing the scan IS the parse
+        val it = scanQuoted(body, from, until)
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val k = it.next()
+          if (it.hasNext) b += (k -> it.next())
+        }
+        b.result()
+    }
 
   /** JSON string literal with braces escaped too (legal JSON \u escapes)
     * so the regex-based manifest parser can bound flat objects with
@@ -2050,7 +2103,10 @@ object VersionedStore {
     } + "\""
 
   private def unescape(s: String): String =
-    """\\(u[0-9a-fA-F]{4}|.)""".r.replaceAllIn(s, m => {
+    // fast path: virtually every key/value has no escapes — one indexOf
+    // beats a regex engine invocation a million times over at width
+    if (s.indexOf('\\') < 0) s
+    else UnescapePat.replaceAllIn(s, m => {
       val g = m.group(1)
       java.util.regex.Matcher.quoteReplacement(
         if (g.startsWith("u")) Integer.parseInt(g.drop(1), 16).toChar.toString else g)
