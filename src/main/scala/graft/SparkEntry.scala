@@ -1025,6 +1025,53 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // ROW-LEVEL CHANGE DATA FEED over the versioned store — the Delta
+    // CDF / table_changes surface (VersionedStore.readRowChanges),
+    // COMPUTED from the log: the updated-events store's 10 appends emit
+    // their rows as inserts at their commit versions (each read
+    // shuffle-free from its own dir), and the UPDATE at v11 emits exact
+    // update_preimage/update_postimage pairs from the one touched dir's
+    // rewrite — O(rewrite), never O(table). Oracle: DuckDB reconstructs
+    // the same feed from flat events (append version = day bucket / 3;
+    // pre/post = the update predicate's rows before/after SET), with
+    // value-unchanged rows excluded on both sides — a computed multiset
+    // feed is blind to a row the UPDATE mapped to itself, by definition.
+    "versioned_cdf_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureUpdatedEventsStore(s, dir)
+      VersionedStore.readRowChanges(s, p, 0L).get
+        .groupBy(col("_commit_version"), col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"))
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
+    // DATA SOURCE surface over the versioned store — the same skipping
+    // seam as versioned_skip_read but through Spark's OWN planner:
+    // spark.read.format("graftstore") builds a HadoopFsRelation over the
+    // manifest-backed GraftFileIndex (the public Delta/Tahoe shape), the
+    // analyzer pushes the day predicate into FileIndex.listFiles, and
+    // the require gates the PHYSICAL scan's numFiles metric — pruning
+    // proven end-to-end through the SQL stack, not by calling the
+    // store's API. Values oracle-checked against flat events: the
+    // connector is an access path, never a filter.
+    "versioned_dsv2_read" -> ((s, dir) => {
+      val p = ensureVersionedEventsStore(s, dir)
+      val base = s.read.format("graftstore").load(p)
+      val day = base.filter(col("day") === lit("2024-01-20").cast("date"))
+      val plan = day.queryExecution.executedPlan
+      plan.execute().count() // materialize THIS plan so its metrics read
+      val opened = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value }.sum
+      val total = base.inputFiles.length
+      require(opened > 0 && opened < total,
+        s"graftstore scan must data-skip: opened $opened of $total files")
+      day.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"))
+        .orderBy("event_type")
+    }),
     // METADATA-ONLY COUNT over the versioned store — the Iceberg
     // "answer from the manifest" seam (VersionedStore.countWhere): a
     // day range aligned on the store's 3-day append boundaries is
@@ -2991,6 +3038,36 @@ object SparkEntry {
         | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q,
         | count(DISTINCT user_id) AS n_users
         |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_cdf_read" ->
+      """WITH base AS (
+        | SELECT event_type, value, CAST(ts AS DATE) AS day,
+        |        CAST(1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 3 AS BIGINT) AS v
+        | FROM events),
+        |touched AS (
+        | SELECT * FROM base
+        | WHERE event_type = 'click' AND day = DATE '2024-01-14'
+        |   AND value * 3 <> value),
+        |feed AS (
+        | SELECT v AS _commit_version, 'insert' AS _change_type, event_type,
+        |        count(*) AS n_rows,
+        |        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q
+        | FROM base GROUP BY 1, 3
+        | UNION ALL
+        | SELECT CAST(11 AS BIGINT), 'update_preimage', event_type, count(*),
+        |        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        | FROM touched GROUP BY 3
+        | UNION ALL
+        | SELECT CAST(11 AS BIGINT), 'update_postimage', event_type, count(*),
+        |        CAST(sum(CAST(floor(value * 3 * 1000) AS BIGINT)) AS BIGINT)
+        | FROM touched GROUP BY 3)
+        |SELECT * FROM feed
+        |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
+    "versioned_dsv2_read" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-20'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_count_meta" ->
       """SELECT

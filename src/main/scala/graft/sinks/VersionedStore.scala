@@ -86,7 +86,7 @@ object VersionedStore {
     * library in the JVM shares — would starve its other users at 10⁴
     * dirs. Sized to useful FS parallelism (not dir count: excess tasks
     * queue), daemon threads so the JVM never hangs on exit. */
-  private lazy val ioPool: scala.concurrent.ExecutionContext =
+  private[graft] lazy val ioPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
         math.min(64, math.max(8, Runtime.getRuntime.availableProcessors * 2)),
@@ -414,6 +414,27 @@ object VersionedStore {
     if (skip.isEmpty) all else pruneWithStats(all, statsOf(f, root, version), skip)
   }
 
+  /** Read-surface snapshot for the relation provider
+    * ([[graft.sources.GraftStoreSource]]): the resolved version, its
+    * data dirs, the recorded logical schema DDL, and the
+    * logical→physical column map — everything a `FileIndex` needs to
+    * plan a scan, resolved ONCE at relation construction (the manifest
+    * chain is never re-walked per filter; [[prunedDirs]] serves the
+    * per-query skipping from the parsed-state caches). */
+  private[graft] def relationSnapshot(spark: SparkSession, root: String,
+                                      versionAsOf: Option[Long])
+      : (Long, Seq[String], Option[String], Map[String, String]) = {
+    val f = fs(spark, root)
+    val v = versionAsOf.getOrElse(currentVersion(spark, root))
+    require(v > 0,
+      if (versionAsOf.isDefined) s"versions of $root start at 1, got $v"
+      else s"$root is empty (no committed version)")
+    if (versionAsOf.isDefined && !f.exists(manifestPath(root, v)))
+      throw new IllegalArgumentException(
+        s"version $v of $root does not exist (never committed, or expired)")
+    (v, dataDirsOf(f, root, v), schemaOf(f, root, v), colmapOf(f, root, v))
+  }
+
   /** Keep the dirs whose recorded [min, max] can overlap EVERY requested
     * range; a dir lacking stats for a range's column is always kept.
     * Comparison is TYPED via the recorded stat type — never lexical on
@@ -506,6 +527,119 @@ object VersionedStore {
     val (av, bv) = (align(a), align(b))
     bv.exceptAll(av).withColumn("__change", lit("insert"))
       .unionByName(av.exceptAll(bv).withColumn("__change", lit("delete")))
+  }
+
+  /** Row-level CHANGE DATA FEED across (sinceVersion, toVersion] — the
+    * Delta CDF / `table_changes` surface, COMPUTED from the log instead
+    * of persisted at write time: each version step contributes its exact
+    * multiset row delta as (row, `_change_type`, `_commit_version`),
+    * `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage.
+    *
+    * Cost is the reason this scales where [[diff]] doesn't have to: an
+    * APPEND step reads ONLY its added dirs (O(batch), zero shuffles —
+    * its rows are inserts by construction); a DML step reads only its
+    * touched dirs — the removed originals vs their rewrites — and pays
+    * two exceptAll shuffles over that slice (O(rewrite), never
+    * O(table)); an OPTIMIZE step is skipped without opening data (its
+    * rewrite is row-exact by contract, recognized by the manifest
+    * marker); a full-snapshot step (compaction, restore) diffs only the
+    * dirs that changed hands between the two states. UPDATE steps label
+    * their delta preimage/postimage — exact, because UPDATE neither adds
+    * nor removes rows, so the rewrite's multiset delta IS the updated
+    * row set on both sides. MERGE deltas stay insert/delete: a computed
+    * feed cannot pair a matched rewrite with its source row without
+    * write-time capture (Delta persists change files at commit for
+    * exactly this reason); the multiset is still exact.
+    *
+    * Renames resolve through PHYSICAL names — each step reads under its
+    * own column map, then aligns to `toVersion`'s logical schema — so a
+    * feed spanning a rename reports every row under the CURRENT names.
+    * Schema evolution aligns the same way (missing columns read as NULL
+    * of the target type; widened columns cast losslessly). An expired
+    * version inside the range throws, same contract as [[readChanges]].
+    * Returns None when the range contributes nothing. */
+  def readRowChanges(spark: SparkSession, root: String, sinceVersion: Long,
+                     toVersion: Long = -1L): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    import org.apache.spark.sql.types.StructType
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root)
+    val to = if (toVersion < 0) cur else toVersion
+    if (toVersion >= 0 && toVersion > cur)
+      throw new IllegalArgumentException(
+        s"version $toVersion of $root does not exist (never committed, or expired)")
+    require(sinceVersion >= 0 && sinceVersion <= to,
+      s"need 0 <= sinceVersion <= toVersion, got $sinceVersion..$to")
+    if (sinceVersion == to) return None
+    ((sinceVersion max 1L) to to).foreach { v =>
+      if (!f.exists(manifestPath(root, v)))
+        throw new IllegalStateException(
+          s"version $v of $root has been expired; row-level changes are " +
+            "unavailable — read the full table and re-checkpoint")
+    }
+    val toSchema = StructType.fromDDL(schemaOf(f, root, to).getOrElse(
+      throw new IllegalStateException(
+        s"$root records no schema at version $to — written before schema " +
+          "recording; row-level changes need the recorded schema")))
+    require(!toSchema.fieldNames.exists(n =>
+        n == "_change_type" || n == "_commit_version"),
+      s"the CDF reserves _change_type/_commit_version; $root's schema uses one")
+    val toMap = colmapOf(f, root, to)
+    // Align a step frame (logical names of ITS version) to toVersion's
+    // logical schema, connecting the two through the stable physical
+    // names so a rename between v and to cannot NULL the column out.
+    def align(df: DataFrame, vMap: Map[String, String]): DataFrame = {
+      val revV = vMap.map(_.swap)
+      df.select(toSchema.fields.toSeq.map { fd =>
+        val phys = toMap.getOrElse(fd.name, fd.name)
+        val atV = revV.getOrElse(phys, phys)
+        if (df.columns.contains(atV)) c(atV).cast(fd.dataType).as(fd.name)
+        else lit(null).cast(fd.dataType).as(fd.name)
+      }: _*)
+    }
+    val steps = ((sinceVersion + 1) to to).flatMap { v =>
+      val pm = parsedManifest(f, root, v)
+      if (pm.meta.contains("optimize")) Seq.empty
+      else {
+        val (added, removed) =
+          if (pm.base.isDefined) (pm.addDirs, pm.removedDirs)
+          else {
+            val prev =
+              if (v == 1) Seq.empty[String] else dataDirsOf(f, root, v - 1)
+            val now = fullDirs(pm)
+            val (ps, ns) = (prev.toSet, now.toSet)
+            (now.filterNot(ps), prev.filterNot(ns))
+          }
+        val schemaV = schemaOf(f, root, v)
+        val mapV = colmapOf(f, root, v)
+        def side(dirs: Seq[String]): Option[DataFrame] =
+          if (dirs.isEmpty) None
+          else Some(align(readDirs(spark, root, dirs, allDirs = dirs,
+            schemaDdl = schemaV, colmap = mapV), mapV))
+        val (insTag, delTag) =
+          if (pm.meta.contains("update")) ("update_postimage", "update_preimage")
+          else ("insert", "delete")
+        val (oldDf, newDf) = (side(removed), side(added))
+        val ins = (oldDf, newDf) match {
+          case (None, Some(n))    => Some(n) // pure append: no shuffle
+          case (Some(o), Some(n)) => Some(n.exceptAll(o))
+          case _                  => None
+        }
+        val del = (oldDf, newDf) match {
+          case (Some(o), None)    => Some(o)
+          case (Some(o), Some(n)) => Some(o.exceptAll(n))
+          case _                  => None
+        }
+        (ins.map(_.withColumn("_change_type", lit(insTag))) ++
+          del.map(_.withColumn("_change_type", lit(delTag))))
+          .map(_.withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (steps.isEmpty) None
+    else Some(steps.grouped(64).toSeq
+      .map(_.reduce(_.unionByName(_)))
+      .reduce(_.unionByName(_)))
   }
 
   /** Snapshot retention (`expire_snapshots`): drop all but the newest

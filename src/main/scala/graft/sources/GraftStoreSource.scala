@@ -1,0 +1,324 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, BoundReference, Cast, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal,
+  Predicate => CatalystPredicate}
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter,
+  PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.sinks.VersionedStore
+import graft.sinks.VersionedStore.ColRange
+
+/** `spark.read.format("graftstore")` / `df.write.format("graftstore")` —
+  * the [[graft.sinks.VersionedStore]] as a first-class Spark data source,
+  * so the tables the reference serves from its store (the upserted
+  * leaderboards and daily snapshots of `lib/src/etl.dart:271,:351-358`)
+  * are reachable from plain `spark.sql` without importing this library's
+  * API: `CREATE TABLE t USING graftstore OPTIONS (path '...')` then any
+  * SQL over it, with manifest-stats data skipping applied to pushed
+  * filters.
+  *
+  * Architecture is the public Delta Lake move, not DSv2-for-its-own-sake:
+  * Delta's path reads also enter through a V1 `RelationProvider` whose
+  * relation is a `HadoopFsRelation` over a LOG-BACKED `FileIndex`
+  * (Delta's `TahoeLogFileIndex`), because that is the seam where ALL of
+  * Spark's file-source machinery — vectorized parquet readers, row-group
+  * predicate pushdown, whole-stage codegen, partition pruning, AQE —
+  * comes for free, and only file LISTING is replaced by the transaction
+  * log. [[GraftFileIndex]] is that piece: `listFiles` receives the
+  * pushed partition+data filters as Catalyst expressions, converts the
+  * simple comparisons to [[VersionedStore.ColRange]]s, and lets the
+  * manifest's per-dir min/max stats skip whole data dirs before a single
+  * parquet footer is opened. Skipping is an optimization, never a
+  * filter: unconvertible predicates keep every dir, and Spark re-applies
+  * every filter above the scan regardless.
+  *
+  * At 100 TB this is the difference between "a point read opens two
+  * dirs" and "a point read lists the table": the same dir-granular
+  * skipping [[VersionedStore.readAt]] does for API users, surfaced to
+  * every SQL/BI consumer of the session. Time travel rides an option
+  * (`versionAsOf`), writes map `SaveMode.Append`/`Overwrite` onto the
+  * store's transactional commits, and a column-mapped store (one that
+  * has seen [[VersionedStore.renameColumn]]) falls back to a row-based
+  * relation that reads through the store's own alias layer — correct
+  * first, vectorized where the physical names allow it. */
+final class GraftStoreSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftstore"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graftstore requires a path: .load(root) or OPTIONS (path '...')"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val versionAsOf = parameters.get("versionAsOf").map(_.trim.toLong)
+    val (v, dirs, ddlOpt, colmap) =
+      VersionedStore.relationSnapshot(spark, root, versionAsOf)
+    val ddl = ddlOpt.getOrElse(throw new IllegalArgumentException(
+      s"$root records no schema (written before schema recording) — " +
+        "read it via VersionedStore.readAt"))
+    val logical = StructType.fromDDL(ddl)
+    if (colmap.nonEmpty)
+      // Rename-mapped store: physical parquet names differ from logical
+      // ones, and HadoopFsRelation has no alias layer — delegate to the
+      // store's own read path (which requests physical schemas per dir
+      // and aliases back). Row-based, so slower than the vectorized
+      // path, but stats skipping still applies through the pushed
+      // filters; the unrenamed common case never pays this.
+      new GraftStoreRowRelation(spark, root, v, logical)
+    else {
+      val index = new GraftFileIndex(spark, root, v, dirs, logical)
+      HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+        bucketSpec = None, new ParquetFileFormat, Map.empty)(spark)
+    }
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.Dataset[Row]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val statsCols = parameters.get("statsCols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
+    val exists = VersionedStore.currentVersion(spark, root) > 0
+    mode match {
+      case SaveMode.Append =>
+        VersionedStore.commitAppend(data.toDF(), root,
+          statsCols = statsCols, mergeSchema = mergeSchema)
+      case SaveMode.Overwrite =>
+        VersionedStore.commit(data.toDF(), root, statsCols = statsCols)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"$root already holds a committed version and mode is ErrorIfExists")
+        VersionedStore.commit(data.toDF(), root, statsCols = statsCols)
+      case SaveMode.Ignore =>
+        if (!exists)
+          VersionedStore.commit(data.toDF(), root, statsCols = statsCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+object GraftStoreSource {
+
+  /** Split a conjunction into its conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** A literal rendered in the stats' external string form — via the
+    * SAME `Cast(_, StringType)` the stats aggregation uses
+    * (`min(col).cast("string")`), so a pushed `day = DATE'2024-01-15'`
+    * compares against recorded min/max in an identical serialization
+    * (dates as `2024-01-15`, timestamps in session-zone cast form,
+    * numerics as plain digits). NULL literals convert to no bound (the
+    * dir is kept; NULL never matches a comparison anyway). */
+  private def statForm(l: Literal): Option[String] =
+    if (l.value == null) None
+    else Option(Cast(l, StringType, Some(SQLConf.get.sessionLocalTimeZone))
+      .eval(InternalRow.empty)).map(_.toString)
+
+  /** The manifest-skippable ranges implied by pushed Catalyst filters:
+    * bare-attribute-vs-literal comparisons only. Cast-wrapped attributes
+    * are deliberately NOT matched — a cast can reorder values (int cast
+    * to string compares lexically) and a wrong skip is a wrong answer;
+    * the analyzer folds literal-side casts, so same-type comparisons
+    * (the common case after analysis) arrive bare. */
+  private[sources] def toColRanges(filters: Seq[Expression]): Seq[ColRange] =
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        statForm(l).map(v => ColRange(a.name, Some(v), Some(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        statForm(l).map(v => ColRange(a.name, Some(v), Some(v)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        statForm(l).map(v => ColRange(a.name, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        statForm(l).map(v => ColRange(a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        statForm(l).map(v => ColRange(a.name, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        statForm(l).map(v => ColRange(a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        statForm(l).map(v => ColRange(a.name, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        statForm(l).map(v => ColRange(a.name, None, Some(v)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        statForm(l).map(v => ColRange(a.name, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        statForm(l).map(v => ColRange(a.name, Some(v), None))
+      case _ => None
+    }
+
+  /** V1 `sources.Filter` edition of [[toColRanges]] (the rename-fallback
+    * relation receives these instead of Catalyst expressions). Values
+    * arrive as external Scala types; `Literal(_)` + the shared
+    * [[statForm]] keeps the serialization identical. */
+  private[sources] def toColRangesV1(filters: Seq[Filter]): Seq[ColRange] = {
+    import org.apache.spark.sql.{sources => f1}
+    def form(v: Any): Option[String] =
+      try statForm(Literal(v)) catch { case _: Throwable => None }
+    filters.flatMap {
+      case f1.EqualTo(c, v)            => form(v).map(s => ColRange(c, Some(s), Some(s)))
+      case f1.GreaterThan(c, v)        => form(v).map(s => ColRange(c, Some(s), None))
+      case f1.GreaterThanOrEqual(c, v) => form(v).map(s => ColRange(c, Some(s), None))
+      case f1.LessThan(c, v)           => form(v).map(s => ColRange(c, None, Some(s)))
+      case f1.LessThanOrEqual(c, v)    => form(v).map(s => ColRange(c, None, Some(s)))
+      case f1.And(l, r)                => toColRangesV1(Seq(l)) ++ toColRangesV1(Seq(r))
+      case _                           => None
+    }
+  }
+}
+
+/** The transaction-log-backed `FileIndex` (the `TahoeLogFileIndex` role):
+  * file listing comes from the manifest's data-dir set — resolved once,
+  * at construction, for one immutable version — and `listFiles` prunes
+  * whole dirs through the manifest's per-dir column stats before
+  * touching the filesystem beyond the initial listing. Partition
+  * discovery: the store's write path hive-partitions a dir by `day=`
+  * when the frame carries a `day` column ([[VersionedStore]] prepare),
+  * so first-level `col=value` subdirs surface as a partition column with
+  * exact per-value pruning; dirs written without the column contribute a
+  * NULL partition value (the same read-as-NULL semantics the store's own
+  * reader gives schema-evolved dirs). */
+final class GraftFileIndex(spark: SparkSession, root: String,
+                           val version: Long, dirs: Seq[String],
+                           fullSchema: StructType) extends FileIndex {
+  import GraftStoreSource.toColRanges
+
+  /** (data dir, partition column→value if hive-partitioned, files) —
+    * one entry per (dir, partition value). Listed concurrently on the
+    * store's bounded IO pool: at 10⁴ dirs a sequential listing is a
+    * linear driver stall (the same term readDirs measured and fixed). */
+  private val listing: Seq[(String, Option[(String, String)], Seq[FileStatus])] = {
+    val f = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(sts: Seq[FileStatus]): Seq[FileStatus] =
+      sts.filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = VersionedStore.ioPool
+    Await.result(Future.traverse(dirs.toList) { d => Future {
+      val st = f.listStatus(new Path(s"$root/$d")).toSeq
+      val (partDirs, rest) = st.partition(s =>
+        s.isDirectory && s.getPath.getName.contains('='))
+      val plain = dataFiles(rest)
+      val base =
+        if (plain.isEmpty) Seq.empty
+        else Seq((d, Option.empty[(String, String)], plain))
+      base ++ partDirs.map { pd =>
+        val Array(k, v) = pd.getPath.getName.split("=", 2)
+        val inner = f.listStatus(pd.getPath).toSeq
+        require(!inner.exists(s => s.isDirectory && s.getPath.getName.contains('=')),
+          s"graftstore supports one partition level; nested partition dirs under ${pd.getPath}")
+        (d, Some((k, unescapePath(v))), dataFiles(inner))
+      }
+    }}, Duration.Inf).flatten
+  }
+
+  private def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** 0 or 1 partition columns (the write path partitions by `day` only). */
+  private val partCols: Seq[String] = listing.flatMap(_._2.map(_._1)).distinct
+
+  override val partitionSchema: StructType =
+    StructType(fullSchema.filter(f => partCols.contains(f.name)))
+
+  /** The schema physically inside the parquet files. */
+  val dataSchema: StructType =
+    StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
+
+  /** A partition value string as the typed InternalRow the scan carries —
+    * through `Cast(string literal, partition type)`, the exact coercion
+    * Spark's own partition inference applies. */
+  private def partRow(v: Option[(String, String)]): InternalRow =
+    if (partitionSchema.isEmpty) InternalRow.empty
+    else InternalRow(v.map { case (_, s) =>
+      Cast(Literal(s), partitionSchema.head.dataType,
+        Some(SQLConf.get.sessionLocalTimeZone)).eval(InternalRow.empty)
+    }.orNull)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // Dir-level manifest-stats skipping on EVERY pushed comparison —
+    // partition or data column alike (the stats record both).
+    val ranges = toColRanges(partitionFilters ++ dataFilters)
+    val kept =
+      if (ranges.isEmpty) listing
+      else {
+        val keep = VersionedStore.prunedDirs(spark, root, version, ranges).toSet
+        listing.filter(e => keep(e._1))
+      }
+    // Exact partition pruning on the hive values (finer than dir stats
+    // when one dir spans several days): evaluate the pushed partition
+    // predicates against each partition row, Spark-semantics included
+    // (a NULL value fails a comparison, matches IS NULL).
+    val pruned = {
+      val usable = partitionFilters.filter(f =>
+        f.deterministic && f.references.forall(a => partCols.contains(a.name)))
+      if (usable.isEmpty || partitionSchema.isEmpty) kept
+      else {
+        val bound = usable.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        }
+        val pred = CatalystPredicate.createInterpreted(bound)
+        kept.filter(e => pred.eval(partRow(e._2)))
+      }
+    }
+    pruned.map { case (_, pv, files) =>
+      PartitionDirectory(partRow(pv), files.toArray)
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    listing.flatMap(_._3.map(_.getPath.toString)).toArray
+
+  override def refresh(): Unit = ()  // one immutable version — nothing to refresh
+
+  override def sizeInBytes: Long = listing.flatMap(_._3.map(_.getLen)).sum
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+}
+
+/** Rename-fallback relation: a column-mapped store reads through
+  * [[VersionedStore.readAt]] (physical-name requests + logical aliasing)
+  * instead of a raw `HadoopFsRelation`. `PrunedFilteredScan`, so column
+  * pruning and stats skipping still apply; `unhandledFilters` stays the
+  * default (everything), so Spark re-applies each predicate above the
+  * scan and skipping remains an optimization, never a filter. */
+final class GraftStoreRowRelation(spark: SparkSession, root: String,
+                                  version: Long,
+                                  override val schema: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val ranges = GraftStoreSource.toColRangesV1(filters.toSeq)
+    val df = VersionedStore.readAt(spark, root, version, ranges)
+    df.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.VersionedStore
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.{col, lit, to_date}
+import org.apache.spark.sql.types.{DateType, LongType}
+
+/** The `graftstore` data source (GraftStoreSource): VersionedStore as a
+  * first-class `spark.read.format` / `df.write.format` / `CREATE TABLE
+  * USING` citizen. The gates that matter: (1) a pushed filter must reach
+  * GraftFileIndex and SKIP dirs — asserted on the physical scan's file
+  * count, end-to-end through the analyzer, never by calling the index
+  * directly; (2) skipping is an optimization, never a filter — every
+  * result is value-checked against the store's own read path; (3) time
+  * travel, schema evolution (added + widened columns), and column
+  * mapping all read correctly through the format. */
+class GraftStoreSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-dsrc").toString
+
+  /** 3 day-partitioned appends (days 1..3), stats on day + v. */
+  private def dayStore(): String = {
+    val root = tmp()
+    (1 to 3).foreach { d =>
+      Seq((d.toLong, d * 10L, s"2024-01-0$d"))
+        .toDF("id", "v", "day")
+        .withColumn("day", to_date(col("day")))
+        .write.format("graftstore")
+        .option("statsCols", "day,v")
+        .mode(SaveMode.Append).save(root)
+    }
+    root
+  }
+
+  /** Files the physical plan actually scanned. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec (HadoopFsRelation path)")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("write.format appends commit transactionally; read.format round-trips") {
+    val root = dayStore()
+    assert(VersionedStore.currentVersion(spark, root) === 3)
+    val out = spark.read.format("graftstore").load(root)
+    assert(out.schema("day").dataType === DateType)
+    assert(out.schema("v").dataType === LongType)
+    assert(out.orderBy("id").select("id", "v").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("pushed day filter skips dirs: the scan opens strictly fewer files") {
+    val root = dayStore()
+    val all = spark.read.format("graftstore").load(root)
+    val total = scannedFiles(all)
+    val one = spark.read.format("graftstore").load(root)
+      .filter(col("day") === lit("2024-01-02").cast("date"))
+    val opened = scannedFiles(one)
+    assert(opened < total, s"day filter must skip dirs: opened $opened of $total")
+    assert(one.select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("pushed range filter on a DATA column (v) skips through manifest stats") {
+    val root = dayStore()
+    val hi = spark.read.format("graftstore").load(root).filter(col("v") >= 25L)
+    val opened = scannedFiles(hi)
+    val total = scannedFiles(spark.read.format("graftstore").load(root))
+    assert(opened < total, s"v >= 25 must skip the v<=20 dirs: opened $opened of $total")
+    assert(hi.select("id").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("versionAsOf time travel reads the pinned snapshot") {
+    val root = dayStore()
+    val v2 = spark.read.format("graftstore").option("versionAsOf", "2").load(root)
+    assert(v2.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftstore").option("versionAsOf", "99").load(root)
+    }
+  }
+
+  test("SQL surface: CREATE TABLE USING graftstore, predicated SELECT") {
+    val root = dayStore()
+    spark.sql("DROP TABLE IF EXISTS gsrc_events")
+    spark.sql(s"CREATE TABLE gsrc_events USING graftstore OPTIONS (path '$root')")
+    try {
+      val got = spark.sql(
+        "SELECT id, v FROM gsrc_events WHERE day = DATE'2024-01-03'")
+      assert(got.as[(Long, Long)].collect().toSeq === Seq((3L, 30L)))
+    } finally spark.sql("DROP TABLE IF EXISTS gsrc_events")
+  }
+
+  test("SaveMode semantics: ErrorIfExists throws, Ignore no-ops, Overwrite snapshots") {
+    val root = tmp()
+    Seq((1L, "a")).toDF("id", "s").write.format("graftstore").mode(SaveMode.Append).save(root)
+    intercept[IllegalStateException] {
+      Seq((2L, "b")).toDF("id", "s").write.format("graftstore")
+        .mode(SaveMode.ErrorIfExists).save(root)
+    }
+    Seq((3L, "c")).toDF("id", "s").write.format("graftstore")
+      .mode(SaveMode.Ignore).save(root)
+    assert(spark.read.format("graftstore").load(root)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+    Seq((9L, "z")).toDF("id", "s").write.format("graftstore")
+      .mode(SaveMode.Overwrite).save(root)
+    assert(spark.read.format("graftstore").load(root)
+      .select("id").as[Long].collect().toSeq === Seq(9L))
+    // overwrite is a new VERSION, not an erase — v1 still time-travels
+    assert(spark.read.format("graftstore").option("versionAsOf", "1").load(root)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("schema evolution reads through the format: added column NULL-fills, " +
+       "widened column promotes") {
+    val root = tmp()
+    Seq((1, 1.5f)).toDF("k", "x").write.format("graftstore")
+      .mode(SaveMode.Append).save(root)
+    Seq((3000000000L, 2.5, "new")).toDF("k", "x", "tag")
+      .write.format("graftstore").option("mergeSchema", "true")
+      .mode(SaveMode.Append).save(root)
+    val out = spark.read.format("graftstore").load(root)
+    assert(out.schema("k").dataType === LongType)
+    val rows = out.orderBy("k").select("k", "tag").as[(Long, Option[String])]
+      .collect().toSeq
+    assert(rows === Seq((1L, None), (3000000000L, Some("new"))))
+  }
+
+  test("column-mapped store (post-rename) falls back to the aliasing read path " +
+       "and still answers correctly") {
+    val root = tmp()
+    Seq((1L, 10L)).toDF("id", "val").write.format("graftstore")
+      .option("statsCols", "val").mode(SaveMode.Append).save(root)
+    VersionedStore.renameColumn(spark, root, "val", "value")
+    Seq((2L, 20L)).toDF("id", "value").write.format("graftstore")
+      .option("statsCols", "value").mode(SaveMode.Append).save(root)
+    val out = spark.read.format("graftstore").load(root)
+    assert(out.columns.toSeq.sorted === Seq("id", "value"))
+    assert(out.orderBy("id").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+    // filters and projection still prune/push through the fallback
+    assert(out.filter(col("value") > 15L).select("id").as[Long]
+      .collect().toSeq === Seq(2L))
+  }
+
+  test("non-partitioned store (no day column) reads with an empty partition schema") {
+    val root = tmp()
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").write.format("graftstore")
+      .mode(SaveMode.Append).save(root)
+    val out = spark.read.format("graftstore").load(root)
+    assert(out.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+  }
+}
