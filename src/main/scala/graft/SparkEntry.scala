@@ -1135,6 +1135,28 @@ object SparkEntry {
       q.awaitTermination()
       s.table("graft_cdc_counts").orderBy("event_type")
     }),
+    // ROW-LEVEL CDC STREAM — the readChangeFeed edition of the source
+    // over the UPDATED store (10 appends + an UPDATE): where the
+    // dir-level stream would double-count the rewritten dir's survivors
+    // (or throw), the CDF stream delivers exact row deltas, so the
+    // memory-sink aggregate over the feed matches the same
+    // reconstruction versioned_cdf_read's oracle computes from flat
+    // events. Prices the row-level drain as a live streaming query.
+    "versioned_cdf_stream" -> ((s, dir) => {
+      val p = ensureUpdatedEventsStore(s, dir)
+      val q = s.readStream.format("graft.sources.VersionedCdc")
+        .option("path", p).option("readChangeFeed", "true").load()
+        .groupBy(col("_commit_version"), col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"))
+        .writeStream.format("memory").queryName("graft_cdf_feed")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_cdf_feed")
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
     // CDC-MAINTAINED DERIVED TABLE — the flagship storage-tier loop as a
     // DuckDB-gated query: a base VersionedStore streams through the real
     // VersionedCdc source into a transform and lands in a SECOND
@@ -1935,6 +1957,39 @@ object SparkEntry {
   /** Shared by bm25_topk AND bm25_postings: the stored posting table must
     * reproduce the recompute-from-text answer bit-for-bit, so one oracle
     * gates both paths. */
+
+  /** DuckDB reconstruction of the updated-events store's row-level
+    * change feed (readRowChanges over 10 day-bucketed appends + the v11
+    * UPDATE): append version = 1 + dayOffset/3; pre/postimages are the
+    * update predicate's rows before/after SET, excluding value-unchanged
+    * rows on both sides — a computed multiset feed is blind to a row the
+    * UPDATE mapped to itself, by definition. Gates BOTH the batch read
+    * (versioned_cdf_read) and the live stream (versioned_cdf_stream). */
+  private val CdfFeedSql =
+    """WITH base AS (
+      | SELECT event_type, value, CAST(ts AS DATE) AS day,
+      |        CAST(1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 3 AS BIGINT) AS v
+      | FROM events),
+      |touched AS (
+      | SELECT * FROM base
+      | WHERE event_type = 'click' AND day = DATE '2024-01-14'
+      |   AND value * 3 <> value),
+      |feed AS (
+      | SELECT v AS _commit_version, 'insert' AS _change_type, event_type,
+      |        count(*) AS n_rows,
+      |        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q
+      | FROM base GROUP BY 1, 3
+      | UNION ALL
+      | SELECT CAST(11 AS BIGINT), 'update_preimage', event_type, count(*),
+      |        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      | FROM touched GROUP BY 3
+      | UNION ALL
+      | SELECT CAST(11 AS BIGINT), 'update_postimage', event_type, count(*),
+      |        CAST(sum(CAST(floor(value * 3 * 1000) AS BIGINT)) AS BIGINT)
+      | FROM touched GROUP BY 3)
+      |SELECT * FROM feed
+      |ORDER BY _commit_version, _change_type, event_type""".stripMargin
+
   private val Bm25Sql =
     """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
       |              FROM documents),
@@ -3039,30 +3094,9 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "versioned_cdf_read" ->
-      """WITH base AS (
-        | SELECT event_type, value, CAST(ts AS DATE) AS day,
-        |        CAST(1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 3 AS BIGINT) AS v
-        | FROM events),
-        |touched AS (
-        | SELECT * FROM base
-        | WHERE event_type = 'click' AND day = DATE '2024-01-14'
-        |   AND value * 3 <> value),
-        |feed AS (
-        | SELECT v AS _commit_version, 'insert' AS _change_type, event_type,
-        |        count(*) AS n_rows,
-        |        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q
-        | FROM base GROUP BY 1, 3
-        | UNION ALL
-        | SELECT CAST(11 AS BIGINT), 'update_preimage', event_type, count(*),
-        |        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
-        | FROM touched GROUP BY 3
-        | UNION ALL
-        | SELECT CAST(11 AS BIGINT), 'update_postimage', event_type, count(*),
-        |        CAST(sum(CAST(floor(value * 3 * 1000) AS BIGINT)) AS BIGINT)
-        | FROM touched GROUP BY 3)
-        |SELECT * FROM feed
-        |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
+    "versioned_cdf_read" -> CdfFeedSql,
+    // The live CDF stream delivers the same feed the batch read computes.
+    "versioned_cdf_stream" -> CdfFeedSql,
     "versioned_dsv2_read" ->
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT user_id) AS n_users,

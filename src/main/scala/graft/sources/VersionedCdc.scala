@@ -66,12 +66,22 @@ class VersionedCdc extends StreamSourceProvider with DataSourceRegister with Log
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "versioned-cdc needs .option(\"path\", <store root>)"))
 
+  /** Delta's option name, same semantics: `readChangeFeed = true`
+    * streams ROW-LEVEL deltas (`_change_type`/`_commit_version` appended
+    * to the store schema) via [[VersionedStore.readRowChanges]] — so a
+    * DML or compaction inside an unconsumed range no longer kills the
+    * stream: a DELETE arrives as delete rows a downstream consumer can
+    * subtract, an UPDATE as exact preimage/postimage pairs, and a
+    * row-identical rewrite (OPTIMIZE/compaction) contributes nothing. */
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      VersionedCdc.storeSchema(sqlContext.sparkSession, rootOf(parameters))))
+    (shortName(), schema.getOrElse(VersionedCdc.sourceSchemaFor(
+      sqlContext.sparkSession, rootOf(parameters), cdfOf(parameters))))
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
@@ -83,9 +93,11 @@ class VersionedCdc extends StreamSourceProvider with DataSourceRegister with Log
     val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
     maxVersions.foreach(n => require(n >= 1,
       s"maxVersionsPerBatch must be >= 1, got $n"))
+    val cdf = cdfOf(parameters)
     new VersionedCdcSource(sqlContext.sparkSession, root, start,
-      schema.getOrElse(VersionedCdc.storeSchema(sqlContext.sparkSession, root)),
-      maxVersions)
+      schema.getOrElse(
+        VersionedCdc.sourceSchemaFor(sqlContext.sparkSession, root, cdf)),
+      maxVersions, rowLevel = cdf)
   }
 }
 
@@ -101,6 +113,18 @@ object VersionedCdc {
       "(schema comes from the store; commit once before streaming)")
     VersionedStore.schemaAt(spark, root, v).map(StructType.fromDDL)
       .getOrElse(VersionedStore.readAt(spark, root, v).schema)
+  }
+
+  /** The source's declared schema: the store schema, plus the CDF
+    * columns when row-level mode is on (the Delta CDF column names). */
+  private[graft] def sourceSchemaFor(spark: SparkSession, root: String,
+                                     cdf: Boolean): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val base = storeSchema(spark, root)
+    if (!cdf) base
+    else StructType(base.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
   }
 }
 
@@ -120,7 +144,8 @@ object VersionedCdc {
 private[graft] class VersionedCdcSource(spark: SparkSession, root: String,
                                         startVersion: Long,
                                         override val schema: StructType,
-                                        maxVersionsPerBatch: Option[Long] = None)
+                                        maxVersionsPerBatch: Option[Long] = None,
+                                        rowLevel: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
@@ -206,11 +231,13 @@ private[graft] class VersionedCdcSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val since = start.map(versionOf).getOrElse(startVersion)
     val to = versionOf(end)
-    val changed = VersionedStore.readChanges(spark, root, since, to)
-      .map { df =>
-        val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
-        StreamingFrame.asStreaming(df.select(cols.toSeq: _*))
-      }
+    val changed =
+      (if (rowLevel) VersionedStore.readRowChanges(spark, root, since, to)
+       else VersionedStore.readChanges(spark, root, since, to))
+        .map { df =>
+          val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          StreamingFrame.asStreaming(df.select(cols.toSeq: _*))
+        }
     changed.getOrElse(StreamingFrame.emptyStreaming(spark, schema))
   }
 

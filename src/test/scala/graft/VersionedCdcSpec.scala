@@ -115,6 +115,43 @@ class VersionedCdcSpec extends SparkSpec {
       s"expected the readChanges snapshot-rewrite error, got $err")
   }
 
+  test("readChangeFeed: DML inside the range streams row-level deltas instead " +
+       "of failing, and a row-identical compaction contributes nothing") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmp(); val chk = tmp(); val sinkDir = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0), root)
+    def drain(): Unit = {
+      val q = cdc(root, Map("readChangeFeed" -> "true")).writeStream
+        .format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(sinkDir)
+    assert(first.columns.contains("_change_type"))
+    assert(first.select("_change_type").as[String].collect().toSeq ===
+      Seq("insert", "insert"))
+    // DML while the stream is down: the resumed CDF stream delivers the
+    // exact row deltas — where the dir-level stream would have replayed
+    // whole rewritten dirs (double-counting survivors) or thrown.
+    VersionedStore.updateWhere(spark, root, col("user_id") === 2L,
+      set = Map("value" -> lit(9.0)))
+    VersionedStore.deleteWhere(spark, root, col("user_id") === 1L)
+    graft.streaming.VersionedStream.compact(spark, root) // row-identical
+    drain()
+    val feed = spark.read.parquet(sinkDir)
+      .select("user_id", "value", "_change_type", "_commit_version")
+      .as[(Long, Double, String, Long)].collect().toSeq.sorted
+    assert(feed === Seq(
+      (1L, 1.0, "delete", 3L),
+      (1L, 1.0, "insert", 1L),
+      (2L, 2.0, "insert", 1L),
+      (2L, 2.0, "update_preimage", 2L),
+      (2L, 9.0, "update_postimage", 2L)),
+      s"row-level feed mismatch: $feed")
+  }
+
   test("schema comes from the store's recorded DDL; an empty store is rejected up front") {
     val root = tmp()
     val e = intercept[IllegalArgumentException] { cdc(root) }
