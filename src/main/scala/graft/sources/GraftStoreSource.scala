@@ -12,9 +12,12 @@ import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.graft.StreamingFrame
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter,
-  PrunedFilteredScan, RelationProvider}
+  PrunedFilteredScan, RelationProvider, StreamSinkProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructType}
 
 import graft.sinks.VersionedStore
@@ -54,13 +57,56 @@ import graft.sinks.VersionedStore.ColRange
   * relation that reads through the store's own alias layer — correct
   * first, vectorized where the physical names allow it. */
 final class GraftStoreSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graftstore"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graftstore requires a path: .load(root) or OPTIONS (path '...')"))
+
+  // ── Streaming halves: ONE format string for all four surfaces, the
+  // Delta ergonomics. readStream delegates to the versioned-cdc source
+  // (all its options ride through: startVersion, maxVersionsPerBatch,
+  // readChangeFeed); writeStream is the exactly-once transactional
+  // table sink — one store commit per micro-batch with the (writerId,
+  // batchId) ledger in the manifest, so an at-least-once replay of a
+  // committed batch is a metadata no-op, never a duplicate append.
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    new VersionedCdc().sourceSchema(sqlContext, schema, providerName, parameters)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new VersionedCdc().createSource(
+      sqlContext, metadataPath, schema, providerName, parameters)
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = rootOf(parameters)
+    require(outputMode == OutputMode.Append(),
+      s"graftstore sink is append-only (a transactional table append per " +
+        s"micro-batch); got $outputMode")
+    val writerId = parameters.getOrElse(
+      "writerId", graft.streaming.VersionedStream.DefaultWriter)
+    val statsCols = parameters.get("statsCols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit =
+        graft.streaming.VersionedStream.commitBatch(
+          StreamingFrame.asBatch(data), batchId, root, writerId, statsCols)
+      override def toString: String = s"GraftStoreSink[$root as $writerId]"
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

@@ -31,6 +31,19 @@ object StreamingFrame {
       LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
   }
 
+  /** The REVERSE rebase: a streaming-planned micro-batch frame as a
+    * BATCH one. A V1 `Sink.addBatch` receives its frame planned
+    * incrementally (`isStreaming = true`) — batch writers reject it.
+    * `foreachBatch` performs this rebase inside the engine; a custom
+    * Sink must do it itself, same `LogicalRDD` move in the other
+    * direction. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    val qe = df.queryExecution
+    Dataset.ofRows(spark,
+      LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = false)(spark))
+  }
+
   /** An EMPTY streaming frame of `schema` — what a CDC `getBatch`
     * returns for a version range that added no data dirs. */
   def emptyStreaming(spark: org.apache.spark.sql.SparkSession,

@@ -147,6 +147,54 @@ class GraftStoreSourceSpec extends SparkSpec {
       .collect().toSeq === Seq(2L))
   }
 
+  test("ONE format string, all four surfaces: readStream/writeStream via " +
+       "format(\"graftstore\") — exactly-once store-to-store loop") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp(); val dst = tmp(); val chk = tmp()
+    VersionedStore.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftstore").option("path", src).load()
+        .withColumn("v2", col("v") * 2)
+        .writeStream.format("graftstore")
+        .option("path", dst).option("checkpointLocation", chk)
+        .option("statsCols", "id")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.format("graftstore").load(dst)
+      .orderBy("id").select("id", "v2").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 20L), (2L, 40L)))
+    // one transactional commit per drain; a replayed/idle drain adds none
+    assert(VersionedStore.currentVersion(spark, dst) === 1)
+    drain()
+    assert(VersionedStore.currentVersion(spark, dst) === 1,
+      "idle re-drain must be a ledger no-op, not a duplicate append")
+    VersionedStore.commitAppend(Seq((3L, 30L)).toDF("id", "v"), src)
+    drain()
+    assert(spark.read.format("graftstore").load(dst).count() === 3)
+    assert(VersionedStore.currentVersion(spark, dst) === 2)
+  }
+
+  test("readStream format(\"graftstore\") passes readChangeFeed through") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp(); val sinkDir = tmp(); val chk = tmp()
+    VersionedStore.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src)
+    VersionedStore.deleteWhere(spark, src, col("id") === 1L)
+    val q = spark.readStream.format("graftstore")
+      .option("path", src).option("readChangeFeed", "true").load()
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feed = spark.read.parquet(sinkDir)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(feed === Seq(
+      (1L, "delete", 2L), (1L, "insert", 1L), (2L, "insert", 1L)))
+  }
+
   test("non-partitioned store (no day column) reads with an empty partition schema") {
     val root = tmp()
     Seq((1L, "x"), (2L, "y")).toDF("id", "s").write.format("graftstore")
