@@ -1025,6 +1025,29 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // BLOOM-SKIPPED POINT LOOKUP — the pruner min/max cannot be: the
+    // lookup key is md5-hashed (every dir's range spans the hex domain),
+    // and the per-dir bloom recorded by the `bloom:` statsCols prefix
+    // collapses the equality probe to ~1 of 10 dirs (require-gated; 1%
+    // fp slack). Values oracle-checked against flat events by the
+    // UNHASHED key — the bloom is an access path, never a filter.
+    "versioned_bloom_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureBloomEventsStore(s, dir)
+      val target = java.security.MessageDigest.getInstance("MD5")
+        .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val probe = Seq(VersionedStore.ColRange.eq("eid_h", target))
+      val v = VersionedStore.currentVersion(s, p)
+      val opened = VersionedStore.prunedDirs(s, p, v, probe)
+      require(opened.size <= 3,
+        s"bloom skipping must collapse a hashed point probe to ~1 of 10 " +
+          s"dirs, opened ${opened.size}")
+      VersionedStore.readAt(s, p, v, probe)
+        .filter(col("eid_h") === target)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          floor(col("value") * 1000).cast("long").as("val_q"))
+        .orderBy("event_id")
+    }),
     // ROW-LEVEL CHANGE DATA FEED over the versioned store — the Delta
     // CDF / table_changes surface (VersionedStore.readRowChanges),
     // COMPUTED from the log: the updated-events store's 10 appends emit
@@ -1391,6 +1414,31 @@ object SparkEntry {
     * the probe sweeps every dir in one job and would fail loudly if the
     * prune assertion excluded a matching dir). The require gates the
     * copy-on-write bound: exactly one of the ten dirs rewrites. */
+  /** 10 day-ranged appends of events + a HASH-DISTRIBUTED lookup key
+    * (eid_h = md5(event_id)) recorded as a `bloom:` stats column. Every
+    * dir's [min, max] on eid_h spans ~the whole hex domain — range stats
+    * prune nothing — so the per-dir bloom is the only thing standing
+    * between a point lookup and a 10-dir scan. The shape of a keyed
+    * fetch on an unsorted 100 TB table. */
+  private def ensureBloomEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_bloom", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      .withColumn("eid_h", md5(col("event_id").cast("string").cast("binary")))
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "eid_h", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day", "bloom:eid_h"))
+      }
+    }
+    p
+  }
+
   private def ensureUpdatedEventsStore(s: SparkSession, dir: String): String = {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_upd", dir)
@@ -1838,6 +1886,7 @@ object SparkEntry {
     ensureVersionedEventsStore(s, dir)
     ensureZOptimizedEventsStore(s, dir)
     ensureDeletedEventsStore(s, dir)
+    ensureBloomEventsStore(s, dir)
     ensureUpdatedEventsStore(s, dir)
     ensureMergedEventsStore(s, dir)
     ensureRestoredEventsStore(s, dir)
@@ -3094,6 +3143,10 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_bloom_read" ->
+      """SELECT event_id, event_type, user_id,
+        | CAST(floor(value * 1000) AS BIGINT) AS val_q
+        |FROM events WHERE event_id = 42 ORDER BY event_id""".stripMargin,
     "versioned_cdf_read" -> CdfFeedSql,
     // The live CDF stream delivers the same feed the batch read computes.
     "versioned_cdf_stream" -> CdfFeedSql,

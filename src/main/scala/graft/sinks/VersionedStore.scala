@@ -438,20 +438,72 @@ object VersionedStore {
   /** Keep the dirs whose recorded [min, max] can overlap EVERY requested
     * range; a dir lacking stats for a range's column is always kept.
     * Comparison is TYPED via the recorded stat type — never lexical on
-    * the string form (a lexical "9" > "10" would prune wrongly). */
+    * the string form (a lexical "9" > "10" would prune wrongly).
+    *
+    * POINT ranges (lo == hi) additionally consult the dir's BLOOM filter
+    * when one was recorded (`bloom:` stats columns) — the pruner for
+    * equality probes on HIGH-CARDINALITY UNSORTED keys, where every
+    * dir's [min, max] spans the whole domain and range stats prune
+    * nothing. No false negatives by construction (a bloom-excluded dir
+    * cannot hold the value); false positives just keep a dir. */
   private def pruneWithStats(dirs: Seq[String], stats: Map[String, String],
                              skip: Seq[ColRange]): Seq[String] =
     dirs.filter { d =>
       skip.forall { r =>
-        (stats.get(s"$d|${r.column}|min"), stats.get(s"$d|${r.column}|max"),
-          stats.get(s"$d|${r.column}|typ")) match {
-          case (Some(mn), Some(mx), Some(typ)) =>
-            r.hi.forall(hi => statLe(typ, mn, hi)) &&
-              r.lo.forall(lo => statLe(typ, lo, mx))
-          case _ => true // no stats for this column in this dir: keep
-        }
+        val rangeOk =
+          (stats.get(s"$d|${r.column}|min"), stats.get(s"$d|${r.column}|max"),
+            stats.get(s"$d|${r.column}|typ")) match {
+            case (Some(mn), Some(mx), Some(typ)) =>
+              r.hi.forall(hi => statLe(typ, mn, hi)) &&
+                r.lo.forall(lo => statLe(typ, lo, mx))
+            case _ => true // no stats for this column in this dir: keep
+          }
+        val bloomOk = !(r.lo.isDefined && r.lo == r.hi) ||
+          stats.get(s"$d|${r.column}|bloom").forall(b64 =>
+            decodedBloom(b64).mightContainString(r.lo.get))
+        rangeOk && bloomOk
       }
     }
+
+  // Decoded per-dir bloom filters, keyed by their base64 form (stats
+  // entries are immutable strings, so value identity IS content
+  // identity). Bounded by a clear-on-overflow cap — simpler than LRU
+  // and the decode is microseconds.
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private def decodedBloom(b64: String): org.apache.spark.util.sketch.BloomFilter = {
+    if (bloomCache.size > 8192) bloomCache.clear()
+    bloomCache.computeIfAbsent(b64, s =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        java.util.Base64.getDecoder.decode(s)))
+  }
+
+  /** `statsCols` entries split into plain min/max columns and `bloom:`-
+    * prefixed ones. A bloom column gets min/max/nulls TOO (the prefix
+    * adds, never replaces — countWhere still needs its NULL counts). */
+  private def splitStatCols(cols: Seq[String]): (Seq[String], Seq[String]) = {
+    val bloom = cols.collect {
+      case c if c.startsWith("bloom:") => c.stripPrefix("bloom:") }
+    (cols.map(_.stripPrefix("bloom:")).distinct, bloom.distinct)
+  }
+
+  /** Per-dir bloom entries for `bloomCols`: values hashed in their
+    * CAST-TO-STRING form — the same serialization the min/max stats use
+    * — so [[pruneWithStats]]'s `mightContainString(range bound)` tests
+    * the exact bytes the writer inserted. Sized to the dir's row count
+    * at 1% fpp (~1.2 KB per 1000 rows); NULLs are skipped (a NULL never
+    * matches an equality probe). */
+  private def bloomStats(df: DataFrame, dir: String, bloomCols: Seq[String],
+                         rows: Long): Map[String, String] =
+    bloomCols.map { n =>
+      import org.apache.spark.sql.functions.{col => c}
+      val bf = df.filter(c(n).isNotNull)
+        .stat.bloomFilter(c(n).cast("string"), math.max(64L, rows), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      s"$dir|$n|bloom" -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }.toMap
 
   /** Typed a <= b over the external string forms the stats record. */
   private def statLe(typ: String, a: String, b: String): Boolean = typ match {
@@ -1665,7 +1717,8 @@ object VersionedStore {
                        schemaDdl: Option[String] = None,
                        colmap: Map[String, String] = Map.empty): Map[String, String] = {
     if (cols.isEmpty && !forceRows) return Map.empty
-    require(cols.forall(c => !c.contains("|")),
+    val (plain, bloomCols) = splitStatCols(cols)
+    require(plain.forall(c => !c.contains("|")),
       s"stats column names must not contain '|': ${cols.mkString(",")}")
     // A caller that already knows the dir's read schema (the recorded /
     // just-merged DDL) spares this read its schema-inference job — the
@@ -1679,17 +1732,17 @@ object VersionedStore {
     val df = try toLogical(reader.parquet(s"$root/$dir"), colmap)
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return Map(s"$dir|#|rows" -> "0") }
-    val missing = cols.filterNot(df.columns.contains)
+    val missing = plain.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"statsCols not in the committed schema: ${missing.mkString(",")}")
     import org.apache.spark.sql.functions.{col => c, count, lit, min, max, when}
-    val aggs = cols.flatMap(n =>
+    val aggs = plain.flatMap(n =>
       Seq(min(c(n)).cast("string").as(s"mn_$n"), max(c(n)).cast("string").as(s"mx_$n"),
         count(when(c(n).isNull, lit(1))).as(s"nl_$n"))) :+
       count(lit(1)).as("n_rows")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val types = df.schema.map(f => f.name -> f.dataType.typeName).toMap
-    val colStats = cols.zipWithIndex.flatMap { case (n, i) =>
+    val colStats = plain.zipWithIndex.flatMap { case (n, i) =>
       // An all-NULL (or empty) batch yields NULL min/max: record nothing
       // for the column — the dir is then always kept, never mis-pruned.
       // The NULL count is recorded regardless: [[countWhere]]'s
@@ -1705,7 +1758,9 @@ object VersionedStore {
     }.toMap
     // Per-dir ROW COUNT (the Iceberg manifest count — [[countWhere]]'s
     // metadata-only answer) rides the same single aggregate.
-    colStats + (s"$dir|#|rows" -> row.getLong(3 * cols.size).toString)
+    val rows = row.getLong(3 * plain.size)
+    colStats ++ bloomStats(df, dir, bloomCols, rows) +
+      (s"$dir|#|rows" -> rows.toString)
   }
 
   /** [[statsFor]] over MANY dirs in ONE job: per-dir legs (explicit
@@ -1718,32 +1773,49 @@ object VersionedStore {
                            schemaDdl: Option[String],
                            colmap: Map[String, String] = Map.empty): Map[String, String] = {
     if (dirs.isEmpty) return Map.empty
-    require(cols.forall(c => !c.contains("|")),
+    val (plain, bloomCols) = splitStatCols(cols)
+    require(plain.forall(c => !c.contains("|")),
       s"stats column names must not contain '|': ${cols.mkString(",")}")
     import org.apache.spark.sql.functions.{col => c, count, lit, min, max, when}
     val reader = schemaDdl
       .map(d => org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
       .fold(spark.read)(spark.read.schema)
-    val legs = dirs.map { d =>
-      val df = try Some(toLogical(reader.parquet(s"$root/$d"), colmap))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      df.map(_.withColumn("__graft_stats_dir", lit(d)))
-    }.flatten
-    if (legs.isEmpty) return Map.empty
-    val missing = cols.filterNot(legs.head.columns.contains)
+    val legPairs = dirs.flatMap { d =>
+      (try Some(toLogical(reader.parquet(s"$root/$d"), colmap))
+       catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .map(df => d -> df)
+    }
+    if (legPairs.isEmpty) return Map.empty
+    val legs = legPairs.map { case (d, df) =>
+      df.withColumn("__graft_stats_dir", lit(d)) }
+    val missing = plain.filterNot(legPairs.head._2.columns.contains)
     require(missing.isEmpty,
       s"statsCols not in the committed schema: ${missing.mkString(",")}")
-    val aggs = cols.flatMap(n =>
+    val aggs = plain.flatMap(n =>
       Seq(min(c(n)).cast("string").as(s"mn_$n"), max(c(n)).cast("string").as(s"mx_$n"),
         count(when(c(n).isNull, lit(1))).as(s"nl_$n"))) :+
       count(lit(1)).as("n_rows")
     val rows = legs.reduce(_ unionByName _)
       .groupBy(c("__graft_stats_dir"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val types = legs.head.schema.map(f => f.name -> f.dataType.typeName).toMap
+    val types = legPairs.head._2.schema.map(f => f.name -> f.dataType.typeName).toMap
+    val rowsByDir = rows.map(r => r.getString(0) -> r.getLong(1 + 3 * plain.size)).toMap
+    // Blooms are one job per (dir, col) — can't fold into the grouped
+    // aggregate — so DML-width commits run them concurrently on the
+    // bounded IO pool, same shape as the rewrites they ride along with.
+    val bloomEntries: Map[String, String] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ioPool
+        Await.result(Future.traverse(legPairs.toList) { case (d, df) =>
+          Future { bloomStats(df, d, bloomCols, rowsByDir.getOrElse(d, 64L)) }
+        }, Duration.Inf).flatten.toMap
+      }
     rows.flatMap { row =>
       val dir = row.getString(0)
-      val colStats = cols.zipWithIndex.flatMap { case (n, i) =>
+      val colStats = plain.zipWithIndex.flatMap { case (n, i) =>
         val nulls = Seq(s"$dir|$n|nulls" -> row.getLong(1 + 3 * i + 2).toString)
         if (row.isNullAt(1 + 3 * i) || row.isNullAt(1 + 3 * i + 1)) nulls
         else nulls ++ Seq(
@@ -1751,8 +1823,8 @@ object VersionedStore {
           s"$dir|$n|max" -> row.getString(1 + 3 * i + 1),
           s"$dir|$n|typ" -> types(n).takeWhile(_ != '('))
       }
-      colStats :+ (s"$dir|#|rows" -> row.getLong(1 + 3 * cols.size).toString)
-    }.toMap
+      colStats :+ (s"$dir|#|rows" -> row.getLong(1 + 3 * plain.size).toString)
+    }.toMap ++ bloomEntries
   }
 
   /** Step 1: write the snapshot to a fresh uniquely-named data dir.
