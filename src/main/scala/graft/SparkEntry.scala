@@ -1212,6 +1212,20 @@ object SparkEntry {
           col("event_type"), col("n_rows"), col("sum_val_q"))
         .orderBy("day", "event_type")
     }),
+    // DML-PROOF AGGREGATE VIEW — the view maintained from the ROW-LEVEL
+    // change feed stays exact while the BASE table takes an UPDATE and a
+    // group-zeroing DELETE between drains: preimages/deleted rows
+    // subtract with sign −1, the zeroed group persists as a tombstone
+    // filtered by the canonical read (build gates it exists), and the
+    // oracle is the same GROUP BY over events WITH the DML applied —
+    // the view must read as a recompute of the post-DML base.
+    "versioned_agg_view_dml" -> ((s, dir) => {
+      val p = ensureAggViewDmlEventsStore(s, dir)
+      graft.streaming.AggregateView.read(s, p).get
+        .select(col("day").cast("string").as("day"),
+          col("event_type"), col("n_rows"), col("sum_val_q"))
+        .orderBy("day", "event_type")
+    }),
     // WIDE aggregate view — the breadth gate: multi-key, two sums, and
     // grow-only min/max maintained through the same CDC loop, with avg
     // derived at read (sum/count — averages never compose, so they are
@@ -1608,6 +1622,69 @@ object SparkEntry {
     p
   }
 
+  /** The DML-PROOF sibling of [[ensureAggViewEventsStore]]: the view is
+    * maintained from the ROW-LEVEL change feed (readChangeFeed = true),
+    * and between the two drains the BASE table takes an UPDATE
+    * (click × 2024-01-10 → value×3) and a DELETE (view × 2024-01-05 —
+    * zeroing that group entirely). The signed maintenance must subtract
+    * preimages and deleted rows exactly; the zeroed group must persist
+    * as an `n_rows = 0` tombstone invisible to [[AggregateView.read]].
+    * The build gates the version shape, the ledger, AND the tombstone. */
+  private def ensureAggViewDmlEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_agg_view_dml", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-aggdbase").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft-aggdchk").toString
+      val slices = Seq(("2024-01-01", "2024-01-08"), ("2024-01-09", "2024-01-15"),
+        ("2024-01-16", "2024-01-22"), ("2024-01-23", "2024-01-30"))
+      def appendSlice(i: Int): Unit = {
+        val (lo, hi) = slices(i)
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(lit(lo).cast("date"), lit(hi).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          base, statsCols = Seq("day"))
+      }
+      def drain(): Unit = {
+        val q = graft.streaming.AggregateView.start(
+          s.readStream.format("graft.sources.VersionedCdc")
+            .option("path", base).option("readChangeFeed", "true").load()
+            .withColumn("val_q", floor(col("value") * 1000).cast("long")),
+          tmp, chk,
+          keys = Seq("day", "event_type"), sumCols = Seq("val_q"),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      appendSlice(0); appendSlice(1); drain() // batch 0 -> first-commit view
+      VersionedStore.updateWhere(s, base,
+        col("event_type") === "click" && col("day") === lit("2024-01-10").cast("date"),
+        set = Map("value" -> (col("value") * 3)),
+        prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-10")),
+        statsCols = Seq("day"))
+      VersionedStore.deleteWhere(s, base,
+        col("event_type") === "view" && col("day") === lit("2024-01-05").cast("date"),
+        prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-05")),
+        statsCols = Seq("day"))
+      appendSlice(2); appendSlice(3); drain() // batch 1 -> ONE signed merge
+      val v = VersionedStore.currentVersion(s, tmp)
+      require(v == 2L,
+        s"two drains must leave the view at version 2 (commit + merge), got $v")
+      require(graft.streaming.VersionedStream.lastBatchId(s, tmp) == 1L,
+        "the view's exactly-once ledger must record batch 1")
+      val tombs = VersionedStore.read(s, tmp).get
+        .filter(col("n_rows") === 0L).count()
+      require(tombs >= 1L,
+        s"the fully-deleted (2024-01-05, view) group must persist as an " +
+          s"n_rows = 0 tombstone, found $tombs")
+      Seq(base, chk).foreach { r =>
+        val pth = new org.apache.hadoop.fs.Path(r)
+        pth.getFileSystem(s.sessionState.newHadoopConf()).delete(pth, true)
+      }
+    }
+    p
+  }
+
   /** The WIDE sibling of [[ensureAggViewEventsStore]]: multi-key
     * (day, event_type), TWO sums, and grow-only min/max over the same
     * two-round drain — gating the aggregate-surface breadth (count,
@@ -1893,6 +1970,7 @@ object SparkEntry {
     ensureCdcDerivedEventsStore(s, dir)
     ensureAggViewEventsStore(s, dir)
     ensureAggViewWideEventsStore(s, dir)
+    ensureAggViewDmlEventsStore(s, dir)
     Search.ensureLexicalIndex(Tables.documents(s, dir), artifactPath("lexindex", dir))
     Similarity.ensureIvfIndex(Tables.embeddings(s, dir), artifactPath("ivfindex", dir))
     Similarity.ensurePqIndex(Tables.embeddings(s, dir), artifactPath("pqindex", dir))
@@ -3180,6 +3258,19 @@ object SparkEntry {
         | count(*) AS n_rows,
         | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_q
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_agg_view_dml" ->
+      """WITH updated AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CASE WHEN event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-10'
+        |       THEN value * 3 ELSE value END AS value
+        | FROM events),
+        |kept AS (
+        | SELECT * FROM updated
+        | WHERE NOT (event_type = 'view' AND day = DATE '2024-01-05'))
+        |SELECT CAST(day AS VARCHAR) AS day, event_type,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_q
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "versioned_agg_view_wide" ->
       """WITH q AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
         |   CAST(floor(value * 1000) AS BIGINT) AS val_q,

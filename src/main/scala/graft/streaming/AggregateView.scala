@@ -40,6 +40,13 @@ import graft.sinks.VersionedStore
   *    insert-only contract. A base-table DELETE could strand a stale
   *    extremum; the feed itself refuses rewrites (readChanges throws),
   *    so the view can never silently drift — re-baseline after a rewrite.
+  *  - DML-PROOF mode: feed the view the ROW-LEVEL change feed
+  *    (versioned-cdc with `readChangeFeed = true`) and the additive
+  *    aggregates stay exact under base-table DELETE/UPDATE too — each
+  *    feed row contributes with sign +1/−1, a zeroed group persists as
+  *    an `n_rows = 0` tombstone (filtered by [[read]], reclaimed by
+  *    [[purgeTombstones]]), and min/max are rejected up front (a removed
+  *    extremum cannot shrink a grow-only accumulator).
   *  - avg: carried as sum+count and divided at read ([[avgAt]] — never
   *    stored, because averages do not compose).
   *
@@ -80,6 +87,25 @@ object AggregateView {
       df.withColumn(s"avg_$c", col(s"sum_$c").cast("double") / col("n_rows"))
     }
 
+  /** The view's CANONICAL read: groups whose rows have all been deleted
+    * under CDF maintenance remain stored as `n_rows = 0` TOMBSTONES (the
+    * merge that zeroes a group and the ledger that makes it exactly-once
+    * are ONE commit; a separate delete would reopen the crash window) —
+    * this read filters them, so a fully-deleted group is invisible
+    * exactly as a recompute would show. [[purgeTombstones]] reclaims the
+    * rows offline. */
+  def read(spark: org.apache.spark.sql.SparkSession, view: String): Option[DataFrame] =
+    VersionedStore.read(spark, view).map(_.filter(col("n_rows") =!= 0L))
+
+  /** Maintenance-window tombstone reclaim: physically delete the
+    * `n_rows = 0` rows CDF maintenance left behind. Safe any time no
+    * maintenance batch is mid-flight (same contract as the store's own
+    * expire/vacuum); a no-op version-less call when none exist. */
+  def purgeTombstones(spark: org.apache.spark.sql.SparkSession, view: String): Unit = {
+    VersionedStore.deleteWhere(spark, view, col("n_rows") === 0L)
+    ()
+  }
+
   /** One micro-batch's view maintenance — factored out so the replay
     * contract is directly testable (same pattern as
     * [[VersionedStream.commitBatch]]). Ledger check first: a replayed
@@ -102,12 +128,32 @@ object AggregateView {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     val kcols: Seq[Column] = keys.map(col)
+    // SIGNED maintenance: a batch carrying `_change_type` is a row-level
+    // change feed (the versioned-cdc source under readChangeFeed) — each
+    // row contributes with weight +1 (insert, update_postimage) or −1
+    // (delete, update_preimage), so the view stays EXACT under base-table
+    // DELETE and UPDATE, not just appends. min/max cannot compose under
+    // deletes (a removed extremum cannot shrink a grow-only accumulator),
+    // so a signed feed with min/max configured fails loudly up front —
+    // additive aggregates (count, sum, avg-at-read) are the DML-proof
+    // surface, the same boundary Delta draws for incremental MVs.
+    val signed = batch.columns.contains("_change_type")
+    require(!signed || (minCols.isEmpty && maxCols.isEmpty),
+      s"aggregate view on $derived: min/max are grow-only and cannot " +
+        "compose under a row-level change feed (deletes) — drop them or " +
+        "maintain from the insert-only feed")
+    val w = if (signed)
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L))
+    else lit(1L)
+    val src = batch.withColumn("__w", w)
     // NULL-as-zero applied IN the delta aggregate (not only at combine):
     // a group first seen with all-NULL values must store sum = 0 on the
     // first-batch adopt path exactly as it would after a merge — the
-    // two commit paths may never disagree on a stored value.
-    val aggs = (count(lit(1)).as("n_rows") +:
-      sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"))) ++
+    // two commit paths may never disagree on a stored value. (A NULL
+    // value's insert and its delete both skip the sum — symmetric.)
+    val aggs = (coalesce(sum(col("__w")), lit(0L)).as("n_rows") +:
+      sumCols.map(c => coalesce(sum(col(c) * col("__w")), lit(0L)).as(s"sum_$c"))) ++
       minCols.map(c => min(col(c)).as(s"min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"max_$c"))
     // ONE materialization of the delta aggregate: everything downstream
@@ -117,7 +163,7 @@ object AggregateView {
     // persist (lazy) rather than an eager checkpoint: the control
     // aggregate right below materializes the cache, so pinning costs no
     // job of its own.
-    val deltas = batch.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+    val deltas = src.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
       .persist()
     try {
     // ONE control job over the cached deltas: emptiness, the NULL-key

@@ -146,6 +146,66 @@ class AggregateViewSpec extends SparkSpec {
     assert(n <= 8, s"a maintenance batch must schedule <= 8 jobs, saw $n")
   }
 
+  private def signedRows(day: String, triples: (String, Long, String)*) =
+    triples.map { case (t, v, ch) => (day, t, v, ch) }
+      .toDF("day", "event_type", "v", "_change_type")
+
+  test("signed (CDF) maintenance: deletes subtract, updates replace, and a " +
+       "zeroed group persists as a tombstone the canonical read filters") {
+    val view = tmp()
+    AggregateView.applyBatch(
+      signedRows("2024-01-01",
+        ("click", 10L, "insert"), ("click", 5L, "insert"), ("view", 1L, "insert")),
+      0L, view, Seq("day", "event_type"), Seq("v"))
+    // update: click 5 -> 8 (preimage subtracts, postimage adds);
+    // delete: the view group's only row — zeroes the group
+    AggregateView.applyBatch(
+      signedRows("2024-01-01",
+        ("click", 5L, "update_preimage"), ("click", 8L, "update_postimage"),
+        ("view", 1L, "delete")),
+      1L, view, Seq("day", "event_type"), Seq("v"))
+    val got = AggregateView.read(spark, view).get
+      .select("event_type", "n_rows", "sum_v")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(("click", 2L, 18L)),
+      s"post-DML view must read as a recompute, got $got")
+    // the zeroed group is STORED as a tombstone (merge+ledger are one
+    // commit), invisible above, reclaimable offline
+    val raw = VersionedStore.read(spark, view).get
+      .filter(col("n_rows") === 0L)
+      .select("event_type").as[String].collect().toSeq
+    assert(raw === Seq("view"))
+    AggregateView.purgeTombstones(spark, view)
+    assert(VersionedStore.read(spark, view).get
+      .filter(col("n_rows") === 0L).count() === 0L)
+    assert(AggregateView.read(spark, view).get
+      .select("event_type").as[String].collect().toSeq === Seq("click"))
+  }
+
+  test("a signed replay is exactly-once; min/max reject the signed feed loudly") {
+    val view = tmp()
+    AggregateView.applyBatch(
+      signedRows("2024-01-01", ("click", 10L, "insert")),
+      0L, view, Seq("day", "event_type"), Seq("v"))
+    AggregateView.applyBatch(
+      signedRows("2024-01-01", ("click", 10L, "delete")),
+      1L, view, Seq("day", "event_type"), Seq("v"))
+    // replay of the delete batch must not subtract twice
+    AggregateView.applyBatch(
+      signedRows("2024-01-01", ("click", 10L, "delete")),
+      1L, view, Seq("day", "event_type"), Seq("v"))
+    val raw = VersionedStore.read(spark, view).get
+      .select("n_rows", "sum_v").as[(Long, Long)].collect().toSeq
+    assert(raw === Seq((0L, 0L)), s"replayed delete must be a no-op, got $raw")
+    assert(AggregateView.read(spark, view).get.count() === 0L)
+    val err = intercept[IllegalArgumentException] {
+      AggregateView.applyBatch(
+        signedRows("2024-01-02", ("click", 1L, "insert")),
+        2L, view, Seq("day", "event_type"), Seq("v"), minCols = Seq("v"))
+    }
+    assert(err.getMessage.contains("grow-only"))
+  }
+
   test("NULL group keys throw loudly (MERGE would fork the group); view stays uncommitted") {
     val view = tmp()
     val bad = Seq((null.asInstanceOf[String], "click", 1L)).toDF("day", "event_type", "v")
