@@ -75,7 +75,8 @@ object WidthProbe {
     stats ++= Seq(
       s"${realDir.getName}|k|min" -> "0", s"${realDir.getName}|k|max" -> "0",
       s"${realDir.getName}|k|typ" -> "long",
-      s"${realDir.getName}|k|nulls" -> "0", s"${realDir.getName}|#|rows" -> "1")
+      s"${realDir.getName}|k|nulls" -> "0", s"${realDir.getName}|#|rows" -> "1",
+      s"${realDir.getName}|#|bytes" -> part.length.toString)
     synthDirs.zipWithIndex.foreach { case (d, idx) =>
       val i = idx + 1
       val dir = java.nio.file.Paths.get(root, d)
@@ -83,7 +84,8 @@ object WidthProbe {
       java.nio.file.Files.copy(part.toPath, dir.resolve(part.getName))
       stats ++= Seq(
         s"$d|k|min" -> i.toString, s"$d|k|max" -> i.toString,
-        s"$d|k|typ" -> "long", s"$d|k|nulls" -> "0", s"$d|#|rows" -> "1")
+        s"$d|k|typ" -> "long", s"$d|k|nulls" -> "0", s"$d|#|rows" -> "1",
+        s"$d|#|bytes" -> part.length.toString)
     }
     // The wide commit: one full manifest referencing every synthetic dir
     // (plus the template), stats riding it — the state a 10⁵-append
@@ -154,6 +156,25 @@ object WidthProbe {
       Seq(VersionedStore.ColRange.eq("k", mid))).count()
     val pointReadSec = secs(tR0)
 
+    // The DATA SOURCE path at width: relation construction (manifest
+    // resolution only — the prune-first FileIndex lists NO dirs up
+    // front) + the pushed point filter pruning to ~1 dir + its scan.
+    // Key 0 (the template dir's REAL row): synthetic dirs' stats
+    // describe keys their template bytes don't hold, and the scan
+    // re-applies the predicate on rows — the plan cost is identical,
+    // key 0 also verifies the value arrives. Cold = first relation over
+    // this store in this JVM; warm = again (manifest + listing caches
+    // hot).
+    val tD0 = System.nanoTime()
+    val dsv2Rows = spark.read.format("graftstore").load(root)
+      .filter(org.apache.spark.sql.functions.col("k") === 0L).count()
+    val dsv2Sec = secs(tD0)
+    require(dsv2Rows >= 1L, "dsv2 point read must see the template row (key 0)")
+    val tD1 = System.nanoTime()
+    spark.read.format("graftstore").load(root)
+      .filter(org.apache.spark.sql.functions.col("k") === 0L).count()
+    val dsv2WarmSec = secs(tD1)
+
     val cpBytes = new java.io.File(s"$root/_manifests").listFiles()
       .filter(_.getName.endsWith(".checkpoint")).map(_.length).max
     println(s"""{"metric":"store_width_synth","dirs":$n,""" +
@@ -161,6 +182,7 @@ object WidthProbe {
       f""""count_meta_sec":$countSec%.3f,""" +
       f""""append_sec":$appendSec%.3f,"append_delta_bytes":$deltaBytes,""" +
       f""""point_read_sec":$pointReadSec%.3f,"point_read_rows":$pointRows,""" +
+      f""""dsv2_point_sec":$dsv2Sec%.3f,"dsv2_point_warm_sec":$dsv2WarmSec%.3f,""" +
       s""""max_checkpoint_bytes":$cpBytes}""")
     spark.stop()
   }

@@ -1760,8 +1760,17 @@ object VersionedStore {
     // metadata-only answer) rides the same single aggregate.
     val rows = row.getLong(3 * plain.size)
     colStats ++ bloomStats(df, dir, bloomCols, rows) +
-      (s"$dir|#|rows" -> rows.toString)
+      (s"$dir|#|rows" -> rows.toString) +
+      (s"$dir|#|bytes" -> dirBytes(spark, root, dir).toString)
   }
+
+  /** The dir's on-disk byte size, recorded beside its row count so a
+    * relation can answer the planner's sizeInBytes (broadcast-decision)
+    * question from the MANIFEST — the Delta log's file-size role. One
+    * recursive listing of the freshly written dir, at write time only. */
+  private def dirBytes(spark: SparkSession, root: String, dir: String): Long =
+    try fs(spark, root).getContentSummary(new Path(s"$root/$dir")).getLength
+    catch { case _: java.io.IOException => 0L }
 
   /** [[statsFor]] over MANY dirs in ONE job: per-dir legs (explicit
     * schema — no inference) union with a dir tag and aggregate grouped
@@ -1823,8 +1832,24 @@ object VersionedStore {
           s"$dir|$n|max" -> row.getString(1 + 3 * i + 1),
           s"$dir|$n|typ" -> types(n).takeWhile(_ != '('))
       }
-      colStats :+ (s"$dir|#|rows" -> row.getLong(1 + 3 * plain.size).toString)
+      colStats ++ Seq(
+        s"$dir|#|rows" -> row.getLong(1 + 3 * plain.size).toString,
+        s"$dir|#|bytes" -> dirBytes(spark, root, dir).toString)
     }.toMap ++ bloomEntries
+  }
+
+  /** Σ of the current dirs' recorded byte sizes — Some only when EVERY
+    * dir carries the `#|bytes` stat (older stores fall back to a real
+    * listing at the caller). The manifest-answered half of the planner's
+    * table-size question. */
+  private[graft] def statedSizeInBytes(spark: SparkSession, root: String,
+                                       version: Long): Option[Long] = {
+    val f = fs(spark, root)
+    val dirs = dataDirsOf(f, root, version)
+    val stats = statsOf(f, root, version)
+    val sizes = dirs.map(d => stats.get(s"$d|#|bytes"))
+    if (sizes.forall(_.isDefined)) Some(sizes.flatten.map(_.toLong).sum)
+    else None
   }
 
   /** Step 1: write the snapshot to a fresh uniquely-named data dir.

@@ -233,59 +233,38 @@ object GraftStoreSource {
 }
 
 /** The transaction-log-backed `FileIndex` (the `TahoeLogFileIndex` role):
-  * file listing comes from the manifest's data-dir set — resolved once,
-  * at construction, for one immutable version — and `listFiles` prunes
-  * whole dirs through the manifest's per-dir column stats before
-  * touching the filesystem beyond the initial listing. Partition
-  * discovery: the store's write path hive-partitions a dir by `day=`
-  * when the frame carries a `day` column ([[VersionedStore]] prepare),
-  * so first-level `col=value` subdirs surface as a partition column with
-  * exact per-value pruning; dirs written without the column contribute a
-  * NULL partition value (the same read-as-NULL semantics the store's own
-  * reader gives schema-evolved dirs). */
+  * the dir set comes from the manifest — never a directory walk — and
+  * `listFiles` PRUNES FIRST, LISTS AFTER: pushed filters convert to
+  * stats ranges, and only the SURVIVING dirs are ever listed (a pruned
+  * point read on a 10⁵-dir table touches the filesystem for ~1 dir, not
+  * 10⁵ — the property that makes the log the index, not the FS). Dirs
+  * are immutable once committed, so per-dir listings cache permanently.
+  *
+  * Partition discovery rides the WRITER'S CONTRACT, not a listing probe:
+  * [[VersionedStore]]'s write path hive-partitions a dir by `day=`
+  * exactly when the frame carries a `day` column, so the recorded schema
+  * containing `day` IS the partition declaration (a listing probe would
+  * be unsound under schema evolution: sampling a pre-evolution dir would
+  * misread `day` as a data column and NULL it out of every file). Dirs
+  * written before an evolved `day` column contribute a NULL partition
+  * value — the same read-as-NULL the store's own reader gives them.
+  *
+  * `sizeInBytes` (the planner's broadcast-decision question, asked on
+  * EVERY query) answers from the manifest's per-dir `#|bytes` stats when
+  * every dir carries them — the Delta-log file-size role — and falls
+  * back to one full listing (cached) for stores written before byte
+  * stats existed. */
 final class GraftFileIndex(spark: SparkSession, root: String,
                            val version: Long, dirs: Seq[String],
                            fullSchema: StructType) extends FileIndex {
   import GraftStoreSource.toColRanges
 
-  /** (data dir, partition column→value if hive-partitioned, files) —
-    * one entry per (dir, partition value). Listed concurrently on the
-    * store's bounded IO pool: at 10⁴ dirs a sequential listing is a
-    * linear driver stall (the same term readDirs measured and fixed). */
-  private val listing: Seq[(String, Option[(String, String)], Seq[FileStatus])] = {
-    val f = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
-    def dataFiles(sts: Seq[FileStatus]): Seq[FileStatus] =
-      sts.filter(s => s.isFile && {
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = VersionedStore.ioPool
-    Await.result(Future.traverse(dirs.toList) { d => Future {
-      val st = f.listStatus(new Path(s"$root/$d")).toSeq
-      val (partDirs, rest) = st.partition(s =>
-        s.isDirectory && s.getPath.getName.contains('='))
-      val plain = dataFiles(rest)
-      val base =
-        if (plain.isEmpty) Seq.empty
-        else Seq((d, Option.empty[(String, String)], plain))
-      base ++ partDirs.map { pd =>
-        val Array(k, v) = pd.getPath.getName.split("=", 2)
-        val inner = f.listStatus(pd.getPath).toSeq
-        require(!inner.exists(s => s.isDirectory && s.getPath.getName.contains('=')),
-          s"graftstore supports one partition level; nested partition dirs under ${pd.getPath}")
-        (d, Some((k, unescapePath(v))), dataFiles(inner))
-      }
-    }}, Duration.Inf).flatten
-  }
+  private val fsys =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def unescapePath(s: String): String =
-    if (!s.contains('%')) s
-    else java.net.URLDecoder.decode(s, "UTF-8")
-
-  /** 0 or 1 partition columns (the write path partitions by `day` only). */
-  private val partCols: Seq[String] = listing.flatMap(_._2.map(_._1)).distinct
+  /** The writer's partitioning contract (see class doc). */
+  private val partCols: Seq[String] =
+    if (fullSchema.fieldNames.contains("day")) Seq("day") else Seq.empty
 
   override val partitionSchema: StructType =
     StructType(fullSchema.filter(f => partCols.contains(f.name)))
@@ -293,6 +272,52 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   /** The schema physically inside the parquet files. */
   val dataSchema: StructType =
     StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
+
+  /** Per-dir listings — (partition value if hive-partitioned, files) —
+    * cached forever (committed dirs are immutable). */
+  private val dirCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Option[(String, String)], Seq[FileStatus])]]()
+
+  private def dataFiles(sts: Seq[FileStatus]): Seq[FileStatus] =
+    sts.filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+
+  private def listOne(d: String): Seq[(Option[(String, String)], Seq[FileStatus])] =
+    dirCache.computeIfAbsent(d, { dir =>
+      val st = fsys.listStatus(new Path(s"$root/$dir")).toSeq
+      val (partDirs, rest) = st.partition(s =>
+        s.isDirectory && s.getPath.getName.contains('='))
+      val plain = dataFiles(rest)
+      val base =
+        if (plain.isEmpty) Seq.empty
+        else Seq((Option.empty[(String, String)], plain))
+      base ++ partDirs.map { pd =>
+        val Array(k, v) = pd.getPath.getName.split("=", 2)
+        val inner = fsys.listStatus(pd.getPath).toSeq
+        require(!inner.exists(s => s.isDirectory && s.getPath.getName.contains('=')),
+          s"graftstore supports one partition level; nested partition dirs under ${pd.getPath}")
+        (Some((k, unescapePath(v))), dataFiles(inner))
+      }
+    })
+
+  /** List MANY dirs concurrently on the store's bounded IO pool (a
+    * sequential listing is a linear driver stall at width — the same
+    * term readDirs measured and fixed), keeping input order. */
+  private def listMany(ds: Seq[String])
+      : Seq[(String, Option[(String, String)], Seq[FileStatus])] = {
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = VersionedStore.ioPool
+    Await.result(Future.traverse(ds.toList) { d => Future {
+      listOne(d).map { case (pv, files) => (d, pv, files) }
+    }}, Duration.Inf).flatten
+  }
+
+  private def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else java.net.URLDecoder.decode(s, "UTF-8")
 
   /** A partition value string as the typed InternalRow the scan carries —
     * through `Cast(string literal, partition type)`, the exact coercion
@@ -306,15 +331,14 @@ final class GraftFileIndex(spark: SparkSession, root: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // Dir-level manifest-stats skipping on EVERY pushed comparison —
-    // partition or data column alike (the stats record both).
+    // PRUNE FIRST: dir-level manifest-stats skipping on EVERY pushed
+    // comparison — partition or data column alike (the stats record
+    // both) — so only surviving dirs are ever listed.
     val ranges = toColRanges(partitionFilters ++ dataFilters)
-    val kept =
-      if (ranges.isEmpty) listing
-      else {
-        val keep = VersionedStore.prunedDirs(spark, root, version, ranges).toSet
-        listing.filter(e => keep(e._1))
-      }
+    val keptDirs =
+      if (ranges.isEmpty) dirs
+      else VersionedStore.prunedDirs(spark, root, version, ranges)
+    val kept = listMany(keptDirs)
     // Exact partition pruning on the hive values (finer than dir stats
     // when one dir spans several days): evaluate the pushed partition
     // predicates against each partition row, Spark-semantics included
@@ -339,11 +363,13 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   }
 
   override def inputFiles: Array[String] =
-    listing.flatMap(_._3.map(_.getPath.toString)).toArray
+    listMany(dirs).flatMap(_._3.map(_.getPath.toString)).toArray
 
   override def refresh(): Unit = ()  // one immutable version — nothing to refresh
 
-  override def sizeInBytes: Long = listing.flatMap(_._3.map(_.getLen)).sum
+  override lazy val sizeInBytes: Long =
+    VersionedStore.statedSizeInBytes(spark, root, version)
+      .getOrElse(listMany(dirs).flatMap(_._3.map(_.getLen)).sum)
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 }
