@@ -101,8 +101,10 @@ object WidthProbe {
     }
     VersionedStore.expire(spark, root, keepLast = 20)
     val buildSec = (System.nanoTime() - tB0) / 1e9
+    // a checkpoint's footprint = its main record + any part sidecars
     val cpBytes = new java.io.File(s"$root/_manifests").listFiles()
-      .filter(_.getName.endsWith(".checkpoint")).map(_.length).max
+      .filter(f => f.getName.contains(".checkpoint") && !f.getName.contains(".tmp-"))
+      .groupBy(_.getName.takeWhile(_ != '.')).values.map(_.map(_.length).sum).max
     System.err.println(f"[width] built in $buildSec%.1f s, checkpoint $cpBytes bytes")
 
     // Fresh JVM for the cold-reader measurements.
@@ -175,8 +177,10 @@ object WidthProbe {
       .filter(org.apache.spark.sql.functions.col("k") === 0L).count()
     val dsv2WarmSec = secs(tD1)
 
+    // a checkpoint's footprint = its main record + any part sidecars
     val cpBytes = new java.io.File(s"$root/_manifests").listFiles()
-      .filter(_.getName.endsWith(".checkpoint")).map(_.length).max
+      .filter(f => f.getName.contains(".checkpoint") && !f.getName.contains(".tmp-"))
+      .groupBy(_.getName.takeWhile(_ != '.')).values.map(_.map(_.length).sum).max
     println(s"""{"metric":"store_width_synth","dirs":$n,""" +
       f""""plan_sec":$planSec%.3f,"plan_warm_sec":$planWarmSec%.3f,""" +
       f""""count_meta_sec":$countSec%.3f,""" +

@@ -738,7 +738,7 @@ object VersionedStore {
     // directory safe — unreferenced-by-design debris is vacuum()'s job.
     val candidates = dropped.flatMap { v =>
       val cp = if (f.exists(checkpointPath(root, v)))
-        fullDirs(parsedCheckpoint(f, root, v)) else Seq.empty
+        checkpointDirs(f, root, v) else Seq.empty
       ownDirsOf(f, root, v) ++ cp
     }.toSet
     // Survivors' referenced dirs in O(dirs + survivor edits): the oldest
@@ -753,7 +753,11 @@ object VersionedStore {
     }
     dropped.foreach { v =>
       f.delete(manifestPath(root, v), false)
+      // multi-part checkpoints: the MAIN record goes first (after it no
+      // reader consults the parts), then the sidecars it named
       f.delete(checkpointPath(root, v), false)
+      var i = 0
+      while (f.delete(checkpointPartPath(root, v, i), false)) i += 1
     }
     // Re-list AFTER the manifest deletes, LOOPING until a pass observes
     // no new manifests: a commit that landed DURING this expire (e.g. a
@@ -2055,6 +2059,10 @@ object VersionedStore {
       else scanQuoted(body, open + 1, close).toSeq
     }
     lazy val dataDirs: Seq[String] = dirArray("dataDirs")
+    /** Multi-part checkpoint MAIN record only: the number of sidecar
+      * part files carrying the state (absent = legacy single-file). */
+    lazy val parts: Option[Int] =
+      """"parts":\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
     /** LOG-SEGMENT fields (delta manifests only — see [[publishDelta]]):
       * `base` names the version this commit's state derives from (always
       * version−1), `addDirs`/`removedDirs` the dir-level edit. A manifest
@@ -2157,7 +2165,7 @@ object VersionedStore {
           case None => anchor = fullState(pm)
           case Some(b) =>
             if (f.exists(checkpointPath(root, cur)))
-              anchor = fullState(parsedCheckpoint(f, root, cur))
+              anchor = checkpointState(f, root, cur)
             else { chain ::= pm; cur = b }
         }
       }
@@ -2174,6 +2182,47 @@ object VersionedStore {
     val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
                finally in.close()
     new ParsedManifest(body, root, v)
+  }
+
+  private def checkpointPartPath(root: String, v: Long, i: Int) =
+    new Path(s"$root/_manifests/$v.checkpoint.part-$i")
+
+  /** The checkpoint's state record(s): the legacy single file as one
+    * record, or a multi-part checkpoint's K sidecars — read AND parsed
+    * CONCURRENTLY on the IO pool (the fresh-reader cold-plan cost at
+    * width is this parse; parts divide it across cores). Part order is
+    * preserved: dirs concatenate in part index order, so the resolved
+    * dir sequence is byte-identical to the single-file form. */
+  private def checkpointParts(f: FileSystem, root: String, v: Long): Seq[ParsedManifest] = {
+    val main = parsedCheckpoint(f, root, v)
+    main.parts match {
+      case None => Seq(main)
+      case Some(k) =>
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ioPool
+        Await.result(Future.traverse((0 until k).toList) { i => Future {
+          val in = f.open(checkpointPartPath(root, v, i))
+          val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                     finally in.close()
+          val pm = new ParsedManifest(body, root, v)
+          // force the heavy lazy parses HERE, on the pool — left lazy
+          // they would all run sequentially on the calling thread and
+          // the parts would parallelize only the byte reads
+          pm.dataDirs; pm.stats
+          pm
+        }}, Duration.Inf)
+    }
+  }
+
+  /** Dir list of a checkpoint without forcing any stats parse. */
+  private def checkpointDirs(f: FileSystem, root: String, v: Long): Seq[String] =
+    checkpointParts(f, root, v).flatMap(fullDirs)
+
+  /** Full resolved state of a checkpoint (dirs + merged stats). */
+  private def checkpointState(f: FileSystem, root: String, v: Long): StoreState = {
+    val ps = checkpointParts(f, root, v)
+    StoreState(ps.flatMap(fullDirs), ps.map(_.stats).fold(Map.empty)(_ ++ _))
   }
 
   /** Checkpoint cadence: a checkpoint lands when the delta tail since the
@@ -2215,19 +2264,56 @@ object VersionedStore {
     if (tail >= interval) writeCheckpoint(spark, root, v, st)
   }
 
+  /** Dirs per checkpoint part file. At this size a part parses in tens
+    * of ms, a 10⁵-dir state splits across ~4 cores, and the ~10⁶-dir
+    * table that would have produced a ~240 MB single checkpoint writes
+    * ~31 parts read in parallel instead (the Delta v2-checkpoint sidecar
+    * shape). Var ONLY so the spec can force the multi-part path on a
+    * small store; production code never writes it. */
+  private[graft] var CheckpointPartDirs = 32768
+
   private def writeCheckpoint(spark: SparkSession, root: String, v: Long,
                               st: StoreState): Unit = {
     val f = fs(spark, root)
-    val body =
-      s"""{"version": $v, "dataDir": ${jsString(st.dirs.last)},
-         | "dataDirs": [${st.dirs.map(jsString).mkString(", ")}],
-         | "stats": {${st.stats.toSeq.sortBy(_._1).map { case (k, x) =>
-             s"${jsString(k)}: ${jsString(x)}" }.mkString(", ")}}}""".stripMargin
-    val tmp = new Path(s"$root/_manifests/$v.checkpoint.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(tmp.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, checkpointPath(root, v), Options.Rename.OVERWRITE)
+    val fc = FileContext.getFileContext(
+      new Path(root).toUri, spark.sessionState.newHadoopConf())
+    def put(body: String, dest: Path): Unit = {
+      val tmp = new Path(s"$root/_manifests/$v.checkpoint.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      fc.rename(tmp, dest, Options.Rename.OVERWRITE)
+    }
+    def statsBody(stats: Map[String, String]): String =
+      stats.toSeq.sortBy(_._1).map { case (k, x) =>
+        s"${jsString(k)}: ${jsString(x)}" }.mkString(", ")
+    if (st.dirs.size <= CheckpointPartDirs) {
+      put(s"""{"version": $v, "dataDir": ${jsString(st.dirs.last)},
+             | "dataDirs": [${st.dirs.map(jsString).mkString(", ")}],
+             | "stats": {${statsBody(st.stats)}}}""".stripMargin,
+        checkpointPath(root, v))
+    } else {
+      // MULTI-PART (the Delta v2-checkpoint sidecar shape): dir slices +
+      // their stats land in K part files written CONCURRENTLY; the tiny
+      // main record commits the checkpoint LAST, so a crash mid-write
+      // leaves orphan parts no reader ever consults (the next attempt
+      // overwrites them; expire reaps them with the checkpoint).
+      val slices = st.dirs.grouped(CheckpointPartDirs).toSeq
+      val statsByDir = st.stats.groupBy { case (k, _) => k.takeWhile(_ != '|') }
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ioPool
+      Await.result(Future.traverse(slices.zipWithIndex.toList) { case (sl, i) =>
+        Future {
+          val stats = sl.flatMap(d => statsByDir.getOrElse(d, Map.empty)).toMap
+          put(s"""{"dataDirs": [${sl.map(jsString).mkString(", ")}],
+                 | "stats": {${statsBody(stats)}}}""".stripMargin,
+            checkpointPartPath(root, v, i))
+        }
+      }, Duration.Inf)
+      put(s"""{"version": $v, "dataDir": ${jsString(st.dirs.last)},
+             | "parts": ${slices.size}}""".stripMargin,
+        checkpointPath(root, v))
+    }
   }
 
   private def parsedManifest(f: FileSystem, root: String, v: Long): ParsedManifest = {

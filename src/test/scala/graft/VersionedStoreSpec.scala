@@ -181,6 +181,43 @@ class VersionedStoreSpec extends SparkSpec {
     assert(cps.forall(_.length > 0), "checkpoints must be complete files, never torn")
   }
 
+  test("multi-part checkpoints: a wide state splits into sidecars, resolves " +
+       "byte-identically, and expire reaps main + parts") {
+    val root = tmp()
+    val saved = VersionedStore.CheckpointPartDirs
+    VersionedStore.CheckpointPartDirs = 8 // force the wide-table path
+    try {
+      (1 to 40).foreach { i =>
+        VersionedStore.commitAppend(
+          snap(f"2024-01-${(i % 28) + 1}%02d", i.toLong -> i.toDouble), root,
+          statsCols = Seq("user_id"))
+      }
+      val files = new java.io.File(s"$root/_manifests").listFiles.map(_.getName)
+      assert(files.exists(_.matches("""\d+\.checkpoint\.part-\d+""")),
+        s"a >8-dir checkpoint must write part sidecars, saw ${files.mkString(",")}")
+      // resolution through the multi-part anchor: full reads, point
+      // pruning, metadata counts, time travel — all intact
+      assert(VersionedStore.read(spark, root).get.count() === 40L)
+      assert(VersionedStore.prunedDirs(spark, root, 40L,
+        Seq(VersionedStore.ColRange.eq("user_id", "7"))).size === 1)
+      assert(VersionedStore.countWhere(spark, root,
+        Seq(VersionedStore.ColRange("user_id", Some("1"), Some("40")))) === 40L)
+      assert(VersionedStore.readAt(spark, root, 35L).count() === 35L)
+      // expire drops old versions: their checkpoint mains AND parts go
+      VersionedStore.expire(spark, root, keepLast = 5)
+      val after = new java.io.File(s"$root/_manifests").listFiles.map(_.getName)
+      val liveVs = (36 to 40).map(_.toString).toSet
+      val orphanParts = after.filter(_.contains(".checkpoint"))
+        .filterNot(_.startsWith(".")) // Hadoop .crc siblings track their file
+        .filterNot(n => liveVs.contains(n.takeWhile(_ != '.')))
+      assert(orphanParts.isEmpty,
+        s"expired checkpoints must reap their parts too: ${orphanParts.mkString(",")}")
+      (36 to 40).foreach { v =>
+        assert(VersionedStore.readAt(spark, root, v.toLong).count() === v.toLong)
+      }
+    } finally VersionedStore.CheckpointPartDirs = saved
+  }
+
   test("log segments: expire cuts the chain safely — oldest survivor checkpointed, tail resolvable") {
     val root = tmp()
     (1 to 24).foreach { i =>
