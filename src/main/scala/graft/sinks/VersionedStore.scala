@@ -118,8 +118,12 @@ object VersionedStore {
       try { java.nio.file.Files.createLink(target, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.nio.file.FileSystemException =>
-          // link unsupported (exotic mount): degrade to the Hadoop path
+        // link unsupported: exotic mounts surface as FileSystemException
+        // OR UnsupportedOperationException (provider-dependent) — both
+        // degrade to the Hadoop create path rather than failing a commit
+        // whose retry loop only catches CommitConflict
+        case _: java.nio.file.FileSystemException |
+             _: UnsupportedOperationException =>
           try { val out = f.create(p, false)
             try out.write(body) finally out.close(); true }
           catch { case _: java.io.IOException => false }
@@ -652,7 +656,14 @@ object VersionedStore {
     }
     val steps = ((sinceVersion + 1) to to).flatMap { v =>
       val pm = parsedManifest(f, root, v)
-      if (pm.meta.contains("optimize")) Seq.empty
+      // Marker reads are guarded against CARRIED markers: a restore
+      // commit written by an older library version carried its target's
+      // full meta (incl. a stale "optimize"/"update"), and skipping or
+      // mislabeling a restore on that evidence would silently drop its
+      // changes from the feed. "restore" wins; current commits carry
+      // ledger+colmap only, so the guard is belt-and-braces there.
+      val isRestore = pm.meta.contains("restore")
+      if (pm.meta.contains("optimize") && !isRestore) Seq.empty
       else {
         val (added, removed) =
           if (pm.base.isDefined) (pm.addDirs, pm.removedDirs)
@@ -670,7 +681,8 @@ object VersionedStore {
           else Some(align(readDirs(spark, root, dirs, allDirs = dirs,
             schemaDdl = schemaV, colmap = mapV), mapV))
         val (insTag, delTag) =
-          if (pm.meta.contains("update")) ("update_postimage", "update_preimage")
+          if (pm.meta.contains("update") && !isRestore)
+            ("update_postimage", "update_preimage")
           else ("insert", "delete")
         val (oldDf, newDf) = (side(removed), side(added))
         val ins = (oldDf, newDf) match {
@@ -754,10 +766,15 @@ object VersionedStore {
     dropped.foreach { v =>
       f.delete(manifestPath(root, v), false)
       // multi-part checkpoints: the MAIN record goes first (after it no
-      // reader consults the parts), then the sidecars it named
+      // reader consults the parts), then the sidecars — by GLOB, not an
+      // index walk: a crashed concurrent part-write can leave a
+      // non-contiguous set, and a gap-stopping loop would strand the
+      // later indices forever (vacuum's orphan sweep is the backstop).
       f.delete(checkpointPath(root, v), false)
-      var i = 0
-      while (f.delete(checkpointPartPath(root, v, i), false)) i += 1
+      f.globStatus(new Path(s"$root/_manifests/$v.checkpoint.part-*")) match {
+        case null => ()
+        case ts => ts.foreach(s => f.delete(s.getPath, false))
+      }
     }
     // Re-list AFTER the manifest deletes, LOOPING until a pass observes
     // no new manifests: a commit that landed DURING this expire (e.g. a
@@ -1432,8 +1449,15 @@ object VersionedStore {
         s"version $toVersion of $root does not exist (never committed, or expired)")
     if (toVersion == cur) return cur
     val dirs = dataDirsOf(f, root, toVersion)
+    // Carry toVersion's LEDGER+COLMAP entries only — never its
+    // descriptive markers ("optimize", "update", ...): the restore is
+    // its OWN commit, and a stale marker riding it would misdescribe it
+    // (the row-level change feed skips "optimize"-marked commits, so a
+    // carried marker would silently drop the restore's changes from a
+    // CDF consumer). Schema and stats carry through their own fields.
     publish(spark, root, cur + 1, dirs.last, baseDirs = dirs.init,
-      meta = metaOf(f, root, toVersion) ++ ledgerEntries(metaOf(f, root, cur)) ++
+      meta = carriedEntries(metaOf(f, root, toVersion)) ++
+        ledgerEntries(metaOf(f, root, cur)) ++
         meta + ("restore" -> toVersion.toString),
       schemaDdl = schemaOf(f, root, toVersion),
       stats = statsOf(f, root, toVersion),
@@ -1826,6 +1850,17 @@ object VersionedStore {
           Future { bloomStats(df, d, bloomCols, rowsByDir.getOrElse(d, 64L)) }
         }, Duration.Inf).flatten.toMap
       }
+    // Per-dir byte sizes CONCURRENTLY on the IO pool — a sequential
+    // getContentSummary per dir would re-introduce the linear driver
+    // stall the concurrent rewrites removed at DML width.
+    val bytesByDir: Map[String, Long] = {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ioPool
+      Await.result(Future.traverse(legPairs.map(_._1).toList) { d =>
+        Future { d -> dirBytes(spark, root, d) }
+      }, Duration.Inf).toMap
+    }
     rows.flatMap { row =>
       val dir = row.getString(0)
       val colStats = plain.zipWithIndex.flatMap { case (n, i) =>
@@ -1838,7 +1873,7 @@ object VersionedStore {
       }
       colStats ++ Seq(
         s"$dir|#|rows" -> row.getLong(1 + 3 * plain.size).toString,
-        s"$dir|#|bytes" -> dirBytes(spark, root, dir).toString)
+        s"$dir|#|bytes" -> bytesByDir.getOrElse(dir, 0L).toString)
     }.toMap ++ bloomEntries
   }
 
@@ -2555,5 +2590,21 @@ object VersionedStore {
           case ts => ts.foreach(s => f.delete(s.getPath, false))
         }
       }
+    // ORPHAN checkpoint sidecars: a crash mid multi-part write leaves
+    // part files whose MAIN record never landed (no reader consults
+    // them); an expired checkpoint's parts are swept by expire itself,
+    // but any non-contiguous survivor ends up here. A part is live iff
+    // its version's main checkpoint file exists.
+    f.globStatus(new Path(s"$root/_manifests/*.checkpoint.part-*")) match {
+      case null => ()
+      case ts => ts.foreach { s =>
+        val v = s.getPath.getName.takeWhile(_ != '.')
+        val live = v.nonEmpty && v.forall(_.isDigit) &&
+          f.exists(checkpointPath(root, v.toLong))
+        if (!live &&
+            (minAgeMs == 0L || s.getModificationTime < cutoff))
+          f.delete(s.getPath, false)
+      }
+    }
   }
 }

@@ -173,11 +173,16 @@ object GraftStoreSource {
     * SAME `Cast(_, StringType)` the stats aggregation uses
     * (`min(col).cast("string")`), so a pushed `day = DATE'2024-01-15'`
     * compares against recorded min/max in an identical serialization
-    * (dates as `2024-01-15`, timestamps in session-zone cast form,
-    * numerics as plain digits). NULL literals convert to no bound (the
-    * dir is kept; NULL never matches a comparison anyway). */
+    * (dates as `2024-01-15`, numerics as plain digits). NULL literals
+    * convert to no bound (the dir is kept; NULL never matches a
+    * comparison anyway). SESSION-ZONED TIMESTAMPS never convert: their
+    * string form depends on the session time zone, and a reader zoned
+    * differently from the writer would compare apples to oranges and
+    * PRUNE A DIR THAT MATCHES — wrong rows, not just a slow plan. The
+    * zoneless types (date, timestamp_ntz) are safe. */
   private def statForm(l: Literal): Option[String] =
-    if (l.value == null) None
+    if (l.value == null ||
+        l.dataType == org.apache.spark.sql.types.TimestampType) None
     else Option(Cast(l, StringType, Some(SQLConf.get.sessionLocalTimeZone))
       .eval(InternalRow.empty)).map(_.toString)
 
@@ -315,9 +320,28 @@ final class GraftFileIndex(spark: SparkSession, root: String,
     }}, Duration.Inf).flatten
   }
 
+  /** Hive partition-path unescape: %XX sequences ONLY — URLDecoder would
+    * also turn '+' into a space, which Spark's partition escaping never
+    * encodes, corrupting any value containing a literal '+'. */
   private def unescapePath(s: String): String =
     if (!s.contains('%')) s
-    else java.net.URLDecoder.decode(s, "UTF-8")
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      val bytes = new java.io.ByteArrayOutputStream(8)
+      var i = 0
+      def flush(): Unit = if (bytes.size() > 0) {
+        sb.append(new String(bytes.toByteArray, "UTF-8")); bytes.reset()
+      }
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          try { bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+          catch { case _: NumberFormatException => flush(); sb.append(c); i += 1 }
+        } else { flush(); sb.append(c); i += 1 }
+      }
+      flush()
+      sb.toString
+    }
 
   /** A partition value string as the typed InternalRow the scan carries —
     * through `Cast(string literal, partition type)`, the exact coercion
@@ -325,7 +349,11 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   private def partRow(v: Option[(String, String)]): InternalRow =
     if (partitionSchema.isEmpty) InternalRow.empty
     else InternalRow(v.map { case (_, s) =>
-      Cast(Literal(s), partitionSchema.head.dataType,
+      // Spark writes NULL partition values as this sentinel dir name —
+      // casting it (DateType under ANSI would throw; StringType would
+      // surface the sentinel as data) must instead yield NULL.
+      if (s == "__HIVE_DEFAULT_PARTITION__") null
+      else Cast(Literal(s), partitionSchema.head.dataType,
         Some(SQLConf.get.sessionLocalTimeZone)).eval(InternalRow.empty)
     }.orNull)
 

@@ -100,9 +100,15 @@ object AggregateView {
   /** Maintenance-window tombstone reclaim: physically delete the
     * `n_rows = 0` rows CDF maintenance left behind. Safe any time no
     * maintenance batch is mid-flight (same contract as the store's own
-    * expire/vacuum); a no-op version-less call when none exist. */
-  def purgeTombstones(spark: org.apache.spark.sql.SparkSession, view: String): Unit = {
-    VersionedStore.deleteWhere(spark, view, col("n_rows") === 0L)
+    * expire/vacuum); a no-op version-less call when none exist.
+    * `keys` re-records the rewritten dirs' stats — the view's own
+    * maintenance prunes its reads through key min/max, and a purge that
+    * dropped them would silently grow every later batch's view-side read
+    * back to O(view dirs). */
+  def purgeTombstones(spark: org.apache.spark.sql.SparkSession, view: String,
+                      keys: Seq[String]): Unit = {
+    VersionedStore.deleteWhere(spark, view, col("n_rows") === 0L,
+      statsCols = keys)
     ()
   }
 
@@ -117,15 +123,6 @@ object AggregateView {
                                 writerId: String = VersionedStream.DefaultWriter): Unit = {
     val spark = batch.sparkSession
     if (batchId <= VersionedStream.lastBatchId(spark, derived, writerId)) return
-
-    // AQE OFF for the maintenance window (restored below): every frame
-    // here is batch-sized by construction and every store read is a
-    // pushed-down single-dir scan, so AQE's runtime re-planning buys
-    // nothing — while its stage-by-stage execution submits each tiny
-    // exchange as its OWN scheduler job, multiplying the per-batch job
-    // constant this path exists to keep flat.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     val kcols: Seq[Column] = keys.map(col)
     // SIGNED maintenance: a batch carrying `_change_type` is a row-level
@@ -147,6 +144,21 @@ object AggregateView {
         .otherwise(lit(-1L))
     else lit(1L)
     val src = batch.withColumn("__w", w)
+
+    // AQE OFF for the maintenance window: every frame here is
+    // batch-sized by construction and every store read is a pushed-down
+    // single-dir scan, so AQE's runtime re-planning buys nothing — while
+    // its stage-by-stage execution submits each tiny exchange as its OWN
+    // scheduler job, multiplying the per-batch job constant this path
+    // exists to keep flat. Disabled AFTER every fail-fast require above
+    // (an exception between set and restore would leave the SHARED
+    // session without AQE), restored in the enclosing finally, and
+    // REFCOUNTED so concurrent views on one session can't race the
+    // save/restore into persisting the disabled state.
+    if (AqeDepth.getAndIncrement() == 0) {
+      aqeSaved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     // NULL-as-zero applied IN the delta aggregate (not only at combine):
     // a group first seen with all-NULL values must store sum = 0 on the
     // first-batch adopt path exactly as it would after a merge — the
@@ -163,9 +175,13 @@ object AggregateView {
     // persist (lazy) rather than an eager checkpoint: the control
     // aggregate right below materializes the cache, so pinning costs no
     // job of its own.
-    val deltas = src.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
-      .persist()
+    // The lazy-plan constructions below can throw (a sumCol missing from
+    // the batch is an AnalysisException at groupBy/agg), so the refcount
+    // decrement must be unconditional from here on.
+    var deltas: DataFrame = null
     try {
+    deltas = src.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+      .persist()
     // ONE control job over the cached deltas: emptiness, the NULL-key
     // gate, and the per-key delta ranges (which let the view-side read
     // prune through its own key stats below) share a single aggregate.
@@ -234,8 +250,16 @@ object AggregateView {
       }
     }
     } finally {
-      deltas.unpersist(blocking = false)
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      if (deltas != null) deltas.unpersist(blocking = false)
+      if (AqeDepth.decrementAndGet() == 0)
+        spark.conf.set("spark.sql.adaptive.enabled", aqeSaved)
     }
   }
+
+  /** Refcount for the AQE-disabled maintenance window: the FIRST
+    * concurrent view batch saves the session value and disables, the
+    * LAST restores — two views racing a plain save/restore could read
+    * each other's "false" as the value to restore. */
+  private val AqeDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var aqeSaved: String = "true"
 }

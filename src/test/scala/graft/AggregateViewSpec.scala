@@ -175,7 +175,7 @@ class AggregateViewSpec extends SparkSpec {
       .filter(col("n_rows") === 0L)
       .select("event_type").as[String].collect().toSeq
     assert(raw === Seq("view"))
-    AggregateView.purgeTombstones(spark, view)
+    AggregateView.purgeTombstones(spark, view, keys = Seq("day", "event_type"))
     assert(VersionedStore.read(spark, view).get
       .filter(col("n_rows") === 0L).count() === 0L)
     assert(AggregateView.read(spark, view).get

@@ -82,6 +82,24 @@ class VersionedCdfSpec extends SparkSpec {
     assert(changes(root, 2) === Seq((2L, "b", "delete", 3L)))
   }
 
+  test("a RESTORE to an optimize commit still feeds: carried markers can " +
+       "never hide a restore's changes") {
+    val root = tmp()
+    VersionedStore.commitAppend(Seq((1L, "a")).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    VersionedStore.commitAppend(Seq((2L, "b")).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    VersionedStore.optimize(spark, root, col("k"), buckets = 2) // v3
+    VersionedStore.deleteWhere(spark, root, col("k") === 2L)     // v4
+    VersionedStore.restore(spark, root, 3L)                      // v5: b is back
+    // The restore commit references v3's dirs — whose manifest carries
+    // an "optimize" marker. A feed that read carried markers naively
+    // would skip v5 as a layout rewrite and silently drop b's
+    // re-insertion; the restore must win.
+    assert(changes(root, 3) === Seq(
+      (2L, "b", "delete", 4L), (2L, "b", "insert", 5L)))
+  }
+
   test("rename mid-range: the feed reports every row under CURRENT names") {
     val root = tmp()
     VersionedStore.commitAppend(Seq((1L, 10L)).toDF("k", "val"), root)
