@@ -88,6 +88,38 @@ class VersionedBloomSpec extends SparkSpec {
       .filter(col("id") === md5hex("321")).count() === 0L)
   }
 
+  test("bloom x rename: a probe on the NEW name keeps pre-rename dirs " +
+       "(conservative) and still prunes post-rename ones") {
+    val root = tmp()
+    (0 until 4).foreach { k =>
+      val rows = (k * 16 until (k + 1) * 16).map(i => (md5hex(i.toString), i.toLong))
+      VersionedStore.commitAppend(rows.toDF("hid", "n"), root,
+        statsCols = Seq("bloom:hid"))
+    }
+    VersionedStore.renameColumn(spark, root, "hid", "id")
+    (4 until 8).foreach { k =>
+      val rows = (k * 16 until (k + 1) * 16).map(i => (md5hex(i.toString), i.toLong))
+      VersionedStore.commitAppend(rows.toDF("id", "n"), root,
+        statsCols = Seq("bloom:id"))
+    }
+    val v = VersionedStore.currentVersion(spark, root)
+    // target lives in post-rename dir k=5; pre-rename dirs' stats are
+    // recorded under "hid", so a probe on "id" must KEEP all 4 of them
+    // (never wrong) while the post-rename blooms prune their side
+    val probe = Seq(ColRange.eq("id", md5hex("85")))
+    val opened = VersionedStore.prunedDirs(spark, root, v, probe)
+    assert(opened.size >= 4 && opened.size <= 6,
+      s"4 statless pre-rename dirs kept + ~1 bloomed post-rename dir, got ${opened.size}")
+    assert(VersionedStore.readAt(spark, root, v, probe)
+      .filter(col("id") === md5hex("85")).select("n").as[Long]
+      .collect().toSeq === Seq(85L))
+    // and a pre-rename row is still findable by the new name (read
+    // aliases through the column map; its dir is kept unconditionally)
+    assert(VersionedStore.readAt(spark, root, v, Seq(ColRange.eq("id", md5hex("3"))))
+      .filter(col("id") === md5hex("3")).select("n").as[Long]
+      .collect().toSeq === Seq(3L))
+  }
+
   test("the graftstore scan rides the bloom: a pushed equality opens fewer files") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.execution.FileSourceScanExec
