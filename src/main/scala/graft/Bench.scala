@@ -48,6 +48,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (JVM/codegen/FileIndex startup otherwise lands on
@@ -201,10 +202,21 @@ object Bench {
         // them too so the canonical record names its own volatility.
         val volatile = ok.collect {
           case (k, (_, min, spread)) if spread > min && spread > 0.5 => k }
-        (byMed ++ flagged ++ volatile).distinct.take(8).flatMap { n =>
-          System.err.println(s"[bench] isolated probe: $n ...")
-          isolatedRun(n, sfDir, cpus).map(n -> _)
-        }
+        // Ratio net (round-13 verdict #6): driver rows landing >2× the
+        // canonical min were exactly the small-absolute outliers the
+        // med-min>0.5 delta floor missed (sub-second queries can double
+        // without tripping it). Flag by ratio with no absolute floor,
+        // order ALL candidates most-divergent-first so the cap trims the
+        // least interesting, and run up to 12 probes (was 8).
+        val ratioFlagged = ok.collect {
+          case (k, (med, min, _)) if min > 0 && med > min * 2 => k }
+        val stats = ok.toMap
+        (byMed ++ flagged ++ volatile ++ ratioFlagged).distinct
+          .sortBy(n => -(stats(n)._1 / math.max(stats(n)._2, 1e-9)))
+          .take(12).flatMap { n =>
+            System.err.println(s"[bench] isolated probe: $n ...")
+            isolatedRun(n, sfDir, cpus).map(n -> _)
+          }
       }
     // Probe semantics, labeled so the record is self-interpreting:
     // isolated ≤ in-suite PROVES suite contamination (the in-suite number

@@ -63,7 +63,8 @@ object ContentionProbe {
       var myRetries = 0
       while (!committed) {
         try { VersionedStore.commitAppend(df, root, statsCols = Seq("seq")); committed = true }
-        catch { case _: VersionedStore.CommitConflict => myRetries += 1 }
+        catch { case _: VersionedStore.CommitConflict =>
+          VersionedStore.backoffOnConflict(myRetries); myRetries += 1 }
       }
       retries += myRetries
       maxRetryOneCommit = math.max(maxRetryOneCommit, myRetries)

@@ -26,6 +26,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // The graftstore SQL front door (Delta's DeltaSqlParser/DeltaAnalysis
+    // architecture): the parser adds the maintenance verbs (OPTIMIZE /
+    // VACUUM / DESCRIBE HISTORY), the post-hoc rule routes the
+    // already-parseable row-level commands (DELETE/UPDATE/MERGE INTO on
+    // a graftstore relation) into the store's transactional ops. BOTH
+    // need session-construction injection — a parser cannot be swapped
+    // into a live session, so SQL DML requires `.withExtensions(new
+    // GraftExtensions)` (or spark.sql.extensions=graft.GraftExtensions);
+    // the Scala API needs neither.
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    e.injectPostHocResolutionRule(_ => graft.plans.GraftDmlRule)
+    // AFTER the DML rule (same Once batch, injection order): DML matches
+    // the marker relation; every remaining marker then upgrades to the
+    // vectorized physical-schema scan + alias projection.
+    e.injectPostHocResolutionRule(_ => graft.sources.GraftStoreVectorizeRule)
   }
 }
 

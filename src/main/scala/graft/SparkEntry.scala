@@ -1226,6 +1226,50 @@ object SparkEntry {
           col("event_type"), col("n_rows"), col("sum_val_q"))
         .orderBy("day", "event_type")
     }),
+    // SQL FRONT DOOR over the versioned store — the full DML triad
+    // driven through `spark.sql` against a `CREATE TABLE ... USING
+    // graftstore` entry (GraftSqlParser + GraftDmlRule): DELETE day-13
+    // clicks, UPDATE day-15 clicks (value*3), MERGE day-14 (clicks
+    // doubled via SET *, re-keyed purchases inserted as 'synth'). The
+    // build gates the transactional path — three SQL statements must be
+    // exactly three commits (v10→v13) — and proves the row-level effects
+    // via the change feed: delete/insert/update_preimage/postimage
+    // counts must equal the per-day populations each statement named.
+    // The final day-13..15 aggregate is oracle-checked against the same
+    // edits expressed over flat events.
+    // DROP COLUMN via column mapping — renameColumn's sibling
+    // (VersionedStore.dropColumn): `props` is dropped metadata-only
+    // after ten appends (build gates zero dir rewrites, time travel
+    // keeping the column AND its values, the retired physical name
+    // rejecting re-use even under mergeSchema, and the change feed
+    // spanning the drop). A post-drop append lands at the narrowed
+    // schema; the query reads exactly those rows back, so the RESULT
+    // SCHEMA is the post-drop contract — the driver's schema compare is
+    // the drop's oracle, not just the build requires.
+    "versioned_drop_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureDroppedEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange.eq("day", "2024-01-31")))
+        .filter(col("day") === lit("2024-01-31").cast("date"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("day").cast("string").as("day"))
+        .orderBy("event_id")
+    }),
+    "versioned_sql_dml" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureSqlDmlEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-13"), Some("2024-01-15"))))
+        .filter(col("day").between(
+          lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
     // WIDE aggregate view — the breadth gate: multi-key, two sums, and
     // grow-only min/max maintained through the same CDC loop, with avg
     // derived at read (sum/count — averages never compose, so they are
@@ -1770,6 +1814,156 @@ object SparkEntry {
       require(after.intersect(before).size == before.size - 1,
         s"targeted merge must rewrite exactly one dir, carried " +
           s"${after.intersect(before).size}/${before.size}")
+    }
+    p
+  }
+
+  /** Build (once per corpus) the DROPPED-COLUMN VersionedStore of
+    * events: ten day-ranged appends carrying `props`, then
+    * `dropColumn(props)` — metadata-only (gated: identical dir set) —
+    * then one append at the narrowed schema (day-31 rows re-keyed from
+    * day 1). Gates: time travel below the drop keeps `props` with
+    * non-null values; re-adding `props` is rejected even under
+    * mergeSchema (the physical slot is retired — old values would
+    * resurface); the row-level feed across the drop carries exactly the
+    * post-drop append under the narrowed schema. */
+  private def ensureDroppedEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_drop", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value",
+              "props", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      val before = VersionedStore.prunedDirs(s, tmp, 10L, Seq.empty).toSet
+      val v = VersionedStore.dropColumn(s, tmp, "props")
+      require(v == 11L && VersionedStore.prunedDirs(s, tmp, v, Seq.empty)
+        .toSet == before,
+        "dropColumn must be metadata-only: same dirs, one version bump")
+      val oldProps = VersionedStore.readAt(s, tmp, 10L)
+        .filter(col("props").isNotNull).limit(1).count()
+      require(oldProps == 1L,
+        "time travel below the drop must still read props values")
+      // post-drop append at the narrowed schema: day-1 rows re-keyed to
+      // day 31 (outside the original 30-day span, so the query's day
+      // filter isolates exactly this batch)
+      val day31 = src.filter(col("day") === lit("2024-01-01").cast("date"))
+        .select(
+          (col("event_id") + lit(2000000000L)).as("event_id"),
+          (col("ts") + expr("INTERVAL 30 DAYS")).as("ts"),
+          col("user_id"), col("event_type"), col("value"),
+          lit("2024-01-31").cast("date").as("day"))
+      VersionedStore.commitAppend(day31, tmp, statsCols = Seq("day"))
+      val readd = try {
+        VersionedStore.commitAppend(
+          src.limit(1).select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"),
+            col("day")),
+          tmp, mergeSchema = true)
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("retired") }
+      require(readd, "re-adding the dropped props column must be rejected " +
+        "(retired physical slot)")
+      val feed = VersionedStore.readRowChanges(s, tmp, 10L).get
+      require(feed.columns.contains("value") && !feed.columns.contains("props"),
+        "the feed across the drop must use the narrowed schema")
+      val n31 = day31.count()
+      require(feed.filter(col("_change_type") === "insert").count() == n31,
+        "the feed across the drop must carry exactly the post-drop append")
+    }
+    p
+  }
+
+  /** Build (once per corpus) the SQL-DML VersionedStore of events: the
+    * same 10 day-ranged appends, then every edit through the SQL front
+    * door against a `CREATE TABLE ... USING graftstore` entry — never
+    * the Scala API — so the artifact itself proves the parser + DML
+    * resolution path end-to-end. Gates: three statements = exactly
+    * three commits (the transactional CAS path, no silent batching),
+    * and the ROW-LEVEL change feed over the DML range carries exactly
+    * the populations each statement named (deletes = day-13 clicks +
+    * the merge's matched preimages; inserts = the matched postimages +
+    * the re-keyed synth rows; update pre/post pairs = day-15 clicks).
+    * Zero-valued rows are excluded from the update/matched expectations
+    * — `value*k == value` for them, so the multiset feed rightly
+    * reports no change. */
+  private def ensureSqlDmlEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_sqldml", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      val tbl = s"vsql_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.sql(s"CREATE TABLE $tbl USING graftstore OPTIONS (path '$tmp')")
+      try {
+        s.sql(s"DELETE FROM $tbl WHERE event_type = 'click' " +
+          "AND day = DATE '2024-01-13'").collect()
+        s.sql(s"UPDATE $tbl SET value = value * 3 WHERE event_type = 'click' " +
+          "AND day = DATE '2024-01-15'").collect()
+        val day14 = src.filter(col("day") === lit("2024-01-14").cast("date"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        day14.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .unionByName(day14.filter(col("event_type") === "purchase")
+            .withColumn("event_id", col("event_id") + lit(1000000000L))
+            .withColumn("event_type", lit("synth")))
+          .createOrReplaceTempView(s"${tbl}_src")
+        s.sql(
+          s"""MERGE INTO $tbl t USING ${tbl}_src s ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        val v = VersionedStore.currentVersion(s, tmp)
+        require(v == 13L,
+          s"three SQL DML statements over 10 appends must land at " +
+            s"version 13, got $v — a command bypassed the commit path")
+        // one job for every expected population (zero-value guard on the
+        // value-scaling statements, see scaladoc)
+        val d = src.filter(col("day").between(
+          lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date")))
+          .agg(
+            sum(when(col("event_type") === "click" &&
+              col("day") === lit("2024-01-13").cast("date"), 1L)
+              .otherwise(0L)).as("c13"),
+            sum(when(col("event_type") === "click" && col("value") =!= 0 &&
+              col("day") === lit("2024-01-14").cast("date"), 1L)
+              .otherwise(0L)).as("c14c"),
+            sum(when(col("event_type") === "purchase" &&
+              col("day") === lit("2024-01-14").cast("date"), 1L)
+              .otherwise(0L)).as("c14p"),
+            sum(when(col("event_type") === "click" && col("value") =!= 0 &&
+              col("day") === lit("2024-01-15").cast("date"), 1L)
+              .otherwise(0L)).as("c15")).head()
+        val (c13, c14c, c14p, c15) = (d.getAs[Long]("c13"),
+          d.getAs[Long]("c14c"), d.getAs[Long]("c14p"), d.getAs[Long]("c15"))
+        val feed = VersionedStore.readRowChanges(s, tmp, 10L).get
+          .groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expected = Map(
+          "delete" -> (c13 + c14c), "insert" -> (c14c + c14p),
+          "update_preimage" -> c15, "update_postimage" -> c15)
+        require(feed == expected.filter(_._2 > 0L),
+          s"SQL DML change feed must label every row effect: " +
+            s"expected $expected, feed said $feed")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView(s"${tbl}_src")
+      }
     }
     p
   }
@@ -3271,6 +3465,31 @@ object SparkEntry {
         | count(*) AS n_rows,
         | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_q
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "versioned_drop_read" ->
+      """SELECT event_id + 2000000000 AS event_id, user_id, event_type,
+        | value, CAST(DATE '2024-01-31' AS VARCHAR) AS day
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        |ORDER BY event_id""".stripMargin,
+    "versioned_sql_dml" ->
+      """WITH edited AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CASE WHEN event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-15'
+        |       THEN value * 3
+        |       WHEN event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14'
+        |       THEN value * 2
+        |       ELSE value END AS value
+        | FROM events
+        | WHERE NOT (event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-13')
+        | UNION ALL
+        | SELECT 'synth' AS event_type, CAST(ts AS DATE) AS day, value
+        | FROM events
+        | WHERE CAST(ts AS DATE) = DATE '2024-01-14' AND event_type = 'purchase')
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM edited
+        |WHERE day BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_agg_view_wide" ->
       """WITH q AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
         |   CAST(floor(value * 1000) AS BIGINT) AS val_q,

@@ -58,7 +58,10 @@ object WidthProbe {
     val tB0 = System.nanoTime()
 
     // One REAL one-row dir: the template every synthetic dir hard-links.
-    VersionedStore.commitAppend(Seq((0L, 0.0)).toDF("k", "v"), root,
+    // `h` is the BLOOM leg's column: its synthesized ranges are useless
+    // (every synth dir spans 1..n), so the per-dir bloom is the only
+    // pruner — the unsorted-point-key shape at width.
+    VersionedStore.commitAppend(Seq((0L, 0.0, 0L)).toDF("k", "v", "h"), root,
       statsCols = Seq("k"))
     val realDir = new java.io.File(root).listFiles()
       .filter(_.getName.startsWith("data-")).head
@@ -72,11 +75,22 @@ object WidthProbe {
     val stats = scala.collection.mutable.Map.empty[String, String]
     // the carried template needs its stats re-stated on the full
     // manifest too, or every plan keeps it as a stats-less dir
+    def bloomB64(value: String): String = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
+      bf.putString(value)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
     stats ++= Seq(
       s"${realDir.getName}|k|min" -> "0", s"${realDir.getName}|k|max" -> "0",
       s"${realDir.getName}|k|typ" -> "long",
       s"${realDir.getName}|k|nulls" -> "0", s"${realDir.getName}|#|rows" -> "1",
-      s"${realDir.getName}|#|bytes" -> part.length.toString)
+      s"${realDir.getName}|#|bytes" -> part.length.toString,
+      s"${realDir.getName}|h|min" -> "0", s"${realDir.getName}|h|max" -> "0",
+      s"${realDir.getName}|h|typ" -> "long",
+      s"${realDir.getName}|h|nulls" -> "0",
+      s"${realDir.getName}|h|bloom" -> bloomB64("0"))
     synthDirs.zipWithIndex.foreach { case (d, idx) =>
       val i = idx + 1
       val dir = java.nio.file.Paths.get(root, d)
@@ -85,18 +99,23 @@ object WidthProbe {
       stats ++= Seq(
         s"$d|k|min" -> i.toString, s"$d|k|max" -> i.toString,
         s"$d|k|typ" -> "long", s"$d|k|nulls" -> "0", s"$d|#|rows" -> "1",
-        s"$d|#|bytes" -> part.length.toString)
+        s"$d|#|bytes" -> part.length.toString,
+        // useless range (full span), discriminating bloom (key i only)
+        s"$d|h|min" -> "1", s"$d|h|max" -> n.toString,
+        s"$d|h|typ" -> "long", s"$d|h|nulls" -> "0",
+        s"$d|h|bloom" -> bloomB64(i.toString))
     }
     // The wide commit: one full manifest referencing every synthetic dir
     // (plus the template), stats riding it — the state a 10⁵-append
     // store would have resolved to.
     VersionedStore.publish(spark, root, 2L, synthDirs.last,
       baseDirs = Seq(realDir.getName), extraNewDirs = synthDirs.init,
-      schemaDdl = Some("k BIGINT,v DOUBLE"), stats = stats.toMap)
+      schemaDdl = Some("k BIGINT,v DOUBLE,h BIGINT"), stats = stats.toMap)
     // Short REAL delta tail, then expire materializes the at-width
     // checkpoint for the oldest survivor through the product path.
     ((n + 1) to (n + 20)).foreach { i =>
-      VersionedStore.commitAppend(Seq((i.toLong, i * 2.0)).toDF("k", "v"),
+      VersionedStore.commitAppend(
+        Seq((i.toLong, i * 2.0, -1L)).toDF("k", "v", "h"),
         root, statsCols = Seq("k"))
     }
     VersionedStore.expire(spark, root, keepLast = 20)
@@ -148,7 +167,7 @@ object WidthProbe {
 
     val tA0 = System.nanoTime()
     val v2 = VersionedStore.commitAppend(
-      Seq((n + 999L, 1.0)).toDF("k", "v"), root, statsCols = Seq("k"))
+      Seq((n + 999L, 1.0, -1L)).toDF("k", "v", "h"), root, statsCols = Seq("k"))
     val appendSec = secs(tA0)
     val mf = new java.io.File(s"$root/_manifests/$v2.json")
     val deltaBytes = mf.length()
@@ -177,6 +196,45 @@ object WidthProbe {
       .filter(org.apache.spark.sql.functions.col("k") === 0L).count()
     val dsv2WarmSec = secs(tD1)
 
+    // BLOOM leg — the unsorted-point-key shape at width: h's ranges
+    // keep every synth dir, so the plan consults one bloom PER
+    // RANGE-SURVIVING DIR (all n of them). Cold = every decode misses;
+    // "warm" = the LRU bloom cache holds only its cap (8192 < n), so a
+    // full sweep still re-decodes — the number proves the decode path
+    // itself is flat-per-dir and eviction never cliffs it. The dsv2 row
+    // drives the same skipping through the pushed SQL filter (h = 0
+    // keeps ONLY the template's bloom) and verifies the value arrives.
+    val midDir = f"data-synth-${n / 2}%07d"
+    val tBl0 = System.nanoTime()
+    val bloomOpened = VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange.eq("h", mid)))
+    val bloomPlanSec = secs(tBl0)
+    require(bloomOpened.contains(midDir),
+      s"bloom prune must keep the matching dir $midDir")
+    require(bloomOpened.size <= 30,
+      s"bloom must prune the synth width to the stat-less tail, " +
+        s"got ${bloomOpened.size} dirs")
+    val tBl1 = System.nanoTime()
+    VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange.eq("h", mid)))
+    val bloomPlanWarmSec = secs(tBl1)
+    // the dsv2 sweep: h = mid keeps every synth dir by range, so the
+    // pushed filter's prune decodes all n blooms inside the FileIndex
+    // (dir mid survives; its template bytes hold no h=mid row, and the
+    // scan's re-applied predicate returns none — skipping is never a
+    // filter). h = 0 then verifies the value path cheaply: the synth
+    // RANGES already exclude 0, only the template's bloom+range keep it.
+    val tBl2 = System.nanoTime()
+    val bloomSweepRows = spark.read.format("graftstore").load(root)
+      .filter(org.apache.spark.sql.functions.col("h") === mid.toLong).count()
+    val dsv2BloomSec = secs(tBl2)
+    require(bloomSweepRows == 0L,
+      s"no real row holds h=$mid, got $bloomSweepRows")
+    val bloomRows = spark.read.format("graftstore").load(root)
+      .filter(org.apache.spark.sql.functions.col("h") === 0L).count()
+    require(bloomRows == 1L,
+      s"dsv2 bloom point read must see exactly the template row, got $bloomRows")
+
     // a checkpoint's footprint = its main record + any part sidecars
     val cpBytes = new java.io.File(s"$root/_manifests").listFiles()
       .filter(f => f.getName.contains(".checkpoint") && !f.getName.contains(".tmp-"))
@@ -187,6 +245,9 @@ object WidthProbe {
       f""""append_sec":$appendSec%.3f,"append_delta_bytes":$deltaBytes,""" +
       f""""point_read_sec":$pointReadSec%.3f,"point_read_rows":$pointRows,""" +
       f""""dsv2_point_sec":$dsv2Sec%.3f,"dsv2_point_warm_sec":$dsv2WarmSec%.3f,""" +
+      f""""bloom_plan_sec":$bloomPlanSec%.3f,""" +
+      f""""bloom_plan_warm_sec":$bloomPlanWarmSec%.3f,""" +
+      f""""dsv2_bloom_sec":$dsv2BloomSec%.3f,""" +
       s""""max_checkpoint_bytes":$cpBytes}""")
     spark.stop()
   }

@@ -1,0 +1,366 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.sinks.VersionedStore
+import graft.sources.{GraftFileIndex, GraftStoreRowRelation}
+
+/** The SQL front door for [[VersionedStore]] DML — the missing half of
+  * the `format("graftstore")` seam: a `CREATE TABLE t USING graftstore`
+  * user could SELECT (and stream) but had to drop into the Scala API the
+  * first time they needed to FIX data. This rule makes the standard
+  * row-level commands Spark already PARSES — `DELETE FROM`, `UPDATE`,
+  * `MERGE INTO` land as [[DeleteFromTable]]/[[UpdateTable]]/
+  * [[MergeIntoTable]] and then die in CheckAnalysis with "only supported
+  * with v2 tables" — execute against the store's transactional commit
+  * path instead, the same move Delta's public engine makes with its
+  * DeltaAnalysis resolution rules.
+  *
+  * Injected as a POST-HOC resolution rule ([[graft.GraftExtensions]]):
+  * by then the target relation and every condition/assignment expression
+  * are fully resolved (main-batch work), and the rewrite happens before
+  * CheckAnalysis would reject the V1 relation. The rewrite swaps the
+  * command node for a [[LeafRunnableCommand]] delegating to the existing
+  * transactional operations — `deleteWhere`/`updateWhere`/`mergeInto` —
+  * so SQL DML gets the identical CAS-at-base+1 contract, ledger
+  * carry-forward, stats recording, and change-feed labeling as the Scala
+  * API; nothing is reimplemented at this layer.
+  *
+  * Resolved-to-unresolved bridge: the analyzed condition's
+  * [[AttributeReference]]s carry THIS relation instance's exprIds, but
+  * the store ops apply predicates to frames they read themselves — so
+  * every attribute is rewritten to a name-based [[UnresolvedAttribute]]
+  * and re-resolves against the operation's own read (sound: store
+  * columns are unique by schema contract). Subquery conditions are
+  * rejected loudly — they'd need the rewrite-to-join machinery of the
+  * v2 path and silently mis-scoping one is a wrong answer. */
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  /** A resolved graftstore target: (store root, time-travel pinned?,
+    * catalog identifier when the relation came from a `CREATE TABLE ...
+    * USING graftstore` entry — the cache key the command must refresh).
+    * Both relation shapes qualify — the vectorized `HadoopFsRelation`
+    * over [[GraftFileIndex]] and the column-mapped row fallback. */
+  private[graft] object GraftTarget {
+    def unapply(plan: LogicalPlan): Option[(String, Boolean, Option[String])] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case l: LogicalRelation =>
+          val ident = l.catalogTable.map(_.identifier.quotedString)
+          l.relation match {
+            case h: HadoopFsRelation => h.location match {
+              case g: GraftFileIndex => Some((g.root, g.pinned, ident))
+              case _                 => None
+            }
+            case r: GraftStoreRowRelation => Some((r.root, r.pinned, ident))
+            case _                        => None
+          }
+        case _ => None
+      }
+  }
+
+  private def requireCurrent(pinned: Boolean, op: String): Unit =
+    require(!pinned,
+      s"$op on a time-traveled graftstore relation (versionAsOf) is not " +
+        "allowed — DML always targets the current version")
+
+  private def requireNoSubquery(e: Expression, op: String): Unit =
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graftstore $op does not support subqueries in its condition — " +
+        "materialize the subquery and use MERGE INTO, or the Scala API")
+
+  /** Resolved expression → name-resolved form (see class doc). */
+  private def dealign(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  /** Wrapped as an opaque [[Column]] — NOT a bare Expression field: the
+    * command is a finished analysis product, but CheckAnalysis walks
+    * every Expression-typed argument of every node and would reject the
+    * deliberately name-unresolved attributes (they re-resolve against
+    * the store op's own read, see class doc). */
+  private def toColumn(e: Expression): Column =
+    GraftColumnBridge.column(dealign(e))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t @ GraftTarget(root, pinned, ident), cond)
+        if t.resolved =>
+      requireCurrent(pinned, "DELETE")
+      requireNoSubquery(cond, "DELETE")
+      GraftDeleteCommand(root, toColumn(cond), ident)
+
+    case UpdateTable(t @ GraftTarget(root, pinned, ident), assignments, cond)
+        if t.resolved && assignments.forall(_.resolved) =>
+      requireCurrent(pinned, "UPDATE")
+      cond.foreach(requireNoSubquery(_, "UPDATE"))
+      val set = assignments.map { a =>
+        a.key match {
+          case k: AttributeReference =>
+            requireNoSubquery(a.value, "UPDATE SET")
+            k.name -> toColumn(a.value)
+          case other => throw new IllegalArgumentException(
+            s"graftstore UPDATE supports top-level column assignments only, " +
+              s"got: SET $other = ...")
+        }
+      }
+      GraftUpdateCommand(root, set, cond.map(toColumn), ident)
+
+    case m @ MergeIntoTable(t @ GraftTarget(root, pinned, ident), source, mergeCond,
+        matched, notMatched, notMatchedBySource, withSchemaEvolution)
+        if t.resolved && source.resolved =>
+      requireCurrent(pinned, "MERGE INTO")
+      requireNoSubquery(mergeCond, "MERGE INTO")
+      require(notMatchedBySource.isEmpty,
+        "graftstore MERGE does not support WHEN NOT MATCHED BY SOURCE " +
+          "clauses — the store's merge is a whole-row upsert by key")
+      val targetAttrs = t.output
+      val sourceAttrs = source.output
+      val keys = mergeKeys(mergeCond, targetAttrs, sourceAttrs)
+      requireUpsertShape(matched, notMatched, targetAttrs)
+      GraftMergeCommand(root, source, keys, targetAttrs.map(_.name),
+        mergeSchema = withSchemaEvolution, refreshIdent = ident)
+
+    case _ => plan
+  }
+
+  /** The ON clause as upsert keys: a conjunction of `t.k = s.k`
+    * equalities between same-named target and source columns — the only
+    * shape [[VersionedStore.mergeInto]]'s key-based semantics express.
+    * Anything else (expressions, differing names, disjunctions) is
+    * rejected with the expected form named. */
+  private def mergeKeys(cond: Expression, target: Seq[Attribute],
+                        source: Seq[Attribute]): Seq[String] = {
+    val tIds = target.map(_.exprId).toSet
+    val sIds = source.map(_.exprId).toSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tIds.contains(a.exprId) && sIds.contains(b.exprId) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if sIds.contains(a.exprId) && tIds.contains(b.exprId) => (b, a)
+      case other => throw new IllegalArgumentException(
+        s"graftstore MERGE requires ON to be a conjunction of " +
+          s"target.key = source.key equalities, got: $other")
+    }.map { case (tAttr, sAttr) =>
+      require(tAttr.name == sAttr.name,
+        s"graftstore MERGE keys must share a name on both sides " +
+          s"(got ${tAttr.name} = ${sAttr.name}) — alias the source column")
+      tAttr.name
+    }
+  }
+
+  /** Accept exactly the whole-row-upsert MERGE: one unconditional
+    * matched UPDATE covering every target column from its same-named
+    * source column (`UPDATE SET *`, or the analyzer's expansion of it,
+    * or a hand-written full assignment), and one unconditional
+    * not-matched `INSERT *` of the same shape. */
+  private def requireUpsertShape(matched: Seq[_], notMatched: Seq[_],
+                                 target: Seq[Attribute]): Unit = {
+    def fullRowAssignments(as: Seq[Assignment]): Boolean = {
+      val pairs = as.flatMap { a => (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference) if k.name == v.name =>
+          Some(k.name)
+        case _ => None
+      }}
+      pairs.length == as.length && target.map(_.name).toSet == pairs.toSet
+    }
+    val okMatched = matched match {
+      case Seq(UpdateStarAction(None))        => true
+      case Seq(UpdateAction(None, as, _))     => fullRowAssignments(as)
+      case _                                  => false
+    }
+    val okNotMatched = notMatched match {
+      case Seq(InsertStarAction(None))        => true
+      case Seq(InsertAction(None, as))        => fullRowAssignments(as)
+      case _                                  => false
+    }
+    require(okMatched && okNotMatched,
+      "graftstore MERGE supports exactly `WHEN MATCHED THEN UPDATE SET *` " +
+        "+ `WHEN NOT MATCHED THEN INSERT *` (the store's whole-row upsert " +
+        "by key) — conditional or partial-column clauses need the Scala API")
+  }
+}
+
+/** `DELETE FROM t WHERE ...` → [[VersionedStore.deleteWhere]].
+  * Returns the committed version (unchanged when nothing matched). */
+final case class GraftDeleteCommand(root: String, cond: Column,
+                                    refreshIdent: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = VersionedStore.deleteWhere(spark, root, cond)
+    GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
+    Seq(Row(v))
+  }
+}
+
+/** `UPDATE t SET ... [WHERE ...]` → [[VersionedStore.updateWhere]].
+  * A missing WHERE updates every row (standard SQL), expressed as a
+  * literal TRUE predicate. */
+final case class GraftUpdateCommand(root: String,
+                                    set: Seq[(String, Column)],
+                                    cond: Option[Column],
+                                    refreshIdent: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = cond.getOrElse(org.apache.spark.sql.functions.lit(true))
+    val v = VersionedStore.updateWhere(spark, root, pred, set.toMap)
+    GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
+    Seq(Row(v))
+  }
+}
+
+/** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` → [[VersionedStore.mergeInto]].
+  * The resolved source PLAN rides the command (not a materialized
+  * frame): execution builds the DataFrame in `run`, aligned to the
+  * target's column order, so the merge's own control aggregates and
+  * write jobs drive it exactly as the Scala API would. */
+final case class GraftMergeCommand(root: String, source: LogicalPlan,
+                                   keys: Seq[String],
+                                   targetCols: Seq[String],
+                                   mergeSchema: Boolean,
+                                   refreshIdent: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = GraftColumnBridge.ofRows(spark, source)
+      .select(targetCols.map(col): _*)
+    val v = VersionedStore.mergeInto(spark, root, src, keys,
+      mergeSchema = mergeSchema)
+    GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
+    Seq(Row(v))
+  }
+}
+
+/** Shared table-reference resolution for the maintenance commands (the
+  * parser-level verbs that carry a raw identifier): either the Delta
+  * path form `` graftstore.`/path/to/store` `` or a catalog table whose
+  * provider is graftstore (its recorded `path` option / location). */
+object GraftTableRef {
+  private val ByPath = """(?is)\s*graftstore\s*\.\s*`([^`]+)`\s*""".r
+
+  /** Post-write cache refresh — the catalog CACHES a table's resolved
+    * relation, and a graftstore relation pins one store version at
+    * resolution: without this, the session that just ran the DML keeps
+    * reading the pre-DML snapshot (and after VACUUM, dirs that no longer
+    * exist). Identifier-precise when the target came from the catalog;
+    * refreshByPath additionally drops any cached plans over the root
+    * (path-loaded frames). The Delta engine's commands end the same way. */
+  private[plans] def refreshAfterWrite(spark: SparkSession,
+                                       ident: Option[String],
+                                       root: String): Unit = {
+    ident.foreach(spark.catalog.refreshTable)
+    spark.catalog.refreshByPath(root)
+  }
+
+  /** The maintenance verbs carry a raw identifier instead of a resolved
+    * relation; refresh through the same two doors. */
+  private[plans] def refreshAfterMaintenance(spark: SparkSession,
+                                             ref: String, root: String): Unit =
+    refreshAfterWrite(spark,
+      ref match { case ByPath(_) => None; case name => Some(name.trim) }, root)
+
+  def resolveRoot(spark: SparkSession, ref: String): String = ref match {
+    case ByPath(p) => p
+    case name =>
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name.trim)
+      val ct = spark.sessionState.catalog.getTableMetadata(ident)
+      require(ct.provider.exists(_.equalsIgnoreCase("graftstore")),
+        s"${name.trim} is not a graftstore table (provider: " +
+          s"${ct.provider.getOrElse("none")})")
+      ct.storage.properties.get("path")
+        .orElse(ct.storage.locationUri.map(u => new Path(u).toString))
+        .getOrElse(throw new IllegalArgumentException(
+          s"${name.trim} records no path — CREATE TABLE ... USING " +
+            "graftstore OPTIONS (path '...')"))
+  }
+}
+
+/** `OPTIMIZE t` (full compaction) / `OPTIMIZE t CLUSTER BY (a[, b])
+  * [INTO n BUCKETS]` (cluster rewrite; two columns Z-order) — the Delta
+  * `OPTIMIZE [ZORDER BY]` shape over [[VersionedStore.optimize]] /
+  * [[graft.streaming.VersionedStream.compact]]. */
+final case class GraftOptimizeCommand(tableRef: String,
+                                      clusterCols: Seq[String],
+                                      buckets: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftTableRef.resolveRoot(spark, tableRef)
+    val v = clusterCols match {
+      case Nil =>
+        require(buckets.isEmpty, "INTO n BUCKETS requires CLUSTER BY")
+        graft.streaming.VersionedStream.compact(spark, root)
+      case cols =>
+        require(cols.length <= 2,
+          s"OPTIMIZE clusters by one column or a two-column Z-order, " +
+            s"got ${cols.length}: ${cols.mkString(", ")}")
+        val key =
+          if (cols.length == 1)
+            GraftColumnBridge.column(UnresolvedAttribute.quoted(cols.head))
+          else GraftColumnBridge.column(graft.functions.ZOrderKey(
+            UnresolvedAttribute.quoted(cols.head),
+            UnresolvedAttribute.quoted(cols(1))))
+        VersionedStore.optimize(spark, root, key,
+          buckets = buckets.getOrElse(8), statsCols = cols)
+    }
+    GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]` → [[VersionedStore.vacuum]]. The default
+  * retention is 0 (the API's maintenance-window semantics — reap every
+  * unreferenced dir now); RETAIN maps to the age floor that makes vacuum
+  * safe alongside live writers. */
+final case class GraftVacuumCommand(tableRef: String, retainHours: Option[Long])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftTableRef.resolveRoot(spark, tableRef)
+    VersionedStore.vacuum(spark, root,
+      minAgeMs = retainHours.getOrElse(0L) * 3600L * 1000L)
+    GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)
+    Seq.empty
+  }
+}
+
+/** `DESCRIBE HISTORY t` → one row per live version, ascending: the
+  * version number, its anchor data dir, and the commit metadata as a
+  * JSON-ish `k=v` map string (the stream ledger, DML markers). */
+final case class GraftHistoryCommand(tableRef: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("data_dir", StringType, nullable = false)(),
+    AttributeReference("meta", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftTableRef.resolveRoot(spark, tableRef)
+    VersionedStore.history(spark, root).map { case (v, dir) =>
+      val meta = VersionedStore.metaAt(spark, root, v)
+      Row(v, dir, meta.toSeq.sortBy(_._1)
+        .map { case (k, value) => s"$k=$value" }.mkString(", "))
+    }
+  }
+}

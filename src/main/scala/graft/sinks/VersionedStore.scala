@@ -61,6 +61,21 @@ object VersionedStore {
     extends RuntimeException(
       s"version $version of $root was committed by a concurrent writer; aborting")
 
+  /** Jittered exponential backoff between CAS retries — call after the
+    * Nth consecutive [[CommitConflict]] (attempt = 0 for the first).
+    * Fixed-cadence retry is UNFAIR under a pile-up: writers re-collide
+    * in lockstep and one can keep losing the create-if-absent race
+    * (observed: a 14-retry / 10.6 s single-commit tail while the peer
+    * coasted at 2). Randomized jitter de-synchronizes the herd —
+    * 12-37 ms on the first retry, doubling to a 1 s cap — so at
+    * 100-writer scale the loop degrades to waiting, not starvation. */
+  def backoffOnConflict(attempt: Int): Unit = {
+    val base = 25.0 * math.pow(2.0, math.min(attempt, 5).toDouble)
+    val jitter = 0.5 + java.util.concurrent.ThreadLocalRandom.current().nextDouble()
+    val ms = math.min(1000.0, base * jitter).toLong
+    if (ms > 0) Thread.sleep(ms)
+  }
+
   /** Inclusive column-range predicate for manifest-stats data skipping
     * ([[readAt]]/[[read]]/[[readChanges]]): bounds are given in the same
     * external string form the stats record (a date as `2024-01-05`, a
@@ -189,23 +204,43 @@ object VersionedStore {
   private def colmapMeta(m: Map[String, String]): Map[String, String] =
     m.map { case (l, p) => s"colmap.$l" -> p }
 
-  /** Meta entries every commit must carry forward from its base: the
-    * exactly-once stream ledger and the column mapping. */
-  private[graft] def carriedEntries(m: Map[String, String]): Map[String, String] =
-    ledgerEntries(m) ++ m.filter(_._1.startsWith("colmap."))
+  /** PHYSICAL names retired by [[dropColumn]] (`dropped.<physical>` =
+    * logical name at drop time). A retired physical slot still holds
+    * data inside committed parquet files, so it may never be re-used:
+    * a new column writing the same physical name would read the OLD
+    * values back out of every pre-drop dir. */
+  private def droppedOf(f: FileSystem, root: String, v: Long): Map[String, String] =
+    if (v == 0) Map.empty
+    else metaOf(f, root, v).collect {
+      case (k, l) if k.startsWith("dropped.") => k.stripPrefix("dropped.") -> l
+    }
 
-  /** Reject frames referencing a RETIRED physical name: after a rename,
-    * the old name is neither logical (the rename removed it) nor free
-    * (the renamed column still writes it physically) — accepting it
-    * would silently alias into the renamed column or collide at write. */
+  private def droppedEntries(m: Map[String, String]): Map[String, String] =
+    m.filter(_._1.startsWith("dropped."))
+
+  /** Meta entries every commit must carry forward from its base: the
+    * exactly-once stream ledger, the column mapping, and the retired
+    * physical names (a commit dropping the `dropped.` markers would
+    * silently re-open the retired slots). */
+  private[graft] def carriedEntries(m: Map[String, String]): Map[String, String] =
+    ledgerEntries(m) ++ m.filter(_._1.startsWith("colmap.")) ++ droppedEntries(m)
+
+  /** Reject frames referencing a RETIRED physical name — after a rename
+    * (the old name is neither logical nor free: the renamed column still
+    * writes it physically) or after a drop (the slot still holds old
+    * data in every pre-drop dir). Accepting one would silently alias
+    * into the renamed column, collide at write, or resurrect dropped
+    * values. */
   private def requireNoRetiredNames(df: DataFrame,
                                     colmap: Map[String, String],
-                                    root: String): Unit = {
-    val retired = colmap.values.toSet -- colmap.keySet
+                                    root: String,
+                                    dropped: Set[String] = Set.empty): Unit = {
+    val retired = (colmap.values.toSet -- colmap.keySet) ++ dropped
     val misuse = df.columns.toSet.intersect(retired)
     require(misuse.isEmpty,
       s"write to $root uses retired PHYSICAL column name(s) " +
-        s"${misuse.mkString(",")} (renamed away) — use the current logical name")
+        s"${misuse.mkString(",")} (renamed or dropped away) — to re-add a " +
+        "dropped name, add the data under a FRESH name and renameColumn it")
   }
 
   /** Rename the frame's columns logical→physical for a parquet write. */
@@ -265,8 +300,64 @@ object VersionedStore {
       // the NEW map REPLACES the carried one — a stale colmap.<from>
       // entry surviving alongside colmap.<to> would leave two logical
       // names claiming one physical column
-      meta = ledgerEntries(metaOf(f, root, base)) ++ colmapMeta(newMap) +
+      meta = ledgerEntries(metaOf(f, root, base)) ++
+        droppedEntries(metaOf(f, root, base)) ++ colmapMeta(newMap) +
         ("rename" -> s"$from->$to"),
+      schemaDdl = Some(newDdl), statsForAdded = Map.empty,
+      anchor = dataDirOf(f, root, base), anchorIsCarried = true)
+    base + 1
+  }
+
+  /** DROP COLUMN — metadata-only, completing the column-mapping surface
+    * ([[renameColumn]]'s sibling; the Delta/Iceberg drop shape): no dir
+    * is rewritten; the commit records the narrowed logical schema, drops
+    * the column's mapping entry, and RETIRES its physical name with a
+    * `dropped.<physical>` marker carried by every later commit. Readers
+    * of the new version stop requesting the physical column (parquet
+    * skips it at scan — dropping is also a small read win); time travel
+    * below the drop still sees the column with its values; the row-level
+    * change feed spanning the drop reports rows under the target
+    * version's (narrower) schema.
+    *
+    * Retirement is what makes the metadata-only drop SOUND: the old
+    * values still sit inside every pre-drop parquet file, so a later
+    * append re-introducing a column at the same physical name would
+    * read those values back as if they were its own. Any write naming a
+    * retired physical fails loudly ([[requireNoRetiredNames]] + the
+    * mergeSchema clash check). To re-add a dropped NAME with fresh data:
+    * append it under a fresh name, then [[renameColumn]] it — the new
+    * logical name maps to the fresh physical slot and the retired one
+    * stays sealed.
+    *
+    * `day` (the partition-layout contract) and the last remaining column
+    * are not droppable. A live streaming reader's schema is fixed at
+    * query start — it fails at its next batch and restarts under the
+    * new schema, like any schema change. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to drop in: $root has no committed version")
+    val ddl = schemaOf(f, root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root records no schema (legacy store) — commit once before dropping"))
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL(ddl)
+    require(schema.fieldNames.contains(name),
+      s"cannot drop $name: not a column of $root (${schema.fieldNames.mkString(",")})")
+    require(schema.fields.length > 1,
+      s"cannot drop $name: it is the last column of $root")
+    require(name != "day",
+      s"cannot drop day: it is $root's partition-layout contract " +
+        "(hive day= dirs) — rewrite the table without it instead")
+    val colmap = colmapOf(f, root, base)
+    val physical = colmap.getOrElse(name, name)
+    val newMap = colmap - name
+    val newDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL
+    publishDelta(spark, root, base + 1,
+      addDirs = Seq.empty, removedDirs = Seq.empty,
+      meta = ledgerEntries(metaOf(f, root, base)) ++
+        droppedEntries(metaOf(f, root, base)) ++ colmapMeta(newMap) +
+        (s"dropped.$physical" -> name) + ("drop" -> name),
       schemaDdl = Some(newDdl), statsForAdded = Map.empty,
       anchor = dataDirOf(f, root, base), anchorIsCarried = true)
     base + 1
@@ -462,7 +553,11 @@ object VersionedStore {
                 r.lo.forall(lo => statLe(typ, lo, mx))
             case _ => true // no stats for this column in this dir: keep
           }
-        val bloomOk = !(r.lo.isDefined && r.lo == r.hi) ||
+        // `def`, not `val`: the bloom is consulted ONLY for dirs the
+        // range check keeps — a point read on a range-sorted column must
+        // not pay a bloom decode per already-excluded dir (at 10⁵ dirs
+        // that's the whole plan cost).
+        def bloomOk = !(r.lo.isDefined && r.lo == r.hi) ||
           stats.get(s"$d|${r.column}|bloom").forall(b64 =>
             decodedBloom(b64).mightContainString(r.lo.get))
         rangeOk && bloomOk
@@ -471,17 +566,25 @@ object VersionedStore {
 
   // Decoded per-dir bloom filters, keyed by their base64 form (stats
   // entries are immutable strings, so value identity IS content
-  // identity). Bounded by a clear-on-overflow cap — simpler than LRU
-  // and the decode is microseconds.
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.sketch.BloomFilter]()
+  // identity). ACCESS-ORDER LRU, not clear-on-overflow: a scan cycling
+  // through more blooms than the cap (a 10⁵-dir table with bloom stats)
+  // must evict only the coldest entries — a clear-all would thrash the
+  // whole cache once per cycle and re-decode every bloom on every query.
+  // The decode is microseconds, so holding the map lock through it is
+  // cheaper than any lock-free scheme's complexity.
+  private val bloomCache: java.util.Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, org.apache.spark.util.sketch.BloomFilter](
+        256, 0.75f, /*accessOrder=*/ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+          size() > 8192
+      })
 
-  private def decodedBloom(b64: String): org.apache.spark.util.sketch.BloomFilter = {
-    if (bloomCache.size > 8192) bloomCache.clear()
+  private def decodedBloom(b64: String): org.apache.spark.util.sketch.BloomFilter =
     bloomCache.computeIfAbsent(b64, s =>
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         java.util.Base64.getDecoder.decode(s)))
-  }
 
   /** `statsCols` entries split into plain min/max columns and `bloom:`-
     * prefixed ones. A bloom column gets min/max/nulls TOO (the prefix
@@ -816,11 +919,14 @@ object VersionedStore {
     val f = fs(spark, root)
     val base = currentVersion(spark, root)
     val colmap = colmapOf(f, root, base)
-    requireNoRetiredNames(df, colmap, root)
+    val dropped = droppedOf(f, root, base)
+    requireNoRetiredNames(df, colmap, root, dropped.keySet)
     val pdf = toPhysical(df, colmap)
     val dir = prepare(pdf, root)
     publish(spark, root, base + 1, dir,
-      meta = colmapMeta(colmap) ++ meta,
+      meta = colmapMeta(colmap) ++
+        droppedEntries(if (base == 0) Map.empty else metaOf(f, root, base)) ++
+        meta,
       schemaDdl = Some(
         toLogicalSchema(writtenSchema(spark, root, dir, pdf), colmap).toDDL),
       stats = statsFor(spark, root, dir, statsCols, colmap = colmap))
@@ -886,7 +992,8 @@ object VersionedStore {
     val baseSchema =
       if (baseVersion == 0) None else schemaOf(f, root, baseVersion)
     val colmap = colmapOf(f, root, baseVersion)
-    requireNoRetiredNames(df, colmap, root)
+    val dropped = droppedOf(f, root, baseVersion)
+    requireNoRetiredNames(df, colmap, root, dropped.keySet)
     val pdf = toPhysical(df, colmap)
     val dir = prepare(pdf, root)
     // Enforce against the WRITTEN dir's read-back schema, not the input
@@ -905,16 +1012,19 @@ object VersionedStore {
         // a freshly ADDED column is born with physical = logical; its
         // name colliding with an older column's retired physical name
         // would make two logical columns share one parquet column
-        val clash = colmap.values.toSet
+        val clash = (colmap.values.toSet ++ dropped.keySet)
           .intersect(org.apache.spark.sql.types.StructType.fromDDL(m)
             .fieldNames.toSet -- colmap.keySet)
         require(clash.isEmpty,
           s"append to $root adds column(s) ${clash.mkString(",")} whose name " +
-            "is the retired PHYSICAL name of a renamed column — pick another name")
+            "is the retired PHYSICAL name of a renamed or dropped column — " +
+            "pick another name")
         m
       } catch { case e: Throwable =>
         f.delete(new Path(s"$root/$dir"), true); throw e }
     val metaOut = colmapMeta(colmap) ++
+      droppedEntries(if (baseVersion == 0) Map.empty
+        else metaOf(f, root, baseVersion)) ++
       (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta)
     val fresh = statsFor(spark, root, dir, statsCols, colmap = colmap)
     // Log-segment append: the manifest is O(batch) — one added dir, its
@@ -1039,11 +1149,13 @@ object VersionedStore {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val colmap = colmapOf(f, root, baseVersion)
-    requireNoRetiredNames(df, colmap, root)
+    requireNoRetiredNames(df, colmap, root, droppedOf(f, root, baseVersion).keySet)
     val pdf = toPhysical(df, colmap)
     val dir = prepare(pdf, root)
     publish(spark, root, baseVersion + 1, dir,
-      meta = colmapMeta(colmap) ++ meta,
+      meta = colmapMeta(colmap) ++
+        droppedEntries(if (baseVersion == 0) Map.empty
+          else metaOf(f, root, baseVersion)) ++ meta,
       schemaDdl = Some(
         toLogicalSchema(writtenSchema(spark, root, dir, pdf), colmap).toDDL),
       stats = statsFor(spark, root, dir, statsCols, colmap = colmap))
@@ -1607,7 +1719,7 @@ object VersionedStore {
     // whose schema ALREADY equals the recorded one (names+types; the
     // steady-state of every maintained table) skips the written-dir
     // schema-inference read — the policy can't drift when nothing moved.
-    requireNoRetiredNames(source, colmap, root)
+    requireNoRetiredNames(source, colmap, root, droppedOf(f, root, base).keySet)
     val psource = toPhysical(source, colmap)
     val srcDir = prepare(psource, root)
     val sameAsRecorded = recordedDdl.exists { ddl =>

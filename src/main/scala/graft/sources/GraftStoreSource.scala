@@ -96,6 +96,13 @@ final class GraftStoreSource extends RelationProvider
     require(outputMode == OutputMode.Append(),
       s"graftstore sink is append-only (a transactional table append per " +
         s"micro-batch); got $outputMode")
+    // The store's layout contract partitions by `day` exactly when the
+    // frame carries that column — a user's partitionBy(...) asking for
+    // anything else must fail loudly, not be silently discarded.
+    require(partitionColumns.isEmpty || partitionColumns == Seq("day"),
+      s"graftstore partitions by its own contract (hive `day=` dirs when " +
+        s"the frame has a day column); partitionBy(${partitionColumns.mkString(", ")}) " +
+        "is not supported — drop it, or name the column day")
     val writerId = parameters.getOrElse(
       "writerId", graft.streaming.VersionedStream.DefaultWriter)
     val statsCols = parameters.get("statsCols").toSeq
@@ -119,16 +126,29 @@ final class GraftStoreSource extends RelationProvider
       s"$root records no schema (written before schema recording) — " +
         "read it via VersionedStore.readAt"))
     val logical = StructType.fromDDL(ddl)
-    if (colmap.nonEmpty)
-      // Rename-mapped store: physical parquet names differ from logical
-      // ones, and HadoopFsRelation has no alias layer — delegate to the
-      // store's own read path (which requests physical schemas per dir
-      // and aliases back). Row-based, so slower than the vectorized
-      // path, but stats skipping still applies through the pushed
-      // filters; the unrenamed common case never pays this.
-      new GraftStoreRowRelation(spark, root, v, logical)
+    // HadoopFsRelation's schema is dataSchema ++ partitionSchema — a
+    // recorded schema with `day` anywhere but last would expose a
+    // DIFFERENT column order through SELECT * than the store's own read
+    // and the recorded DDL. Those stores (and column-mapped ones) route
+    // through the marker relation, whose upgrade rule restores the
+    // recorded order with a projection.
+    val dayNotLast = logical.fieldNames.contains("day") &&
+      logical.fieldNames.last != "day"
+    if (colmap.nonEmpty || dayNotLast)
+      // Rename-mapped (or day-not-last) store: physical parquet names /
+      // positions differ from the logical schema, and HadoopFsRelation
+      // has no alias layer. This relation is CORRECT standalone — it
+      // reads through the store's own path (physical-schema requests per
+      // dir, aliased back), row-based — and sessions built with
+      // GraftExtensions upgrade it to a vectorized physical-schema scan
+      // under an alias projection ([[GraftStoreVectorizeRule]]), so SQL
+      // consumers keep the vectorized parquet reader and codegen even
+      // after a metadata-only rename.
+      new GraftStoreRowRelation(spark, root, v, logical, colmap, dirs,
+        pinned = versionAsOf.isDefined)
     else {
-      val index = new GraftFileIndex(spark, root, v, dirs, logical)
+      val index = new GraftFileIndex(spark, root, v, dirs, logical,
+        pinned = versionAsOf.isDefined)
       HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
         bucketSpec = None, new ParquetFileFormat, Map.empty)(spark)
     }
@@ -259,9 +279,10 @@ object GraftStoreSource {
   * every dir carries them — the Delta-log file-size role — and falls
   * back to one full listing (cached) for stores written before byte
   * stats existed. */
-final class GraftFileIndex(spark: SparkSession, root: String,
+final class GraftFileIndex(spark: SparkSession, val root: String,
                            val version: Long, dirs: Seq[String],
-                           fullSchema: StructType) extends FileIndex {
+                           fullSchema: StructType,
+                           val pinned: Boolean = false) extends FileIndex {
   import GraftStoreSource.toColRanges
 
   private val fsys =
@@ -402,15 +423,24 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 }
 
-/** Rename-fallback relation: a column-mapped store reads through
-  * [[VersionedStore.readAt]] (physical-name requests + logical aliasing)
-  * instead of a raw `HadoopFsRelation`. `PrunedFilteredScan`, so column
-  * pruning and stats skipping still apply; `unhandledFilters` stays the
-  * default (everything), so Spark re-applies each predicate above the
-  * scan and skipping remains an optimization, never a filter. */
-final class GraftStoreRowRelation(spark: SparkSession, root: String,
-                                  version: Long,
-                                  override val schema: StructType)
+/** Rename-fallback relation: a column-mapped (or day-not-last) store
+  * reads through [[VersionedStore.readAt]] (physical-name requests +
+  * logical aliasing) instead of a raw `HadoopFsRelation`.
+  * `PrunedFilteredScan`, so column pruning and stats skipping still
+  * apply; `unhandledFilters` stays the default (everything), so Spark
+  * re-applies each predicate above the scan and skipping remains an
+  * optimization, never a filter.
+  *
+  * ALSO the marker [[GraftStoreVectorizeRule]] upgrades: sessions built
+  * with the graft extensions swap this relation's scan for the
+  * vectorized physical-schema `HadoopFsRelation` under an alias
+  * projection, and this row path serves only extension-less sessions. */
+final class GraftStoreRowRelation(spark: SparkSession, val root: String,
+                                  val version: Long,
+                                  override val schema: StructType,
+                                  val colmap: Map[String, String],
+                                  val dirs: Seq[String],
+                                  val pinned: Boolean = false)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -420,5 +450,53 @@ final class GraftStoreRowRelation(spark: SparkSession, root: String,
     val ranges = GraftStoreSource.toColRangesV1(filters.toSeq)
     val df = VersionedStore.readAt(spark, root, version, ranges)
     df.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+  }
+
+  /** The vectorized twin: the SAME dirs and version behind a
+    * [[GraftFileIndex]] whose schema carries the PHYSICAL field names —
+    * physical names are fixed at birth (column mapping), so every
+    * parquet file, pre- and post-rename, reads under one schema and the
+    * vectorized reader + native type promotion apply unchanged. The
+    * caller aliases the output back to logical names/order. Stats
+    * skipping IMPROVES over the row path here: pushed filters reference
+    * physical attributes, which is exactly how the manifest stats are
+    * keyed. */
+  private[sources] def vectorizedRelation: HadoopFsRelation = {
+    val physical = StructType(schema.fields.map(f =>
+      f.copy(name = colmap.getOrElse(f.name, f.name))))
+    val index = new GraftFileIndex(spark, root, version, dirs, physical, pinned)
+    HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+      bucketSpec = None, new ParquetFileFormat, Map.empty)(spark)
+  }
+}
+
+/** Post-hoc analyzer rule (graft extensions): replace every
+  * [[GraftStoreRowRelation]] marker with `Project(logical aliases,
+  * vectorized physical-schema scan)` — the Delta column-mapping move
+  * (request physical names inside the parquet scan, alias above it),
+  * lifted to the relation seam. The aliases reuse the marker's output
+  * exprIds, so references anywhere above re-bind without a rewrite; the
+  * projection also restores the recorded column ORDER (HadoopFsRelation
+  * appends the partition column last — the reason day-not-last stores
+  * route through the marker at all). Runs AFTER [[graft.plans
+  * .GraftDmlRule]] in the same batch, so DML targets are matched on the
+  * marker itself. */
+object GraftStoreVectorizeRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case l: LogicalRelation if l.relation.isInstanceOf[GraftStoreRowRelation] =>
+      val rel = l.relation.asInstanceOf[GraftStoreRowRelation]
+      val physLr = LogicalRelation(rel.vectorizedRelation, isStreaming = false)
+      val byName = physLr.output.map(a => a.name -> a).toMap
+      val aliases = l.output.map { o =>
+        val phys = byName(rel.colmap.getOrElse(o.name, o.name))
+        Alias(phys, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }
+      Project(aliases, physLr)
   }
 }

@@ -155,10 +155,7 @@ object AggregateView {
     // session without AQE), restored in the enclosing finally, and
     // REFCOUNTED so concurrent views on one session can't race the
     // save/restore into persisting the disabled state.
-    if (AqeDepth.getAndIncrement() == 0) {
-      aqeSaved = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
+    aqeDisable(spark)
     // NULL-as-zero applied IN the delta aggregate (not only at combine):
     // a group first seen with all-NULL values must store sum = 0 on the
     // first-batch adopt path exactly as it would after a merge — the
@@ -200,6 +197,7 @@ object AggregateView {
     }
 
     var committed = false
+    var conflicts = 0
     while (!committed) {
       val base = VersionedStore.currentVersion(spark, derived)
       val meta = VersionedStore.metaAt(spark, derived, base)
@@ -246,20 +244,46 @@ object AggregateView {
         }
         committed = true
       } catch {
-        case _: VersionedStore.CommitConflict => () // stale base: re-read, retry
+        case _: VersionedStore.CommitConflict =>
+          // stale base: jittered backoff, re-read, retry
+          VersionedStore.backoffOnConflict(conflicts); conflicts += 1
       }
     }
     } finally {
       if (deltas != null) deltas.unpersist(blocking = false)
-      if (AqeDepth.decrementAndGet() == 0)
-        spark.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+      aqeRestore(spark)
     }
   }
 
-  /** Refcount for the AQE-disabled maintenance window: the FIRST
-    * concurrent view batch saves the session value and disables, the
-    * LAST restores — two views racing a plain save/restore could read
-    * each other's "false" as the value to restore. */
-  private val AqeDepth = new java.util.concurrent.atomic.AtomicInteger(0)
-  @volatile private var aqeSaved: String = "true"
+  /** Refcount for the AQE-disabled maintenance window, PER SESSION: the
+    * conf being saved/restored is session-scoped (`spark.conf`), so the
+    * refcount must be too — a JVM-global counter would let a batch on
+    * session B observe depth > 0 (opened by session A), never disable
+    * its own AQE, and later "restore" A's saved value into B. The first
+    * concurrent view batch ON A SESSION saves that session's value and
+    * disables; the last restores. Entries are not evicted (a JVM hosts a
+    * handful of sessions; eviction would race computeIfAbsent into a
+    * second state object and split the depth count). */
+  private final class AqeState { var depth = 0; var saved = "true" }
+  private val aqeStates =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, AqeState]()
+
+  private def aqeDisable(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val st = aqeStates.computeIfAbsent(spark, _ => new AqeState)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      }
+      st.depth += 1
+    }
+  }
+
+  private def aqeRestore(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val st = aqeStates.get(spark)
+    if (st != null) st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0) spark.conf.set("spark.sql.adaptive.enabled", st.saved)
+    }
+  }
 }

@@ -100,6 +100,7 @@ object VersionedStream {
     // manifest-open, not a recomputation of (e.g.) the LM scoring joins.
     if (batchId <= lastBatchId(spark, root, writerId) || batch.isEmpty) return
     var committed = false
+    var conflicts = 0
     while (!committed) {
       val base = VersionedStore.currentVersion(spark, root)
       val meta = VersionedStore.metaAt(spark, root, base)
@@ -114,7 +115,9 @@ object VersionedStream {
             (ledgerKey(writerId) -> batchId.toString), statsCols)
         committed = true
       } catch {
-        case _: VersionedStore.CommitConflict => () // stale base: re-read, retry
+        case _: VersionedStore.CommitConflict =>
+          // stale base: jittered backoff, re-read, retry
+          VersionedStore.backoffOnConflict(conflicts); conflicts += 1
       }
     }
   }

@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.VersionedStore
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+
+/** The graftstore SQL front door (GraftSqlParser + GraftDmlRule): the
+  * row-level commands Spark parses natively (DELETE/UPDATE/MERGE INTO)
+  * and the injected maintenance verbs (OPTIMIZE/VACUUM/DESCRIBE
+  * HISTORY), all driven through `spark.sql` against `CREATE TABLE ...
+  * USING graftstore` tables. The gates that matter:
+  *  (1) every command lands on the TRANSACTIONAL commit path — version
+  *      bumps by exactly one, the stream ledger carries, the row-level
+  *      change feed labels the effect;
+  *  (2) results match the Scala API's semantics (same rows the
+  *      equivalent deleteWhere/updateWhere/mergeInto would leave);
+  *  (3) unsupported shapes fail loudly (conditional MERGE clauses,
+  *      subquery conditions, DML on a time-traveled relation) — never
+  *      silently half-execute. */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshTable(): (String, String) = {
+    n += 1
+    val root = Files.createTempDirectory("graft-sql").toString
+    val tbl = s"gsql_$n"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    (root, tbl)
+  }
+
+  /** Seed rows 1..6 with a ledger entry (as a stream batch commit would
+    * leave), register the catalog table. */
+  private def seeded(): (String, String) = {
+    val (root, tbl) = freshTable()
+    val df = (1 to 6).map(i => (i.toLong, i * 10L, s"g${i % 2}"))
+      .toDF("id", "v", "grp")
+    VersionedStore.commit(df, root, statsCols = Seq("id"),
+      meta = Map("batch.w1" -> "7"))
+    spark.sql(s"CREATE TABLE $tbl USING graftstore OPTIONS (path '$root')")
+    (root, tbl)
+  }
+
+  test("DELETE FROM: rows gone, version bumps, ledger carries, CDF labels deletes") {
+    val (root, tbl) = seeded()
+    val v0 = VersionedStore.currentVersion(spark, root)
+    val out = spark.sql(s"DELETE FROM $tbl WHERE id >= 5").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(v0 + 1))
+    assert(VersionedStore.currentVersion(spark, root) == v0 + 1)
+    // effect matches deleteWhere semantics
+    assert(spark.sql(s"SELECT id FROM $tbl ORDER BY id").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+    // transactional path: the exactly-once stream ledger rides through
+    assert(VersionedStore.currentMeta(spark, root).get("batch.w1").contains("7"))
+    // row-level feed sees exactly the two deletes
+    val feed = VersionedStore.readRowChanges(spark, root, v0).get
+      .filter(col("_change_type") === "delete")
+    assert(feed.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
+  }
+
+  test("UPDATE SET: pre-update RHS semantics, WHERE=NULL untouched, CDF pairs") {
+    val (root, tbl) = seeded()
+    val v0 = VersionedStore.currentVersion(spark, root)
+    val out = spark.sql(
+      s"UPDATE $tbl SET v = v + 1, id = id WHERE grp = 'g1' AND id <= 3").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(v0 + 1))
+    val got = spark.sql(s"SELECT id, v FROM $tbl ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L), (3L, 31L), (4L, 40L),
+      (5L, 50L), (6L, 60L)))
+    val feed = VersionedStore.readRowChanges(spark, root, v0).get
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(post == Seq((1L, 11L), (3L, 31L)))
+  }
+
+  test("UPDATE without WHERE touches every row") {
+    val (root, tbl) = seeded()
+    spark.sql(s"UPDATE $tbl SET v = 0").collect()
+    assert(spark.sql(s"SELECT sum(v) FROM $tbl").as[Long].head() == 0L)
+  }
+
+  test("MERGE INTO: whole-row upsert via SET * / INSERT *, version bumps once") {
+    val (root, tbl) = seeded()
+    val v0 = VersionedStore.currentVersion(spark, root)
+    Seq((5L, 555L, "gX"), (9L, 999L, "gY")).toDF("id", "v", "grp")
+      .createOrReplaceTempView("gsql_src")
+    val out = spark.sql(
+      s"""MERGE INTO $tbl t USING gsql_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(v0 + 1))
+    val got = spark.sql(s"SELECT id, v, grp FROM $tbl ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 10L, "g1"), (2L, 20L, "g0"), (3L, 30L, "g1"),
+      (4L, 40L, "g0"), (5L, 555L, "gX"), (6L, 60L, "g0"), (9L, 999L, "gY")))
+    assert(VersionedStore.currentMeta(spark, root).get("batch.w1").contains("7"))
+  }
+
+  test("MERGE INTO: explicit full-row assignments accepted, partial rejected") {
+    val (root, tbl) = seeded()
+    Seq((2L, 222L, "gZ")).toDF("id", "v", "grp")
+      .createOrReplaceTempView("gsql_src2")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING gsql_src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET id = s.id, v = s.v, grp = s.grp
+         |WHEN NOT MATCHED THEN INSERT (id, v, grp) VALUES (s.id, s.v, s.grp)
+         |""".stripMargin).collect()
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE id = 2").as[Long].head() == 222L)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING gsql_src2 s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("whole-row upsert"))
+  }
+
+  test("OPTIMIZE: plain compaction and CLUSTER BY both commit a version") {
+    val (root, tbl) = seeded()
+    // a second dir so compaction has something to fold
+    VersionedStore.commitAppend(Seq((7L, 70L, "g1")).toDF("id", "v", "grp"),
+      root, statsCols = Seq("id"))
+    val v0 = VersionedStore.currentVersion(spark, root)
+    val c = spark.sql(s"OPTIMIZE $tbl").collect()
+    assert(c.map(_.getLong(0)).toSeq == Seq(v0 + 1))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 7L)
+    val z = spark.sql(s"OPTIMIZE $tbl CLUSTER BY (id) INTO 2 BUCKETS").collect()
+    assert(z.map(_.getLong(0)).toSeq == Seq(v0 + 2))
+    assert(spark.sql(s"SELECT sum(v) FROM $tbl").as[Long].head() ==
+      (1 to 7).map(_ * 10L).sum)
+  }
+
+  test("VACUUM reaps expired dirs; DESCRIBE HISTORY lists versions with meta") {
+    val (root, tbl) = seeded()
+    spark.sql(s"DELETE FROM $tbl WHERE id = 1").collect()
+    val hist = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(hist.forall(_.getString(2).contains("batch.w1=7")))
+    VersionedStore.expire(spark, root, keepLast = 1)
+    spark.sql(s"VACUUM $tbl").collect()
+    // store still reads clean after the reap
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 5L)
+    // path form resolves too
+    val hist2 = spark.sql(s"DESCRIBE HISTORY graftstore.`$root`").collect()
+    assert(hist2.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("VACUUM RETAIN n HOURS maps to the age floor (fresh dirs survive)") {
+    val (root, tbl) = seeded()
+    spark.sql(s"DELETE FROM $tbl WHERE id = 1").collect()
+    VersionedStore.expire(spark, root, keepLast = 1)
+    // everything here was written seconds ago: a 1-hour floor reaps nothing
+    spark.sql(s"VACUUM $tbl RETAIN 1 HOURS").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 5L)
+  }
+
+  test("DML on a time-traveled relation is rejected") {
+    val (root, tbl) = seeded()
+    spark.sql(s"DELETE FROM $tbl WHERE id = 6").collect()
+    spark.sql(s"DROP TABLE IF EXISTS gsql_tt")
+    spark.sql(s"CREATE TABLE gsql_tt USING graftstore " +
+      s"OPTIONS (path '$root', versionAsOf '1')")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gsql_tt WHERE id = 1").collect()
+    }
+    assert(e.getMessage.contains("time-traveled"))
+  }
+
+  test("subquery conditions and non-graftstore targets are untouched/rejected") {
+    val (root, tbl) = seeded()
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT id FROM $tbl WHERE v > 40)")
+        .collect()
+    }
+    assert(e.getMessage.contains("subqueries"))
+    // a plain parquet table still gets Spark's own v2-only error, not ours
+    val other = Files.createTempDirectory("graft-sql-pq").toString
+    Seq((1L, 2L)).toDF("a", "b").write.mode(SaveMode.Overwrite).parquet(other)
+    spark.sql(s"DROP TABLE IF EXISTS gsql_pq")
+    spark.sql(s"CREATE TABLE gsql_pq USING parquet OPTIONS (path '$other')")
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM gsql_pq WHERE a = 1").collect()
+    }
+    assert(!e2.getMessage.contains("graftstore"))
+  }
+
+  test("maintenance verbs only match their grammar — everything else delegates") {
+    // real Spark SQL still parses (the delegate path)
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
+    // a malformed OPTIMIZE falls through to Spark's parser error
+    intercept[Exception] { spark.sql("OPTIMIZE") }
+    intercept[Exception] { spark.sql("VACUUM") }
+  }
+}

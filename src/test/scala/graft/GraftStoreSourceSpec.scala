@@ -130,8 +130,9 @@ class GraftStoreSourceSpec extends SparkSpec {
     assert(rows === Seq((1L, None), (3000000000L, Some("new"))))
   }
 
-  test("column-mapped store (post-rename) falls back to the aliasing read path " +
-       "and still answers correctly") {
+  test("column-mapped store (post-rename) keeps the VECTORIZED scan: the " +
+       "upgrade rule aliases a physical-schema FileSourceScanExec, and " +
+       "stats skipping works through the renamed column") {
     val root = tmp()
     Seq((1L, 10L)).toDF("id", "val").write.format("graftstore")
       .option("statsCols", "val").mode(SaveMode.Append).save(root)
@@ -142,9 +143,74 @@ class GraftStoreSourceSpec extends SparkSpec {
     assert(out.columns.toSeq.sorted === Seq("id", "value"))
     assert(out.orderBy("id").as[(Long, Long)].collect().toSeq ===
       Seq((1L, 10L), (2L, 20L)))
-    // filters and projection still prune/push through the fallback
-    assert(out.filter(col("value") > 15L).select("id").as[Long]
-      .collect().toSeq === Seq(2L))
+    // one metadata-only rename must NOT de-vectorize the table: the
+    // session has the graft extensions, so the marker relation upgrades
+    // to a FileSourceScanExec (scannedFiles asserts its presence) — and
+    // the pushed filter arrives under the PHYSICAL name, which is how
+    // the manifest stats are keyed, so the pre-rename dir is skipped.
+    val hi = spark.read.format("graftstore").load(root).filter(col("value") > 15L)
+    val opened = scannedFiles(hi)
+    val total = scannedFiles(spark.read.format("graftstore").load(root))
+    assert(opened < total,
+      s"value > 15 must skip the val<=10 dir on the vectorized path: " +
+        s"opened $opened of $total")
+    assert(hi.select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("row fallback stays correct for extension-less sessions " +
+       "(buildScan exercised directly)") {
+    val root = tmp()
+    Seq((1L, 10L)).toDF("id", "val").write.format("graftstore")
+      .option("statsCols", "val").mode(SaveMode.Append).save(root)
+    VersionedStore.renameColumn(spark, root, "val", "value")
+    Seq((2L, 20L)).toDF("id", "value").write.format("graftstore")
+      .option("statsCols", "value").mode(SaveMode.Append).save(root)
+    val (v, dirs, ddl, colmap) =
+      VersionedStore.relationSnapshot(spark, root, None)
+    val rel = new graft.sources.GraftStoreRowRelation(spark, root, v,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl.get), colmap, dirs)
+    val rows = rel.buildScan(Array("id", "value"),
+      Array(org.apache.spark.sql.sources.GreaterThan("value", 15L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // unhandledFilters default: the scan may return unfiltered rows and
+    // Spark re-applies the predicate above — assert superset semantics
+    assert(rows.contains((2L, 20L)))
+    assert(rows.forall { case (i, _) => i == 1L || i == 2L })
+  }
+
+  test("day-not-last schema (evolution) keeps the RECORDED column order " +
+       "through the format (SELECT * parity with the store's own read)") {
+    val root = tmp()
+    // Evolution puts day mid-schema: born (id, v), day appends at
+    // position 3, tag appends after — recorded order (id, v, day, tag).
+    // A raw HadoopFsRelation would expose (id, v, tag, day); the marker
+    // + projection must keep the recorded order.
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.format("graftstore").mode(SaveMode.Append).save(root)
+    Seq((2L, 20L, "2024-01-02")).toDF("id", "v", "day")
+      .withColumn("day", to_date(col("day")))
+      .write.format("graftstore").option("mergeSchema", "true")
+      .mode(SaveMode.Append).save(root)
+    Seq((3L, 30L, "2024-01-03", "x")).toDF("id", "v", "day", "tag")
+      .withColumn("day", to_date(col("day")))
+      .write.format("graftstore").option("mergeSchema", "true")
+      .option("statsCols", "day").mode(SaveMode.Append).save(root)
+    val recorded = org.apache.spark.sql.types.StructType.fromDDL(
+      VersionedStore.schemaAt(spark, root,
+        VersionedStore.currentVersion(spark, root)).get).fieldNames.toSeq
+    assert(recorded.indexOf("day") != recorded.length - 1,
+      s"scenario must put day mid-schema, recorded: $recorded")
+    val out = spark.read.format("graftstore").load(root)
+    assert(out.columns.toSeq === recorded,
+      s"recorded order must survive: got ${out.columns.toSeq} vs $recorded")
+    // still a vectorized scan, and day partition pruning still applies
+    // (the day-less dir contributes a NULL partition value and is
+    // pruned by the equality; the day=02 dir prunes on its hive value)
+    val one = out.filter(col("day") === lit("2024-01-03").cast("date"))
+    assert(scannedFiles(one) < scannedFiles(
+      spark.read.format("graftstore").load(root)))
+    assert(one.select("id", "tag").as[(Long, String)].collect().toSeq ===
+      Seq((3L, "x")))
   }
 
   test("ONE format string, all four surfaces: readStream/writeStream via " +

@@ -15,6 +15,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The deployment configuration (Verify/Bench build their sessions
+      // the same way): SQL functions, the range-join/as-of rules, and
+      // the graftstore SQL front door (parser + DML resolution) are all
+      // construction-time injections a live session can't retrofit.
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
