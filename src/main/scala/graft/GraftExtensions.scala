@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GraftExtensions)` (or spark.sql.extensions=graft.GraftExtensions);
     // the Scala API needs neither.
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // HINT-batch rule (runs BEFORE the Resolution batch): ALTER TABLE
+    // RENAME/DROP COLUMN on a v1 table is rejected by Spark's own
+    // ResolveSessionCatalog the moment the table reference resolves —
+    // even a same-batch extension rule is too late (built-ins run
+    // first each iteration). The hint batch sees the statement with the
+    // table still unresolved, so the rule can claim graftstore tables
+    // via its own catalog lookup and leave everything else untouched.
+    e.injectHintResolutionRule(session => new graft.plans.GraftAlterRule(session))
     e.injectPostHocResolutionRule(_ => graft.plans.GraftDmlRule)
     // AFTER the DML rule (same Once batch, injection order): DML matches
     // the marker relation; every remaining marker then upgrades to the

@@ -7,11 +7,14 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan,
-  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+  Assignment, DeleteFromTable, InsertAction, InsertIntoStatement,
+  InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction,
+  UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
 import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.sinks.VersionedStore
@@ -131,6 +134,46 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       requireUpsertShape(matched, notMatched, targetAttrs)
       GraftMergeCommand(root, source, keys, targetAttrs.map(_.name),
         mergeSchema = withSchemaEvolution, refreshIdent = ident)
+
+    // INSERT, vectorized-table edition: by the time injected post-hoc
+    // rules run, Spark's own DataSourceAnalysis has already converted
+    // `INSERT INTO t ...` over the HadoopFsRelation into a raw
+    // file-write command — which would stream parquet DIRECTLY into the
+    // store root, bypassing the manifest entirely (readers would never
+    // see the rows; an unreferenced-file sweep could reap them).
+    // Rewriting it into a transactional append/snapshot commit is
+    // therefore correctness, not convenience. (An extension-less SQL
+    // session still has that hole — the manifest stays the truth, so
+    // reads are unaffected, but the inserted rows are silently lost;
+    // SQL writes require the extensions.)
+    case i: InsertIntoHadoopFsRelationCommand
+        if i.fileIndex.exists(_.isInstanceOf[GraftFileIndex]) =>
+      val g = i.fileIndex.get.asInstanceOf[GraftFileIndex]
+      requireCurrent(g.pinned, "INSERT")
+      require(i.staticPartitions.isEmpty,
+        "graftstore INSERT does not take a PARTITION spec — write day as " +
+          "an ordinary column (the store partitions by its own contract)")
+      require(i.mode == SaveMode.Append || i.mode == SaveMode.Overwrite,
+        s"graftstore INSERT supports INTO (append) and OVERWRITE, got ${i.mode}")
+      GraftInsertCommand(g.root, i.query, i.outputColumnNames,
+        overwrite = i.mode == SaveMode.Overwrite, byName = true,
+        refreshIdent = i.catalogTable.map(_.identifier.quotedString))
+
+    // INSERT, column-mapped (marker relation) edition: Spark's converter
+    // skips the marker (not a HadoopFsRelation), so the statement
+    // arrives intact and would otherwise die in PreWriteCheck.
+    case InsertIntoStatement(t @ GraftTarget(root, pinned, ident),
+        partitionSpec, userCols, query, overwrite, ifPartitionNotExists, byName)
+        if t.resolved && query.resolved =>
+      requireCurrent(pinned, "INSERT")
+      require(partitionSpec.isEmpty && !ifPartitionNotExists,
+        "graftstore INSERT does not take a PARTITION spec — write day as " +
+          "an ordinary column (the store partitions by its own contract)")
+      require(userCols.isEmpty,
+        "graftstore INSERT takes the full row positionally (or INSERT ... " +
+          "BY NAME) — a partial column list is not supported")
+      GraftInsertCommand(root, query, t.output.map(_.name), overwrite,
+        byName, ident)
 
     case _ => plan
   }
@@ -253,12 +296,61 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
   }
 }
 
+/** `INSERT INTO` (append) / `INSERT OVERWRITE` (snapshot replace) →
+  * [[VersionedStore.commitAppend]] / [[VersionedStore.commit]]. Column
+  * alignment is positional unless the statement was BY NAME (standard
+  * SQL); the stats request is REPRODUCED from the current version's
+  * recorded stats columns, so SQL inserts keep the table's
+  * data-skipping contract without an options channel. Schema drift
+  * fails with the store's own commit-time policy (narrower-on-lattice
+  * allowed, anything else loud). */
+final case class GraftInsertCommand(root: String, query: LogicalPlan,
+                                    targetCols: Seq[String],
+                                    overwrite: Boolean,
+                                    byName: Boolean,
+                                    refreshIdent: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val q = GraftColumnBridge.ofRows(spark, query)
+    val df =
+      if (byName) q.select(targetCols.map(col): _*)
+      else {
+        require(q.columns.length == targetCols.length,
+          s"INSERT provides ${q.columns.length} columns, table has " +
+            s"${targetCols.length} (${targetCols.mkString(", ")})")
+        q.toDF(targetCols: _*)
+      }
+    val statsCols = VersionedStore.recordedStatsCols(spark, root)
+    val v =
+      if (overwrite) VersionedStore.commit(df, root, statsCols = statsCols)
+      else VersionedStore.commitAppend(df, root, statsCols = statsCols)
+    GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
+    Seq(Row(v))
+  }
+}
+
 /** Shared table-reference resolution for the maintenance commands (the
   * parser-level verbs that carry a raw identifier): either the Delta
   * path form `` graftstore.`/path/to/store` `` or a catalog table whose
   * provider is graftstore (its recorded `path` option / location). */
 object GraftTableRef {
   private val ByPath = """(?is)\s*graftstore\s*\.\s*`([^`]+)`\s*""".r
+
+  /** A (possibly catalog-qualified) identifier string → TableIdentifier.
+    * `CatalogTable.identifier.quotedString` is 3-part
+    * (`spark_catalog`.`db`.`t`) — parseTableIdentifier rejects it, so
+    * parse multipart and keep the (db, table) tail. */
+  private[plans] def tableIdent(spark: SparkSession, s: String)
+      : org.apache.spark.sql.catalyst.TableIdentifier = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(s)
+    parts.takeRight(2) match {
+      case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case Seq(t)     => org.apache.spark.sql.catalyst.TableIdentifier(t)
+    }
+  }
 
   /** Post-write cache refresh — the catalog CACHES a table's resolved
     * relation, and a graftstore relation pins one store version at
@@ -270,7 +362,11 @@ object GraftTableRef {
   private[plans] def refreshAfterWrite(spark: SparkSession,
                                        ident: Option[String],
                                        root: String): Unit = {
-    ident.foreach(spark.catalog.refreshTable)
+    // session-catalog-level refresh (drops the cached relation without
+    // re-analyzing the table plan — the public Catalog.refreshTable
+    // walks the analyzed plan and chokes on relations it didn't expect)
+    ident.foreach(i =>
+      spark.sessionState.catalog.refreshTable(tableIdent(spark, i)))
     spark.catalog.refreshByPath(root)
   }
 

@@ -625,6 +625,24 @@ object VersionedStore {
     case _ => a <= b
   }
 
+  /** The stats-column request that reproduces the CURRENT version's
+    * recorded stats on a NEW dir (`bloom:`-prefixed where a bloom is
+    * recorded): how a writer with no out-of-band options channel — the
+    * SQL `INSERT INTO` path — keeps the table's data-skipping contract
+    * alive instead of committing stats-less dirs that every skip query
+    * then has to keep. */
+  private[graft] def recordedStatsCols(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val v = currentVersion(spark, root)
+    if (v == 0) return Seq.empty
+    val parts = statsOf(f, root, v).keysIterator
+      .map(_.split('|')).filter(_.length == 3).toSeq
+    val bloomCols = parts.collect {
+      case p if p(2) == "bloom" => p(1) }.toSet
+    parts.map(_(1)).distinct.filterNot(_ == "#")
+      .map(c => if (bloomCols(c)) s"bloom:$c" else c)
+  }
+
   /** All live (non-expired) versions, ascending, with their data dir —
     * the `table.history()` view. Read-only; derived purely from the
     * manifest directory listing. */
@@ -924,9 +942,14 @@ object VersionedStore {
     val pdf = toPhysical(df, colmap)
     val dir = prepare(pdf, root)
     publish(spark, root, base + 1, dir,
-      meta = colmapMeta(colmap) ++
-        droppedEntries(if (base == 0) Map.empty else metaOf(f, root, base)) ++
-        meta,
+      // FULL base carry (ledger + colmap + retired), caller entries
+      // winning: a plain overwrite interleaved with a stream must not
+      // drop the stream's exactly-once watermark — a replay would then
+      // re-append a committed batch (Delta carries SetTransaction
+      // records through every commit the same way).
+      meta = (if (base == 0) Map.empty[String, String]
+              else carriedEntries(metaOf(f, root, base))) ++
+        colmapMeta(colmap) ++ meta,
       schemaDdl = Some(
         toLogicalSchema(writtenSchema(spark, root, dir, pdf), colmap).toDDL),
       stats = statsFor(spark, root, dir, statsCols, colmap = colmap))
@@ -977,12 +1000,20 @@ object VersionedStore {
     * optimistic-concurrency edition for callers whose `meta` (or any other
     * state) was derived by READING version `baseVersion` first: the new
     * manifest carries exactly `baseVersion`'s dirs plus the batch's, and
-    * publishes at `baseVersion + 1`, so if ANY other commit landed after
-    * the caller's read, the manifest create loses and [[CommitConflict]]
-    * propagates — the caller re-reads and retries rather than silently
-    * publishing a snapshot that drops the interleaved commit's state.
-    * This is the compare-and-swap every read-modify-write on the store
-    * (ledger merges, compaction) must use. */
+    * publishes at `baseVersion + 1` under the manifest-create CAS.
+    *
+    * Lost races FAST-RETRY INTERNALLY (the Delta commit loop): a pure
+    * append's prepared dir, validation, and stats don't depend on the
+    * base, so the commit re-anchors to the new current version and
+    * re-creates only the manifest — carried meta (every writer's ledger,
+    * colmap, retired names) is re-derived from the new base so no other
+    * writer's watermark is rolled back, while the caller's OWN entries
+    * (its ledger key, its markers) win. [[CommitConflict]] still
+    * propagates when re-anchoring is unsafe: the base's schema, column
+    * map, or retired set changed, the chain expired mid-retry, or the
+    * store was born concurrently — the caller then re-reads and
+    * re-validates from scratch, the contract every read-modify-write
+    * (compaction, DML) relies on. */
   def commitAppendAt(df: DataFrame, root: String, baseVersion: Long,
                      meta: Map[String, String] = Map.empty,
                      statsCols: Seq[String] = Seq.empty,
@@ -1022,24 +1053,89 @@ object VersionedStore {
         m
       } catch { case e: Throwable =>
         f.delete(new Path(s"$root/$dir"), true); throw e }
-    val metaOut = colmapMeta(colmap) ++
-      droppedEntries(if (baseVersion == 0) Map.empty
-        else metaOf(f, root, baseVersion)) ++
+    // FULL base carry (ledger + colmap + retired names), caller entries
+    // winning: without the ledger carry, any plain append interleaved
+    // with a stream would drop the stream's exactly-once watermark and
+    // a replay would re-append a committed batch.
+    val metaOut = (if (baseVersion == 0) Map.empty[String, String]
+                   else carriedEntries(metaOf(f, root, baseVersion))) ++
+      colmapMeta(colmap) ++
       (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta)
     val fresh = statsFor(spark, root, dir, statsCols, colmap = colmap)
     // Log-segment append: the manifest is O(batch) — one added dir, its
     // stats, the schema and meta — NEVER a re-list of the base version's
     // dirs or a re-serialization of the table-wide stats map. The base's
     // state resolves through the segments at read time.
-    if (baseVersion == 0)
+    if (baseVersion == 0) {
+      // a conflict at birth changes the commit SHAPE (full → delta) and
+      // the whole validation context — propagate for a caller re-run
       publish(spark, root, 1, dir, meta = metaOut,
         schemaDdl = Some(merged), stats = fresh)
-    else
-      publishDelta(spark, root, baseVersion + 1,
-        addDirs = Seq(dir), removedDirs = Seq.empty,
-        meta = metaOut, schemaDdl = Some(merged),
-        statsForAdded = fresh, anchor = dir)
-    baseVersion + 1
+      1L
+    } else {
+      // FAST CAS RETRY (the Delta commit-loop shape: write data files
+      // once, retry only the log record). An append's prepared dir,
+      // schema validation, and stats are all BASE-INDEPENDENT as long as
+      // nothing structural changed, so a lost manifest race re-anchors
+      // to the new current version and re-creates the ~1 KB manifest —
+      // instead of deleting and re-writing the parquet dir, which made
+      // the loser's retry cycle LONGER than the winner's commit cycle
+      // and let one writer starve under contention (measured: a
+      // 13-retry / 14 s single-commit tail at 2 writers + maintenance).
+      // Re-anchoring is taken only when the new base's schema, column
+      // map, and retired set all equal the validated base's; any drift
+      // (or an expired chain) falls back to the abort-and-propagate
+      // contract so the caller re-validates from scratch.
+      //
+      // Carried meta is RE-DERIVED per attempt: the caller's ledger
+      // entries were read at ITS base, and publishing them over a newer
+      // base would roll back any other writer's watermark committed in
+      // between (a replay would then duplicate its batch). Entries the
+      // caller changed (its own ledger key, its markers) win; everything
+      // else re-carries from the attempt's base.
+      val origCarried = carriedEntries(metaOf(f, root, baseVersion))
+      val callerOwn = metaOut.filter { case (k, v) =>
+        !origCarried.get(k).contains(v) }
+      var base = baseVersion
+      var committed = -1L
+      var attempt = 0
+      while (committed < 0) {
+        val attemptMeta =
+          if (base == baseVersion) metaOut
+          else carriedEntries(metaOf(f, root, base)) ++ callerOwn
+        try {
+          publishDelta(spark, root, base + 1,
+            addDirs = Seq(dir), removedDirs = Seq.empty,
+            meta = attemptMeta, schemaDdl = Some(merged),
+            statsForAdded = fresh, anchor = dir,
+            cleanupOnConflict = false)
+          committed = base + 1
+        } catch {
+          case e: CommitConflict =>
+            attempt += 1
+            val safeBase =
+              try {
+                val nb = currentVersion(spark, root)
+                if (attempt < 50 && nb > base &&
+                    schemaOf(f, root, nb) == schemaOf(f, root, baseVersion) &&
+                    colmapOf(f, root, nb) == colmap &&
+                    droppedOf(f, root, nb) == dropped) Some(nb) else None
+              } catch { case scala.util.control.NonFatal(_) => None }
+            safeBase match {
+              case Some(nb) =>
+                // tiny jitter only: the retry is a manifest create, so
+                // the collision window is milliseconds, not a prepare
+                Thread.sleep(
+                  5 + java.util.concurrent.ThreadLocalRandom.current().nextInt(20))
+                base = nb
+              case None =>
+                f.delete(new Path(s"$root/$dir"), true)
+                throw e
+            }
+        }
+      }
+      committed
+    }
   }
 
   /** The schema readers will actually see for a freshly prepared dir —
@@ -1153,9 +1249,9 @@ object VersionedStore {
     val pdf = toPhysical(df, colmap)
     val dir = prepare(pdf, root)
     publish(spark, root, baseVersion + 1, dir,
-      meta = colmapMeta(colmap) ++
-        droppedEntries(if (baseVersion == 0) Map.empty
-          else metaOf(f, root, baseVersion)) ++ meta,
+      meta = (if (baseVersion == 0) Map.empty[String, String]
+              else carriedEntries(metaOf(f, root, baseVersion))) ++
+        colmapMeta(colmap) ++ meta,
       schemaDdl = Some(
         toLogicalSchema(writtenSchema(spark, root, dir, pdf), colmap).toDDL),
       stats = statsFor(spark, root, dir, statsCols, colmap = colmap))
@@ -2107,7 +2203,8 @@ object VersionedStore {
       meta: Map[String, String],
       schemaDdl: Option[String],
       statsForAdded: Map[String, String],
-      anchor: String, anchorIsCarried: Boolean = false): Unit = {
+      anchor: String, anchorIsCarried: Boolean = false,
+      cleanupOnConflict: Boolean = true): Unit = {
     require(version >= 2, s"a delta commit needs a base version, got $version")
     val f = fs(spark, root)
     // A delta whose base manifest is GONE would commit into a retired
@@ -2140,8 +2237,12 @@ object VersionedStore {
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
     if (!createExclusive(f, manifest, body.getBytes(StandardCharsets.UTF_8))) {
       // only the FRESH dirs are ours to clean; a carried anchor is
-      // committed data and never appears in addDirs
-      addDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
+      // committed data and never appears in addDirs. `cleanupOnConflict
+      // = false` is [[commitAppendAt]]'s fast-retry seam: the prepared
+      // dir survives the lost race so the NEXT attempt re-publishes the
+      // same bytes instead of re-preparing them.
+      if (cleanupOnConflict)
+        addDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
       throw new CommitConflict(version, root)
     }
     aimPointer(spark, root, version)
@@ -2583,13 +2684,34 @@ object VersionedStore {
     * Monotone: never aims backwards (a slow writer finishing version N
     * after N+1 committed must not regress the cache). */
   private def aimPointer(spark: SparkSession, root: String, version: Long): Unit = {
-    val f = fs(spark, root)
-    if (readPointer(f, root).getOrElse(0L) >= version) return
-    val tmp = new Path(s"$root/_current.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(tmp.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, pointerPath(root), Options.Rename.OVERWRITE)
+    // BEST-EFFORT, never throws: the caller's manifest create IS the
+    // commit point, and the pointer is only a read cache — surfacing a
+    // pointer-swap hiccup would report an already-committed append as a
+    // failure. The hiccup is real, not theoretical: on a local
+    // ChecksumFs two processes aiming concurrently can collide on the
+    // `.crc` sidecar rename ("destination ._current.crc already
+    // exists") even though each data rename is OVERWRITE — caught by
+    // the ContentionProbe once fast CAS retries tightened the commit
+    // cadence. On any failure the stale/torn pointer heals through
+    // [[readPointer]]'s degrade + [[currentVersion]]'s manifest
+    // roll-forward.
+    try {
+      val f = fs(spark, root)
+      if (readPointer(f, root).getOrElse(0L) >= version) return
+      val tmp = new Path(s"$root/_current.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(version.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      try {
+        val fc = FileContext.getFileContext(tmp.toUri, spark.sessionState.newHadoopConf())
+        fc.rename(tmp, pointerPath(root), Options.Rename.OVERWRITE)
+      } catch { case scala.util.control.NonFatal(e) =>
+        try f.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[VersionedStore] pointer aim at $root v$version skipped: ${e.getMessage}")
+    }
   }
 
   /** Pointer read, tolerant of the cross-process aim window: on a local

@@ -15,8 +15,8 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.graft.StreamingFrame
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter,
-  PrunedFilteredScan, RelationProvider, StreamSinkProvider,
-  StreamSourceProvider}
+  PrunedFilteredScan, RelationProvider, SchemaRelationProvider,
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -57,6 +57,7 @@ import graft.sinks.VersionedStore.ColRange
   * relation that reads through the store's own alias layer — correct
   * first, vectorized where the physical names allow it. */
 final class GraftStoreSource extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
     with StreamSourceProvider with StreamSinkProvider {
 
@@ -114,6 +115,23 @@ final class GraftStoreSource extends RelationProvider
       override def toString: String = s"GraftStoreSink[$root as $writerId]"
     }
   }
+
+  /** [[SchemaRelationProvider]] half — the LOG is the schema authority
+    * (the Delta stance): the schema Spark hands in is IGNORED and the
+    * recorded log schema serves the relation. This exists because a
+    * `CREATE TABLE ... USING graftstore` entry freezes its
+    * creation-time schema in the catalog, and without this seam Spark's
+    * resolver REJECTS the table the first time the store evolves
+    * (rename/drop/widen/add): "user-specified schema does not match the
+    * actual schema". Catalog entries therefore keep reading across any
+    * evolution; `DESCRIBE` accuracy is restored by the ALTER commands'
+    * catalog sync. An explicit `spark.read.schema(x)` also lands here
+    * and also gets the log schema — a fixed reader contract is the
+    * streaming API's job, not the batch one's. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -491,7 +509,11 @@ object GraftStoreVectorizeRule
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case l: LogicalRelation if l.relation.isInstanceOf[GraftStoreRowRelation] =>
       val rel = l.relation.asInstanceOf[GraftStoreRowRelation]
+      // catalogTable rides along: cache invalidation (and anything else
+      // walking the analyzed plan) expects the catalog-backed relation
+      // to keep naming its table
       val physLr = LogicalRelation(rel.vectorizedRelation, isStreaming = false)
+        .copy(catalogTable = l.catalogTable)
       val byName = physLr.output.map(a => a.name -> a).toMap
       val aliases = l.output.map { o =>
         val phys = byName(rel.colmap.getOrElse(o.name, o.name))

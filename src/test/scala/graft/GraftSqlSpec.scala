@@ -187,6 +187,102 @@ class GraftSqlSpec extends SparkSpec {
     assert(!e2.getMessage.contains("graftstore"))
   }
 
+  test("INSERT INTO is a transactional append (never a rogue file write): " +
+       "version bumps, ledger carries, recorded stats reproduced") {
+    val (root, tbl) = seeded()
+    val v0 = VersionedStore.currentVersion(spark, root)
+    val out = spark.sql(
+      s"INSERT INTO $tbl VALUES (7, 70, 'g1'), (8, 80, 'g0')").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(v0 + 1))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 8L)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE id = 8").as[Long].head() == 80L)
+    // the commit path, not a file dump: ledger carried, and the new dir
+    // reproduces the table's recorded stats columns (id), so a point
+    // read still prunes instead of keeping a stats-less dir forever
+    assert(VersionedStore.currentMeta(spark, root).get("batch.w1").contains("7"))
+    val opened = VersionedStore.prunedDirs(spark, root, v0 + 1,
+      Seq(VersionedStore.ColRange.eq("id", "7")))
+    assert(opened.size == 1,
+      s"id stats must be reproduced on the inserted dir: opened ${opened.size} dirs")
+    // no loose files in the root: everything lives in data dirs/manifests
+    val loose = new java.io.File(root).listFiles().filter(_.isFile)
+      .map(_.getName)
+      .filterNot(n => n.startsWith("_current") || n.startsWith("."))
+    assert(loose.isEmpty, s"INSERT must not write loose files: ${loose.toSeq}")
+  }
+
+  test("INSERT OVERWRITE snapshots; the old version still time-travels") {
+    val (root, tbl) = seeded()
+    spark.sql(s"INSERT OVERWRITE $tbl VALUES (100, 1, 'z')").collect()
+    assert(spark.sql(s"SELECT id FROM $tbl").as[Long].collect().toSeq == Seq(100L))
+    assert(VersionedStore.readAt(spark, root, 1L).count() == 6L)
+  }
+
+  test("INSERT INTO a renamed (column-mapped) table goes through the marker path") {
+    val (root, tbl) = seeded()
+    VersionedStore.renameColumn(spark, root, "v", "score")
+    spark.catalog.refreshTable(tbl)
+    spark.sql(s"INSERT INTO $tbl VALUES (9, 90, 'g1')").collect()
+    assert(spark.sql(s"SELECT score FROM $tbl WHERE id = 9").as[Long].head() == 90L)
+    // BY NAME edition too
+    spark.sql(s"INSERT INTO $tbl BY NAME " +
+      "SELECT 'gX' AS grp, 11L AS id, 110L AS score").collect()
+    assert(spark.sql(s"SELECT score FROM $tbl WHERE id = 11").as[Long].head() == 110L)
+    // physical layout: the inserted dirs carry the BIRTH physical name
+    val dirs = VersionedStore.prunedDirs(spark, root,
+      VersionedStore.currentVersion(spark, root), Seq.empty)
+    dirs.foreach { d =>
+      val phys = spark.read.parquet(s"$root/$d").schema.fieldNames.toSet
+      assert(phys.contains("v") && !phys.contains("score"))
+    }
+  }
+
+  test("INSERT guards: PARTITION spec and partial column lists are rejected") {
+    val (root, tbl) = seeded()
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $tbl PARTITION (grp='g1') VALUES (7, 70)").collect()
+    }
+    assert(e.getMessage.contains("PARTITION") || e.getMessage.contains("partition"))
+  }
+
+  test("CTAS: CREATE TABLE ... USING graftstore AS SELECT commits transactionally") {
+    val root = Files.createTempDirectory("graft-sql-ctas").toString
+    spark.sql("DROP TABLE IF EXISTS gsql_ctas")
+    spark.sql(s"CREATE TABLE gsql_ctas USING graftstore OPTIONS (path '$root') " +
+      "AS SELECT id, id * 2 AS dbl FROM range(5)")
+    try {
+      assert(spark.sql("SELECT sum(dbl) FROM gsql_ctas").as[Long].head() == 20L)
+      assert(VersionedStore.currentVersion(spark, root) == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS gsql_ctas")
+  }
+
+  test("ALTER TABLE RENAME COLUMN / DROP COLUMN: metadata-only commits, " +
+       "reads follow, non-graftstore tables keep Spark's own error") {
+    val (root, tbl) = seeded()
+    val dirs0 = VersionedStore.prunedDirs(spark, root, 1L, Seq.empty).toSet
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO score").collect()
+    assert(spark.sql(s"SELECT score FROM $tbl WHERE id = 2").as[Long].head() == 20L)
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN grp").collect()
+    assert(spark.sql(s"SELECT * FROM $tbl WHERE id = 2").columns.toSeq ==
+      Seq("id", "score"))
+    // both were metadata-only: the data dirs never moved
+    val v = VersionedStore.currentVersion(spark, root)
+    assert(v == 3L)
+    assert(VersionedStore.prunedDirs(spark, root, v, Seq.empty).toSet == dirs0)
+    // DROP COLUMN IF EXISTS on a gone column is a no-op, not an error
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN IF EXISTS grp").collect()
+    assert(VersionedStore.currentVersion(spark, root) == 3L)
+    // a parquet table still gets Spark's own v2-only rejection
+    val other = Files.createTempDirectory("graft-sql-alter-pq").toString
+    Seq((1L, 2L)).toDF("a", "b").write.mode(SaveMode.Overwrite).parquet(other)
+    spark.sql("DROP TABLE IF EXISTS gsql_alter_pq")
+    spark.sql(s"CREATE TABLE gsql_alter_pq USING parquet OPTIONS (path '$other')")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql_alter_pq RENAME COLUMN a TO z").collect()
+    }
+    assert(!e.getMessage.contains("graftstore"))
+  }
+
   test("maintenance verbs only match their grammar — everything else delegates") {
     // real Spark SQL still parses (the delegate path)
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)

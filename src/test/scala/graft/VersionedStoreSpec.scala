@@ -273,9 +273,12 @@ class VersionedStoreSpec extends SparkSpec {
     assert(m("batchId") === "7", s"batchId must survive brace-bearing values: $m")
     assert(m("weird \"key\"") === "tab\there \\ done")
     assert(m("appId") === "job{1} => {x}")
-    // a version with no meta reads as empty, not an error
+    // a meta-less commit: descriptive entries do NOT carry (a later
+    // commit must not claim the earlier one's markers) — but LEDGER
+    // entries do (batchId is the legacy stream watermark; dropping it
+    // would let a replayed batch re-append after any plain commit)
     VersionedStore.commit(snap("2024-01-01", 1L -> 2.0), root)
-    assert(VersionedStore.currentMeta(spark, root) === Map.empty)
+    assert(VersionedStore.currentMeta(spark, root) === Map("batchId" -> "7"))
   }
 
   test("streaming sink: replayed batches commit exactly once; compaction keeps the ledger") {
