@@ -2,24 +2,28 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.analysis.{FieldName, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{
+  FieldName, RelationTimeTravel, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  DropColumns, LogicalPlan, RenameColumn}
+  DropColumns, LogicalPlan, RenameColumn, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.LongType
 
 import graft.sinks.VersionedStore
 
-/** SQL schema evolution for graftstore tables:
+/** SQL schema evolution + time travel for graftstore tables:
   *
   *   ALTER TABLE t RENAME COLUMN a TO b   → [[VersionedStore.renameColumn]]
   *   ALTER TABLE t DROP COLUMN c          → [[VersionedStore.dropColumn]]
+  *   SELECT ... FROM t VERSION AS OF n    → the pinned-version relation
   *
-  * Both are metadata-only commits under column mapping (no dir
-  * rewritten; the drop retires the physical name).
+  * The ALTERs are metadata-only commits under column mapping (no dir
+  * rewritten; the drop retires the physical name); time travel reads
+  * the same immutable snapshot `versionAsOf` serves on the DataFrame
+  * path.
   *
   * Unlike the DML rule this must run in the HINT-RESOLUTION batch,
   * matching the still-UNRESOLVED table: Spark's own
@@ -78,6 +82,23 @@ final class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
           topLevel(cols.head, "DROP COLUMN"), ifExists,
           ct.identifier.quotedString): LogicalPlan
       }.getOrElse(d)
+
+    // `SELECT ... FROM t VERSION AS OF n` — Spark parses the clause for
+    // every table but resolves it for v2 only; a graftstore table pins
+    // the requested version through the same relation `versionAsOf`
+    // serves on the DataFrame path (immutable snapshot, DML rejected).
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, timestamp, version) =>
+      graftTable(u.multipartIdentifier).map { ct =>
+        require(timestamp.isEmpty && version.isDefined,
+          "graftstore time travel is by version: VERSION AS OF <n> " +
+            "(timestamps are not recorded in the manifest log)")
+        val rel = new graft.sources.GraftStoreSource().createRelation(
+          spark.sqlContext,
+          Map("path" -> rootOf(ct), "versionAsOf" -> version.get))
+        SubqueryAlias(u.multipartIdentifier.last,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            rel, isStreaming = false)): LogicalPlan
+      }.getOrElse(tt)
   }
 }
 

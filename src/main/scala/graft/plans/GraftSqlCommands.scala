@@ -427,6 +427,22 @@ final case class GraftOptimizeCommand(tableRef: String,
   }
 }
 
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n` → [[VersionedStore.restore]]:
+  * a manifest-only commit re-referencing the target version's dirs (zero
+  * data copy; the undone versions stay time-travelable; the CURRENT
+  * ledger is kept so no stream watermark regresses). */
+final case class GraftRestoreCommand(tableRef: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftTableRef.resolveRoot(spark, tableRef)
+    val v = VersionedStore.restore(spark, root, toVersion)
+    GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)
+    Seq(Row(v))
+  }
+}
+
 /** `VACUUM t [RETAIN n HOURS]` → [[VersionedStore.vacuum]]. The default
   * retention is 0 (the API's maintenance-window semantics — reap every
   * unreferenced dir now); RETAIN maps to the age floor that makes vacuum

@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `OPTIMIZE t [CLUSTER BY (a[, b]) [INTO n BUCKETS]]`
   *   - `VACUUM t [RETAIN n HOURS]`
   *   - `DESCRIBE HISTORY t`  (also `DESC HISTORY t`)
+  *   - `RESTORE [TABLE] t [TO] VERSION AS OF n`
   *
   * `t` is a catalog table (`CREATE TABLE ... USING graftstore`) or the
   * Delta-style path form `` graftstore.`/path/to/store` ``.
@@ -64,6 +65,8 @@ object GraftSqlParser {
     (s"""(?is)^\\s*OPTIMIZE\\s+$Tbl""" +
       """(?:\s+CLUSTER\s+BY\s*\(\s*([^)]+?)\s*\)""" +
       """(?:\s+INTO\s+(\d+)\s+BUCKETS)?)?\s*;?\s*$""").r
+  private val Restore =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl(?:\\s+TO)?\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
 
   private[graft] def parseGraftVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -75,6 +78,7 @@ object GraftSqlParser {
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
         Some(GraftOptimizeCommand(t, clusterCols,
           Option(buckets).map(_.toInt)))
+      case Restore(t, v) => Some(GraftRestoreCommand(t, v.toLong))
       case _ => None
     }
 }

@@ -283,6 +283,33 @@ class GraftSqlSpec extends SparkSpec {
     assert(!e.getMessage.contains("graftstore"))
   }
 
+  test("SELECT ... VERSION AS OF reads the pinned snapshot; RESTORE undoes " +
+       "a DELETE manifest-only") {
+    val (root, tbl) = seeded()
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 4").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 3L)
+    // time travel through plain SQL — the pre-delete snapshot
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .as[Long].head() == 6L)
+    // joins across versions work too (the audit query shape)
+    val gone = spark.sql(
+      s"""SELECT old.id FROM $tbl VERSION AS OF 1 old
+         |LEFT ANTI JOIN $tbl cur ON old.id = cur.id
+         |ORDER BY old.id""".stripMargin).as[Long].collect().toSeq
+    assert(gone == Seq(4L, 5L, 6L))
+    // RESTORE: manifest-only undo, the bad version stays travelable
+    val out = spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 1").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 6L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .as[Long].head() == 3L)
+    // timestamp-based travel is rejected with the version hint
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF '2024-01-01'").collect()
+    }
+    assert(e.getMessage.contains("VERSION AS OF"))
+  }
+
   test("maintenance verbs only match their grammar — everything else delegates") {
     // real Spark SQL still parses (the delegate path)
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
