@@ -1016,10 +1016,21 @@ object SparkEntry {
     // through the logical->physical map; values oracle-checked against
     // flat events — a rename must be invisible to the data.
     "versioned_rename_read" -> ((s, dir) => {
-      import graft.sinks.VersionedStore
       val p = ensureRenamedEventsStore(s, dir)
-      VersionedStore.read(s, p).get
-        .groupBy("event_type")
+      // through the DATA SOURCE path deliberately: a column-mapped store
+      // must keep the VECTORIZED parquet scan (the round-14 upgrade rule
+      // aliases a physical-schema FileSourceScanExec under the logical
+      // names) — gated here on the physical plan, values gated by the
+      // oracle as before
+      val base = s.read.format("graftstore").load(p)
+      // gate on the bare scan frame (exchange-free, so AQE never wraps
+      // the plan and the scan node is visible to collect)
+      val vectorized = base.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+      require(vectorized.nonEmpty,
+        "renamed store must plan a vectorized FileSourceScanExec, " +
+          "not the row fallback")
+      base.groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(floor(col("value") * 1000).cast("long")).as("val_q"),
           countDistinct(col("user_id")).as("n_users"))
