@@ -44,6 +44,10 @@ final class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val ident = nameParts match {
       case Seq(t)     => TableIdentifier(t)
       case Seq(db, t) => TableIdentifier(t, Some(db))
+      // fully-qualified session-catalog form; any OTHER catalog is not
+      // ours to claim
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
       case _          => return None
     }
     try {

@@ -97,7 +97,11 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   private def toColumn(e: Expression): Column =
     GraftColumnBridge.column(dealign(e))
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+  // resolveOperatorsDown, not a root-only match: the grammar allows
+  // CTE-prefixed DML (`WITH s AS (...) MERGE INTO t USING s ...`), whose
+  // analyzed plan wraps the command node — a root match would let those
+  // fall through to CheckAnalysis's misleading v2-only error.
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case DeleteFromTable(t @ GraftTarget(root, pinned, ident), cond)
         if t.resolved =>
       requireCurrent(pinned, "DELETE")
@@ -175,7 +179,6 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       GraftInsertCommand(root, query, t.output.map(_.name), overwrite,
         byName, ident)
 
-    case _ => plan
   }
 
   /** The ON clause as upsert keys: a conjunction of `t.k = s.k`
@@ -247,7 +250,11 @@ final case class GraftDeleteCommand(root: String, cond: Column,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = VersionedStore.deleteWhere(spark, root, cond)
+    // rewritten dirs reproduce the table's recorded stats columns — a
+    // SQL DELETE must not turn every touched dir stats-less (see
+    // GraftInsertCommand's rationale)
+    val v = VersionedStore.deleteWhere(spark, root, cond,
+      statsCols = VersionedStore.recordedStatsCols(spark, root))
     GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
     Seq(Row(v))
   }
@@ -265,7 +272,8 @@ final case class GraftUpdateCommand(root: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val pred = cond.getOrElse(org.apache.spark.sql.functions.lit(true))
-    val v = VersionedStore.updateWhere(spark, root, pred, set.toMap)
+    val v = VersionedStore.updateWhere(spark, root, pred, set.toMap,
+      statsCols = VersionedStore.recordedStatsCols(spark, root))
     GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
     Seq(Row(v))
   }
@@ -290,6 +298,7 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
     val src = GraftColumnBridge.ofRows(spark, source)
       .select(targetCols.map(col): _*)
     val v = VersionedStore.mergeInto(spark, root, src, keys,
+      statsCols = VersionedStore.recordedStatsCols(spark, root),
       mergeSchema = mergeSchema)
     GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
     Seq(Row(v))
@@ -443,16 +452,19 @@ final case class GraftRestoreCommand(tableRef: String, toVersion: Long)
   }
 }
 
-/** `VACUUM t [RETAIN n HOURS]` → [[VersionedStore.vacuum]]. The default
-  * retention is 0 (the API's maintenance-window semantics — reap every
-  * unreferenced dir now); RETAIN maps to the age floor that makes vacuum
-  * safe alongside live writers. */
+/** `VACUUM t [RETAIN n HOURS]` → [[VersionedStore.vacuum]]. The DEFAULT
+  * retention is 168 hours (Delta's 7 days): an unreferenced-looking dir
+  * may be a concurrent writer's prepared-but-uncommitted data — and the
+  * fast CAS retry deliberately keeps a prepared dir alive across its
+  * whole conflict/re-anchor window — so the dangerous setting must
+  * never be the no-argument default. `RETAIN 0 HOURS` is the explicit
+  * maintenance-window override (nothing else is running; reap now). */
 final case class GraftVacuumCommand(tableRef: String, retainHours: Option[Long])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftTableRef.resolveRoot(spark, tableRef)
     VersionedStore.vacuum(spark, root,
-      minAgeMs = retainHours.getOrElse(0L) * 3600L * 1000L)
+      minAgeMs = retainHours.getOrElse(168L) * 3600L * 1000L)
     GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)
     Seq.empty
   }

@@ -635,11 +635,25 @@ object VersionedStore {
     val f = fs(spark, root)
     val v = currentVersion(spark, root)
     if (v == 0) return Seq.empty
+    // Stats keys record the LOGICAL name current at each dir's write, so
+    // pre-rename dirs key under the OLD name (= the birth physical).
+    // Translate through the column map to CURRENT logical names and drop
+    // columns no longer in the schema — a request under a stale name
+    // would fail the next commit's statsFor require outright (and a
+    // dropped column has nothing to record).
+    val colmap = colmapOf(f, root, v)
+    val oldToCurrent = colmap.map { case (l, p) => p -> l }
+    val schemaCols = schemaOf(f, root, v)
+      .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+        .fieldNames.toSet)
     val parts = statsOf(f, root, v).keysIterator
       .map(_.split('|')).filter(_.length == 3).toSeq
-    val bloomCols = parts.collect {
-      case p if p(2) == "bloom" => p(1) }.toSet
-    parts.map(_(1)).distinct.filterNot(_ == "#")
+    val names = parts.map(pp =>
+      (oldToCurrent.getOrElse(pp(1), pp(1)), pp(2)))
+      .filterNot(_._1 == "#")
+      .filter { case (n, _) => schemaCols.forall(_.contains(n)) }
+    val bloomCols = names.collect { case (n, "bloom") => n }.toSet
+    names.map(_._1).distinct
       .map(c => if (bloomCols(c)) s"bloom:$c" else c)
   }
 
@@ -1061,7 +1075,10 @@ object VersionedStore {
                    else carriedEntries(metaOf(f, root, baseVersion))) ++
       colmapMeta(colmap) ++
       (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta)
-    val fresh = statsFor(spark, root, dir, statsCols, colmap = colmap)
+    val fresh =
+      try statsFor(spark, root, dir, statsCols, colmap = colmap)
+      catch { case e: Throwable =>
+        f.delete(new Path(s"$root/$dir"), true); throw e }
     // Log-segment append: the manifest is O(batch) — one added dir, its
     // stats, the schema and meta — NEVER a re-list of the base version's
     // dirs or a re-serialization of the table-wide stats map. The base's
@@ -1096,6 +1113,15 @@ object VersionedStore {
       val origCarried = carriedEntries(metaOf(f, root, baseVersion))
       val callerOwn = metaOut.filter { case (k, v) =>
         !origCarried.get(k).contains(v) }
+      // The caller's own LEDGER updates are read-modify-write on the
+      // watermark: if ANOTHER process advanced one of these keys between
+      // bases (a zombie instance of the same streaming writer committing
+      // the same batch), re-anchoring would publish the batch TWICE —
+      // exactly what the pinned-base CAS exists to catch. Those keys
+      // must be untouched at the new base or the conflict propagates
+      // (the caller then re-reads the ledger and sees its batch landed).
+      val ledgerOwn = callerOwn.keySet.filter(k =>
+        k == "batchId" || k.startsWith("batch."))
       var base = baseVersion
       var committed = -1L
       var attempt = 0
@@ -1119,7 +1145,9 @@ object VersionedStore {
                 if (attempt < 50 && nb > base &&
                     schemaOf(f, root, nb) == schemaOf(f, root, baseVersion) &&
                     colmapOf(f, root, nb) == colmap &&
-                    droppedOf(f, root, nb) == dropped) Some(nb) else None
+                    droppedOf(f, root, nb) == dropped &&
+                    ledgerOwn.forall(k => metaOf(f, root, nb).get(k) ==
+                      metaOf(f, root, baseVersion).get(k))) Some(nb) else None
               } catch { case scala.util.control.NonFatal(_) => None }
             safeBase match {
               case Some(nb) =>

@@ -255,6 +255,30 @@ object GraftStoreSource {
       case _ => None
     }
 
+  /** Ranges expanded across the column-mapping epochs: per-dir stats
+    * key under the LOGICAL name current at that dir's write, so after a
+    * rename the table holds dirs keyed under the OLD name (= the birth
+    * physical) AND dirs keyed under the NEW logical — one range matches
+    * only its own epoch and silently keeps the other's dirs. Emitting
+    * the range under BOTH names restores skipping on every epoch, and
+    * is sound: `pruneWithStats` keeps any dir lacking stats for a
+    * range's column, and a historical column that happened to use the
+    * twin name reads as NULL under the current column in its dirs —
+    * rows that cannot satisfy the pushed comparison anyway. */
+  private[sources] def expandAcrossMapping(rs: Seq[ColRange],
+                                           colmap: Map[String, String]): Seq[ColRange] =
+    if (colmap.isEmpty) rs
+    else {
+      val p2l = colmap.map(_.swap)
+      rs.flatMap { r =>
+        Seq(r) ++
+          colmap.get(r.column).filterNot(_ == r.column)
+            .map(p => r.copy(column = p)) ++
+          p2l.get(r.column).filterNot(_ == r.column)
+            .map(l => r.copy(column = l))
+      }
+    }
+
   /** V1 `sources.Filter` edition of [[toColRanges]] (the rename-fallback
     * relation receives these instead of Catalyst expressions). Values
     * arrive as external Scala types; `Literal(_)` + the shared
@@ -300,8 +324,10 @@ object GraftStoreSource {
 final class GraftFileIndex(spark: SparkSession, val root: String,
                            val version: Long, dirs: Seq[String],
                            fullSchema: StructType,
-                           val pinned: Boolean = false) extends FileIndex {
-  import GraftStoreSource.toColRanges
+                           val pinned: Boolean = false,
+                           colmap: Map[String, String] = Map.empty)
+    extends FileIndex {
+  import GraftStoreSource.{expandAcrossMapping, toColRanges}
 
   private val fsys =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -401,7 +427,11 @@ final class GraftFileIndex(spark: SparkSession, val root: String,
     // PRUNE FIRST: dir-level manifest-stats skipping on EVERY pushed
     // comparison — partition or data column alike (the stats record
     // both) — so only surviving dirs are ever listed.
-    val ranges = toColRanges(partitionFilters ++ dataFilters)
+    // under column mapping the scan pushes PHYSICAL names; expand each
+    // range across the mapping so both stats epochs prune (see
+    // expandAcrossMapping)
+    val ranges = expandAcrossMapping(
+      toColRanges(partitionFilters ++ dataFilters), colmap)
     val keptDirs =
       if (ranges.isEmpty) dirs
       else VersionedStore.prunedDirs(spark, root, version, ranges)
@@ -465,7 +495,8 @@ final class GraftStoreRowRelation(spark: SparkSession, val root: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val ranges = GraftStoreSource.toColRangesV1(filters.toSeq)
+    val ranges = GraftStoreSource.expandAcrossMapping(
+      GraftStoreSource.toColRangesV1(filters.toSeq), colmap)
     val df = VersionedStore.readAt(spark, root, version, ranges)
     df.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
   }
@@ -482,7 +513,8 @@ final class GraftStoreRowRelation(spark: SparkSession, val root: String,
   private[sources] def vectorizedRelation: HadoopFsRelation = {
     val physical = StructType(schema.fields.map(f =>
       f.copy(name = colmap.getOrElse(f.name, f.name))))
-    val index = new GraftFileIndex(spark, root, version, dirs, physical, pinned)
+    val index = new GraftFileIndex(spark, root, version, dirs, physical,
+      pinned, colmap)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
       bucketSpec = None, new ParquetFileFormat, Map.empty)(spark)
   }

@@ -261,21 +261,28 @@ object AggregateView {
     * session B observe depth > 0 (opened by session A), never disable
     * its own AQE, and later "restore" A's saved value into B. The first
     * concurrent view batch ON A SESSION saves that session's value and
-    * disables; the last restores. Entries are not evicted (a JVM hosts a
-    * handful of sessions; eviction would race computeIfAbsent into a
-    * second state object and split the depth count). */
+    * disables; the last restores — and removes the entry, so a
+    * short-lived-sessions application never accumulates session graphs
+    * in a JVM-global map. The remove races computeIfAbsent benignly:
+    * disable re-checks IDENTITY under the state's own lock and loops if
+    * its entry was evicted between fetch and lock. */
   private final class AqeState { var depth = 0; var saved = "true" }
   private val aqeStates =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, AqeState]()
 
   private def aqeDisable(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val st = aqeStates.computeIfAbsent(spark, _ => new AqeState)
-    st.synchronized {
-      if (st.depth == 0) {
-        st.saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    while (true) {
+      val st = aqeStates.computeIfAbsent(spark, _ => new AqeState)
+      st.synchronized {
+        if (aqeStates.get(spark) eq st) { // not evicted since the fetch
+          if (st.depth == 0) {
+            st.saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+          }
+          st.depth += 1
+          return
+        }
       }
-      st.depth += 1
     }
   }
 
@@ -283,7 +290,10 @@ object AggregateView {
     val st = aqeStates.get(spark)
     if (st != null) st.synchronized {
       st.depth -= 1
-      if (st.depth == 0) spark.conf.set("spark.sql.adaptive.enabled", st.saved)
+      if (st.depth == 0) {
+        spark.conf.set("spark.sql.adaptive.enabled", st.saved)
+        aqeStates.remove(spark, st)
+      }
     }
   }
 }

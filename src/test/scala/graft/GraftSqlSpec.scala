@@ -140,7 +140,10 @@ class GraftSqlSpec extends SparkSpec {
     assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(hist.forall(_.getString(2).contains("batch.w1=7")))
     VersionedStore.expire(spark, root, keepLast = 1)
+    // bare VACUUM keeps the 7-day safety floor (fresh dirs survive);
+    // RETAIN 0 HOURS is the explicit maintenance-window reap
     spark.sql(s"VACUUM $tbl").collect()
+    spark.sql(s"VACUUM $tbl RETAIN 0 HOURS").collect()
     // store still reads clean after the reap
     assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 5L)
     // path form resolves too
@@ -272,6 +275,10 @@ class GraftSqlSpec extends SparkSpec {
     // DROP COLUMN IF EXISTS on a gone column is a no-op, not an error
     spark.sql(s"ALTER TABLE $tbl DROP COLUMN IF EXISTS grp").collect()
     assert(VersionedStore.currentVersion(spark, root) == 3L)
+    // fully-qualified session-catalog form resolves too
+    spark.sql(s"ALTER TABLE spark_catalog.default.$tbl RENAME COLUMN score TO s2")
+      .collect()
+    assert(spark.sql(s"SELECT s2 FROM $tbl WHERE id = 2").as[Long].head() == 20L)
     // a parquet table still gets Spark's own v2-only rejection
     val other = Files.createTempDirectory("graft-sql-alter-pq").toString
     Seq((1L, 2L)).toDF("a", "b").write.mode(SaveMode.Overwrite).parquet(other)
@@ -308,6 +315,59 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF '2024-01-01'").collect()
     }
     assert(e.getMessage.contains("VERSION AS OF"))
+  }
+
+  test("zombie writer cannot double-commit through the fast CAS retry: " +
+       "a ledger key advanced by someone else propagates the conflict") {
+    val (root, _) = seeded()   // v1, ledger batch.w1=7
+    // writer A (pinned at v1) commits its batch 8
+    VersionedStore.commitAppendAt(
+      Seq((50L, 500L, "gA")).toDF("id", "v", "grp"), root, 1L,
+      meta = Map("batch.w1" -> "8"))
+    // zombie instance of the SAME writer, same pinned base, same batch:
+    // re-anchoring would append the rows twice — must conflict instead
+    intercept[VersionedStore.CommitConflict] {
+      VersionedStore.commitAppendAt(
+        Seq((50L, 500L, "gA")).toDF("id", "v", "grp"), root, 1L,
+        meta = Map("batch.w1" -> "8"))
+    }
+    assert(VersionedStore.currentVersion(spark, root) == 2L)
+    // a DIFFERENT writer pinned at the same stale base fast-retries fine
+    // (its own ledger key is untouched at the new base)
+    VersionedStore.commitAppendAt(
+      Seq((60L, 600L, "gB")).toDF("id", "v", "grp"), root, 1L,
+      meta = Map("batch.w2" -> "3"))
+    val m = VersionedStore.currentMeta(spark, root)
+    assert(m.get("batch.w1").contains("8") && m.get("batch.w2").contains("3"),
+      s"both watermarks must survive the re-anchor: $m")
+    assert(VersionedStore.currentVersion(spark, root) == 3L)
+  }
+
+  test("CTE-prefixed MERGE matches the rule (not just root-level commands)") {
+    val (root, tbl) = seeded()
+    val out = spark.sql(
+      s"""WITH src AS (SELECT 2L AS id, 222L AS v, 'gZ' AS grp)
+         |MERGE INTO $tbl t USING src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE id = 2").as[Long].head() == 222L)
+  }
+
+  test("INSERT after renaming the STATS column: the request translates " +
+       "to the current name and the new dir still prunes") {
+    val (root, tbl) = seeded()   // statsCols = id
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN id TO ident").collect()
+    spark.sql(s"INSERT INTO $tbl VALUES (70, 700, 'g1')").collect()
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE ident = 70").as[Long].head() == 700L)
+    // the inserted dir recorded stats under the CURRENT logical name —
+    // a point plan on ident prunes to it (pre-rename dirs keep their
+    // old-name keys and are pruned through the dual-name expansion)
+    val opened = VersionedStore.prunedDirs(spark, root,
+      VersionedStore.currentVersion(spark, root),
+      Seq(VersionedStore.ColRange.eq("ident", "70"),
+        VersionedStore.ColRange.eq("id", "70")))
+    assert(opened.size == 1, s"stats must key the current name: $opened")
   }
 
   test("maintenance verbs only match their grammar — everything else delegates") {

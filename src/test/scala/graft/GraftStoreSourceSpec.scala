@@ -155,6 +155,13 @@ class GraftStoreSourceSpec extends SparkSpec {
       s"value > 15 must skip the val<=10 dir on the vectorized path: " +
         s"opened $opened of $total")
     assert(hi.select("id").as[Long].collect().toSeq === Seq(2L))
+    // ... and BOTH stats epochs prune: the pre-rename dir keys its stats
+    // under the old name, the post-rename dir under the new one — the
+    // dual-name range expansion must skip the post-rename dir here
+    val lo = spark.read.format("graftstore").load(root).filter(col("value") < 15L)
+    assert(scannedFiles(lo) < total,
+      "value < 15 must skip the post-rename (value>=20) dir too")
+    assert(lo.select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
   test("row fallback stays correct for extension-less sessions " +
