@@ -127,11 +127,27 @@ final class GraftStoreSource extends RelationProvider
     * evolution; `DESCRIBE` accuracy is restored by the ALTER commands'
     * catalog sync. An explicit `spark.read.schema(x)` also lands here
     * and also gets the log schema — a fixed reader contract is the
-    * streaming API's job, not the batch one's. */
+    * streaming API's job, not the batch one's. Because that departs
+    * from the standard Spark contract (user schema wins), a supplied
+    * schema that DIFFERS from the recorded log schema is warned about
+    * loudly instead of silently ignored — the caller is about to get a
+    * differently-shaped frame than the one they declared. */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String],
-                              schema: StructType): BaseRelation =
-    createRelation(sqlContext, parameters)
+                              schema: StructType): BaseRelation = {
+    val rel = createRelation(sqlContext, parameters)
+    // names+types comparison, not StructType equality: nullability and
+    // field metadata legitimately drift through catalog round-trips and
+    // must not produce a false alarm on every catalog-table read
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(schema) != shape(rel.schema))
+      System.err.println(
+        s"[graftstore] WARNING: the supplied reader schema is ignored — " +
+          s"the transaction log is the schema authority for " +
+          s"${rootOf(parameters)}. Supplied: ${schema.toDDL}; serving the " +
+          s"recorded: ${rel.schema.toDDL}")
+    rel
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -152,7 +168,23 @@ final class GraftStoreSource extends RelationProvider
     // recorded order with a projection.
     val dayNotLast = logical.fieldNames.contains("day") &&
       logical.fieldNames.last != "day"
-    if (colmap.nonEmpty || dayNotLast)
+    // A session WITHOUT the graft extensions must never be handed a
+    // HadoopFsRelation: Spark's own DataSourceAnalysis would convert
+    // `INSERT INTO t` over it into a raw parquet file-write into the
+    // store root — committed-looking rows invisible to every reader
+    // (the manifest stays the truth) — and `INSERT OVERWRITE` is worse:
+    // InsertIntoHadoopFsRelationCommand DELETES the output path (the
+    // store root, manifests included) before the write job even starts,
+    // so no write-time guard can save it. The marker relation closes
+    // both: reads stay correct (the store's own row path), and every
+    // SQL write against it dies loudly in Spark's PreWriteCheck ("does
+    // not allow insertion") with zero filesystem side effects. Sessions
+    // built with GraftExtensions keep the vectorized relation — there
+    // GraftDmlRule intercepts INSERT before execution and routes it
+    // through the transactional commit.
+    val dmlGuarded = spark.sessionState.analyzer.postHocResolutionRules
+      .contains(graft.plans.GraftDmlRule)
+    if (colmap.nonEmpty || dayNotLast || !dmlGuarded)
       // Rename-mapped (or day-not-last) store: physical parquet names /
       // positions differ from the logical schema, and HadoopFsRelation
       // has no alias layer. This relation is CORRECT standalone — it
@@ -168,7 +200,7 @@ final class GraftStoreSource extends RelationProvider
       val index = new GraftFileIndex(spark, root, v, dirs, logical,
         pinned = versionAsOf.isDefined)
       HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-        bucketSpec = None, new ParquetFileFormat, Map.empty)(spark)
+        bucketSpec = None, new GraftGuardedParquetFormat(root), Map.empty)(spark)
     }
   }
 
@@ -516,8 +548,38 @@ final class GraftStoreRowRelation(spark: SparkSession, val root: String,
     val index = new GraftFileIndex(spark, root, version, dirs, physical,
       pinned, colmap)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-      bucketSpec = None, new ParquetFileFormat, Map.empty)(spark)
+      bucketSpec = None, new GraftGuardedParquetFormat(root), Map.empty)(spark)
   }
+}
+
+/** [[ParquetFileFormat]] with the WRITE half sealed: reads inherit the
+  * vectorized parquet reader unchanged, but any plan that reaches
+  * `prepareWrite` is by construction a raw file-write the transaction
+  * log never sees — in a GraftExtensions session every legitimate SQL
+  * INSERT is intercepted and rewritten into a transactional commit
+  * BEFORE execution ([[graft.plans.GraftDmlRule]]), so this throw can
+  * only fire on a bypass path (a session missing the extensions, or a
+  * future Spark rule converting writes some new way). Failing here is
+  * strictly better than succeeding: the "successful" write would stream
+  * parquet past the manifest — rows invisible to every reader and
+  * reapable by VACUUM. Belt-and-braces on top of the marker-relation
+  * routing in [[GraftStoreSource.createRelation]] (extension-less
+  * sessions never receive this relation at all — the marker fails
+  * writes in PreWriteCheck before any filesystem mutation, which also
+  * covers INSERT OVERWRITE's pre-write delete of the output path). */
+final class GraftGuardedParquetFormat(root: String) extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+                            job: org.apache.hadoop.mapreduce.Job,
+                            options: Map[String, String],
+                            dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      s"direct file write into graftstore $root would bypass the " +
+        "transaction log (rows invisible to every reader; files reapable " +
+        "by VACUUM) — run INSERT in a session built with " +
+        "graft.GraftExtensions (spark.sql.extensions=graft.GraftExtensions) " +
+        "so it routes through the transactional commit, or use " +
+        "df.write.format(\"graftstore\")")
 }
 
 /** Post-hoc analyzer rule (graft extensions): replace every

@@ -276,4 +276,105 @@ class GraftStoreSourceSpec extends SparkSpec {
     assert(out.orderBy("id").as[(Long, String)].collect().toSeq ===
       Seq((1L, "x"), (2L, "y")))
   }
+
+  /** A session WITHOUT GraftExtensions, sharing the suite's
+    * SparkContext. The builder finds the live context but no
+    * default/active session, so it constructs a fresh SparkSession with
+    * an EMPTY extension chain — the exact shape of a BI/SQL consumer
+    * that forgot `spark.sql.extensions=graft.GraftExtensions`. The
+    * suite's session is restored afterwards regardless. */
+  private def withExtensionlessSession[A](
+      body: org.apache.spark.sql.SparkSession => A): A = {
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val bare = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      assert(!bare.sessionState.analyzer.postHocResolutionRules
+        .contains(graft.plans.GraftDmlRule),
+        "scenario needs a session without the graft DML rule")
+      body(bare)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+
+  /** Every store-root entry (recursive files), for the orphan sweep. */
+  private def rootFiles(root: String): Seq[String] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out += base.relativize(p).toString
+    }
+    out.toSeq.sorted
+  }
+
+  test("extension-less SQL INSERT INTO fails loudly with zero filesystem " +
+       "side effects (no silent row loss, no orphan files)") {
+    val root = tmp()
+    Seq((1L, 10L)).toDF("id", "v").write.format("graftstore")
+      .option("statsCols", "v").mode(SaveMode.Append).save(root)
+    val before = rootFiles(root)
+    withExtensionlessSession { bare =>
+      val tbl = s"noext_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      bare.sql(s"CREATE TABLE $tbl USING graftstore OPTIONS (path '$root')")
+      try {
+        // reads stay CORRECT through the row marker relation
+        assert(bare.sql(s"SELECT id, v FROM $tbl").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L)))
+        val e = intercept[Exception] {
+          bare.sql(s"INSERT INTO $tbl VALUES (2, 20)").collect()
+        }
+        assert(e.getMessage.toLowerCase.contains("insert"),
+          s"failure must name the insert, got: ${e.getMessage}")
+        // the catastrophic sibling: INSERT OVERWRITE over a raw
+        // HadoopFsRelation DELETES the output path (the store root,
+        // manifests included) before writing — the marker routing must
+        // fail it BEFORE any filesystem mutation
+        intercept[Exception] {
+          bare.sql(s"INSERT OVERWRITE TABLE $tbl SELECT 3, 30").collect()
+        }
+      } finally bare.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+    assert(rootFiles(root) === before,
+      "a failed extension-less INSERT must leave the store byte-identical " +
+        "(no orphan parquet, no clobbered manifests)")
+    assert(VersionedStore.read(spark, root).get.count() === 1L)
+    // and WITH extensions the same statement commits transactionally
+    // (the suite session has them)
+    val tbl2 = s"ext_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl2 USING graftstore OPTIONS (path '$root')")
+    try {
+      spark.sql(s"INSERT INTO $tbl2 VALUES (2, 20)").collect()
+      assert(VersionedStore.currentVersion(spark, root) === 2L)
+      assert(VersionedStore.read(spark, root).get.count() === 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+  }
+
+  test("the guarded parquet format seals prepareWrite (belt-and-braces " +
+       "under the extension session)") {
+    val e = intercept[UnsupportedOperationException] {
+      new graft.sources.GraftGuardedParquetFormat("/tmp/x").prepareWrite(
+        spark, org.apache.hadoop.mapreduce.Job.getInstance(),
+        Map.empty, new org.apache.spark.sql.types.StructType())
+    }
+    assert(e.getMessage.contains("transaction log"))
+  }
+
+  test("an explicit reader schema differing from the log is warned, " +
+       "log schema served") {
+    val root = tmp()
+    Seq((1L, 10L)).toDF("id", "v").write.format("graftstore")
+      .mode(SaveMode.Append).save(root)
+    val out = spark.read.format("graftstore")
+      .schema("id LONG, wrong STRING").load(root)
+    assert(out.columns.toSeq === Seq("id", "v"),
+      "the log stays the schema authority")
+  }
 }
