@@ -63,6 +63,32 @@ final class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .getOrElse(throw new IllegalArgumentException(
           s"${ct.identifier} records no path")))
 
+  /** The TIMESTAMP AS OF clause value as the option-channel string. The
+    * rule runs in the hint batch (pre-resolution), so only LITERAL
+    * shapes are evaluable here: a string literal passes through verbatim
+    * (parsed by the option channel in the session zone), a typed
+    * `TIMESTAMP '...'` / `DATE '...'` literal converts exactly. Anything
+    * needing resolution (expressions, functions) is rejected loudly
+    * with the accepted forms named. */
+  private def literalTravelTimestamp(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType,
+      TimestampNTZType}
+    e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case l @ Literal(_, TimestampType | TimestampNTZType | DateType) =>
+        // render through Spark's own cast-to-string (session-zoned), the
+        // same serialization parseTravelTimestamp accepts
+        String.valueOf(Cast(l, StringType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+      case other => throw new IllegalArgumentException(
+        s"graftstore TIMESTAMP AS OF takes a literal (string, TIMESTAMP or " +
+          s"DATE), got: $other")
+    }
+  }
+
   private def topLevel(f: FieldName, what: String): String = {
     require(f.name.length == 1,
       s"graftstore $what supports top-level columns only, " +
@@ -87,18 +113,25 @@ final class GraftAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
           ct.identifier.quotedString): LogicalPlan
       }.getOrElse(d)
 
-    // `SELECT ... FROM t VERSION AS OF n` — Spark parses the clause for
-    // every table but resolves it for v2 only; a graftstore table pins
-    // the requested version through the same relation `versionAsOf`
-    // serves on the DataFrame path (immutable snapshot, DML rejected).
+    // `SELECT ... FROM t VERSION AS OF n` / `TIMESTAMP AS OF t` — Spark
+    // parses the clause for every table but resolves it for v2 only; a
+    // graftstore table pins the requested version through the same
+    // relation the `versionAsOf`/`timestampAsOf` options serve on the
+    // DataFrame path (immutable snapshot, DML rejected). TIMESTAMP AS OF
+    // resolves against the monotonic commit wall-clock every publish
+    // stamps into manifest meta (VersionedStore.versionAtTimestamp).
     case tt @ RelationTimeTravel(u: UnresolvedRelation, timestamp, version) =>
       graftTable(u.multipartIdentifier).map { ct =>
-        require(timestamp.isEmpty && version.isDefined,
-          "graftstore time travel is by version: VERSION AS OF <n> " +
-            "(timestamps are not recorded in the manifest log)")
+        val travel: Map[String, String] = (timestamp, version) match {
+          case (None, Some(v)) => Map("versionAsOf" -> v)
+          case (Some(ts), None) =>
+            Map("timestampAsOf" -> literalTravelTimestamp(ts))
+          case _ => throw new IllegalArgumentException(
+            "graftstore time travel takes exactly one of VERSION AS OF <n> " +
+              "or TIMESTAMP AS OF <literal>")
+        }
         val rel = new graft.sources.GraftStoreSource().createRelation(
-          spark.sqlContext,
-          Map("path" -> rootOf(ct), "versionAsOf" -> version.get))
+          spark.sqlContext, Map("path" -> rootOf(ct)) ++ travel)
         SubqueryAlias(u.multipartIdentifier.last,
           org.apache.spark.sql.execution.datasources.LogicalRelation(
             rel, isStreaming = false)): LogicalPlan

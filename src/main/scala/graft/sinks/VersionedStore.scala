@@ -665,6 +665,66 @@ object VersionedStore {
     committedVersions(f, root).map(v => (v, dataDirOf(f, root, v)))
   }
 
+  /** `TIMESTAMP AS OF` resolution — the latest committed version whose
+    * recorded commit wall-clock (`commitTs` manifest meta, stamped
+    * monotonically at publish) is ≤ `tsMillis`; the Delta timestamp-
+    * travel contract. Boundary semantics: a timestamp BEFORE the first
+    * stamped commit is a loud error (nothing existed then — serving the
+    * current version would silently answer the wrong question); a
+    * timestamp between two commits resolves to the earlier one; a
+    * timestamp after the last commit resolves to the current version
+    * (the store's state AT that time). Versions written by a library
+    * predating timestamp recording carry no stamp and are never
+    * resolution targets; a store with NO stamped version at all fails
+    * loudly rather than guessing. O(live versions) cached manifest-meta
+    * reads — resolution never opens data. */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+                         tsMillis: Long): Long = {
+    val f = fs(spark, root)
+    val stamped = committedVersions(f, root).flatMap { v =>
+      metaOf(f, root, v).get("commitTs").flatMap(_.toLongOption).map(v -> _)
+    }
+    require(stamped.nonEmpty,
+      s"$root records no commit timestamps (empty store, or every live " +
+        "version predates timestamp recording) — time travel by VERSION " +
+        "AS OF instead")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    if (eligible.isEmpty) {
+      val (v0, t0) = stamped.head
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis precedes the first stamped commit of $root " +
+          s"(version $v0 at $t0) — nothing existed to read at that time")
+    }
+    eligible.map(_._1).max
+  }
+
+  /** A `timestampAsOf` option/clause value → epoch millis. Accepts epoch
+    * millis digits, an ISO-8601 instant (trailing `Z`/offset), or a
+    * date / date-time WITHOUT zone interpreted in the SESSION time zone
+    * (`spark.sql.session.timeZone`) — the same zone Spark's own
+    * timestamp literals resolve in, so `TIMESTAMP AS OF '2024-01-02
+    * 10:00:00'` means what the SQL user's session says it means. */
+  private[graft] def parseTravelTimestamp(s: String, sessionZone: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else {
+      val zone = java.time.ZoneId.of(sessionZone)
+      try java.time.Instant.parse(t).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        try java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          val norm = if (t.contains('T')) t else t.replace(' ', 'T')
+          try java.time.LocalDateTime.parse(norm).atZone(zone)
+            .toInstant.toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDate.parse(t).atStartOfDay(zone)
+              .toInstant.toEpochMilli
+          }
+        }
+      }
+    }
+  }
+
   /** All committed version numbers, ascending — a manifest-dir listing,
     * no manifest is opened. */
   private def committedVersions(f: FileSystem, root: String): Seq[Long] = {
@@ -2153,6 +2213,25 @@ object VersionedStore {
     * every rewritten dir emptied out): it is then excluded from both the
     * files listing (its own manifest listed it) and — critically — the
     * conflict cleanup, which must never delete committed data. */
+  /** Stamp the commit wall-clock into the manifest meta (`commitTs`,
+    * epoch millis) — the record [[versionAtTimestamp]] resolves
+    * `TIMESTAMP AS OF` against. MONOTONIC-GUARDED per store: the stamp
+    * is `max(now, base's commitTs + 1)`, so clock skew between writers
+    * (or a clock stepped backwards) can never make a later version
+    * carry an earlier timestamp — "latest version ≤ t" stays
+    * well-defined. The key is per-commit truth, never carried
+    * ([[carriedEntries]] excludes it), and any caller-supplied value is
+    * overridden — publish time is the single authority. */
+  private def stampCommitTs(f: FileSystem, root: String, version: Long,
+                            meta: Map[String, String]): Map[String, String] = {
+    val baseTs =
+      if (version <= 1) 0L
+      else metaOf(f, root, version - 1).get("commitTs")
+        .flatMap(_.toLongOption).getOrElse(0L)
+    meta + ("commitTs" ->
+      math.max(System.currentTimeMillis(), baseTs + 1).toString)
+  }
+
   private[graft] def publish(
       spark: SparkSession, root: String, version: Long, dataDir: String,
       baseDirs: Seq[String] = Seq.empty,
@@ -2162,6 +2241,7 @@ object VersionedStore {
       extraNewDirs: Seq[String] = Seq.empty,
       dataDirIsCarried: Boolean = false): Unit = {
     val f = fs(spark, root)
+    val stamped = stampCommitTs(f, root, version, meta)
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
     // Version 1 means EMPTY STORE. Publishing it while any manifest
@@ -2199,7 +2279,7 @@ object VersionedStore {
     val body =
       s"""{"version": $version, "dataDir": "$dataDir",
          | "dataDirs": [${dirs.map(js).mkString(", ")}],
-         | "meta": {${meta.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
+         | "meta": {${stamped.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
          |$schemaField "stats": {${stats.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")}},
          | "files": [${files.map(n => "\"" + n + "\"").mkString(", ")}]}""".stripMargin
     if (!createExclusive(f, manifest, body.getBytes(StandardCharsets.UTF_8))) {
@@ -2242,6 +2322,7 @@ object VersionedStore {
     require(f.exists(manifestPath(root, version - 1)),
       s"cannot commit version $version of $root: base manifest " +
         s"${version - 1} does not exist (expired, or a stale pinned base)")
+    val stamped = stampCommitTs(f, root, version, meta)
     val manifest = manifestPath(root, version)
     f.mkdirs(manifest.getParent)
     val files = addDirs.flatMap { nd =>
@@ -2258,7 +2339,7 @@ object VersionedStore {
       s"""{"version": $version, "base": ${version - 1}, "dataDir": ${jsString(anchor)},
          | "add": [${addDirs.map(jsString).mkString(", ")}],
          | "removed": [${removedDirs.map(jsString).mkString(", ")}],
-         | "meta": {${meta.toSeq.sortBy(_._1).map { case (k, v) =>
+         | "meta": {${stamped.toSeq.sortBy(_._1).map { case (k, v) =>
              s"${jsString(k)}: ${jsString(v)}" }.mkString(", ")}},
          |$schemaField "stats": {${statsForAdded.toSeq.sortBy(_._1).map { case (k, v) =>
              s"${jsString(k)}: ${jsString(v)}" }.mkString(", ")}},

@@ -153,9 +153,19 @@ final class GraftStoreSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
+    // timestampAsOf resolves to a version FIRST (epoch millis, ISO
+    // instant, or session-zoned date[time] — see parseTravelTimestamp),
+    // then rides the same pinned-relation path as versionAsOf.
+    val tsAsOf = parameters.get("timestampAsOf").map(t =>
+      VersionedStore.versionAtTimestamp(spark, root,
+        VersionedStore.parseTravelTimestamp(t,
+          spark.sessionState.conf.sessionLocalTimeZone)))
     val versionAsOf = parameters.get("versionAsOf").map(_.trim.toLong)
+    require(versionAsOf.isEmpty || tsAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive — pick one " +
+        "travel axis")
     val (v, dirs, ddlOpt, colmap) =
-      VersionedStore.relationSnapshot(spark, root, versionAsOf)
+      VersionedStore.relationSnapshot(spark, root, versionAsOf.orElse(tsAsOf))
     val ddl = ddlOpt.getOrElse(throw new IllegalArgumentException(
       s"$root records no schema (written before schema recording) — " +
         "read it via VersionedStore.readAt"))
@@ -195,10 +205,10 @@ final class GraftStoreSource extends RelationProvider
       // consumers keep the vectorized parquet reader and codegen even
       // after a metadata-only rename.
       new GraftStoreRowRelation(spark, root, v, logical, colmap, dirs,
-        pinned = versionAsOf.isDefined)
+        pinned = versionAsOf.isDefined || tsAsOf.isDefined)
     else {
       val index = new GraftFileIndex(spark, root, v, dirs, logical,
-        pinned = versionAsOf.isDefined)
+        pinned = versionAsOf.isDefined || tsAsOf.isDefined)
       HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
         bucketSpec = None, new GraftGuardedParquetFormat(root), Map.empty)(spark)
     }

@@ -310,11 +310,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 6L)
     assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
       .as[Long].head() == 3L)
-    // timestamp-based travel is rejected with the version hint
+    // TIMESTAMP AS OF resolves through the publish-stamped commit clock:
+    // the stamp of version 2 (the post-DELETE state) pins that snapshot
+    val ts2 = VersionedStore.metaAt(spark, root, 2L)("commitTs").toLong
+    val inst = java.time.Instant.ofEpochMilli(ts2).toString
+    assert(spark.sql(s"SELECT count(*) FROM $tbl TIMESTAMP AS OF '$inst'")
+      .as[Long].head() == 3L)
+    // a pre-first-commit timestamp is loud, never the wrong snapshot
     val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF '2024-01-01'").collect()
+      spark.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF '1999-01-01'").collect()
     }
-    assert(e.getMessage.contains("VERSION AS OF"))
+    assert(e.getMessage.contains("precedes the first stamped commit"))
+    // DML on a timestamp-pinned relation is rejected like any travel
+    val e2 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $tbl TIMESTAMP AS OF '$inst' WHERE id = 1")
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("time-travel")
+      || e2.getMessage.contains("TIMESTAMP AS OF")
+      || e2.getMessage.toLowerCase.contains("syntax"),
+      s"unexpected error shape: ${e2.getMessage}")
   }
 
   test("zombie writer cannot double-commit through the fast CAS retry: " +

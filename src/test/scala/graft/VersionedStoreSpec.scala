@@ -278,7 +278,11 @@ class VersionedStoreSpec extends SparkSpec {
     // entries do (batchId is the legacy stream watermark; dropping it
     // would let a replayed batch re-append after any plain commit)
     VersionedStore.commit(snap("2024-01-01", 1L -> 2.0), root)
-    assert(VersionedStore.currentMeta(spark, root) === Map("batchId" -> "7"))
+    // commitTs is the publish stamp (TIMESTAMP AS OF's record), present
+    // on every commit — the only other surviving entry is the ledger
+    val m2 = VersionedStore.currentMeta(spark, root)
+    assert(m2.contains("commitTs"), s"every commit stamps commitTs: $m2")
+    assert(m2 - "commitTs" === Map("batchId" -> "7"))
   }
 
   test("streaming sink: replayed batches commit exactly once; compaction keeps the ledger") {
@@ -1053,5 +1057,55 @@ class VersionedStoreSpec extends SparkSpec {
       verifyPrune = true)
     assert(VersionedStore.read(spark, root).get
       .filter(col("value") === 1.0).count() === 0L)
+  }
+
+  test("TIMESTAMP AS OF: monotonic commit stamps; boundary semantics " +
+       "(before-first loud, between-commits floors, after-last = current)") {
+    val root = tmp()
+    (1 to 3).foreach(i =>
+      VersionedStore.commitAppend(snap(s"2024-01-0$i", i.toLong -> i.toDouble), root))
+    val ts = (1L to 3L).map(v =>
+      VersionedStore.metaAt(spark, root, v)("commitTs").toLong)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"commit stamps must be strictly increasing, got $ts")
+    // before the first stamped commit: loud, never the wrong snapshot
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.versionAtTimestamp(spark, root, ts.head - 1)
+    }
+    assert(e.getMessage.contains("precedes the first stamped commit"))
+    // exact stamp and between-commits both floor to the earlier version
+    assert(VersionedStore.versionAtTimestamp(spark, root, ts(1)) === 2L)
+    assert(VersionedStore.versionAtTimestamp(spark, root,
+      (ts(1) + ts(2)) / 2) === 2L)
+    // after the last commit: the store's state at that time = current
+    assert(VersionedStore.versionAtTimestamp(spark, root,
+      ts.last + 3600L * 1000L) === 3L)
+    // the DataFrame option rides the same resolution (pinned snapshot)
+    val atV2 = spark.read.format("graftstore")
+      .option("timestampAsOf", ts(1).toString).load(root)
+    assert(atV2.count() === VersionedStore.readAt(spark, root, 2L).count())
+    // both travel axes at once is a loud error
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftstore").option("timestampAsOf", ts(1).toString)
+        .option("versionAsOf", "1").load(root)
+    }
+    // empty/unstamped store refuses timestamp travel with a hint
+    val bare = tmp()
+    intercept[IllegalArgumentException] {
+      VersionedStore.versionAtTimestamp(spark, bare, ts.head)
+    }
+  }
+
+  test("TIMESTAMP AS OF literal forms: epoch millis, ISO instant, " +
+       "session-zoned datetime and date") {
+    import graft.sinks.{VersionedStore => VS}
+    val zone = "UTC"
+    assert(VS.parseTravelTimestamp("1704067200000", zone) === 1704067200000L)
+    assert(VS.parseTravelTimestamp("2024-01-01T00:00:00Z", zone) === 1704067200000L)
+    assert(VS.parseTravelTimestamp("2024-01-01 00:00:00", zone) === 1704067200000L)
+    assert(VS.parseTravelTimestamp("2024-01-01", zone) === 1704067200000L)
+    // zoned interpretation follows the session zone
+    assert(VS.parseTravelTimestamp("2024-01-01 00:00:00", "America/New_York")
+      === 1704067200000L + 5L * 3600 * 1000)
   }
 }
