@@ -1304,6 +1304,25 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")
     }),
+    // The CONDITIONAL-CLAUSE MERGE slice of the same SQL-DML store
+    // (statement 4, days 16-18): first-match-wins UPDATE (value ×10 on
+    // day-17 clicks ≥ 0.5) vs DELETE (< 0.5), a TRUE-condition INSERT
+    // (synth2) and a FALSE-condition one (synth3, must be absent). The
+    // build gates the per-clause CDF populations; this query hash-gates
+    // the resulting values against flat events.
+    "versioned_sql_merge" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureSqlDmlEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-16"), Some("2024-01-18"))))
+        .filter(col("day").between(
+          lit("2024-01-16").cast("date"), lit("2024-01-18").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
     // WIDE aggregate view — the breadth gate: multi-key, two sums, and
     // grow-only min/max maintained through the same CDC loop, with avg
     // derived at read (sum/count — averages never compose, so they are
@@ -1933,7 +1952,8 @@ object SparkEntry {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_sqldml", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p, builderId = "vs2") { (src, tmp) =>
+    // vs3: round 15 adds the conditional-clause MERGE (statement 4)
+    ArtifactStore.ensure(ev, p, builderId = "vs3") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -1962,10 +1982,66 @@ object SparkEntry {
           s"""MERGE INTO $tbl t USING ${tbl}_src s ON t.event_id = s.event_id
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        // Statement 4 — the CONDITIONAL-CLAUSE MERGE (days 16-18 only,
+        // so statements 1-3's day-13..15 populations stay untouched):
+        // day-17 clicks split by value into an UPDATE branch (×10) and
+        // a first-match-wins DELETE branch; day-16 views re-key as
+        // 'synth2' inserts (condition TRUE); day-18 errors re-key as
+        // 'synth3' (condition FALSE — must be dropped, not inserted).
+        val d17clicks = src.filter(col("day") === lit("2024-01-17").cast("date")
+          && col("event_type") === "click")
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        val synth2 = src.filter(col("day") === lit("2024-01-16").cast("date")
+          && col("event_type") === "view")
+          .withColumn("event_id", col("event_id") + lit(2000000000L))
+          .withColumn("event_type", lit("synth2"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        val synth3 = src.filter(col("day") === lit("2024-01-18").cast("date")
+          && col("event_type") === "error")
+          .withColumn("event_id", col("event_id") + lit(3000000000L))
+          .withColumn("event_type", lit("synth3"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        d17clicks.unionByName(synth2).unionByName(synth3)
+          .createOrReplaceTempView(s"${tbl}_src3")
+        s.sql(
+          s"""MERGE INTO $tbl t USING ${tbl}_src3 s ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.value >= 0.5 THEN UPDATE SET value = t.value * 10
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED AND s.event_type = 'synth2' THEN INSERT *
+             |""".stripMargin).collect()
         val v = VersionedStore.currentVersion(s, tmp)
-        require(v == 13L,
-          s"three SQL DML statements over 10 appends must land at " +
-            s"version 13, got $v — a command bypassed the commit path")
+        require(v == 14L,
+          s"four SQL DML statements over 10 appends must land at " +
+            s"version 14, got $v — a command bypassed the commit path")
+        // per-clause CDF populations of the conditional merge (merge
+        // commits label insert/delete): updated rows appear as their
+        // preimage delete + postimage insert, DELETE-branch rows as
+        // deletes, condition-passing inserts as inserts — and the
+        // FALSE-condition synth3 rows must appear nowhere.
+        val m = src.filter(col("day").isin(
+          lit("2024-01-16").cast("date"), lit("2024-01-17").cast("date")))
+          .agg(
+            sum(when(col("event_type") === "click" &&
+              col("day") === lit("2024-01-17").cast("date") &&
+              col("value") >= 0.5, 1L).otherwise(0L)).as("c17u"),
+            sum(when(col("event_type") === "click" &&
+              col("day") === lit("2024-01-17").cast("date") &&
+              col("value") < 0.5, 1L).otherwise(0L)).as("c17d"),
+            sum(when(col("event_type") === "view" &&
+              col("day") === lit("2024-01-16").cast("date"), 1L)
+              .otherwise(0L)).as("v16")).head()
+        val (c17u, c17d, v16) = (m.getAs[Long]("c17u"),
+          m.getAs[Long]("c17d"), m.getAs[Long]("v16"))
+        val mergeFeed = VersionedStore.readRowChanges(s, tmp, 13L, 14L).get
+        val mergeCounts = mergeFeed.groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val mergeExpected = Map(
+          "delete" -> (c17u + c17d), "insert" -> (c17u + v16))
+        require(mergeCounts == mergeExpected.filter(_._2 > 0L),
+          s"conditional MERGE change feed must carry exactly the per-" +
+            s"clause populations: expected $mergeExpected, got $mergeCounts")
+        require(mergeFeed.filter(col("event_type") === "synth3").isEmpty,
+          "a FALSE insert condition must drop its rows, not insert them")
         // one job for every expected population (zero-value guard on the
         // value-scaling statements, see scaladoc)
         val d = src.filter(col("day").between(
@@ -1985,7 +2061,7 @@ object SparkEntry {
               .otherwise(0L)).as("c15")).head()
         val (c13, c14c, c14p, c15) = (d.getAs[Long]("c13"),
           d.getAs[Long]("c14c"), d.getAs[Long]("c14p"), d.getAs[Long]("c15"))
-        val feed = VersionedStore.readRowChanges(s, tmp, 10L).get
+        val feed = VersionedStore.readRowChanges(s, tmp, 10L, 13L).get
           .groupBy("_change_type").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val expected = Map(
@@ -1997,6 +2073,7 @@ object SparkEntry {
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         s.catalog.dropTempView(s"${tbl}_src")
+        s.catalog.dropTempView(s"${tbl}_src3")
       }
     }
     p
@@ -3579,6 +3656,25 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM edited
         |WHERE day BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_sql_merge" ->
+      """WITH base AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+        |edited AS (
+        | SELECT event_type, day,
+        |  CASE WHEN event_type = 'click' AND day = DATE '2024-01-17'
+        |       THEN value * 10 ELSE value END AS value
+        | FROM base
+        | WHERE NOT (event_type = 'click' AND day = DATE '2024-01-17'
+        |            AND value < 0.5)
+        | UNION ALL
+        | SELECT 'synth2' AS event_type, day, value
+        | FROM base
+        | WHERE day = DATE '2024-01-16' AND event_type = 'view')
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM edited
+        |WHERE day BETWEEN DATE '2024-01-16' AND DATE '2024-01-18'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_agg_view_wide" ->
       """WITH q AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,

@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteFromTable, InsertAction, InsertIntoStatement,
-  InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction,
-  UpdateStarAction, UpdateTable}
+  Assignment, DeleteAction, DeleteFromTable, InsertAction,
+  InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -131,13 +131,24 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       requireNoSubquery(mergeCond, "MERGE INTO")
       require(notMatchedBySource.isEmpty,
         "graftstore MERGE does not support WHEN NOT MATCHED BY SOURCE " +
-          "clauses — the store's merge is a whole-row upsert by key")
+          "clauses — rows only the target holds are reachable by key; " +
+          "use DELETE/UPDATE with an anti-join-materialized source instead")
       val targetAttrs = t.output
       val sourceAttrs = source.output
       val keys = mergeKeys(mergeCond, targetAttrs, sourceAttrs)
-      requireUpsertShape(matched, notMatched, targetAttrs)
-      GraftMergeCommand(root, source, keys, targetAttrs.map(_.name),
-        mergeSchema = withSchemaEvolution, refreshIdent = ident)
+      if (isUpsertShape(matched, notMatched, targetAttrs))
+        // the whole-row upsert keeps its dedicated single-pass path
+        // (and the WITH SCHEMA EVOLUTION contract)
+        GraftMergeCommand(root, source, keys, targetAttrs.map(_.name),
+          mergeSchema = withSchemaEvolution, refreshIdent = ident)
+      else {
+        require(!withSchemaEvolution,
+          "WITH SCHEMA EVOLUTION needs the whole-row upsert shape " +
+            "(UPDATE SET * + INSERT *) — conditional clauses never change " +
+            "the table schema")
+        lowerMergeClauses(root, source, keys, matched, notMatched,
+          targetAttrs, sourceAttrs, ident)
+      }
 
     // INSERT, vectorized-table edition: by the time injected post-hoc
     // rules run, Spark's own DataSourceAnalysis has already converted
@@ -185,7 +196,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     * equalities between same-named target and source columns — the only
     * shape [[VersionedStore.mergeInto]]'s key-based semantics express.
     * Anything else (expressions, differing names, disjunctions) is
-    * rejected with the expected form named. */
+    * rejected with the expected form named. The ANALYZER'S implicit
+    * type-coercion casts are stripped first (an inline `VALUES (1, ...)`
+    * source arrives as `t.k = cast(s.k as bigint)`) — sound, because the
+    * store op re-joins by NAME with Spark's own coercion applied again. */
   private def mergeKeys(cond: Expression, target: Seq[Attribute],
                         source: Seq[Attribute]): Seq[String] = {
     val tIds = target.map(_.exprId).toSet
@@ -195,6 +209,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       case other     => Seq(other)
     }
     conjuncts(cond).map {
+      case EqualTo(l, r) => EqualTo(uncast(l), uncast(r))
+      case other         => other
+    }.map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if tIds.contains(a.exprId) && sIds.contains(b.exprId) => (a, b)
       case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -210,35 +227,131 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Accept exactly the whole-row-upsert MERGE: one unconditional
-    * matched UPDATE covering every target column from its same-named
-    * source column (`UPDATE SET *`, or the analyzer's expansion of it,
-    * or a hand-written full assignment), and one unconditional
-    * not-matched `INSERT *` of the same shape. */
-  private def requireUpsertShape(matched: Seq[_], notMatched: Seq[_],
-                                 target: Seq[Attribute]): Unit = {
-    def fullRowAssignments(as: Seq[Assignment]): Boolean = {
-      val pairs = as.flatMap { a => (a.key, a.value) match {
-        case (k: AttributeReference, v: AttributeReference) if k.name == v.name =>
-          Some(k.name)
-        case _ => None
-      }}
-      pairs.length == as.length && target.map(_.name).toSet == pairs.toSet
-    }
+  /** Strip the analyzer's implicit type-coercion casts — a typed source
+    * (inline VALUES, a narrower view) wraps every same-named reference
+    * in `cast(s.col as <target type>)`; sound to look through because
+    * the store ops re-align by NAME and re-apply Spark's own coercion. */
+  private def uncast(e: Expression): Expression = e match {
+    case org.apache.spark.sql.catalyst.expressions.Cast(child, _, _, _) =>
+      uncast(child)
+    case other => other
+  }
+
+  /** Every target column assigned from its same-named source column
+    * (`SET *` / `INSERT *`, or the analyzer's expansion, or hand-written
+    * in full). */
+  private def fullRowAssignments(as: Seq[Assignment],
+                                 target: Seq[Attribute]): Boolean = {
+    val pairs = as.flatMap { a => (a.key, uncast(a.value)) match {
+      case (k: AttributeReference, v: AttributeReference) if k.name == v.name =>
+        Some(k.name)
+      case _ => None
+    }}
+    pairs.length == as.length && target.map(_.name).toSet == pairs.toSet
+  }
+
+  /** The whole-row-upsert MERGE shape — one unconditional matched
+    * UPDATE SET * plus one unconditional not-matched INSERT * — which
+    * keeps its dedicated single-pass [[GraftMergeCommand]] path; every
+    * other clause combination lowers to [[GraftMergeClausesCommand]]. */
+  private def isUpsertShape(matched: Seq[MergeAction],
+                            notMatched: Seq[MergeAction],
+                            target: Seq[Attribute]): Boolean = {
     val okMatched = matched match {
-      case Seq(UpdateStarAction(None))        => true
-      case Seq(UpdateAction(None, as, _))     => fullRowAssignments(as)
-      case _                                  => false
+      case Seq(UpdateStarAction(None))    => true
+      case Seq(UpdateAction(None, as, _)) => fullRowAssignments(as, target)
+      case _                              => false
     }
     val okNotMatched = notMatched match {
-      case Seq(InsertStarAction(None))        => true
-      case Seq(InsertAction(None, as))        => fullRowAssignments(as)
-      case _                                  => false
+      case Seq(InsertStarAction(None))    => true
+      case Seq(InsertAction(None, as))    => fullRowAssignments(as, target)
+      case _                              => false
     }
-    require(okMatched && okNotMatched,
-      "graftstore MERGE supports exactly `WHEN MATCHED THEN UPDATE SET *` " +
-        "+ `WHEN NOT MATCHED THEN INSERT *` (the store's whole-row upsert " +
-        "by key) — conditional or partial-column clauses need the Scala API")
+    okMatched && okNotMatched
+  }
+
+  /** Lower a conditional-clause MERGE onto
+    * [[VersionedStore.mergeIntoClauses]]. Resolved references carry the
+    * relation instances' exprIds; the store op re-reads both sides
+    * itself, so every reference is rewritten BY SIDE into the op's
+    * alias contract — target attrs to `t.<name>`, source attrs to
+    * `s.<name>` (qualified [[UnresolvedAttribute]]s that re-resolve
+    * against the op's own join frame). First-match-wins order is the
+    * user's clause order; a non-final unconditional matched clause
+    * makes its successors dead, so it is rejected loudly (the Delta
+    * grammar's rule). */
+  private def lowerMergeClauses(root: String, source: LogicalPlan,
+                                keys: Seq[String],
+                                matched: Seq[MergeAction],
+                                notMatched: Seq[MergeAction],
+                                targetAttrs: Seq[Attribute],
+                                sourceAttrs: Seq[Attribute],
+                                ident: Option[String]): LogicalPlan = {
+    val tIds = targetAttrs.map(_.exprId).toSet
+    val sIds = sourceAttrs.map(_.exprId).toSet
+    def qualify(e: Expression, what: String): Column = {
+      requireNoSubquery(e, what)
+      GraftColumnBridge.column(e.transform {
+        case a: AttributeReference if tIds.contains(a.exprId) =>
+          UnresolvedAttribute(Seq("t", a.name))
+        case a: AttributeReference if sIds.contains(a.exprId) =>
+          UnresolvedAttribute(Seq("s", a.name))
+      })
+    }
+    def sourceOnly(e: Expression, what: String): Column = {
+      require(!e.exists {
+        case a: AttributeReference => tIds.contains(a.exprId)
+        case _ => false
+      }, s"$what may reference source columns only")
+      qualify(e, what)
+    }
+    val targetNames = targetAttrs.map(_.name)
+    val srcStar: Map[String, Column] = targetNames.map(n =>
+      n -> GraftColumnBridge.column(UnresolvedAttribute(Seq("s", n)))).toMap
+    val matchedSpecs: Seq[VersionedStore.MergeMatched] = matched.map {
+      case UpdateStarAction(cond) =>
+        VersionedStore.MergeMatched.Update(
+          cond.map(qualify(_, "WHEN MATCHED AND")), srcStar)
+      case UpdateAction(cond, assignments, _) =>
+        val set = assignments.map { a =>
+          a.key match {
+            case k: AttributeReference if tIds.contains(k.exprId) =>
+              k.name -> qualify(a.value, s"UPDATE SET ${k.name}")
+            case other => throw new IllegalArgumentException(
+              s"graftstore MERGE UPDATE supports top-level target column " +
+                s"assignments only, got: SET $other = ...")
+          }
+        }.toMap
+        VersionedStore.MergeMatched.Update(
+          cond.map(qualify(_, "WHEN MATCHED AND")), set)
+      case DeleteAction(cond) =>
+        VersionedStore.MergeMatched.Delete(
+          cond.map(qualify(_, "WHEN MATCHED AND")))
+      case other => throw new IllegalArgumentException(
+        s"graftstore MERGE supports UPDATE/DELETE matched clauses, got: $other")
+    }
+    matchedSpecs.dropRight(1).foreach {
+      case VersionedStore.MergeMatched.Update(None, _) |
+           VersionedStore.MergeMatched.Delete(None) =>
+        throw new IllegalArgumentException(
+          "only the LAST WHEN MATCHED clause may omit its AND condition — " +
+            "an earlier unconditional clause makes the rest unreachable")
+      case _ => ()
+    }
+    val insertSpec: Option[Option[Column]] = notMatched match {
+      case Seq() => None
+      case Seq(InsertStarAction(cond)) =>
+        Some(cond.map(sourceOnly(_, "WHEN NOT MATCHED AND")))
+      case Seq(InsertAction(cond, as)) =>
+        require(fullRowAssignments(as, targetAttrs),
+          "graftstore MERGE INSERT must cover the full row from same-named " +
+            "source columns (INSERT *) — partial inserts would fabricate NULLs")
+        Some(cond.map(sourceOnly(_, "WHEN NOT MATCHED AND")))
+      case many => throw new IllegalArgumentException(
+        s"graftstore MERGE supports one WHEN NOT MATCHED clause, " +
+          s"got ${many.length}")
+    }
+    GraftMergeClausesCommand(root, source, keys, matchedSpecs, insertSpec, ident)
   }
 }
 
@@ -300,6 +413,31 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
     val v = VersionedStore.mergeInto(spark, root, src, keys,
       statsCols = VersionedStore.recordedStatsCols(spark, root),
       mergeSchema = mergeSchema)
+    GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
+    Seq(Row(v))
+  }
+}
+
+/** Conditional-clause `MERGE INTO` →
+  * [[VersionedStore.mergeIntoClauses]]: `WHEN MATCHED [AND c] THEN
+  * UPDATE SET col = expr, ... | DELETE` (first-match-wins, partial
+  * columns allowed) plus an optional `WHEN NOT MATCHED [AND c] THEN
+  * INSERT *`. The source PLAN rides the command like
+  * [[GraftMergeCommand]]'s; clause Columns are in the store op's
+  * `t.<col>`/`s.<col>` alias contract (see [[GraftDmlRule]]). */
+final case class GraftMergeClausesCommand(root: String, source: LogicalPlan,
+                                          keys: Seq[String],
+                                          matched: Seq[VersionedStore.MergeMatched],
+                                          insertNotMatched: Option[Option[Column]],
+                                          refreshIdent: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(spark, source)
+    val v = VersionedStore.mergeIntoClauses(spark, root, src, keys,
+      matched, insertNotMatched,
+      statsCols = VersionedStore.recordedStatsCols(spark, root))
     GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
     Seq(Row(v))
   }

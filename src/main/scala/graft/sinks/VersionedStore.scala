@@ -1864,39 +1864,9 @@ object VersionedStore {
     val recordedDdl = schemaOf(f, root, base)
     val colmap = colmapOf(f, root, base)
 
-    // SMALL-SOURCE fast path (the aggregate-view / point-upsert shape):
-    // when the source's distinct key set is tiny, COLLECT it and match
-    // via a literal key predicate instead of semi/anti JOINS — the
-    // probe's predicate pushes into the parquet scans (row-group
-    // pruning, no broadcast build job), and every rewrite becomes a
-    // pushed-down filter. Above the threshold the join path stands —
-    // a literal predicate over millions of tuples is its own pathology.
-    val srcKeys = source.select(keys.map(c): _*).filter(keyedNonNull).distinct()
     val ndistinct = aggRow.getLong(2)
-    val keyPred: Option[org.apache.spark.sql.Column] =
-      if (ndistinct > 1024) None
-      else Some(srcKeys.collect().map { r =>
-        keys.zipWithIndex.map { case (k, i) => c(k) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduceOption(_ || _).getOrElse(lit(false))) // all-NULL keys match nothing
-
-    // Pass 1: ONE probe job over all candidates, column-pruned to the
-    // keys, each scan tagged with its dir. A dir missing a key column
-    // (pre-evolution dir) reads that key as NULL and can never match
-    // (the recorded schema aligns it; NULL <=> literal is false).
-    val touched: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else keyPred match {
-        case Some(p) => probeMatching(spark, root, candidates, p, recordedDdl, colmap)
-        case None => candidates.map { d =>
-          val df = toLogical(spark.read.parquet(s"$root/$d"), colmap)
-          keys.foldLeft(df) { (acc, k) =>
-            if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
-          }.select(keys.map(c): _*).withColumn("__graft_dir", lit(d))
-        }.reduce(_ unionByName _)
-          .join(srcKeys, keys, "left_semi")
-          .select("__graft_dir").distinct().collect().map(_.getString(0)).toSet
-      }
+    val (srcKeys, touched, keyPred) = probeTouchedByKeys(spark, root,
+      candidates, source, keys, ndistinct, recordedDdl, colmap)
 
     // Pass 2: rewrite touched dirs minus their matched rows; append the
     // source as its own dir (schema-policed like any append). A source
@@ -1964,6 +1934,280 @@ object VersionedStore {
         ("merge" -> s"upsert:${keys.mkString("+")}"),
       schemaDdl = Some(merged), statsForAdded = fresh,
       anchor = srcDir)
+    base + 1
+  }
+
+  /** Shared MERGE key probe: (the distinct non-NULL-keyed source key
+    * frame, the candidate dirs holding at least one matching row, the
+    * literal key predicate when the key set is small enough to collect).
+    *
+    * SMALL-SOURCE fast path (the aggregate-view / point-upsert shape):
+    * when the source's distinct key set is tiny, COLLECT it and match
+    * via a literal key predicate instead of semi/anti JOINS — the
+    * probe's predicate pushes into the parquet scans (row-group
+    * pruning, no broadcast build job), and every rewrite becomes a
+    * pushed-down filter. Above the threshold the join path stands —
+    * a literal predicate over millions of tuples is its own pathology.
+    *
+    * The join path is ONE probe job over all candidates, column-pruned
+    * to the keys, each scan tagged with its dir. A dir missing a key
+    * column (pre-evolution dir) reads that key as NULL and can never
+    * match (NULL never equals a key). */
+  private def probeTouchedByKeys(spark: SparkSession, root: String,
+      candidates: Seq[String], source: DataFrame, keys: Seq[String],
+      ndistinct: Long, recordedDdl: Option[String],
+      colmap: Map[String, String])
+      : (DataFrame, Set[String], Option[org.apache.spark.sql.Column]) = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
+    val srcKeys = source.select(keys.map(c): _*).filter(keyedNonNull).distinct()
+    val keyPred: Option[org.apache.spark.sql.Column] =
+      if (ndistinct > 1024) None
+      else Some(srcKeys.collect().map { r =>
+        keys.zipWithIndex.map { case (k, i) => c(k) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))) // all-NULL keys match nothing
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else keyPred match {
+        case Some(p) => probeMatching(spark, root, candidates, p, recordedDdl, colmap)
+        case None => candidates.map { d =>
+          val df = toLogical(spark.read.parquet(s"$root/$d"), colmap)
+          keys.foldLeft(df) { (acc, k) =>
+            if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
+          }.select(keys.map(c): _*).withColumn("__graft_dir", lit(d))
+        }.reduce(_ unionByName _)
+          .join(srcKeys, keys, "left_semi")
+          .select("__graft_dir").distinct().collect().map(_.getString(0)).toSet
+      }
+    (srcKeys, touched, keyPred)
+  }
+
+  /** One MATCHED clause of a conditional [[mergeIntoClauses]] MERGE.
+    * `condition` and the `set` values are Columns whose attribute
+    * references name the target row as `t.<col>` and the source row as
+    * `s.<col>` (the SQL front door rewrites resolved references into
+    * exactly this form; Scala callers write `col("t.x")`/`col("s.x")`
+    * or `expr(...)` the same way). A `None` condition always applies. */
+  sealed trait MergeMatched
+  object MergeMatched {
+    /** `WHEN MATCHED [AND condition] THEN UPDATE SET col = value, ...` —
+      * partial-column updates allowed; unnamed columns keep their
+      * target value; every value is CAST to the column's recorded type
+      * (SQL store-assignment semantics — the rewrite must never drift
+      * the table schema). */
+    final case class Update(condition: Option[org.apache.spark.sql.Column],
+                            set: Map[String, org.apache.spark.sql.Column])
+        extends MergeMatched
+    /** `WHEN MATCHED [AND condition] THEN DELETE`. */
+    final case class Delete(condition: Option[org.apache.spark.sql.Column])
+        extends MergeMatched
+  }
+
+  /** Conditional-clause MERGE — the full Delta `MERGE INTO` matched
+    * grammar lowered onto the store's dir-granular copy-on-write:
+    * `WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE` clauses
+    * (FIRST-MATCH-WINS, the SQL standard's order semantics) plus an
+    * optional `WHEN NOT MATCHED [AND c] THEN INSERT *`
+    * (`insertNotMatched`: None = no insert clause; Some(cond) = insert
+    * source rows with no key match, where `cond` — referencing
+    * `s.<col>` only — passes).
+    *
+    * Cost shape, same as [[mergeInto]]: the source's derived key ranges
+    * prune candidate dirs through manifest stats; ONE probe finds the
+    * dirs actually holding matching keys; only those rewrite (each dir
+    * left-outer-joined to the source on the keys — every target row
+    * meets at most one source row because duplicate source keys are
+    * rejected, so the join can never grow a dir); untouched dirs — at
+    * 100 TB, almost all — carry by reference. Inserts anti-join the
+    * source against ONLY the touched dirs' keys (a source key matching
+    * nowhere cannot live in an untouched dir, by the probe's
+    * definition) and land as one fresh dir.
+    *
+    * Semantics notes: a matched target row takes the FIRST clause whose
+    * condition is TRUE (NULL = false); no clause → the row survives
+    * unchanged. UPDATE values evaluate against the pre-update target
+    * row and its matched source row, and cast to the column's recorded
+    * type. The table schema never changes (schema evolution is the
+    * whole-row [[mergeInto]]'s mergeSchema contract). A merge that
+    * touches nothing and inserts nothing is a version-less no-op.
+    * Same CAS commit, ledger carry, stats reproduction, and
+    * insert/delete change-feed labeling as every DML. */
+  def mergeIntoClauses(spark: SparkSession, root: String, source: DataFrame,
+                       keys: Seq[String],
+                       matched: Seq[MergeMatched],
+                       insertNotMatched: Option[Option[org.apache.spark.sql.Column]],
+                       statsCols: Seq[String] = Seq.empty,
+                       meta: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col => c, count, countDistinct, lit, max, min, when}
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to merge into: $root has no committed version")
+    require(keys.nonEmpty, "mergeIntoClauses needs at least one key column")
+    require(matched.nonEmpty || insertNotMatched.nonEmpty,
+      "mergeIntoClauses needs at least one WHEN clause")
+    val missing = keys.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"merge keys not in the source schema: ${missing.mkString(",")}")
+    require(!source.columns.exists(_.startsWith("__graft_")),
+      "source columns may not use the reserved __graft_ prefix")
+
+    val f = fs(spark, root)
+    val recordedDdl = schemaOf(f, root, base)
+    val recorded = org.apache.spark.sql.types.StructType.fromDDL(
+      recordedDdl.getOrElse(throw new IllegalStateException(
+        s"$root records no schema (legacy store) — conditional MERGE needs " +
+          "the recorded schema; commit once first")))
+    matched.foreach {
+      case MergeMatched.Update(_, set) =>
+        val unknown = set.keySet.diff(recorded.fieldNames.toSet)
+        require(unknown.isEmpty,
+          s"UPDATE SET names columns not in the recorded schema: " +
+            s"${unknown.mkString(",")}")
+      case _ => ()
+    }
+    insertNotMatched.foreach { _ =>
+      val short = recorded.fieldNames.filterNot(source.columns.contains)
+      require(short.isEmpty,
+        s"INSERT * needs every target column on the source, missing: " +
+          s"${short.mkString(",")}")
+    }
+
+    // One source pass: emptiness, duplicate-key ambiguity (fatal under
+    // first-match-wins too — ONE target row must meet ONE source row),
+    // and the derived per-key ranges that prune candidate dirs.
+    val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
+    val srcAggs = Seq(count(lit(1)).as("__n"),
+      count(when(keyedNonNull, lit(1))).as("__nk"),
+      countDistinct(c(keys.head), keys.tail.map(c): _*).as("__nd")) ++
+      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string")))
+    val aggRow = source.agg(srcAggs.head, srcAggs.tail: _*).head()
+    if (aggRow.getLong(0) == 0L) return base
+    if (aggRow.getLong(1) != aggRow.getLong(2)) {
+      val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
+        .filter(c("count") > 1).take(1)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
+          "two source rows matching one target row is ambiguous")
+    }
+    val derived = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (aggRow.isNullAt(3 + 2 * i)) None
+      else Some(ColRange(k, Some(aggRow.getString(3 + 2 * i)),
+        Some(aggRow.getString(3 + 2 * i + 1))))
+    }
+    val all = dataDirsOf(f, root, base)
+    val baseMeta = metaOf(f, root, base)
+    val colmap = colmapOf(f, root, base)
+    requireNoRetiredNames(source, colmap, root, droppedOf(f, root, base).keySet)
+    val candidates = pruneWithStats(all, statsOf(f, root, base), derived)
+    val (_, touched, _) = probeTouchedByKeys(spark, root, candidates,
+      source, keys, aggRow.getLong(2), recordedDdl, colmap)
+
+    def condOr(cond: Option[org.apache.spark.sql.Column],
+               default: Boolean): org.apache.spark.sql.Column =
+      cond.map(x => coalesce(x, lit(false))).getOrElse(lit(default))
+    val physSchema = org.apache.spark.sql.types.StructType
+      .fromDDL(physicalDdl(recorded.toDDL, colmap))
+
+    // Rewrite each touched dir (concurrently, disjoint inputs): LEFT
+    // OUTER join to the marked source on the keys, resolve the first
+    // applicable clause per matched row, drop DELETE rows, apply UPDATE
+    // assignments (cast to the recorded types), keep everything else
+    // byte-equal. Skipped entirely when there are no matched clauses
+    // (insert-only merge — the touched dirs only feed the anti-join).
+    val updates = matched.zipWithIndex.collect {
+      case (u: MergeMatched.Update, i) => (u, i) }
+    val deleteIdx = matched.zipWithIndex.collect {
+      case (_: MergeMatched.Delete, i) => i }
+    val marked = source.withColumn("__graft_m", lit(true)).alias("s")
+    val joinCond = keys.map(k => c(s"t.$k") === c(s"s.$k")).reduce(_ && _)
+    def rewriteDir(d: String): String = {
+      val dirDf = toLogical(
+        spark.read.schema(physSchema).parquet(s"$root/$d"), colmap).alias("t")
+      val joined = dirDf.join(marked, joinCond, "left_outer")
+      val isM = c("__graft_m").isNotNull
+      val action = matched.zipWithIndex
+        .foldLeft(when(lit(false), lit(-1))) { case (acc, (cl, i)) =>
+          val cond = cl match {
+            case MergeMatched.Update(x, _) => condOr(x, default = true)
+            case MergeMatched.Delete(x)    => condOr(x, default = true)
+          }
+          acc.when(isM && cond, lit(i))
+        }.otherwise(lit(-1))
+      val kept =
+        if (deleteIdx.isEmpty) joined
+        else joined.filter(!action.isin(deleteIdx: _*))
+      val out = kept.select(recorded.fields.toSeq.map { fd =>
+        val v = updates.foldRight(c(s"t.${fd.name}"): org.apache.spark.sql.Column) {
+          case ((u, i), els) => u.set.get(fd.name) match {
+            case Some(expr) => when(action === i, expr).otherwise(els)
+            case None       => els
+          }
+        }
+        v.cast(fd.dataType).as(fd.name)
+      }: _*)
+      prepare(toPhysical(out, colmap), root)
+    }
+    val rewrittenAll: Seq[String] =
+      if (matched.isEmpty) Seq.empty
+      else {
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ioPool
+        Await.result(Future.traverse(touched.toSeq.sorted.toList)(d =>
+          Future(rewriteDir(d))), Duration.Inf)
+      }
+
+    // NOT MATCHED inserts: the source anti-joined against the touched
+    // dirs' keys (column-pruned scans — matching keys cannot live in an
+    // untouched dir), filtered by the insert condition (s.<col> refs),
+    // aligned to the recorded column order and types.
+    val insDir: Option[String] = insertNotMatched.map { cond =>
+      val targetKeys: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else Some(touched.toSeq.sorted.map { d =>
+          toLogical(spark.read.schema(physSchema).parquet(s"$root/$d"), colmap)
+            .select(keys.map(c): _*)
+        }.reduce(_ unionByName _).distinct())
+      val filtered = source.alias("s").filter(condOr(cond, default = true))
+      val ins = targetKeys.fold(filtered)(tk => filtered.join(tk, keys, "left_anti"))
+        .select(recorded.fields.toSeq.map(fd =>
+          c(fd.name).cast(fd.dataType).as(fd.name)): _*)
+      prepare(toPhysical(ins, colmap), root)
+    }
+
+    // ONE batched stats job over every fresh dir; zero-row dirs (every
+    // row deleted; no inserts survived the anti-join) are dropped, not
+    // referenced.
+    val freshDirs = rewrittenAll ++ insDir.toSeq
+    val allStats = statsForDirs(spark, root, freshDirs, statsCols,
+      schemaDdl = Some(recorded.toDDL), colmap = colmap)
+    val emptyDirs = freshDirs.filter(d =>
+      allStats.get(s"$d|#|rows").forall(_.toLong == 0L)).toSet
+    emptyDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
+    val addDirs = freshDirs.filterNot(emptyDirs)
+    val removedDirs = if (matched.isEmpty) Seq.empty else touched.toSeq.sorted
+    if (addDirs.isEmpty && removedDirs.isEmpty) return base
+    val fresh = allStats.filterNot { case (k, _) =>
+      emptyDirs.exists(d => k.startsWith(s"$d|")) }
+    val untouched = all.filterNot(removedDirs.contains)
+    if (addDirs.isEmpty && untouched.isEmpty)
+      throw new IllegalStateException(
+        s"mergeIntoClauses would empty $root entirely; an empty snapshot " +
+          "has no readable schema — commit an explicit empty snapshot instead")
+    val marker = "merge" ->
+      s"clauses:m${matched.size}i${insertNotMatched.size}:${keys.mkString("+")}"
+    if (addDirs.isEmpty)
+      publishDelta(spark, root, base + 1,
+        addDirs = Seq.empty, removedDirs = removedDirs,
+        meta = carriedEntries(baseMeta) ++ meta + marker,
+        schemaDdl = recordedDdl, statsForAdded = Map.empty,
+        anchor = untouched.last, anchorIsCarried = true)
+    else
+      publishDelta(spark, root, base + 1,
+        addDirs = addDirs, removedDirs = removedDirs,
+        meta = carriedEntries(baseMeta) ++ meta + marker,
+        schemaDdl = recordedDdl, statsForAdded = fresh,
+        anchor = addDirs.last)
     base + 1
   }
 

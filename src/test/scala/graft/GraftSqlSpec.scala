@@ -99,7 +99,8 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedStore.currentMeta(spark, root).get("batch.w1").contains("7"))
   }
 
-  test("MERGE INTO: explicit full-row assignments accepted, partial rejected") {
+  test("MERGE INTO: explicit full-row assignments accepted, partial SET " +
+       "lowers to the clause path") {
     val (root, tbl) = seeded()
     Seq((2L, 222L, "gZ")).toDF("id", "v", "grp")
       .createOrReplaceTempView("gsql_src2")
@@ -109,13 +110,114 @@ class GraftSqlSpec extends SparkSpec {
          |WHEN NOT MATCHED THEN INSERT (id, v, grp) VALUES (s.id, s.v, s.grp)
          |""".stripMargin).collect()
     assert(spark.sql(s"SELECT v FROM $tbl WHERE id = 2").as[Long].head() == 222L)
-    val e = intercept[Exception] {
+    // a partial-column SET updates only the named column — grp survives
+    val v0 = VersionedStore.currentVersion(spark, root)
+    spark.sql(
+      s"""MERGE INTO $tbl t USING gsql_src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(VersionedStore.currentVersion(spark, root) == v0 + 1)
+    assert(spark.sql(s"SELECT v, grp FROM $tbl WHERE id = 2")
+      .as[(Long, String)].head() == ((444L, "gZ")))
+  }
+
+  test("MERGE INTO conditional clauses: first-match-wins UPDATE/DELETE, " +
+       "conditional INSERT, CDF labels, ledger carries") {
+    val (root, tbl) = seeded()  // ids 1..6, v = id*10, grp = g(id%2)
+    val v0 = VersionedStore.currentVersion(spark, root)
+    // sources matched: 1 (update branch: s.v >= 100), 2 (delete branch),
+    // 3 (no clause applies -> survives); not matched: 8 (insert cond
+    // true), 9 (insert cond false -> dropped)
+    Seq((1L, 100L, "gU"), (2L, 5L, "gD"), (3L, 7L, "gN"),
+        (8L, 800L, "keep"), (9L, 900L, "skip"))
+      .toDF("id", "v", "grp").createOrReplaceTempView("gsql_cond")
+    val out = spark.sql(
+      s"""MERGE INTO $tbl t USING gsql_cond s ON t.id = s.id
+         |WHEN MATCHED AND s.v >= 100 THEN UPDATE SET v = t.v + s.v
+         |WHEN MATCHED AND s.v < 6 THEN DELETE
+         |WHEN NOT MATCHED AND s.grp = 'keep' THEN INSERT *""".stripMargin)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(v0 + 1),
+      "three clauses, one transactional commit")
+    val got = spark.sql(s"SELECT id, v, grp FROM $tbl ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 110L, "g1"),   // updated: t.v + s.v, grp untouched (partial SET)
+      (3L, 30L, "g1"),    // matched, no clause condition true: unchanged
+      (4L, 40L, "g0"), (5L, 50L, "g1"), (6L, 60L, "g0"),
+      (8L, 800L, "keep")  // conditional insert; id 9 filtered out; id 2 deleted
+    ), s"got $got")
+    // transactional path: ledger carried, row-level feed labels the
+    // multiset delta (merge commits label insert/delete)
+    assert(VersionedStore.currentMeta(spark, root).get("batch.w1").contains("7"))
+    val feed = VersionedStore.readRowChanges(spark, root, v0).get
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // delete: id 2's old row + id 1's preimage; insert: id 1's postimage
+    // + id 8's new row
+    assert(feed == Map("delete" -> 2L, "insert" -> 2L), s"feed: $feed")
+  }
+
+  test("MERGE INTO insert-only (WHEN NOT MATCHED alone) appends without " +
+       "rewriting any dir; no-effect merge is a version-less no-op") {
+    val (root, tbl) = seeded()
+    val v0 = VersionedStore.currentVersion(spark, root)
+    val dirsBefore = VersionedStore.prunedDirs(spark, root, v0, Seq.empty).toSet
+    Seq((1L, 111L, "gI"), (8L, 888L, "gI")).toDF("id", "v", "grp")
+      .createOrReplaceTempView("gsql_insonly")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING gsql_insonly s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(VersionedStore.currentVersion(spark, root) == v0 + 1)
+    val dirsAfter = VersionedStore.prunedDirs(spark, root, v0 + 1, Seq.empty).toSet
+    assert(dirsBefore.subsetOf(dirsAfter) && (dirsAfter -- dirsBefore).size == 1,
+      "insert-only merge must append one dir and rewrite none")
+    // matched row 1 untouched (no matched clause), unmatched row 8 inserted
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE id IN (1, 8) ORDER BY id")
+      .as[Long].collect().toSeq == Seq(10L, 888L))
+    // a merge whose every row matches (nothing to insert) commits nothing
+    spark.sql(
+      s"""MERGE INTO $tbl t USING (SELECT 1 AS id, 5 AS v, 'x' AS grp) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(VersionedStore.currentVersion(spark, root) == v0 + 1,
+      "an all-matched insert-only merge must be a version-less no-op")
+  }
+
+  test("MERGE INTO clause-shape guards fail loudly") {
+    val (_, tbl) = seeded()
+    Seq((1L, 1L, "g")).toDF("id", "v", "grp")
+      .createOrReplaceTempView("gsql_guard")
+    // non-final unconditional matched clause: unreachable successors.
+    // Spark's own parser rejects this shape (NON_LAST_MATCHED_CLAUSE_
+    // OMIT_CONDITION); the rule keeps its twin guard for belt-and-braces.
+    val e1 = intercept[Exception] {
       spark.sql(
-        s"""MERGE INTO $tbl t USING gsql_src2 s ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET v = s.v
+        s"""MERGE INTO $tbl t USING gsql_guard s ON t.id = s.id
+           |WHEN MATCHED THEN DELETE
+           |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
     }
-    assert(e.getMessage.contains("whole-row upsert"))
+    assert(e1.getMessage.contains("LAST WHEN MATCHED")
+      || e1.getMessage.contains("can omit the condition"))
+    // partial INSERT fabricating NULLs
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING gsql_guard s ON t.id = s.id
+           |WHEN MATCHED AND s.v > 0 THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+           |""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("full row"))
+    // NOT MATCHED BY SOURCE stays out of reach
+    val e3 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING gsql_guard s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    }
+    assert(e3.getMessage.contains("NOT MATCHED BY SOURCE"))
   }
 
   test("OPTIMIZE: plain compaction and CLUSTER BY both commit a version") {

@@ -1059,6 +1059,47 @@ class VersionedStoreSpec extends SparkSpec {
       .filter(col("value") === 1.0).count() === 0L)
   }
 
+  test("mergeIntoClauses (Scala API): t./s. alias contract, first-match-" +
+       "wins, untouched dirs carried, assignment casts to recorded type") {
+    import graft.sinks.VersionedStore.MergeMatched
+    import org.apache.spark.sql.functions.expr
+    val root = tmp()
+    // two dirs: users 1-2 (day 1), users 3-4 (day 2)
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0),
+      root, statsCols = Seq("user_id"))
+    VersionedStore.commitAppend(snap("2024-01-02", 3L -> 3.0, 4L -> 4.0),
+      root, statsCols = Seq("user_id"))
+    val dirs0 = VersionedStore.prunedDirs(spark, root, 2L, Seq.empty).toSet
+    // source touches ONLY dir 1 (keys 1, 2): key 1 updates via the
+    // s-side value (an INT source column — the cast-to-recorded-type
+    // seam), key 2 deletes; no insert clause
+    val src = Seq((1L, 10), (2L, 0)).toDF("user_id", "boost")
+    val v = VersionedStore.mergeIntoClauses(spark, root, src,
+      keys = Seq("user_id"),
+      matched = Seq(
+        MergeMatched.Update(Some(expr("s.boost > 0")),
+          Map("value" -> expr("t.value + s.boost"))),
+        MergeMatched.Delete(None)),
+      insertNotMatched = None,
+      statsCols = Seq("user_id"))
+    assert(v === 3L)
+    val got = VersionedStore.read(spark, root).get
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq.sorted
+    assert(got === Seq((1L, 11.0), (3L, 3.0), (4L, 4.0)), s"got $got")
+    // the day-2 dir (keys 3, 4) must carry by reference — never rewritten
+    val dirs1 = VersionedStore.prunedDirs(spark, root, 3L, Seq.empty).toSet
+    assert(dirs0.intersect(dirs1).size === 1,
+      s"exactly the untouched dir carries: before=$dirs0 after=$dirs1")
+    // schema unchanged (the INT assignment cast to the recorded DOUBLE)
+    assert(VersionedStore.read(spark, root).get.schema("value").dataType
+      === org.apache.spark.sql.types.DoubleType)
+    // a no-effect merge (no matching keys, no insert clause) is a no-op
+    val v2 = VersionedStore.mergeIntoClauses(spark, root,
+      Seq((99L, 1)).toDF("user_id", "boost"), Seq("user_id"),
+      Seq(MergeMatched.Delete(None)), None)
+    assert(v2 === 3L, "a merge touching nothing must not commit")
+  }
+
   test("TIMESTAMP AS OF: monotonic commit stamps; boundary semantics " +
        "(before-first loud, between-commits floors, after-last = current)") {
     val root = tmp()
