@@ -190,6 +190,26 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       GraftInsertCommand(root, query, t.output.map(_.name), overwrite,
         byName, ident)
 
+    // SHOW TBLPROPERTIES on a graftstore table answers from the
+    // TRANSACTION LOG (current commit meta + graft.version), not the
+    // catalog entry's frozen creation-time options; any other table
+    // keeps Spark's own semantics untouched. The statement resolves as
+    // the V2 node over the session catalog's V1Table wrapper (Spark
+    // serves v1 tables through the v2 ShowTableProperties exec), so the
+    // match is on that shape; the v1-command twin below covers any
+    // ResolveSessionCatalog conversion path.
+    case sp @ org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties(
+        r: org.apache.spark.sql.catalyst.analysis.ResolvedTable, key, out) =>
+      GraftColumnBridge.v1CatalogTable(r.table)
+        .flatMap(GraftTableRef.rootFromCatalogTable) match {
+        case Some(root) => GraftShowPropsCommand(root, key, out)
+        case None       => sp
+      }
+    case sp: org.apache.spark.sql.execution.command.ShowTablePropertiesCommand =>
+      GraftTableRef.graftRootOf(SparkSession.active, sp.table) match {
+        case Some(root) => GraftShowPropsCommand(root, sp.propertyKey, sp.output)
+        case None       => sp
+      }
   }
 
   /** The ON clause as upsert keys: a conjunction of `t.k = s.k`
@@ -524,6 +544,20 @@ object GraftTableRef {
     refreshAfterWrite(spark,
       ref match { case ByPath(_) => None; case name => Some(name.trim) }, root)
 
+  /** The store root IFF `ident` names a graftstore catalog table; None
+    * for any other (or unresolvable) table — the non-claiming twin of
+    * [[resolveRoot]] for rules that must leave foreign tables alone. */
+  private[plans] def rootFromCatalogTable(
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): Option[String] =
+    if (!ct.provider.exists(_.equalsIgnoreCase("graftstore"))) None
+    else ct.storage.properties.get("path")
+      .orElse(ct.storage.locationUri.map(u => new Path(u).toString))
+
+  private[plans] def graftRootOf(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier): Option[String] =
+    try rootFromCatalogTable(spark.sessionState.catalog.getTableMetadata(ident))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   def resolveRoot(spark: SparkSession, ref: String): String = ref match {
     case ByPath(p) => p
     case name =>
@@ -605,6 +639,70 @@ final case class GraftVacuumCommand(tableRef: String, retainHours: Option[Long])
       minAgeMs = retainHours.getOrElse(168L) * 3600L * 1000L)
     GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)
     Seq.empty
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the Delta table-detail verb over the manifest:
+  * ONE row with the format, location, current version, its commit
+  * wall-clock, dir/size footprint, the recorded schema DDL, and the
+  * current commit's meta as properties. Everything answers from the
+  * manifest chain (cached parses) except `size_bytes`, which uses the
+  * recorded per-dir byte stats when every dir carries them and is NULL
+  * otherwise — DESCRIBE must stay interactive at any table width, so it
+  * never falls back to a filesystem sweep. */
+final case class GraftDescribeDetailCommand(tableRef: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType, nullable = true)(),
+    AttributeReference("num_data_dirs", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = true)(),
+    AttributeReference("schema", StringType, nullable = true)(),
+    AttributeReference("properties", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftTableRef.resolveRoot(spark, tableRef)
+    val v = VersionedStore.currentVersion(spark, root)
+    require(v > 0, s"$root has no committed version")
+    val meta = VersionedStore.metaAt(spark, root, v)
+    val ts = meta.get("commitTs").flatMap(_.toLongOption)
+      .map(ms => new java.sql.Timestamp(ms)).orNull
+    val dirs = VersionedStore.prunedDirs(spark, root, v, Seq.empty)
+    val size = VersionedStore.statedSizeInBytes(spark, root, v)
+    val schema = VersionedStore.schemaAt(spark, root, v).orNull
+    val props = meta.toSeq.sortBy(_._1)
+      .map { case (k, value) => s"$k=$value" }.mkString(", ")
+    Seq(Row("graftstore", root, v, ts, dirs.length.toLong,
+      size.map(Long.box).orNull, schema, props))
+  }
+}
+
+/** `SHOW TBLPROPERTIES t [(key)]` on a graftstore table — intercepted
+  * from Spark's v1 command so the properties shown are the TRANSACTION
+  * LOG's (the current commit's meta plus the synthetic `graft.version`),
+  * not the catalog entry's frozen creation-time options; the Delta
+  * engine redirects the same verb to its snapshot metadata. Output
+  * shape mirrors Spark's: (key, value) rows, or a single `value` row
+  * when one key was asked for. */
+final case class GraftShowPropsCommand(root: String,
+                                       propertyKey: Option[String],
+                                       override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = VersionedStore.currentVersion(spark, root)
+    val props = (if (v == 0) Map.empty[String, String]
+                 else VersionedStore.metaAt(spark, root, v)) +
+      ("graft.version" -> v.toString)
+    propertyKey match {
+      case Some(k) =>
+        val value = props.getOrElse(k,
+          s"Table $root does not have property: $k")
+        if (output.length == 1) Seq(Row(value)) else Seq(Row(k, value))
+      case None =>
+        props.toSeq.sortBy(_._1).map { case (k, value) => Row(k, value) }
+    }
   }
 }
 

@@ -59,6 +59,8 @@ object GraftSqlParser {
 
   private val DescribeHistory =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""".r
+  private val DescribeDetail =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""".r
   private val Vacuum =
     s"""(?is)^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""".r
   private val Optimize =
@@ -71,6 +73,7 @@ object GraftSqlParser {
   private[graft] def parseGraftVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case DescribeHistory(t) => Some(GraftHistoryCommand(t))
+      case DescribeDetail(t)  => Some(GraftDescribeDetailCommand(t))
       case Vacuum(t, hours) =>
         Some(GraftVacuumCommand(t, Option(hours).map(_.toLong)))
       case Optimize(t, cols, buckets) =>

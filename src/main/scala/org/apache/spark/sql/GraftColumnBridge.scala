@@ -18,6 +18,16 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The CatalogTable behind a session-catalog v2 `Table` wrapper, if it
+    * is one (`connector.catalog.V1Table` is `private[sql]` — the shape
+    * Spark's V2SessionCatalog serves v1 tables through, and the one the
+    * analyzed `SHOW TBLPROPERTIES` plan carries). */
+  def v1CatalogTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = t match {
+    case v1: org.apache.spark.sql.connector.catalog.V1Table => Some(v1.v1Table)
+    case _ => None
+  }
 }
 
 /** Bridge for input-type contracts: `ExpectsInputTypes.inputTypes` is typed

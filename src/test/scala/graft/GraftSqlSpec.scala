@@ -262,6 +262,45 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 5L)
   }
 
+  test("DESCRIBE DETAIL and SHOW TBLPROPERTIES answer from the " +
+       "transaction log") {
+    val (root, tbl) = seeded()
+    spark.sql(s"DELETE FROM $tbl WHERE id = 6").collect() // v2 w/ commitTs
+    val d = spark.sql(s"DESCRIBE DETAIL $tbl").collect()
+    assert(d.length == 1)
+    val row = d.head
+    assert(row.getAs[String]("format") == "graftstore")
+    assert(row.getAs[String]("location").stripPrefix("file:") == root)
+    assert(row.getAs[Long]("version") == 2L)
+    assert(row.getAs[java.sql.Timestamp]("committed_at") != null,
+      "committed_at must surface the publish stamp")
+    assert(row.getAs[Long]("num_data_dirs") >= 1L)
+    assert(row.getAs[String]("schema").contains("id"))
+    assert(row.getAs[String]("properties").contains("batch.w1=7"),
+      s"properties must carry the commit meta: ${row.getAs[String]("properties")}")
+    // the path form works too
+    assert(spark.sql(s"DESCRIBE DETAIL graftstore.`$root`")
+      .collect().head.getAs[Long]("version") == 2L)
+    // SHOW TBLPROPERTIES: log meta + graft.version, not catalog options
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.version").contains("2"))
+    assert(props.get("batch.w1").contains("7"),
+      s"the stream ledger must show as a table property: $props")
+    assert(props.contains("commitTs"))
+    // single-key form returns just the value
+    val one = spark.sql(s"SHOW TBLPROPERTIES $tbl (graft.version)").collect()
+    assert(one.length == 1 && one.head.getString(one.head.length - 1) == "2")
+    // a non-graftstore table keeps Spark's own SHOW TBLPROPERTIES
+    spark.sql("CREATE TABLE gsql_plainprops (id BIGINT) USING parquet " +
+      "TBLPROPERTIES ('k'='v')")
+    try {
+      val p2 = spark.sql("SHOW TBLPROPERTIES gsql_plainprops").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(p2.get("k").contains("v") && !p2.contains("graft.version"))
+    } finally spark.sql("DROP TABLE IF EXISTS gsql_plainprops")
+  }
+
   test("DML on a time-traveled relation is rejected") {
     val (root, tbl) = seeded()
     spark.sql(s"DELETE FROM $tbl WHERE id = 6").collect()
