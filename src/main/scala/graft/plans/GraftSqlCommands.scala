@@ -586,10 +586,16 @@ final case class GraftOptimizeCommand(tableRef: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftTableRef.resolveRoot(spark, tableRef)
+    // A maintenance rewrite must REPRODUCE the table's recorded stats
+    // (incl. blooms) on the dirs it writes — otherwise one OPTIMIZE
+    // silently turns every data-skipping query into a full scan. The
+    // cluster columns add their own min/max on top.
+    val recorded = VersionedStore.recordedStatsCols(spark, root)
     val v = clusterCols match {
       case Nil =>
         require(buckets.isEmpty, "INTO n BUCKETS requires CLUSTER BY")
-        graft.streaming.VersionedStream.compact(spark, root)
+        graft.streaming.VersionedStream.compact(spark, root,
+          statsCols = recorded)
       case cols =>
         require(cols.length <= 2,
           s"OPTIMIZE clusters by one column or a two-column Z-order, " +
@@ -601,7 +607,8 @@ final case class GraftOptimizeCommand(tableRef: String,
             UnresolvedAttribute.quoted(cols.head),
             UnresolvedAttribute.quoted(cols(1))))
         VersionedStore.optimize(spark, root, key,
-          buckets = buckets.getOrElse(8), statsCols = cols)
+          buckets = buckets.getOrElse(8),
+          statsCols = (cols ++ recorded).distinct)
     }
     GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)
     Seq(Row(v))

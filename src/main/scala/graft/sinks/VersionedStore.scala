@@ -636,25 +636,51 @@ object VersionedStore {
     val v = currentVersion(spark, root)
     if (v == 0) return Seq.empty
     // Stats keys record the LOGICAL name current at each dir's write, so
-    // pre-rename dirs key under the OLD name (= the birth physical).
-    // Translate through the column map to CURRENT logical names and drop
-    // columns no longer in the schema — a request under a stale name
-    // would fail the next commit's statsFor require outright (and a
-    // dropped column has nothing to record).
+    // pre-rename dirs key under any HISTORICAL logical name — the birth
+    // physical for first-epoch dirs, but a mid-epoch name after two
+    // successive renames (a→b then b→c leaves dirs keyed under `b`,
+    // which the colmap alone cannot resolve). Translate through the full
+    // RENAME HISTORY (the `rename` markers each rename commit records),
+    // with the colmap's physical→current as the first-epoch fallback,
+    // and drop columns no longer in the schema — a request under a stale
+    // name would fail the next commit's statsFor require outright (and a
+    // dropped column has nothing to record). Renames whose manifests
+    // have been EXPIRED fall out of the walk: their mid-epoch keys stay
+    // untranslated and are filtered — conservative (those dirs just
+    // aren't re-requested), never wrong.
     val colmap = colmapOf(f, root, v)
     val oldToCurrent = colmap.map { case (l, p) => p -> l }
+    val renamedTo = renameChain(spark, root)
     val schemaCols = schemaOf(f, root, v)
       .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
         .fieldNames.toSet)
     val parts = statsOf(f, root, v).keysIterator
       .map(_.split('|')).filter(_.length == 3).toSeq
     val names = parts.map(pp =>
-      (oldToCurrent.getOrElse(pp(1), pp(1)), pp(2)))
+      (renamedTo.getOrElse(pp(1), oldToCurrent.getOrElse(pp(1), pp(1))), pp(2)))
       .filterNot(_._1 == "#")
       .filter { case (n, _) => schemaCols.forall(_.contains(n)) }
     val bloomCols = names.collect { case (n, "bloom") => n }.toSet
     names.map(_._1).distinct
       .map(c => if (bloomCols(c)) s"bloom:$c" else c)
+  }
+
+  /** historical logical name → CURRENT logical name, folded over every
+    * live version's `rename` marker in commit order (a→b then b→c gives
+    * a→c AND b→c). O(live versions) cached manifest-meta reads. */
+  private def renameChain(spark: SparkSession, root: String): Map[String, String] = {
+    val f = fs(spark, root)
+    committedVersions(f, root).foldLeft(Map.empty[String, String]) { (chain, v) =>
+      metaOf(f, root, v).get("rename") match {
+        case Some(m) => m.split("->", 2) match {
+          case Array(from, to) =>
+            chain.map { case (h, c) => h -> (if (c == from) to else c) } +
+              (from -> to)
+          case _ => chain
+        }
+        case None => chain
+      }
+    }
   }
 
   /** All live (non-expired) versions, ascending, with their data dir —

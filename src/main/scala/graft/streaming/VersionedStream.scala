@@ -134,16 +134,21 @@ object VersionedStream {
     * the interleaved batch's rows. Earlier versions (and their many small
     * append dirs) then fall to [[VersionedStore.expire]] on the usual
     * maintenance cadence. */
-  def compact(spark: org.apache.spark.sql.SparkSession, root: String): Long = {
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+              statsCols: Seq[String] = Seq.empty): Long = {
     val base = VersionedStore.currentVersion(spark, root)
     if (base == 0)
       throw new IllegalStateException(s"nothing committed at $root to compact")
     val df = VersionedStore.readAt(spark, root, base)
     // Ledger-only carry + this op's own marker, like every other
     // maintenance commit (exactly-once survives compaction; stale
-    // descriptive markers do not).
+    // descriptive markers do not). `statsCols` lets the caller
+    // reproduce the table's recorded stats on the compacted dir — a
+    // maintenance rewrite must not degrade data skipping (the SQL
+    // OPTIMIZE passes recordedStatsCols through here).
     VersionedStore.commitAt(df, root, base,
       VersionedStore.ledgerEntries(VersionedStore.metaAt(spark, root, base)) +
-        ("compact" -> "full"))
+        ("compact" -> "full"),
+      statsCols = statsCols)
   }
 }

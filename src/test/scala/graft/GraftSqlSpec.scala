@@ -220,6 +220,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("NOT MATCHED BY SOURCE"))
   }
 
+  test("OPTIMIZE reproduces the table's recorded stats columns — " +
+       "maintenance must never degrade data skipping") {
+    val (root, tbl) = seeded() // statsCols = id
+    VersionedStore.commitAppend(Seq((100L, 1000L, "g0")).toDF("id", "v", "grp"),
+      root, statsCols = Seq("id"))
+    assert(VersionedStore.recordedStatsCols(spark, root) === Seq("id"))
+    // plain OPTIMIZE (compaction): the compacted dir must carry id stats
+    spark.sql(s"OPTIMIZE $tbl").collect()
+    assert(VersionedStore.recordedStatsCols(spark, root) === Seq("id"),
+      "plain OPTIMIZE dropped the recorded stats request")
+    // CLUSTER BY a DIFFERENT column: both the cluster column and the
+    // previously recorded one must survive
+    spark.sql(s"OPTIMIZE $tbl CLUSTER BY (v) INTO 2 BUCKETS").collect()
+    val after = VersionedStore.recordedStatsCols(spark, root).toSet
+    assert(after === Set("id", "v"),
+      s"CLUSTER BY must add its column and keep the recorded ones: $after")
+    // and the id point probe still prunes post-OPTIMIZE
+    val cur = VersionedStore.currentVersion(spark, root)
+    val all = VersionedStore.prunedDirs(spark, root, cur, Seq.empty)
+    val hit = VersionedStore.prunedDirs(spark, root, cur,
+      Seq(VersionedStore.ColRange("id", Some("100"), Some("100"))))
+    assert(hit.size < all.size,
+      s"id skipping must survive OPTIMIZE: ${hit.size} of ${all.size} dirs kept")
+  }
+
   test("OPTIMIZE: plain compaction and CLUSTER BY both commit a version") {
     val (root, tbl) = seeded()
     // a second dir so compaction has something to fold

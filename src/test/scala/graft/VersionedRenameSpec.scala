@@ -131,4 +131,30 @@ class VersionedRenameSpec extends SparkSpec {
     assert(back.columns.toSeq === Seq("k", "x"),
       "restore to a pre-rename version must read under the old schema")
   }
+
+  test("recordedStatsCols resolves MID-EPOCH stats keys through the " +
+       "rename history (a->b->c leaves dirs keyed under b)") {
+    val root = Files.createTempDirectory("graft-ren2").toString
+    // dir 1: no stats; its value column is born `val`
+    VersionedStore.commitAppend(Seq((1L, 10L)).toDF("k", "val"), root)
+    VersionedStore.renameColumn(spark, root, "val", "mid")
+    // dir 2 written in the MIDDLE epoch: stats key under logical `mid`
+    VersionedStore.commitAppend(Seq((2L, 20L)).toDF("k", "mid"), root,
+      statsCols = Seq("mid"))
+    VersionedStore.renameColumn(spark, root, "mid", "fin")
+    // `mid` is neither a current logical name nor the birth physical —
+    // only the rename chain (val->mid->fin) can re-key it
+    assert(VersionedStore.recordedStatsCols(spark, root) === Seq("fin"),
+      "mid-epoch stats keys must translate to the CURRENT logical name")
+    // and a write that reproduces the request records usable stats
+    VersionedStore.commitAppend(Seq((3L, 30L)).toDF("k", "fin"), root,
+      statsCols = VersionedStore.recordedStatsCols(spark, root))
+    val v = VersionedStore.currentVersion(spark, root)
+    // a probe OUTSIDE dir 3's [30,30] range must skip it (dirs 1 and 2
+    // lack fin-keyed stats and are conservatively kept)
+    val pruned = VersionedStore.prunedDirs(spark, root, v,
+      Seq(VersionedStore.ColRange("fin", Some("25"), Some("25"))))
+    assert(pruned.size < VersionedStore.prunedDirs(spark, root, v, Seq.empty).size,
+      "the reproduced stats request must keep data skipping alive")
+  }
 }
