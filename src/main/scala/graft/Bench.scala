@@ -210,10 +210,16 @@ object Bench {
         // least interesting, and run up to 12 probes (was 8).
         val ratioFlagged = ok.collect {
           case (k, (med, min, _)) if min > 0 && med > min * 2 => k }
+        // Standing watch items (round-15: bloom_shuffle_join drifted
+        // +20% r13→r14 as the suite's slowest join with no probe row to
+        // adjudicate suite-noise vs real cost) — always probed so the
+        // canonical record carries their isolated number every round.
+        val watch = Seq("bloom_shuffle_join").filter(ok.toMap.contains)
         val stats = ok.toMap
-        (byMed ++ flagged ++ volatile ++ ratioFlagged).distinct
+        (watch ++ (byMed ++ flagged ++ volatile ++ ratioFlagged).distinct
+          .filterNot(watch.contains)
           .sortBy(n => -(stats(n)._1 / math.max(stats(n)._2, 1e-9)))
-          .take(12).flatMap { n =>
+          .take(12)).flatMap { n =>
             System.err.println(s"[bench] isolated probe: $n ...")
             isolatedRun(n, sfDir, cpus).map(n -> _)
           }
