@@ -656,9 +656,20 @@ object VersionedStore {
         .fieldNames.toSet)
     val parts = statsOf(f, root, v).keysIterator
       .map(_.split('|')).filter(_.length == 3).toSeq
-    val names = parts.map(pp =>
-      (renamedTo.getOrElse(pp(1), oldToCurrent.getOrElse(pp(1), pp(1))), pp(2)))
-      .filterNot(_._1 == "#")
+    // A key that IS a current schema column is its own truth and never
+    // chain-translates: a logical name freed by a rename (the `b` of
+    // a→b→c) may be RE-USED by a later mergeSchema append — its new
+    // dirs key stats under `b` meaning the new column, and translating
+    // them through the stale chain would misdirect the request. (First-
+    // epoch names can't recur — they are retired physicals — so only
+    // the chain needs this guard.)
+    val names = parts.map { pp =>
+      val raw = pp(1)
+      val translated =
+        if (schemaCols.exists(_.contains(raw))) raw
+        else renamedTo.getOrElse(raw, oldToCurrent.getOrElse(raw, raw))
+      (translated, pp(2))
+    }.filterNot(_._1 == "#")
       .filter { case (n, _) => schemaCols.forall(_.contains(n)) }
     val bloomCols = names.collect { case (n, "bloom") => n }.toSet
     names.map(_._1).distinct

@@ -156,5 +156,14 @@ class VersionedRenameSpec extends SparkSpec {
       Seq(VersionedStore.ColRange("fin", Some("25"), Some("25"))))
     assert(pruned.size < VersionedStore.prunedDirs(spark, root, v, Seq.empty).size,
       "the reproduced stats request must keep data skipping alive")
+    // RE-USE guard: `mid` is free again after mid->fin (it is not a
+    // retired physical) — a fresh column re-using the name keys stats
+    // under ITSELF, and the chain must not misdirect them to `fin`
+    VersionedStore.commitAppend(
+      Seq((4L, 40L, 7L)).toDF("k", "fin", "mid"), root,
+      statsCols = Seq("mid"), mergeSchema = true)
+    val after = VersionedStore.recordedStatsCols(spark, root).toSet
+    assert(after === Set("fin", "mid"),
+      s"a re-used freed name must survive as its own stats column: $after")
   }
 }
