@@ -328,6 +328,13 @@ class GraftStoreSourceSpec extends SparkSpec {
         // reads stay CORRECT through the row marker relation
         assert(bare.sql(s"SELECT id, v FROM $tbl").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L)))
+        // plain PATH loads (no catalog identity → no INSERT target)
+        // keep the vectorized scan even extension-less
+        val pathRead = bare.read.format("graftstore").load(root)
+        assert(pathRead.queryExecution.executedPlan.collect {
+          case sc: FileSourceScanExec => sc }.nonEmpty,
+          "an extension-less path load must stay on the vectorized scan")
+        assert(pathRead.count() === 1L)
         val e = intercept[Exception] {
           bare.sql(s"INSERT INTO $tbl VALUES (2, 20)").collect()
         }
