@@ -207,7 +207,8 @@ object Bench {
         // med-min>0.5 delta floor missed (sub-second queries can double
         // without tripping it). Flag by ratio with no absolute floor,
         // order ALL candidates most-divergent-first so the cap trims the
-        // least interesting, and run up to 12 probes (was 8).
+        // least interesting, and run up to 12 flagged probes (standing
+        // watch items ride on top of the cap).
         val ratioFlagged = ok.collect {
           case (k, (med, min, _)) if min > 0 && med > min * 2 => k }
         // Standing watch items (round-15: bloom_shuffle_join drifted

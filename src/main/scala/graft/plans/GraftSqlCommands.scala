@@ -76,8 +76,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
   private def requireCurrent(pinned: Boolean, op: String): Unit =
     require(!pinned,
-      s"$op on a time-traveled graftstore relation (versionAsOf) is not " +
-        "allowed — DML always targets the current version")
+      s"$op on a time-traveled graftstore relation (VERSION AS OF / " +
+        "TIMESTAMP AS OF / the versionAsOf/timestampAsOf reader options) " +
+        "is not allowed — DML always targets the current version")
 
   private def requireNoSubquery(e: Expression, op: String): Unit =
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
@@ -672,7 +673,11 @@ final case class GraftDescribeDetailCommand(tableRef: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftTableRef.resolveRoot(spark, tableRef)
     val v = VersionedStore.currentVersion(spark, root)
-    require(v > 0, s"$root has no committed version")
+    // an EMPTY store still describes (version 0, no schema) — tooling
+    // probes freshly created tables, and SHOW TBLPROPERTIES already
+    // serves graft.version=0 for the same state
+    if (v == 0)
+      return Seq(Row("graftstore", root, 0L, null, 0L, null, null, ""))
     val meta = VersionedStore.metaAt(spark, root, v)
     val ts = meta.get("commitTs").flatMap(_.toLongOption)
       .map(ms => new java.sql.Timestamp(ms)).orNull

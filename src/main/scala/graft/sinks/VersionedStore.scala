@@ -743,7 +743,17 @@ object VersionedStore {
     * 10:00:00'` means what the SQL user's session says it means. */
   private[graft] def parseTravelTimestamp(s: String, sessionZone: String): Long = {
     val t = s.trim
-    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"cannot parse timestamp '$t' — accepted: epoch millis (>= 10 " +
+        "digits), an ISO-8601 instant ('2024-01-02T10:00:00Z'), or a " +
+        "date / date-time in the session time zone ('2024-01-02', " +
+        "'2024-01-02 10:00:00')")
+    val asciiDigits = t.nonEmpty && t.forall(c => c >= '0' && c <= '9')
+    // short all-digit strings ('2024') are almost certainly a year typed
+    // where a date belongs — parsing them as epoch millis would resolve
+    // to 1970 and produce a baffling "precedes the first commit" error
+    if (asciiDigits && t.length >= 10) t.toLong
+    else if (asciiDigits) fail()
     else {
       val zone = java.time.ZoneId.of(sessionZone)
       try java.time.Instant.parse(t).toEpochMilli
@@ -754,8 +764,9 @@ object VersionedStore {
           try java.time.LocalDateTime.parse(norm).atZone(zone)
             .toInstant.toEpochMilli
           catch { case _: java.time.format.DateTimeParseException =>
-            java.time.LocalDate.parse(t).atStartOfDay(zone)
+            try java.time.LocalDate.parse(t).atStartOfDay(zone)
               .toInstant.toEpochMilli
+            catch { case _: java.time.format.DateTimeParseException => fail() }
           }
         }
       }
@@ -1865,33 +1876,9 @@ object VersionedStore {
     require(missing.isEmpty,
       s"merge keys not in the source schema: ${missing.mkString(",")}")
 
-    val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
-    // ONE source pass folds what used to be three jobs (emptiness probe,
-    // duplicate-key check, derived key ranges): row count, non-NULL-keyed
-    // count vs distinct-tuple count (count(DISTINCT k...) skips tuples
-    // with any NULL — exactly the keyedNonNull population, so nk > nd
-    // IFF some tuple repeats), and min/max per key in the stats' external
-    // string form (all-NULL keys derive nothing).
-    import org.apache.spark.sql.functions.{count, countDistinct, when}
-    val srcAggs = Seq(count(lit(1)).as("__n"),
-      count(when(keyedNonNull, lit(1))).as("__nk"),
-      countDistinct(c(keys.head), keys.tail.map(c): _*).as("__nd")) ++
-      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string")))
-    val aggRow = source.agg(srcAggs.head, srcAggs.tail: _*).head()
-    if (aggRow.getLong(0) == 0L) return base
-    if (aggRow.getLong(1) != aggRow.getLong(2)) {
-      // failure path only: pay one more job for a concrete example
-      val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
-        .filter(c("count") > 1).take(1)
-      throw new IllegalArgumentException(
-        s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
-          "two source rows matching one target row is ambiguous")
-    }
-    val derived = keys.zipWithIndex.flatMap { case (k, i) =>
-      if (aggRow.isNullAt(3 + 2 * i)) None
-      else Some(ColRange(k, Some(aggRow.getString(3 + 2 * i)),
-        Some(aggRow.getString(3 + 2 * i + 1))))
-    }
+    val profile = mergeSourceProfile(source, keys)
+    if (profile.isEmpty) return base
+    val (ndistinct, derived) = profile.get
 
     val f = fs(spark, root)
     val all = dataDirsOf(f, root, base)
@@ -1901,7 +1888,6 @@ object VersionedStore {
     val recordedDdl = schemaOf(f, root, base)
     val colmap = colmapOf(f, root, base)
 
-    val ndistinct = aggRow.getLong(2)
     val (srcKeys, touched, keyPred) = probeTouchedByKeys(spark, root,
       candidates, source, keys, ndistinct, recordedDdl, colmap)
 
@@ -1953,19 +1939,14 @@ object VersionedStore {
           prepare(toPhysical(kept, colmap), root)
         }}, Duration.Inf)
     }
-    val allStats = statsForDirs(spark, root, rewrittenAll :+ srcDir,
+    val (addDirs, fresh) = statsDroppingEmpty(spark, root,
+      rewrittenAll :+ srcDir, droppable = rewrittenAll.toSet,
       statsCols, schemaDdl = Some(merged), colmap = colmap)
-    val emptyDirs = rewrittenAll.filter(d =>
-      allStats.get(s"$d|#|rows").forall(_.toLong == 0L)).toSet
-    emptyDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
-    val rewritten = rewrittenAll.filterNot(emptyDirs)
-    val fresh = allStats.filterNot { case (k, _) =>
-      emptyDirs.exists(d => k.startsWith(s"$d|")) }
     // The base's LEDGER entries carry forward through MERGE (the stream
     // replay watermark survives, like Delta's SetTransaction records);
     // descriptive markers of earlier commits do not accumulate.
     publishDelta(spark, root, base + 1,
-      addDirs = rewritten :+ srcDir, removedDirs = touched.toSeq.sorted,
+      addDirs = addDirs, removedDirs = touched.toSeq.sorted,
       meta = carriedEntries(baseMeta) ++
         (if (mergeSchema) meta + ("mergeSchema" -> "true") else meta) +
         ("merge" -> s"upsert:${keys.mkString("+")}"),
@@ -2018,6 +1999,62 @@ object VersionedStore {
           .select("__graft_dir").distinct().collect().map(_.getString(0)).toSet
       }
     (srcKeys, touched, keyPred)
+  }
+
+  /** ONE source pass shared by both MERGE shapes, folding what used to
+    * be three jobs: emptiness (returns None — the merge is a no-op),
+    * the duplicate-key ambiguity check (row count vs non-NULL-keyed
+    * count vs distinct-tuple count: `count(DISTINCT k...)` skips tuples
+    * with any NULL — exactly the non-NULL-keyed population, so nk > nd
+    * IFF some tuple repeats; fatal under whole-row upsert AND
+    * first-match-wins alike — one target row must meet ONE source row),
+    * and min/max per key in the stats' external string form (the
+    * [[ColRange]]s that prune candidate dirs; all-NULL keys derive
+    * nothing). Returns (distinct key count, derived ranges). */
+  private def mergeSourceProfile(source: DataFrame, keys: Seq[String])
+      : Option[(Long, Seq[ColRange])] = {
+    import org.apache.spark.sql.functions.{col => c, count, countDistinct, lit, max, min, when}
+    val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
+    val srcAggs = Seq(count(lit(1)).as("__n"),
+      count(when(keyedNonNull, lit(1))).as("__nk"),
+      countDistinct(c(keys.head), keys.tail.map(c): _*).as("__nd")) ++
+      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string")))
+    val aggRow = source.agg(srcAggs.head, srcAggs.tail: _*).head()
+    if (aggRow.getLong(0) == 0L) return None
+    if (aggRow.getLong(1) != aggRow.getLong(2)) {
+      // failure path only: pay one more job for a concrete example
+      val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
+        .filter(c("count") > 1).take(1)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
+          "two source rows matching one target row is ambiguous")
+    }
+    val derived = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (aggRow.isNullAt(3 + 2 * i)) None
+      else Some(ColRange(k, Some(aggRow.getString(3 + 2 * i)),
+        Some(aggRow.getString(3 + 2 * i + 1))))
+    }
+    Some((aggRow.getLong(2), derived))
+  }
+
+  /** ONE batched stats job over a MERGE's fresh dirs, then delete (not
+    * reference) the `droppable` ones that wrote ZERO rows — emptiness
+    * detection rides the per-dir row counts, so neither a per-dir
+    * emptiness probe nor a per-dir stats job exists. Returns the
+    * surviving dirs (input order kept) with their stats. */
+  private def statsDroppingEmpty(spark: SparkSession, root: String,
+      freshDirs: Seq[String], droppable: Set[String],
+      statsCols: Seq[String], schemaDdl: Option[String],
+      colmap: Map[String, String]): (Seq[String], Map[String, String]) = {
+    val f = fs(spark, root)
+    val allStats = statsForDirs(spark, root, freshDirs, statsCols,
+      schemaDdl = schemaDdl, colmap = colmap)
+    val emptyDirs = freshDirs.filter(d => droppable(d) &&
+      allStats.get(s"$d|#|rows").forall(_.toLong == 0L)).toSet
+    emptyDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
+    (freshDirs.filterNot(emptyDirs),
+      allStats.filterNot { case (k, _) =>
+        emptyDirs.exists(d => k.startsWith(s"$d|")) })
   }
 
   /** One MATCHED clause of a conditional [[mergeIntoClauses]] MERGE.
@@ -2109,35 +2146,16 @@ object VersionedStore {
           s"${short.mkString(",")}")
     }
 
-    // One source pass: emptiness, duplicate-key ambiguity (fatal under
-    // first-match-wins too — ONE target row must meet ONE source row),
-    // and the derived per-key ranges that prune candidate dirs.
-    val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
-    val srcAggs = Seq(count(lit(1)).as("__n"),
-      count(when(keyedNonNull, lit(1))).as("__nk"),
-      countDistinct(c(keys.head), keys.tail.map(c): _*).as("__nd")) ++
-      keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string")))
-    val aggRow = source.agg(srcAggs.head, srcAggs.tail: _*).head()
-    if (aggRow.getLong(0) == 0L) return base
-    if (aggRow.getLong(1) != aggRow.getLong(2)) {
-      val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
-        .filter(c("count") > 1).take(1)
-      throw new IllegalArgumentException(
-        s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
-          "two source rows matching one target row is ambiguous")
-    }
-    val derived = keys.zipWithIndex.flatMap { case (k, i) =>
-      if (aggRow.isNullAt(3 + 2 * i)) None
-      else Some(ColRange(k, Some(aggRow.getString(3 + 2 * i)),
-        Some(aggRow.getString(3 + 2 * i + 1))))
-    }
+    val profile = mergeSourceProfile(source, keys)
+    if (profile.isEmpty) return base
+    val (ndistinct, derived) = profile.get
     val all = dataDirsOf(f, root, base)
     val baseMeta = metaOf(f, root, base)
     val colmap = colmapOf(f, root, base)
     requireNoRetiredNames(source, colmap, root, droppedOf(f, root, base).keySet)
     val candidates = pruneWithStats(all, statsOf(f, root, base), derived)
     val (_, touched, _) = probeTouchedByKeys(spark, root, candidates,
-      source, keys, aggRow.getLong(2), recordedDdl, colmap)
+      source, keys, ndistinct, recordedDdl, colmap)
 
     def condOr(cond: Option[org.apache.spark.sql.Column],
                default: Boolean): org.apache.spark.sql.Column =
@@ -2216,16 +2234,11 @@ object VersionedStore {
     // row deleted; no inserts survived the anti-join) are dropped, not
     // referenced.
     val freshDirs = rewrittenAll ++ insDir.toSeq
-    val allStats = statsForDirs(spark, root, freshDirs, statsCols,
+    val (addDirs, fresh) = statsDroppingEmpty(spark, root, freshDirs,
+      droppable = freshDirs.toSet, statsCols,
       schemaDdl = Some(recorded.toDDL), colmap = colmap)
-    val emptyDirs = freshDirs.filter(d =>
-      allStats.get(s"$d|#|rows").forall(_.toLong == 0L)).toSet
-    emptyDirs.foreach(d => f.delete(new Path(s"$root/$d"), true))
-    val addDirs = freshDirs.filterNot(emptyDirs)
     val removedDirs = if (matched.isEmpty) Seq.empty else touched.toSeq.sorted
     if (addDirs.isEmpty && removedDirs.isEmpty) return base
-    val fresh = allStats.filterNot { case (k, _) =>
-      emptyDirs.exists(d => k.startsWith(s"$d|")) }
     val untouched = all.filterNot(removedDirs.contains)
     if (addDirs.isEmpty && untouched.isEmpty)
       throw new IllegalStateException(

@@ -135,11 +135,7 @@ final class GraftStoreSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String],
                               schema: StructType): BaseRelation = {
-    // This overload is the CATALOG seam (FindDataSourceTable always
-    // passes the catalog schema) — the only seam whose relation can
-    // become a SQL INSERT target, so the extension-less write hazard is
-    // routed here (see relationFor).
-    val rel = relationFor(sqlContext, parameters, catalogSeam = true)
+    val rel = relationFor(sqlContext, parameters)
     // names+types comparison, not StructType equality: nullability and
     // field metadata legitimately drift through catalog round-trips and
     // must not produce a false alarm on every catalog-table read
@@ -155,11 +151,10 @@ final class GraftStoreSource extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =
-    relationFor(sqlContext, parameters, catalogSeam = false)
+    relationFor(sqlContext, parameters)
 
   private def relationFor(sqlContext: SQLContext,
-                          parameters: Map[String, String],
-                          catalogSeam: Boolean): BaseRelation = {
+                          parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     // timestampAsOf resolves to a version FIRST (epoch millis, ISO
@@ -187,26 +182,27 @@ final class GraftStoreSource extends RelationProvider
     // recorded order with a projection.
     val dayNotLast = logical.fieldNames.contains("day") &&
       logical.fieldNames.last != "day"
-    // A CATALOG TABLE in a session WITHOUT the graft extensions must
-    // never be handed a HadoopFsRelation: Spark's own DataSourceAnalysis
-    // would convert `INSERT INTO t` over it into a raw parquet
-    // file-write into the store root — committed-looking rows invisible
-    // to every reader (the manifest stays the truth) — and `INSERT
-    // OVERWRITE` is worse: InsertIntoHadoopFsRelationCommand DELETES
-    // the output path (the store root, manifests included) before the
-    // write job even starts, so no write-time guard can save it. The
-    // marker relation closes both: reads stay correct (the store's own
-    // row path), and every SQL write against it dies loudly in Spark's
-    // PreWriteCheck ("does not allow insertion") with zero filesystem
-    // side effects. Sessions built with GraftExtensions keep the
-    // vectorized relation — there GraftDmlRule intercepts INSERT before
-    // execution and routes it through the transactional commit. Plain
-    // PATH loads (`spark.read.format("graftstore").load(root)`) cannot
-    // become INSERT targets — no catalog identity — so they keep the
-    // vectorized scan even extension-less.
-    val dmlGuarded = !catalogSeam ||
-      spark.sessionState.analyzer.postHocResolutionRules
-        .contains(graft.plans.GraftDmlRule)
+    // A session WITHOUT the graft extensions must never be handed a
+    // HadoopFsRelation — from EITHER overload: Spark's own
+    // DataSourceAnalysis would convert `INSERT INTO t` over it into a
+    // raw parquet file-write into the store root — committed-looking
+    // rows invisible to every reader (the manifest stays the truth) —
+    // and `INSERT OVERWRITE` is worse: InsertIntoHadoopFsRelationCommand
+    // DELETES the output path (the store root, manifests included)
+    // before the write job even starts, so no write-time guard can save
+    // it. Catalog tables are not the only INSERT targets: a TEMP VIEW
+    // over a plain path load (`spark.read...load(root)
+    // .createOrReplaceTempView("v")` then `INSERT OVERWRITE TABLE v`)
+    // reaches the same command with no catalog identity at all — so the
+    // routing must not distinguish the seams. The marker relation closes
+    // every shape: reads stay correct (the store's own row path), and
+    // every SQL write against it dies loudly in Spark's PreWriteCheck
+    // ("does not allow insertion") with zero filesystem side effects.
+    // Sessions built with GraftExtensions keep the vectorized relation —
+    // there GraftDmlRule intercepts INSERT before execution and routes
+    // it through the transactional commit.
+    val dmlGuarded = spark.sessionState.analyzer.postHocResolutionRules
+      .contains(graft.plans.GraftDmlRule)
     if (colmap.nonEmpty || dayNotLast || !dmlGuarded)
       // Rename-mapped (or day-not-last) store: physical parquet names /
       // positions differ from the logical schema, and HadoopFsRelation

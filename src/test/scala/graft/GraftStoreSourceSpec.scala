@@ -328,13 +328,18 @@ class GraftStoreSourceSpec extends SparkSpec {
         // reads stay CORRECT through the row marker relation
         assert(bare.sql(s"SELECT id, v FROM $tbl").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L)))
-        // plain PATH loads (no catalog identity → no INSERT target)
-        // keep the vectorized scan even extension-less
+        // a TEMP VIEW over a plain path load gives SQL-insert identity
+        // WITHOUT a catalog — INSERT OVERWRITE through it would delete
+        // the store root pre-write if the relation were a raw
+        // HadoopFsRelation, so path loads route through the marker too
         val pathRead = bare.read.format("graftstore").load(root)
-        assert(pathRead.queryExecution.executedPlan.collect {
-          case sc: FileSourceScanExec => sc }.nonEmpty,
-          "an extension-less path load must stay on the vectorized scan")
         assert(pathRead.count() === 1L)
+        pathRead.createOrReplaceTempView("noext_pathview")
+        intercept[Exception] {
+          bare.sql("INSERT OVERWRITE TABLE noext_pathview SELECT 9, 90")
+            .collect()
+        }
+        bare.catalog.dropTempView("noext_pathview")
         val e = intercept[Exception] {
           bare.sql(s"INSERT INTO $tbl VALUES (2, 20)").collect()
         }

@@ -1148,5 +1148,9 @@ class VersionedStoreSpec extends SparkSpec {
     // zoned interpretation follows the session zone
     assert(VS.parseTravelTimestamp("2024-01-01 00:00:00", "America/New_York")
       === 1704067200000L + 5L * 3600 * 1000)
+    // a bare year is NOT epoch millis (would silently resolve to 1970);
+    // garbage names the accepted forms
+    intercept[IllegalArgumentException] { VS.parseTravelTimestamp("2024", zone) }
+    intercept[IllegalArgumentException] { VS.parseTravelTimestamp("not-a-ts", zone) }
   }
 }
