@@ -616,16 +616,26 @@ final case class GraftOptimizeCommand(tableRef: String,
   }
 }
 
-/** `RESTORE [TABLE] t [TO] VERSION AS OF n` → [[VersionedStore.restore]]:
-  * a manifest-only commit re-referencing the target version's dirs (zero
-  * data copy; the undone versions stay time-travelable; the CURRENT
-  * ledger is kept so no stream watermark regresses). */
-final case class GraftRestoreCommand(tableRef: String, toVersion: Long)
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF '<ts>'` →
+  * [[VersionedStore.restore]]: a manifest-only commit re-referencing
+  * the target version's dirs (zero data copy; the undone versions stay
+  * time-travelable; the CURRENT ledger is kept so no stream watermark
+  * regresses). The timestamp form (`target`: Left) resolves through
+  * the same publish-stamped commit clock as read-side travel —
+  * restore-to-timestamp is read-resolution plus the version restore. */
+final case class GraftRestoreCommand(tableRef: String,
+                                     target: Either[String, Long])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftTableRef.resolveRoot(spark, tableRef)
+    val toVersion = target match {
+      case Right(v) => v
+      case Left(ts) => VersionedStore.versionAtTimestamp(spark, root,
+        VersionedStore.parseTravelTimestamp(ts,
+          spark.sessionState.conf.sessionLocalTimeZone))
+    }
     val v = VersionedStore.restore(spark, root, toVersion)
     GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)
     Seq(Row(v))

@@ -69,6 +69,8 @@ object GraftSqlParser {
       """(?:\s+INTO\s+(\d+)\s+BUCKETS)?)?\s*;?\s*$""").r
   private val Restore =
     s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl(?:\\s+TO)?\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val RestoreTs =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl(?:\\s+TO)?\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""".r
 
   private[graft] def parseGraftVerb(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -81,7 +83,8 @@ object GraftSqlParser {
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
         Some(GraftOptimizeCommand(t, clusterCols,
           Option(buckets).map(_.toInt)))
-      case Restore(t, v) => Some(GraftRestoreCommand(t, v.toLong))
+      case Restore(t, v)    => Some(GraftRestoreCommand(t, Right(v.toLong)))
+      case RestoreTs(t, ts) => Some(GraftRestoreCommand(t, Left(ts)))
       case _ => None
     }
 }

@@ -496,6 +496,12 @@ class GraftSqlSpec extends SparkSpec {
       || e2.getMessage.contains("TIMESTAMP AS OF")
       || e2.getMessage.toLowerCase.contains("syntax"),
       s"unexpected error shape: ${e2.getMessage}")
+    // RESTORE by timestamp: resolve through the same commit clock
+    // (the table currently reads 6 rows after the RESTORE above; v2's
+    // stamp names the 3-row post-DELETE state)
+    spark.sql(s"RESTORE TABLE $tbl TO TIMESTAMP AS OF '$inst'").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 3L,
+      "restore-to-timestamp must land on the stamped version's snapshot")
   }
 
   test("zombie writer cannot double-commit through the fast CAS retry: " +
