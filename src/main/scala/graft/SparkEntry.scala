@@ -2085,12 +2085,14 @@ object SparkEntry {
     * `commitTs` meta). The build proves the boundary contract once:
     * stamps strictly increase, a pre-first-commit timestamp fails
     * loudly, a mid-gap timestamp floors to the earlier version, and a
-    * far-future timestamp resolves to the current version. */
+    * far-future timestamp fails loudly for READS (non-reproducible —
+    * the next commit would change its answer) while RESTORE's
+    * resolution (`canReturnLastCommit`) floors to the current version. */
   private def ensureTsEventsStore(s: SparkSession, dir: String): String = {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_ts", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    ArtifactStore.ensure(ev, p, builderId = "vs3") { (src, tmp) =>
+    ArtifactStore.ensure(ev, p, builderId = "vs4") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -2111,9 +2113,15 @@ object SparkEntry {
       require(VersionedStore.versionAtTimestamp(s, tmp,
         (stamps(4) + stamps(5)) / 2) == 5L,
         "a mid-gap timestamp must floor to the earlier version")
+      val after = try {
+        VersionedStore.versionAtTimestamp(s, tmp, stamps.last + 86400000L)
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(after,
+        "a post-last timestamp must fail loudly for reads (non-reproducible)")
       require(VersionedStore.versionAtTimestamp(s, tmp,
-        stamps.last + 86400000L) == 10L,
-        "a post-last timestamp must resolve to the current version")
+        stamps.last + 86400000L, canReturnLastCommit = true) == 10L,
+        "RESTORE's post-last resolution must floor to the current version")
     }
     p
   }

@@ -634,7 +634,11 @@ final case class GraftRestoreCommand(tableRef: String,
       case Right(v) => v
       case Left(ts) => VersionedStore.versionAtTimestamp(spark, root,
         VersionedStore.parseTravelTimestamp(ts,
-          spark.sessionState.conf.sessionLocalTimeZone))
+          spark.sessionState.conf.sessionLocalTimeZone),
+        // "restore to where the table stood at t" is well-defined for a
+        // later t (floors to the latest version); only READS reject a
+        // future timestamp as non-reproducible — Delta's own split
+        canReturnLastCommit = true)
     }
     val v = VersionedStore.restore(spark, root, toVersion)
     GraftTableRef.refreshAfterMaintenance(spark, tableRef, root)

@@ -709,14 +709,20 @@ object VersionedStore {
     * stamped commit is a loud error (nothing existed then — serving the
     * current version would silently answer the wrong question); a
     * timestamp between two commits resolves to the earlier one; a
-    * timestamp after the last commit resolves to the current version
-    * (the store's state AT that time). Versions written by a library
-    * predating timestamp recording carry no stamp and are never
-    * resolution targets; a store with NO stamped version at all fails
-    * loudly rather than guessing. O(live versions) cached manifest-meta
-    * reads — resolution never opens data. */
+    * timestamp AFTER the last commit is a loud error for READS unless
+    * `canReturnLastCommit` (Delta's own split) — a future-dated read is
+    * non-reproducible, because re-running it after new commits land
+    * (stamps still ≤ t) would silently return a different snapshot.
+    * RESTORE passes `canReturnLastCommit = true`: "restore to where the
+    * table stood at t" is well-defined at any later t and floors to the
+    * latest version. Versions written by a library predating timestamp
+    * recording carry no stamp and are never resolution targets; a store
+    * with NO stamped version at all fails loudly rather than guessing.
+    * O(live versions) cached manifest-meta reads — resolution never
+    * opens data. */
   def versionAtTimestamp(spark: SparkSession, root: String,
-                         tsMillis: Long): Long = {
+                         tsMillis: Long,
+                         canReturnLastCommit: Boolean = false): Long = {
     val f = fs(spark, root)
     val stamped = committedVersions(f, root).flatMap { v =>
       metaOf(f, root, v).get("commitTs").flatMap(_.toLongOption).map(v -> _)
@@ -732,6 +738,16 @@ object VersionedStore {
         s"timestamp $tsMillis precedes the first stamped commit of $root " +
           s"(version $v0 at $t0) — nothing existed to read at that time")
     }
+    // stamps are publish-guarded monotonic in version order, so the last
+    // stamped version carries the max stamp
+    val (vLast, tLast) = stamped.last
+    if (!canReturnLastCommit && tsMillis > tLast)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis is after the last stamped commit of $root " +
+          s"(version $vLast at $tLast) — a future-dated read is not " +
+          "reproducible (the next commit would silently change its " +
+          s"answer); read VERSION AS OF $vLast or the exact timestamp " +
+          s"$tLast (RESTORE accepts a later timestamp and floors)")
     eligible.map(_._1).max
   }
 
@@ -744,15 +760,22 @@ object VersionedStore {
   private[graft] def parseTravelTimestamp(s: String, sessionZone: String): Long = {
     val t = s.trim
     def fail(): Nothing = throw new IllegalArgumentException(
-      s"cannot parse timestamp '$t' — accepted: epoch millis (>= 10 " +
+      s"cannot parse timestamp '$t' — accepted: epoch millis (>= 12 " +
         "digits), an ISO-8601 instant ('2024-01-02T10:00:00Z'), or a " +
         "date / date-time in the session time zone ('2024-01-02', " +
         "'2024-01-02 10:00:00')")
     val asciiDigits = t.nonEmpty && t.forall(c => c >= '0' && c <= '9')
     // short all-digit strings ('2024') are almost certainly a year typed
-    // where a date belongs — parsing them as epoch millis would resolve
-    // to 1970 and produce a baffling "precedes the first commit" error
-    if (asciiDigits && t.length >= 10) t.toLong
+    // where a date belongs, and 10-11 digit values are almost certainly
+    // the common unix EPOCH SECONDS (current epoch millis are 13 digits)
+    // — parsing either as epoch millis would resolve to 1970 and produce
+    // a baffling "precedes the first commit" error
+    if (asciiDigits && t.length >= 12) t.toLong
+    else if (asciiDigits && t.length >= 10)
+      throw new IllegalArgumentException(
+        s"'$t' looks like epoch SECONDS — timestampAsOf takes epoch " +
+          "MILLIS (13 digits today); multiply by 1000, or pass an " +
+          "ISO-8601 instant")
     else if (asciiDigits) fail()
     else {
       val zone = java.time.ZoneId.of(sessionZone)
@@ -1878,7 +1901,7 @@ object VersionedStore {
 
     val profile = mergeSourceProfile(source, keys)
     if (profile.isEmpty) return base
-    val (ndistinct, derived) = profile.get
+    val (ndistinct, derived, hasDupKeys) = profile.get
 
     val f = fs(spark, root)
     val all = dataDirsOf(f, root, base)
@@ -1890,6 +1913,11 @@ object VersionedStore {
 
     val (srcKeys, touched, keyPred) = probeTouchedByKeys(spark, root,
       candidates, source, keys, ndistinct, recordedDdl, colmap)
+    // whole-row upsert = an unconditional matched UPDATE, so a duplicate
+    // key is ambiguous exactly when it meets a target row
+    if (hasDupKeys)
+      requireNoAmbiguousDupKeys(spark, root, source, keys, touched,
+        recordedDdl, colmap)
 
     // Pass 2: rewrite touched dirs minus their matched rows; append the
     // source as its own dir (schema-policed like any append). A source
@@ -2003,16 +2031,17 @@ object VersionedStore {
 
   /** ONE source pass shared by both MERGE shapes, folding what used to
     * be three jobs: emptiness (returns None — the merge is a no-op),
-    * the duplicate-key ambiguity check (row count vs non-NULL-keyed
-    * count vs distinct-tuple count: `count(DISTINCT k...)` skips tuples
-    * with any NULL — exactly the non-NULL-keyed population, so nk > nd
-    * IFF some tuple repeats; fatal under whole-row upsert AND
-    * first-match-wins alike — one target row must meet ONE source row),
-    * and min/max per key in the stats' external string form (the
-    * [[ColRange]]s that prune candidate dirs; all-NULL keys derive
-    * nothing). Returns (distinct key count, derived ranges). */
+    * duplicate-key detection (row count vs non-NULL-keyed count vs
+    * distinct-tuple count: `count(DISTINCT k...)` skips tuples with any
+    * NULL — exactly the non-NULL-keyed population, so nk > nd IFF some
+    * tuple repeats; the flag defers to [[requireNoAmbiguousDupKeys]],
+    * which is fatal only when a duplicate actually MEETS a target row —
+    * Delta's contract), and min/max per key in the stats' external
+    * string form (the [[ColRange]]s that prune candidate dirs; all-NULL
+    * keys derive nothing). Returns (distinct key count, derived ranges,
+    * duplicates-present flag). */
   private def mergeSourceProfile(source: DataFrame, keys: Seq[String])
-      : Option[(Long, Seq[ColRange])] = {
+      : Option[(Long, Seq[ColRange], Boolean)] = {
     import org.apache.spark.sql.functions.{col => c, count, countDistinct, lit, max, min, when}
     val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
     val srcAggs = Seq(count(lit(1)).as("__n"),
@@ -2021,20 +2050,51 @@ object VersionedStore {
       keys.flatMap(k => Seq(min(c(k)).cast("string"), max(c(k)).cast("string")))
     val aggRow = source.agg(srcAggs.head, srcAggs.tail: _*).head()
     if (aggRow.getLong(0) == 0L) return None
-    if (aggRow.getLong(1) != aggRow.getLong(2)) {
-      // failure path only: pay one more job for a concrete example
-      val dup = source.filter(keyedNonNull).groupBy(keys.map(c): _*).count()
-        .filter(c("count") > 1).take(1)
-      throw new IllegalArgumentException(
-        s"merge source has duplicate key tuples (e.g. ${dup.headOption.orNull}); " +
-          "two source rows matching one target row is ambiguous")
-    }
     val derived = keys.zipWithIndex.flatMap { case (k, i) =>
       if (aggRow.isNullAt(3 + 2 * i)) None
       else Some(ColRange(k, Some(aggRow.getString(3 + 2 * i)),
         Some(aggRow.getString(3 + 2 * i + 1))))
     }
-    Some((aggRow.getLong(2), derived))
+    Some((aggRow.getLong(2), derived, aggRow.getLong(1) != aggRow.getLong(2)))
+  }
+
+  /** Deferred duplicate-key ambiguity check, Delta's semantics: a
+    * duplicate source key tuple is fatal ONLY when it actually matches a
+    * target row — two source rows meeting ONE target row is ambiguous
+    * under any matched clause — while duplicates that match nothing are
+    * legal and insert as distinct NOT-MATCHED rows. Callers invoke this
+    * only on the duplicate path (the unique-key steady state pays
+    * nothing) and only when a matched clause exists (an insert-only
+    * merge ignores matched rows, so no pairing is ever ambiguous). Cost:
+    * one semi-join of the duplicate keys against the TOUCHED dirs' keys
+    * — a source key matching any target row put its dir in `touched` by
+    * the probe's definition, so the scan never widens past the rewrite
+    * set. */
+  private def requireNoAmbiguousDupKeys(spark: SparkSession, root: String,
+      source: DataFrame, keys: Seq[String], touched: Set[String],
+      recordedDdl: Option[String], colmap: Map[String, String]): Unit = {
+    if (touched.isEmpty) return
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
+    val dupKeys = source.filter(keyedNonNull)
+      .groupBy(keys.map(c): _*).count()
+      .filter(c("count") > 1).drop("count")
+    val schema = recordedDdl.map(d =>
+      org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
+    val targetKeys = touched.toSeq.sorted.map { d =>
+      val reader = schema.fold(spark.read)(spark.read.schema)
+      val df = toLogical(reader.parquet(s"$root/$d"), colmap)
+      keys.foldLeft(df) { (acc, k) =>
+        if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
+      }.select(keys.map(c): _*)
+    }.reduce(_ unionByName _)
+    val clash = dupKeys.join(targetKeys, keys, "left_semi").take(1)
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate key tuples that match a target row " +
+          s"(e.g. ${clash.head}); two source rows updating one target row " +
+          "is ambiguous — deduplicate the source (duplicates that only " +
+          "INSERT are permitted)")
   }
 
   /** ONE batched stats job over a MERGE's fresh dirs, then delete (not
@@ -2148,7 +2208,7 @@ object VersionedStore {
 
     val profile = mergeSourceProfile(source, keys)
     if (profile.isEmpty) return base
-    val (ndistinct, derived) = profile.get
+    val (ndistinct, derived, hasDupKeys) = profile.get
     val all = dataDirsOf(f, root, base)
     val baseMeta = metaOf(f, root, base)
     val colmap = colmapOf(f, root, base)
@@ -2156,6 +2216,11 @@ object VersionedStore {
     val candidates = pruneWithStats(all, statsOf(f, root, base), derived)
     val (_, touched, _) = probeTouchedByKeys(spark, root, candidates,
       source, keys, ndistinct, recordedDdl, colmap)
+    // an insert-only merge ignores matched rows entirely — no pairing is
+    // ambiguous, so duplicate keys are checked only under matched clauses
+    if (hasDupKeys && matched.nonEmpty)
+      requireNoAmbiguousDupKeys(spark, root, source, keys, touched,
+        recordedDdl, colmap)
 
     def condOr(cond: Option[org.apache.spark.sql.Column],
                default: Boolean): org.apache.spark.sql.Column =

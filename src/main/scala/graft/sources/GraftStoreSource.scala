@@ -140,7 +140,8 @@ final class GraftStoreSource extends RelationProvider
     // field metadata legitimately drift through catalog round-trips and
     // must not produce a false alarm on every catalog-table read
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    if (shape(schema) != shape(rel.schema))
+    if (shape(schema) != shape(rel.schema) &&
+        GraftStoreSource.shouldWarnSchemaMismatch(rootOf(parameters)))
       System.err.println(
         s"[graftstore] WARNING: the supplied reader schema is ignored — " +
           s"the transaction log is the schema authority for " +
@@ -251,6 +252,20 @@ final class GraftStoreSource extends RelationProvider
 }
 
 object GraftStoreSource {
+
+  /** Roots already warned about a supplied-vs-recorded schema mismatch
+    * (once per root per JVM): a catalog table whose catalog schema
+    * drifted (a mergeSchema append without catalog sync) lands in
+    * [[GraftStoreSource.createRelation]] on EVERY read, and an unthrottled
+    * warning would spam interactive sessions — the caches that make
+    * repeat reads cheap make repeat warnings worthless. */
+  private val warnedSchemaRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def shouldWarnSchemaMismatch(root: String): Boolean =
+    warnedSchemaRoots.add(root)
+  /** Spec hook: re-arm the once-per-JVM schema-mismatch warning. */
+  private[graft] def resetSchemaMismatchWarnings(): Unit =
+    warnedSchemaRoots.clear()
 
   /** Split a conjunction into its conjuncts. */
   private def conjuncts(e: Expression): Seq[Expression] = e match {

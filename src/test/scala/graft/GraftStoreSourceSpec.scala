@@ -380,13 +380,22 @@ class GraftStoreSourceSpec extends SparkSpec {
   }
 
   test("an explicit reader schema differing from the log is warned, " +
-       "log schema served") {
+       "log schema served; the warning fires once per root per JVM") {
     val root = tmp()
     Seq((1L, 10L)).toDF("id", "v").write.format("graftstore")
       .mode(SaveMode.Append).save(root)
+    graft.sources.GraftStoreSource.resetSchemaMismatchWarnings()
     val out = spark.read.format("graftstore")
       .schema("id LONG, wrong STRING").load(root)
     assert(out.columns.toSeq === Seq("id", "v"),
       "the log stays the schema authority")
+    // the read above consumed the root's one warning slot; every later
+    // mismatched read of the same root is silent (no stderr spam on
+    // catalog tables whose catalog schema drifted), while a DIFFERENT
+    // root still warns
+    assert(!graft.sources.GraftStoreSource.shouldWarnSchemaMismatch(root),
+      "a second mismatched read of the same root must not warn again")
+    assert(graft.sources.GraftStoreSource.shouldWarnSchemaMismatch(root + "-other"),
+      "an unseen root keeps its warning")
   }
 }

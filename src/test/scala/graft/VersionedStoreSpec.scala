@@ -891,6 +891,15 @@ class VersionedStoreSpec extends SparkSpec {
     val v2 = VersionedStore.mergeInto(spark, root,
       src.limit(0), Seq("user_id"))
     assert(v2 === v)
+    // Delta's scoping: duplicates that match NO target row are legal and
+    // insert as distinct NOT-MATCHED rows (only dup-meets-target is
+    // ambiguous).
+    val dupNew = Seq(("2024-01-02", 77L, 8.0), ("2024-01-03", 77L, 9.0))
+      .toDF("day", "user_id", "value")
+    VersionedStore.mergeInto(spark, root, dupNew, Seq("user_id"))
+    assert(VersionedStore.read(spark, root).get
+      .filter($"user_id" === 77L).count() === 2L,
+      "non-matching duplicate keys must both insert")
   }
 
   test("mergeInto: schema drift rejected by default, additive with mergeSchema; type conflict always throws") {
@@ -1101,7 +1110,8 @@ class VersionedStoreSpec extends SparkSpec {
   }
 
   test("TIMESTAMP AS OF: monotonic commit stamps; boundary semantics " +
-       "(before-first loud, between-commits floors, after-last = current)") {
+       "(before-first loud, between-commits floors, after-last loud for " +
+       "reads / floors for RESTORE)") {
     val root = tmp()
     (1 to 3).foreach(i =>
       VersionedStore.commitAppend(snap(s"2024-01-0$i", i.toLong -> i.toDouble), root))
@@ -1118,9 +1128,18 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.versionAtTimestamp(spark, root, ts(1)) === 2L)
     assert(VersionedStore.versionAtTimestamp(spark, root,
       (ts(1) + ts(2)) / 2) === 2L)
-    // after the last commit: the store's state at that time = current
+    // after the last commit: loud for READS (a future-dated read is
+    // non-reproducible — the next commit would change its answer) ...
+    val eAfter = intercept[IllegalArgumentException] {
+      VersionedStore.versionAtTimestamp(spark, root, ts.last + 3600L * 1000L)
+    }
+    assert(eAfter.getMessage.contains("after the last stamped commit"))
+    // ... while RESTORE's resolution floors to the latest version
+    // ("restore to where the table stood at t" is well-defined later)
     assert(VersionedStore.versionAtTimestamp(spark, root,
-      ts.last + 3600L * 1000L) === 3L)
+      ts.last + 3600L * 1000L, canReturnLastCommit = true) === 3L)
+    // the last commit's own stamp still reads (boundary is exclusive)
+    assert(VersionedStore.versionAtTimestamp(spark, root, ts.last) === 3L)
     // the DataFrame option rides the same resolution (pinned snapshot)
     val atV2 = spark.read.format("graftstore")
       .option("timestampAsOf", ts(1).toString).load(root)
@@ -1152,5 +1171,15 @@ class VersionedStoreSpec extends SparkSpec {
     // garbage names the accepted forms
     intercept[IllegalArgumentException] { VS.parseTravelTimestamp("2024", zone) }
     intercept[IllegalArgumentException] { VS.parseTravelTimestamp("not-a-ts", zone) }
+    // 10-11 digit all-digit values are the common unix EPOCH SECONDS —
+    // parsed as millis they'd resolve to 1970 and surface as a baffling
+    // "precedes the first commit"; rejected with the multiply-by-1000 hint
+    val eSec = intercept[IllegalArgumentException] {
+      VS.parseTravelTimestamp("1704067200", zone)
+    }
+    assert(eSec.getMessage.contains("epoch SECONDS"))
+    intercept[IllegalArgumentException] { VS.parseTravelTimestamp("17040672000", zone) }
+    // 12 digits is unambiguously millis (1973 onward)
+    assert(VS.parseTravelTimestamp("170406720000", zone) === 170406720000L)
   }
 }
