@@ -2,6 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** STANDING WATCH LIST — always probed in a fresh JVM (riding above
+    * the flagged-probe cap) so the canonical record carries their
+    * isolated number every round and driver-vs-canonical divergers
+    * arrive pre-adjudicated. Curated per round from the verdict's watch
+    * rows; drop an entry once two consecutive rounds read clean.
+    *  - bloom_shuffle_join (r15): the suite's slowest join — isolated
+    *    number adjudicates suite-noise vs real cost of the A/B pair.
+    *  - versioned_sql_dml (r16): driver r15 read 0.64 s vs 0.31 s
+    *    canonical — suspected first-rep store-build attribution.
+    *  - token_count_bpe_stress (r16): driver r15 read 0.74 s vs 0.11 s
+    *    r14 driver — suspected memo-warmth variance. */
+  private val WatchList = Seq(
+    "bloom_shuffle_join", "versioned_sql_dml", "token_count_bpe_stress")
+
   /** Second-process contamination probe: re-run ONE query in a fresh JVM
     * (same classpath + JVM args as this one, reps=2, no vacuum, no
     * further isolation recursion) and return its isolated median.
@@ -211,11 +225,9 @@ object Bench {
         // watch items ride on top of the cap).
         val ratioFlagged = ok.collect {
           case (k, (med, min, _)) if min > 0 && med > min * 2 => k }
-        // Standing watch items (round-15: bloom_shuffle_join drifted
-        // +20% r13→r14 as the suite's slowest join with no probe row to
-        // adjudicate suite-noise vs real cost) — always probed so the
+        // Standing watch items (see WatchList) — always probed so the
         // canonical record carries their isolated number every round.
-        val watch = Seq("bloom_shuffle_join").filter(ok.toMap.contains)
+        val watch = WatchList.filter(ok.toMap.contains)
         val stats = ok.toMap
         (watch ++ (byMed ++ flagged ++ volatile ++ ratioFlagged).distinct
           .filterNot(watch.contains)

@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftFunctions.tableDescriptors.foreach { case (name, info, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // The graftstore SQL front door (Delta's DeltaSqlParser/DeltaAnalysis
@@ -118,11 +121,84 @@ object GraftFunctions {
           .toAggregateExpression()
       }))
 
-  /** Register into a live session's function registry. */
+  /** Table-valued functions, same two registration paths. */
+  val tableDescriptors: Seq[(String, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    // `SELECT * FROM table_changes('<table or path>', start [, end])`
+    // — Delta's SQL door to the row-level change feed
+    // (graft.sinks.VersionedStore.readRowChanges): every change
+    // committed in versions start..end INCLUSIVE (end defaults to the
+    // current version), as the table schema + `_change_type`
+    // (insert | delete | update_preimage | update_postimage) +
+    // `_commit_version`. Bounds are version numbers or timestamp
+    // STRINGS (Delta's dual form): a start timestamp resolves to the
+    // first commit stamped AT OR AFTER it (the earliest change the
+    // window can contain), an end timestamp to the latest commit
+    // stamped at or before it — both through the publish-stamped
+    // commit clock. An empty range (start past the last commit) is a
+    // zero-row frame with the same schema, not an error.
+    ("table_changes",
+      new ExpressionInfo("graft.GraftFunctions", "table_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "table_changes('<table or path>', start [, end]) — versions " +
+            "or timestamp strings")
+        val spark = SparkSession.active
+        val ref = stringArg(args.head, "table_changes")
+        val root = graft.plans.GraftTableRef.resolveRoot(spark, ref)
+        import graft.sinks.{VersionedStore => VS}
+        val cur = VS.currentVersion(spark, root)
+        def boundArg(e: Expression, isStart: Boolean): Long = e match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+          case Literal(v: Long, org.apache.spark.sql.types.LongType)   => v
+          case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+            val ts = VS.parseTravelTimestamp(v.toString,
+              spark.sessionState.conf.sessionLocalTimeZone)
+            if (isStart) {
+              // first commit stamped AT OR AFTER ts: one before it is
+              // the floor — resolve the floor and step past it. A ts
+              // before every stamp floors to nothing → start at 1.
+              val floor = try VS.versionAtTimestamp(spark, root, ts - 1,
+                canReturnLastCommit = true)
+              catch { case _: IllegalArgumentException => 0L }
+              floor + 1
+            } else VS.versionAtTimestamp(spark, root, ts,
+              canReturnLastCommit = true)
+          case other => throw new IllegalArgumentException(
+            s"table_changes expects a literal version number or " +
+              s"timestamp string, got: $other")
+        }
+        val start = boundArg(args(1), isStart = true)
+        require(start >= 1,
+          s"startVersion must be >= 1 (the first commit), got $start")
+        val end = if (args.length == 3) boundArg(args(2), isStart = false)
+                  else cur
+        // Delta's bounds are inclusive commit versions; readRowChanges
+        // covers (since, to]. A start past the current version is the
+        // legal empty window (CDC pollers ask it constantly); a NUMERIC
+        // end past the current version stays readRowChanges's loud
+        // "does not exist" (a timestamp end already floors to current).
+        val since = (start - 1) min cur
+        graft.sinks.VersionedStore.readRowChanges(spark, root,
+            since, end) match {
+          case Some(df) => df.queryExecution.logical
+          case None =>
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              graft.sources.VersionedCdc.sourceSchemaFor(spark, root,
+                cdf = true)).queryExecution.logical
+        }
+      }))
+
+  /** Register into a live session's function registries. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     descriptors.foreach { case (name, info, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+    val tableRegistry = spark.sessionState.tableFunctionRegistry
+    tableDescriptors.foreach { case (name, info, builder) =>
+      tableRegistry.registerFunction(FunctionIdentifier(name), info, builder)
     }
   }
 

@@ -1079,6 +1079,19 @@ object SparkEntry {
           sum(floor(col("value") * 1000).cast("long")).as("val_q"))
         .orderBy("_commit_version", "_change_type", "event_type")
     }),
+    // The SAME feed through pure SQL — the `table_changes` TVF (Delta's
+    // SQL door to the CDF, registered via injectTableFunction): bounds
+    // are inclusive commit versions, so (1) spans every commit. Shares
+    // versioned_cdf_read's oracle — the TVF is an access path, never a
+    // different computation.
+    "versioned_cdf_sql" -> ((s, dir) => {
+      val p = ensureUpdatedEventsStore(s, dir)
+      s.sql(s"SELECT * FROM table_changes('graftstore.`$p`', 1)")
+        .groupBy(col("_commit_version"), col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"))
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
     // DATA SOURCE surface over the versioned store — the same skipping
     // seam as versioned_skip_read but through Spark's OWN planner:
     // spark.read.format("graftstore") builds a HadoopFsRelation over the
@@ -1318,6 +1331,27 @@ object SparkEntry {
           Seq(VersionedStore.ColRange("day", Some("2024-01-16"), Some("2024-01-18"))))
         .filter(col("day").between(
           lit("2024-01-16").cast("date"), lit("2024-01-18").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+    // The WHEN NOT MATCHED BY SOURCE + partial-INSERT slice of the same
+    // SQL-DML store (statement 5, days 19-21): key-matched day-19
+    // clicks gain 100, day-20 errors delete and day-20 views gain 50
+    // through BY SOURCE clauses (target-only conditions), day-21
+    // purchases insert as 'synth4' through a partial column list whose
+    // omitted value column lands NULL, and the condition-less 'synth5'
+    // rows are dropped. The build gates the per-clause CDF populations;
+    // this query hash-gates the resulting values against flat events.
+    "versioned_sql_merge_bysource" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureSqlDmlEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-19"), Some("2024-01-21"))))
+        .filter(col("day").between(
+          lit("2024-01-19").cast("date"), lit("2024-01-21").cast("date")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -1939,21 +1973,22 @@ object SparkEntry {
     * same 10 day-ranged appends, then every edit through the SQL front
     * door against a `CREATE TABLE ... USING graftstore` entry — never
     * the Scala API — so the artifact itself proves the parser + DML
-    * resolution path end-to-end. Gates: three statements = exactly
-    * three commits (the transactional CAS path, no silent batching),
-    * and the ROW-LEVEL change feed over the DML range carries exactly
-    * the populations each statement named (deletes = day-13 clicks +
-    * the merge's matched preimages; inserts = the matched postimages +
-    * the re-keyed synth rows; update pre/post pairs = day-15 clicks).
-    * Zero-valued rows are excluded from the update/matched expectations
-    * — `value*k == value` for them, so the multiset feed rightly
-    * reports no change. */
+    * resolution path end-to-end. Gates: five statements = exactly five
+    * commits (the transactional CAS path, no silent batching), and the
+    * ROW-LEVEL change feed over each DML range carries exactly the
+    * populations each statement named (deletes = day-13 clicks +
+    * the merges' matched preimages + the BY SOURCE deletes; inserts =
+    * the matched postimages + the re-keyed synth rows; update pre/post
+    * pairs = day-15 clicks). Zero-valued rows are excluded from the
+    * value-SCALING expectations — `value*k == value` for them, so the
+    * multiset feed rightly reports no change — and NULL-valued rows
+    * from the value-SHIFTING ones (`NULL + k` stays NULL). */
   private def ensureSqlDmlEventsStore(s: SparkSession, dir: String): String = {
     import graft.sinks.{ArtifactStore, VersionedStore}
     val p = artifactPath("vstore_events_sqldml", dir)
     val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
-    // vs3: round 15 adds the conditional-clause MERGE (statement 4)
-    ArtifactStore.ensure(ev, p, builderId = "vs3") { (src, tmp) =>
+    // vs4: round 16 adds the BY SOURCE + partial-INSERT MERGE (statement 5)
+    ArtifactStore.ensure(ev, p, builderId = "vs4") { (src, tmp) =>
       val d0 = java.time.LocalDate.of(2024, 1, 1)
       (0 until 10).foreach { i =>
         VersionedStore.commitAppend(
@@ -2009,10 +2044,80 @@ object SparkEntry {
              |WHEN MATCHED THEN DELETE
              |WHEN NOT MATCHED AND s.event_type = 'synth2' THEN INSERT *
              |""".stripMargin).collect()
+        // Statement 5 — the BY SOURCE + partial-INSERT MERGE (days
+        // 19-21 only, disjoint from statements 1-4's populations):
+        // day-19 clicks match by key (value + 100); day-21 purchases
+        // re-key as 'synth4' and insert through a PARTIAL column list
+        // (value omitted -> NULL); day-21 errors re-key as 'synth5'
+        // and must be dropped (no insert condition admits them); the
+        // BY SOURCE clauses reach only target rows NOT in the source —
+        // day-20 errors delete, day-20 views gain 50 — scoped by their
+        // conditions so every other day's population stays untouched.
+        val d19clicks = src.filter(col("day") === lit("2024-01-19").cast("date")
+          && col("event_type") === "click")
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        val synth4 = src.filter(col("day") === lit("2024-01-21").cast("date")
+          && col("event_type") === "purchase")
+          .withColumn("event_id", col("event_id") + lit(4000000000L))
+          .withColumn("event_type", lit("synth4"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        val synth5 = src.filter(col("day") === lit("2024-01-21").cast("date")
+          && col("event_type") === "error")
+          .withColumn("event_id", col("event_id") + lit(5000000000L))
+          .withColumn("event_type", lit("synth5"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "day")
+        d19clicks.unionByName(synth4).unionByName(synth5)
+          .createOrReplaceTempView(s"${tbl}_src5")
+        s.sql(
+          s"""MERGE INTO $tbl t USING ${tbl}_src5 s ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET value = t.value + 100
+             |WHEN NOT MATCHED AND s.event_type = 'synth4' THEN
+             |  INSERT (event_id, ts, user_id, event_type, day)
+             |  VALUES (s.event_id, s.ts, s.user_id, s.event_type, s.day)
+             |WHEN NOT MATCHED BY SOURCE AND t.day = DATE '2024-01-20'
+             |  AND t.event_type = 'error' THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE AND t.day = DATE '2024-01-20'
+             |  AND t.event_type = 'view' THEN UPDATE SET value = t.value + 50
+             |""".stripMargin).collect()
         val v = VersionedStore.currentVersion(s, tmp)
-        require(v == 14L,
-          s"four SQL DML statements over 10 appends must land at " +
-            s"version 14, got $v — a command bypassed the commit path")
+        require(v == 15L,
+          s"five SQL DML statements over 10 appends must land at " +
+            s"version 15, got $v — a command bypassed the commit path")
+        // per-clause CDF populations of the BY SOURCE merge (14 -> 15):
+        // matched updates pair delete+insert (NULL-value rows change
+        // nothing and cancel), BY SOURCE deletes are deletes, BY SOURCE
+        // updates pair, the partial inserts are inserts — and the
+        // synth5 rows must appear nowhere.
+        val b = src.filter(col("day").between(
+          lit("2024-01-19").cast("date"), lit("2024-01-21").cast("date")))
+          .agg(
+            sum(when(col("event_type") === "click" &&
+              col("day") === lit("2024-01-19").cast("date") &&
+              col("value").isNotNull, 1L).otherwise(0L)).as("c19"),
+            sum(when(col("event_type") === "error" &&
+              col("day") === lit("2024-01-20").cast("date"), 1L)
+              .otherwise(0L)).as("e20"),
+            sum(when(col("event_type") === "view" &&
+              col("day") === lit("2024-01-20").cast("date") &&
+              col("value").isNotNull, 1L).otherwise(0L)).as("v20"),
+            sum(when(col("event_type") === "purchase" &&
+              col("day") === lit("2024-01-21").cast("date"), 1L)
+              .otherwise(0L)).as("p21")).head()
+        val (c19, e20, v20, p21) = (b.getAs[Long]("c19"), b.getAs[Long]("e20"),
+          b.getAs[Long]("v20"), b.getAs[Long]("p21"))
+        val bysFeed = VersionedStore.readRowChanges(s, tmp, 14L, 15L).get
+        val bysCounts = bysFeed.groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bysExpected = Map(
+          "delete" -> (c19 + e20 + v20), "insert" -> (c19 + v20 + p21))
+        require(bysCounts == bysExpected.filter(_._2 > 0L),
+          s"BY SOURCE merge change feed must carry exactly the per-clause " +
+            s"populations: expected $bysExpected, got $bysCounts")
+        require(bysFeed.filter(col("event_type") === "synth5").isEmpty,
+          "a NOT MATCHED row admitted by no insert condition must be dropped")
+        require(bysFeed.filter(col("event_type") === "synth4" &&
+            col("value").isNotNull).isEmpty,
+          "partial INSERT must leave the omitted value column NULL")
         // per-clause CDF populations of the conditional merge (merge
         // commits label insert/delete): updated rows appear as their
         // preimage delete + postimage insert, DELETE-branch rows as
@@ -2074,6 +2179,7 @@ object SparkEntry {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         s.catalog.dropTempView(s"${tbl}_src")
         s.catalog.dropTempView(s"${tbl}_src3")
+        s.catalog.dropTempView(s"${tbl}_src5")
       }
     }
     p
@@ -3588,6 +3694,7 @@ object SparkEntry {
         | CAST(floor(value * 1000) AS BIGINT) AS val_q
         |FROM events WHERE event_id = 42 ORDER BY event_id""".stripMargin,
     "versioned_cdf_read" -> CdfFeedSql,
+    "versioned_cdf_sql" -> CdfFeedSql,
     // The live CDF stream delivers the same feed the batch read computes.
     "versioned_cdf_stream" -> CdfFeedSql,
     "versioned_dsv2_read" ->
@@ -3683,6 +3790,27 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM edited
         |WHERE day BETWEEN DATE '2024-01-16' AND DATE '2024-01-18'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_sql_merge_bysource" ->
+      """WITH base AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+        |edited AS (
+        | SELECT event_type, day,
+        |  CASE WHEN event_type = 'click' AND day = DATE '2024-01-19'
+        |       THEN value + 100
+        |       WHEN event_type = 'view' AND day = DATE '2024-01-20'
+        |       THEN value + 50
+        |       ELSE value END AS value
+        | FROM base
+        | WHERE NOT (event_type = 'error' AND day = DATE '2024-01-20')
+        | UNION ALL
+        | SELECT 'synth4' AS event_type, day, CAST(NULL AS DOUBLE) AS value
+        | FROM base
+        | WHERE day = DATE '2024-01-21' AND event_type = 'purchase')
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM edited
+        |WHERE day BETWEEN DATE '2024-01-19' AND DATE '2024-01-21'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_agg_view_wide" ->
       """WITH q AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,

@@ -130,14 +130,11 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         if t.resolved && source.resolved =>
       requireCurrent(pinned, "MERGE INTO")
       requireNoSubquery(mergeCond, "MERGE INTO")
-      require(notMatchedBySource.isEmpty,
-        "graftstore MERGE does not support WHEN NOT MATCHED BY SOURCE " +
-          "clauses — rows only the target holds are reachable by key; " +
-          "use DELETE/UPDATE with an anti-join-materialized source instead")
       val targetAttrs = t.output
       val sourceAttrs = source.output
       val keys = mergeKeys(mergeCond, targetAttrs, sourceAttrs)
-      if (isUpsertShape(matched, notMatched, targetAttrs))
+      if (notMatchedBySource.isEmpty &&
+          isUpsertShape(matched, notMatched, targetAttrs))
         // the whole-row upsert keeps its dedicated single-pass path
         // (and the WITH SCHEMA EVOLUTION contract)
         GraftMergeCommand(root, source, keys, targetAttrs.map(_.name),
@@ -148,7 +145,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             "(UPDATE SET * + INSERT *) — conditional clauses never change " +
             "the table schema")
         lowerMergeClauses(root, source, keys, matched, notMatched,
-          targetAttrs, sourceAttrs, ident)
+          notMatchedBySource, targetAttrs, sourceAttrs, ident)
       }
 
     // INSERT, vectorized-table edition: by the time injected post-hoc
@@ -305,6 +302,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
                                 keys: Seq[String],
                                 matched: Seq[MergeAction],
                                 notMatched: Seq[MergeAction],
+                                notMatchedBySource: Seq[MergeAction],
                                 targetAttrs: Seq[Attribute],
                                 sourceAttrs: Seq[Attribute],
                                 ident: Option[String]): LogicalPlan = {
@@ -324,6 +322,14 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         case a: AttributeReference => tIds.contains(a.exprId)
         case _ => false
       }, s"$what may reference source columns only")
+      qualify(e, what)
+    }
+    def targetOnly(e: Expression, what: String): Column = {
+      require(!e.exists {
+        case a: AttributeReference => sIds.contains(a.exprId)
+        case _ => false
+      }, s"$what may reference target columns only — a row not matched " +
+        "by source has no source side")
       qualify(e, what)
     }
     val targetNames = targetAttrs.map(_.name)
@@ -359,20 +365,68 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             "an earlier unconditional clause makes the rest unreachable")
       case _ => ()
     }
-    val insertSpec: Option[Option[Column]] = notMatched match {
+    val insertSpec: Option[VersionedStore.MergeInsert] = notMatched match {
       case Seq() => None
       case Seq(InsertStarAction(cond)) =>
-        Some(cond.map(sourceOnly(_, "WHEN NOT MATCHED AND")))
+        Some(VersionedStore.MergeInsert(
+          cond.map(sourceOnly(_, "WHEN NOT MATCHED AND")), None))
       case Seq(InsertAction(cond, as)) =>
-        require(fullRowAssignments(as, targetAttrs),
-          "graftstore MERGE INSERT must cover the full row from same-named " +
-            "source columns (INSERT *) — partial inserts would fabricate NULLs")
-        Some(cond.map(sourceOnly(_, "WHEN NOT MATCHED AND")))
+        // the full-row shape stays the star path; a PARTIAL column list
+        // carries its value expressions, with NULL for omitted columns
+        // (standard SQL INSERT semantics — Delta permits the same)
+        val values =
+          if (fullRowAssignments(as, targetAttrs)) None
+          else Some(as.map { a =>
+            a.key match {
+              case k: AttributeReference if tIds.contains(k.exprId) =>
+                k.name -> sourceOnly(a.value, s"INSERT value for ${k.name}")
+              case other => throw new IllegalArgumentException(
+                s"graftstore MERGE INSERT names top-level target columns " +
+                  s"only, got: INSERT (... $other ...)")
+            }
+          }.toMap)
+        Some(VersionedStore.MergeInsert(
+          cond.map(sourceOnly(_, "WHEN NOT MATCHED AND")), values))
       case many => throw new IllegalArgumentException(
         s"graftstore MERGE supports one WHEN NOT MATCHED clause, " +
           s"got ${many.length}")
     }
-    GraftMergeClausesCommand(root, source, keys, matchedSpecs, insertSpec, ident)
+    // WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE — target-only
+    // references (the source side of an unmatched row does not exist),
+    // first-match-wins among themselves, same dead-clause rejection.
+    val bySourceSpecs: Seq[VersionedStore.MergeMatched] =
+      notMatchedBySource.map {
+        case UpdateAction(cond, assignments, _) =>
+          val set = assignments.map { a =>
+            a.key match {
+              case k: AttributeReference if tIds.contains(k.exprId) =>
+                k.name -> targetOnly(a.value,
+                  s"NOT MATCHED BY SOURCE UPDATE SET ${k.name}")
+              case other => throw new IllegalArgumentException(
+                s"graftstore MERGE UPDATE supports top-level target column " +
+                  s"assignments only, got: SET $other = ...")
+            }
+          }.toMap
+          VersionedStore.MergeMatched.Update(
+            cond.map(targetOnly(_, "WHEN NOT MATCHED BY SOURCE AND")), set)
+        case DeleteAction(cond) =>
+          VersionedStore.MergeMatched.Delete(
+            cond.map(targetOnly(_, "WHEN NOT MATCHED BY SOURCE AND")))
+        case other => throw new IllegalArgumentException(
+          s"graftstore MERGE supports UPDATE/DELETE in WHEN NOT MATCHED " +
+            s"BY SOURCE, got: $other")
+      }
+    bySourceSpecs.dropRight(1).foreach {
+      case VersionedStore.MergeMatched.Update(None, _) |
+           VersionedStore.MergeMatched.Delete(None) =>
+        throw new IllegalArgumentException(
+          "only the LAST WHEN NOT MATCHED BY SOURCE clause may omit its " +
+            "AND condition — an earlier unconditional clause makes the " +
+            "rest unreachable")
+      case _ => ()
+    }
+    GraftMergeClausesCommand(root, source, keys, matchedSpecs, insertSpec,
+      bySourceSpecs, ident)
   }
 }
 
@@ -442,14 +496,17 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
 /** Conditional-clause `MERGE INTO` →
   * [[VersionedStore.mergeIntoClauses]]: `WHEN MATCHED [AND c] THEN
   * UPDATE SET col = expr, ... | DELETE` (first-match-wins, partial
-  * columns allowed) plus an optional `WHEN NOT MATCHED [AND c] THEN
-  * INSERT *`. The source PLAN rides the command like
+  * columns allowed), an optional `WHEN NOT MATCHED [AND c] THEN
+  * INSERT * | (cols) VALUES (exprs)` (omitted columns insert NULL),
+  * and `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE`
+  * (target-only references). The source PLAN rides the command like
   * [[GraftMergeCommand]]'s; clause Columns are in the store op's
   * `t.<col>`/`s.<col>` alias contract (see [[GraftDmlRule]]). */
 final case class GraftMergeClausesCommand(root: String, source: LogicalPlan,
                                           keys: Seq[String],
                                           matched: Seq[VersionedStore.MergeMatched],
-                                          insertNotMatched: Option[Option[Column]],
+                                          insertNotMatched: Option[VersionedStore.MergeInsert],
+                                          notMatchedBySource: Seq[VersionedStore.MergeMatched],
                                           refreshIdent: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -457,7 +514,7 @@ final case class GraftMergeClausesCommand(root: String, source: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftColumnBridge.ofRows(spark, source)
     val v = VersionedStore.mergeIntoClauses(spark, root, src, keys,
-      matched, insertNotMatched,
+      matched, insertNotMatched, notMatchedBySource,
       statsCols = VersionedStore.recordedStatsCols(spark, root))
     GraftTableRef.refreshAfterWrite(spark, refreshIdent, root)
     Seq(Row(v))

@@ -2138,46 +2138,74 @@ object VersionedStore {
         extends MergeMatched
   }
 
-  /** Conditional-clause MERGE — the full Delta `MERGE INTO` matched
-    * grammar lowered onto the store's dir-granular copy-on-write:
+  /** The NOT MATCHED insert clause of a conditional [[mergeIntoClauses]]
+    * MERGE. `condition` references `s.<col>` only (an unmatched row has
+    * no target side); `values` None = `INSERT *` (every target column
+    * from its same-named source column), Some(map) = a PARTIAL column
+    * list — named target columns take their value expressions
+    * (`s.<col>` references), omitted columns insert NULL of the
+    * recorded type (standard SQL INSERT semantics; Delta permits the
+    * same shape). The merge keys need not be named: an unnamed key
+    * inserts NULL, which is legal (NULL keys never match anything). */
+  final case class MergeInsert(
+      condition: Option[org.apache.spark.sql.Column],
+      values: Option[Map[String, org.apache.spark.sql.Column]] = None)
+
+  /** Conditional-clause MERGE — the full Delta `MERGE INTO` grammar
+    * lowered onto the store's dir-granular copy-on-write:
     * `WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE` clauses
-    * (FIRST-MATCH-WINS, the SQL standard's order semantics) plus an
-    * optional `WHEN NOT MATCHED [AND c] THEN INSERT *`
-    * (`insertNotMatched`: None = no insert clause; Some(cond) = insert
-    * source rows with no key match, where `cond` — referencing
-    * `s.<col>` only — passes).
+    * (FIRST-MATCH-WINS, the SQL standard's order semantics), an
+    * optional `WHEN NOT MATCHED [AND c] THEN INSERT ...`
+    * ([[MergeInsert]]: star or a partial column list), and `WHEN NOT
+    * MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE` clauses
+    * (`notMatchedBySource`, first-match-wins among themselves) applying
+    * to target rows with NO source key match — conditions and SET
+    * values there reference `t.<col>` only (the source side of an
+    * unmatched row does not exist; Delta rejects the same).
     *
-    * Cost shape, same as [[mergeInto]]: the source's derived key ranges
-    * prune candidate dirs through manifest stats; ONE probe finds the
-    * dirs actually holding matching keys; only those rewrite (each dir
-    * left-outer-joined to the source on the keys — every target row
-    * meets at most one source row because duplicate source keys are
-    * rejected, so the join can never grow a dir); untouched dirs — at
-    * 100 TB, almost all — carry by reference. Inserts anti-join the
-    * source against ONLY the touched dirs' keys (a source key matching
-    * nowhere cannot live in an untouched dir, by the probe's
-    * definition) and land as one fresh dir.
+    * Cost shape: the source's derived key ranges prune candidate dirs
+    * through manifest stats; ONE probe finds the dirs actually holding
+    * matching keys; those rewrite (each dir left-outer-joined to the
+    * source on the keys — every target row meets at most one source
+    * row because ambiguous duplicate source keys are rejected, so the
+    * join can never grow a dir); untouched dirs — at 100 TB, almost
+    * all — carry by reference. BY SOURCE clauses are, by definition,
+    * an every-dir rewrite (any dir can hold unmatched rows) — EXCEPT
+    * when every BY SOURCE clause carries a condition, where one
+    * existence probe bounds the rewrite to dirs holding at least one
+    * condition-passing row (rows passing the condition but matched by
+    * key resolve inside the rewrite, so the probe is a sound
+    * over-approximation). Inserts anti-join the source against ONLY
+    * the touched dirs' keys (a source key matching nowhere cannot
+    * live in an untouched dir, by the probe's definition) and land as
+    * one fresh dir.
     *
-    * Semantics notes: a matched target row takes the FIRST clause whose
-    * condition is TRUE (NULL = false); no clause → the row survives
-    * unchanged. UPDATE values evaluate against the pre-update target
-    * row and its matched source row, and cast to the column's recorded
-    * type. The table schema never changes (schema evolution is the
-    * whole-row [[mergeInto]]'s mergeSchema contract). A merge that
-    * touches nothing and inserts nothing is a version-less no-op.
-    * Same CAS commit, ledger carry, stats reproduction, and
-    * insert/delete change-feed labeling as every DML. */
+    * Semantics notes: a matched target row takes the FIRST matched
+    * clause whose condition is TRUE (NULL = false); an unmatched
+    * target row takes the first applicable BY SOURCE clause; no
+    * applicable clause → the row survives unchanged. An EMPTY source
+    * no-ops unless BY SOURCE clauses exist (then every target row is
+    * unmatched — Delta's contract). UPDATE values evaluate against the
+    * pre-update row (+ its matched source row for matched clauses) and
+    * cast to the column's recorded type. The table schema never
+    * changes (schema evolution is the whole-row [[mergeInto]]'s
+    * mergeSchema contract). A merge that touches nothing and inserts
+    * nothing is a version-less no-op. Same CAS commit, ledger carry,
+    * stats reproduction, and insert/delete change-feed labeling as
+    * every DML. */
   def mergeIntoClauses(spark: SparkSession, root: String, source: DataFrame,
                        keys: Seq[String],
                        matched: Seq[MergeMatched],
-                       insertNotMatched: Option[Option[org.apache.spark.sql.Column]],
+                       insertNotMatched: Option[MergeInsert],
+                       notMatchedBySource: Seq[MergeMatched] = Seq.empty,
                        statsCols: Seq[String] = Seq.empty,
                        meta: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{coalesce, col => c, count, countDistinct, lit, max, min, when}
     val base = currentVersion(spark, root)
     require(base > 0, s"nothing to merge into: $root has no committed version")
     require(keys.nonEmpty, "mergeIntoClauses needs at least one key column")
-    require(matched.nonEmpty || insertNotMatched.nonEmpty,
+    require(matched.nonEmpty || insertNotMatched.nonEmpty ||
+        notMatchedBySource.nonEmpty,
       "mergeIntoClauses needs at least one WHEN clause")
     val missing = keys.filterNot(source.columns.contains)
     require(missing.isEmpty,
@@ -2191,7 +2219,7 @@ object VersionedStore {
       recordedDdl.getOrElse(throw new IllegalStateException(
         s"$root records no schema (legacy store) — conditional MERGE needs " +
           "the recorded schema; commit once first")))
-    matched.foreach {
+    (matched ++ notMatchedBySource).foreach {
       case MergeMatched.Update(_, set) =>
         val unknown = set.keySet.diff(recorded.fieldNames.toSet)
         require(unknown.isEmpty,
@@ -2199,23 +2227,53 @@ object VersionedStore {
             s"${unknown.mkString(",")}")
       case _ => ()
     }
-    insertNotMatched.foreach { _ =>
-      val short = recorded.fieldNames.filterNot(source.columns.contains)
-      require(short.isEmpty,
-        s"INSERT * needs every target column on the source, missing: " +
-          s"${short.mkString(",")}")
+    // a BY SOURCE row has no source side — its condition and SET values
+    // must reference the target row only (Delta rejects the same shape)
+    def requireTargetOnly(col: org.apache.spark.sql.Column, what: String): Unit =
+      require(!org.apache.spark.sql.GraftColumnBridge.parsedExpression(col).exists {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.length > 1 && u.nameParts.head == "s"
+        case _ => false
+      }, s"$what may reference target (t.) columns only — a row not " +
+        "matched by source has no source side")
+    notMatchedBySource.foreach {
+      case MergeMatched.Update(cond, set) =>
+        cond.foreach(requireTargetOnly(_, "WHEN NOT MATCHED BY SOURCE AND"))
+        set.foreach { case (k, v) =>
+          requireTargetOnly(v, s"NOT MATCHED BY SOURCE UPDATE SET $k") }
+      case MergeMatched.Delete(cond) =>
+        cond.foreach(requireTargetOnly(_, "WHEN NOT MATCHED BY SOURCE AND"))
+    }
+    insertNotMatched.foreach { ins =>
+      ins.values match {
+        case None =>
+          val short = recorded.fieldNames.filterNot(source.columns.contains)
+          require(short.isEmpty,
+            s"INSERT * needs every target column on the source, missing: " +
+              s"${short.mkString(",")}")
+        case Some(vals) =>
+          val unknown = vals.keySet.diff(recorded.fieldNames.toSet)
+          require(unknown.isEmpty,
+            s"INSERT names columns not in the recorded schema: " +
+              s"${unknown.mkString(",")}")
+      }
     }
 
     val profile = mergeSourceProfile(source, keys)
-    if (profile.isEmpty) return base
-    val (ndistinct, derived, hasDupKeys) = profile.get
+    // an empty source no-ops — unless BY SOURCE clauses exist, where
+    // EVERY target row is unmatched and the clauses apply to all of them
+    if (profile.isEmpty && notMatchedBySource.isEmpty) return base
+    val (ndistinct, derived, hasDupKeys) =
+      profile.getOrElse((0L, Seq.empty[ColRange], false))
     val all = dataDirsOf(f, root, base)
     val baseMeta = metaOf(f, root, base)
     val colmap = colmapOf(f, root, base)
     requireNoRetiredNames(source, colmap, root, droppedOf(f, root, base).keySet)
     val candidates = pruneWithStats(all, statsOf(f, root, base), derived)
-    val (_, touched, _) = probeTouchedByKeys(spark, root, candidates,
-      source, keys, ndistinct, recordedDdl, colmap)
+    val touched: Set[String] =
+      if (profile.isEmpty) Set.empty
+      else probeTouchedByKeys(spark, root, candidates,
+        source, keys, ndistinct, recordedDdl, colmap)._2
     // an insert-only merge ignores matched rows entirely — no pairing is
     // ambiguous, so duplicate keys are checked only under matched clauses
     if (hasDupKeys && matched.nonEmpty)
@@ -2225,19 +2283,66 @@ object VersionedStore {
     def condOr(cond: Option[org.apache.spark.sql.Column],
                default: Boolean): org.apache.spark.sql.Column =
       cond.map(x => coalesce(x, lit(false))).getOrElse(lit(default))
+    // a BY SOURCE condition in the t./s. alias contract, re-aimed at an
+    // UNALIASED dir scan (for the existence probe): t.<col> → <col>
+    def stripTargetAlias(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.GraftColumnBridge.parsedExpression(col).transform {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if u.nameParts.length == 2 && u.nameParts.head == "t" =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              u.nameParts.tail)
+        })
     val physSchema = org.apache.spark.sql.types.StructType
       .fromDDL(physicalDdl(recorded.toDDL, colmap))
 
-    // Rewrite each touched dir (concurrently, disjoint inputs): LEFT
+    // The rewrite set: matched clauses touch only the key-probed dirs;
+    // BY SOURCE clauses reach any dir holding an applicable unmatched
+    // row — every dir when some clause is unconditional, else the dirs
+    // one existence probe finds under the OR of the clause conditions.
+    val bySourceDirs: Set[String] =
+      if (notMatchedBySource.isEmpty) Set.empty
+      else {
+        val conds = notMatchedBySource.map {
+          case MergeMatched.Update(x, _) => x
+          case MergeMatched.Delete(x)    => x
+        }
+        if (conds.exists(_.isEmpty)) all.toSet
+        else {
+          // touched dirs fold in unconditionally: they may hold
+          // condition-passing unmatched rows too, and the key probe
+          // already proved they rewrite
+          val rest = all.filterNot(touched)
+          if (rest.isEmpty) touched
+          else {
+            val pred = conds.flatten.map(stripTargetAlias)
+              .map(x => coalesce(x, lit(false))).reduce(_ || _)
+            probeMatching(spark, root, rest, pred, recordedDdl, colmap) ++
+              touched
+          }
+        }
+      }
+    val rewriteSet: Seq[String] =
+      (if (matched.isEmpty) bySourceDirs
+       else bySourceDirs ++ touched).toSeq.sorted
+
+    // Rewrite each dir in the set (concurrently, disjoint inputs): LEFT
     // OUTER join to the marked source on the keys, resolve the first
-    // applicable clause per matched row, drop DELETE rows, apply UPDATE
-    // assignments (cast to the recorded types), keep everything else
-    // byte-equal. Skipped entirely when there are no matched clauses
-    // (insert-only merge — the touched dirs only feed the anti-join).
-    val updates = matched.zipWithIndex.collect {
-      case (u: MergeMatched.Update, i) => (u, i) }
-    val deleteIdx = matched.zipWithIndex.collect {
-      case (_: MergeMatched.Delete, i) => i }
+    // applicable clause per row — matched clauses for rows with a
+    // source match, BY SOURCE clauses for rows without — drop DELETE
+    // rows, apply UPDATE assignments (cast to the recorded types), keep
+    // everything else byte-equal. Skipped entirely when no clause can
+    // change a row (insert-only merge — the touched dirs only feed the
+    // anti-join).
+    val mCount = matched.size
+    val allClauses: Seq[(MergeMatched, Int, Boolean)] =
+      matched.zipWithIndex.map { case (cl, i) => (cl, i, true) } ++
+        notMatchedBySource.zipWithIndex.map { case (cl, i) =>
+          (cl, mCount + i, false) }
+    val updates = allClauses.collect {
+      case (u: MergeMatched.Update, i, _) => (u, i) }
+    val deleteIdx = allClauses.collect {
+      case (_: MergeMatched.Delete, i, _) => i }
     val marked = source.withColumn("__graft_m", lit(true)).alias("s")
     val joinCond = keys.map(k => c(s"t.$k") === c(s"s.$k")).reduce(_ && _)
     def rewriteDir(d: String): String = {
@@ -2245,13 +2350,13 @@ object VersionedStore {
         spark.read.schema(physSchema).parquet(s"$root/$d"), colmap).alias("t")
       val joined = dirDf.join(marked, joinCond, "left_outer")
       val isM = c("__graft_m").isNotNull
-      val action = matched.zipWithIndex
-        .foldLeft(when(lit(false), lit(-1))) { case (acc, (cl, i)) =>
+      val action = allClauses
+        .foldLeft(when(lit(false), lit(-1))) { case (acc, (cl, i, onMatched)) =>
           val cond = cl match {
             case MergeMatched.Update(x, _) => condOr(x, default = true)
             case MergeMatched.Delete(x)    => condOr(x, default = true)
           }
-          acc.when(isM && cond, lit(i))
+          acc.when((if (onMatched) isM else !isM) && cond, lit(i))
         }.otherwise(lit(-1))
       val kept =
         if (deleteIdx.isEmpty) joined
@@ -2268,31 +2373,43 @@ object VersionedStore {
       prepare(toPhysical(out, colmap), root)
     }
     val rewrittenAll: Seq[String] =
-      if (matched.isEmpty) Seq.empty
+      if (rewriteSet.isEmpty) Seq.empty
       else {
         import scala.concurrent.duration.Duration
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ioPool
-        Await.result(Future.traverse(touched.toSeq.sorted.toList)(d =>
+        Await.result(Future.traverse(rewriteSet.toList)(d =>
           Future(rewriteDir(d))), Duration.Inf)
       }
 
     // NOT MATCHED inserts: the source anti-joined against the touched
     // dirs' keys (column-pruned scans — matching keys cannot live in an
     // untouched dir), filtered by the insert condition (s.<col> refs),
-    // aligned to the recorded column order and types.
-    val insDir: Option[String] = insertNotMatched.map { cond =>
-      val targetKeys: Option[DataFrame] =
-        if (touched.isEmpty) None
-        else Some(touched.toSeq.sorted.map { d =>
-          toLogical(spark.read.schema(physSchema).parquet(s"$root/$d"), colmap)
-            .select(keys.map(c): _*)
-        }.reduce(_ unionByName _).distinct())
-      val filtered = source.alias("s").filter(condOr(cond, default = true))
-      val ins = targetKeys.fold(filtered)(tk => filtered.join(tk, keys, "left_anti"))
-        .select(recorded.fields.toSeq.map(fd =>
-          c(fd.name).cast(fd.dataType).as(fd.name)): _*)
-      prepare(toPhysical(ins, colmap), root)
+    // aligned to the recorded column order and types — star inserts
+    // take every same-named source column, a partial column list takes
+    // its value expressions with NULL for the omitted columns.
+    val insDir: Option[String] = insertNotMatched.flatMap { ins =>
+      if (profile.isEmpty) None // empty source: nothing to insert
+      else Some {
+        val targetKeys: Option[DataFrame] =
+          if (touched.isEmpty) None
+          else Some(touched.toSeq.sorted.map { d =>
+            toLogical(spark.read.schema(physSchema).parquet(s"$root/$d"), colmap)
+              .select(keys.map(c): _*)
+          }.reduce(_ unionByName _).distinct())
+        val filtered = source.alias("s").filter(condOr(ins.condition, default = true))
+        val anti = targetKeys.fold(filtered)(tk =>
+          filtered.join(tk, keys, "left_anti"))
+        val out = anti.select(recorded.fields.toSeq.map { fd =>
+          val v = ins.values match {
+            case None       => c(fd.name)
+            case Some(vals) => vals.getOrElse(fd.name,
+              lit(null): org.apache.spark.sql.Column)
+          }
+          v.cast(fd.dataType).as(fd.name)
+        }: _*)
+        prepare(toPhysical(out, colmap), root)
+      }
     }
 
     // ONE batched stats job over every fresh dir; zero-row dirs (every
@@ -2302,7 +2419,7 @@ object VersionedStore {
     val (addDirs, fresh) = statsDroppingEmpty(spark, root, freshDirs,
       droppable = freshDirs.toSet, statsCols,
       schemaDdl = Some(recorded.toDDL), colmap = colmap)
-    val removedDirs = if (matched.isEmpty) Seq.empty else touched.toSeq.sorted
+    val removedDirs = rewriteSet
     if (addDirs.isEmpty && removedDirs.isEmpty) return base
     val untouched = all.filterNot(removedDirs.contains)
     if (addDirs.isEmpty && untouched.isEmpty)
@@ -2310,7 +2427,10 @@ object VersionedStore {
         s"mergeIntoClauses would empty $root entirely; an empty snapshot " +
           "has no readable schema — commit an explicit empty snapshot instead")
     val marker = "merge" ->
-      s"clauses:m${matched.size}i${insertNotMatched.size}:${keys.mkString("+")}"
+      (s"clauses:m${matched.size}i${insertNotMatched.size}" +
+        (if (notMatchedBySource.nonEmpty) s"b${notMatchedBySource.size}"
+         else "") +
+        s":${keys.mkString("+")}")
     if (addDirs.isEmpty)
       publishDelta(spark, root, base + 1,
         addDirs = Seq.empty, removedDirs = removedDirs,

@@ -13,6 +13,17 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly-parsed expression tree of a Column. `expr("...")`-built
+    * Columns convert to a LAZY [[classic.ColumnNodeExpression]] wrapping
+    * the unparsed SQL text (parsing is deferred to analysis), so a tree
+    * inspection or transform over the plain `expression` conversion sees
+    * ONE opaque leaf instead of the attribute references inside. This
+    * unwraps through the session converter so the real tree is visible;
+    * Columns already carrying Catalyst expressions pass through
+    * unchanged. */
+  def parsedExpression(c: Column): Expression =
+    classic.GraftClassicBridge.parseColumnNodes(expression(c))
+
   /** Build a DataFrame from a hand-constructed logical plan (custom
     * operator nodes — `Dataset.ofRows` is `private[sql]`). */
   def ofRows(spark: SparkSession,

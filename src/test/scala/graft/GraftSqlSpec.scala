@@ -200,24 +200,74 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("LAST WHEN MATCHED")
       || e1.getMessage.contains("can omit the condition"))
-    // partial INSERT fabricating NULLs
+    // a BY SOURCE condition referencing the source side is rejected (an
+    // unmatched-by-source row has no source side; Delta rejects the same)
     val e2 = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $tbl t USING gsql_guard s ON t.id = s.id
-           |WHEN MATCHED AND s.v > 0 THEN DELETE
-           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
-           |""".stripMargin).collect()
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin)
+        .collect()
     }
-    assert(e2.getMessage.contains("full row"))
-    // NOT MATCHED BY SOURCE stays out of reach
+    // caught at lowering (resolved s-refs) or at the store op (an
+    // s-qualified reference the analyzer left unresolved — BY SOURCE
+    // conditions have no source scope to resolve against)
+    assert(e2.getMessage.contains("columns only"), e2.getMessage)
+    // an INSERT column outside the target schema is rejected loudly
     val e3 = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $tbl t USING gsql_guard s ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+           |WHEN NOT MATCHED THEN INSERT (nope) VALUES (s.v)""".stripMargin)
+        .collect()
     }
-    assert(e3.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(e3.getMessage.toLowerCase.contains("nope"))
+  }
+
+  test("MERGE INTO WHEN NOT MATCHED BY SOURCE (sync-to-source) + partial " +
+       "INSERT: conditional update/delete of unmatched rows, omitted " +
+       "insert columns NULL, CDF populations, ledger carries") {
+    val (root, tbl) = seeded()  // ids 1..6, v = id*10, grp = g(id%2)
+    val v0 = VersionedStore.currentVersion(spark, root)
+    // source: 1-2 matched (update), 8 not matched (partial insert);
+    // target-only rows 3..6: BY SOURCE delete for grp g0 (ids 4, 6),
+    // BY SOURCE update for v >= 50 (id 5); id 3 untouched (no clause)
+    Seq((1L, 100L, "gU"), (2L, 200L, "gU"), (8L, 800L, "gI"))
+      .toDF("id", "v", "grp").createOrReplaceTempView("gsql_bys")
+    val out = spark.sql(
+      s"""MERGE INTO $tbl t USING gsql_bys s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v + 1)
+         |WHEN NOT MATCHED BY SOURCE AND t.grp = 'g0' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.v >= 50 THEN UPDATE SET v = t.v + 7
+         |""".stripMargin).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(v0 + 1),
+      "four clause families, one transactional commit")
+    val got = spark.sql(s"SELECT id, v, grp FROM $tbl ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString))).toSeq
+    assert(got == Seq(
+      (1L, 100L, Some("g1")),  // matched update (partial SET, grp kept)
+      (2L, 200L, Some("g0")),  // matched update
+      (3L, 30L, Some("g1")),   // unmatched, no BY SOURCE clause applies
+      (5L, 57L, Some("g1")),   // BY SOURCE update (second clause)
+      (8L, 801L, None)         // partial insert: grp omitted -> NULL
+    ), s"got $got")             // ids 4, 6 (g0): BY SOURCE delete
+    assert(VersionedStore.currentMeta(spark, root).get("batch.w1").contains("7"))
+    // CDF populations (merge commits label insert/delete): deletes =
+    // ids 4, 6 + preimages of 1, 2, 5; inserts = postimages of 1, 2, 5
+    // + the new id 8
+    val feed = VersionedStore.readRowChanges(spark, root, v0).get
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("delete" -> 5L, "insert" -> 4L), s"feed: $feed")
+    // an EMPTY source applies BY SOURCE clauses to every target row
+    spark.sql(
+      s"""MERGE INTO $tbl t USING (SELECT * FROM gsql_bys WHERE id < 0) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.v > 150 THEN DELETE""".stripMargin)
+      .collect()
+    assert(spark.sql(s"SELECT id FROM $tbl ORDER BY id").as[Long].collect()
+      .toSeq == Seq(1L, 3L, 5L), "ids 2 (v=200) and 8 (v=801) deleted")
   }
 
   test("OPTIMIZE reproduces the table's recorded stats columns — " +
@@ -502,6 +552,58 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql(s"RESTORE TABLE $tbl TO TIMESTAMP AS OF '$inst'").collect()
     assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 3L,
       "restore-to-timestamp must land on the stamped version's snapshot")
+  }
+
+  test("table_changes TVF: inclusive version bounds, DML labels, rename " +
+       "in range reports current names, empty range = empty frame, guards") {
+    val (root, tbl) = seeded()  // v1: ids 1..6
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 5").collect()          // v2
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO score").collect() // v3
+    spark.sql(s"UPDATE $tbl SET score = score + 1 WHERE id = 1").collect() // v4
+    // full feed from the first commit; bounds are INCLUSIVE commit
+    // versions (Delta's contract)
+    val full = spark.sql(s"SELECT * FROM table_changes('$tbl', 1)")
+    assert(full.columns.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_version"))
+    assert(full.columns.contains("score") && !full.columns.contains("v"),
+      "a rename inside the range must report CURRENT names")
+    val byType = full.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 6L, "delete" -> 2L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), s"got $byType")
+    // a single-version slice; path form resolves too
+    val v2only = spark.sql(
+      s"SELECT id FROM table_changes('graftstore.`$root`', 2, 2) ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(v2only == Seq(5L, 6L), "version-2 slice = the DELETE's rows")
+    // empty range (start = current + 1): zero rows, same schema
+    val empty = spark.sql(s"SELECT * FROM table_changes('$tbl', 5)")
+    assert(empty.count() === 0L &&
+      empty.columns.contains("_change_type"))
+    // timestamp bounds resolve through the commit clock: a start stamp
+    // = v2's wall-clock selects commits AT OR AFTER v2; the same stamp
+    // as the END bound floors to v2 (inclusive both ways, Delta's form)
+    val ts2 = java.time.Instant.ofEpochMilli(
+      VersionedStore.metaAt(spark, root, 2L)("commitTs").toLong).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$tbl', '$ts2')")
+      .as[Long].head() === 4L, "v2..v4: 2 deletes + 1 update pair")
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$tbl', 1, '$ts2')")
+      .as[Long].head() === 8L, "v1..v2: 6 inserts + 2 deletes")
+    // guards: version 0, a past-current NUMERIC end, garbage strings
+    val e0 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$tbl', 0)").collect()
+    }
+    assert(e0.getMessage.contains("startVersion must be >= 1"))
+    val eEnd = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$tbl', 1, 99)").collect()
+    }
+    assert(eEnd.getMessage.contains("does not exist"))
+    val eTs = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$tbl', 'not-a-ts')").collect()
+    }
+    assert(eTs.getMessage.contains("cannot parse timestamp"))
   }
 
   test("zombie writer cannot double-commit through the fast CAS retry: " +

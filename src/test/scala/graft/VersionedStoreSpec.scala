@@ -1109,6 +1109,116 @@ class VersionedStoreSpec extends SparkSpec {
     assert(v2 === 3L, "a merge touching nothing must not commit")
   }
 
+  test("mergeIntoClauses BY SOURCE: conditional probe bounds the rewrite, " +
+       "unmatched rows take first applicable clause, t-only references " +
+       "enforced, empty source applies clauses to every target row") {
+    import graft.sinks.VersionedStore.{MergeInsert, MergeMatched}
+    import org.apache.spark.sql.functions.expr
+    val root = tmp()
+    // two dirs: users 1-2 (day 1), users 3-4 (day 2); user_id stats
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0),
+      root, statsCols = Seq("user_id"))
+    VersionedStore.commitAppend(snap("2024-01-02", 3L -> 3.0, 4L -> 4.0),
+      root, statsCols = Seq("user_id"))
+    val dirs0 = VersionedStore.prunedDirs(spark, root, 2L, Seq.empty).toSet
+    // source matches user 3 only; BY SOURCE clauses scoped by condition
+    // to user 2 (UPDATE) — first-match-wins tested by a dead DELETE with
+    // a disjoint condition behind it; user 1/4 untouched by conditions
+    val src = Seq((3L, 5)).toDF("user_id", "boost")
+    val v = VersionedStore.mergeIntoClauses(spark, root, src,
+      keys = Seq("user_id"),
+      matched = Seq(MergeMatched.Update(None,
+        Map("value" -> expr("t.value + s.boost")))),
+      insertNotMatched = None,
+      notMatchedBySource = Seq(
+        MergeMatched.Update(Some(expr("t.user_id = 2")),
+          Map("value" -> expr("t.value * 100"))),
+        MergeMatched.Delete(Some(expr("t.user_id = 2")))), // dead: first wins
+      statsCols = Seq("user_id"))
+    assert(v === 3L)
+    val got = VersionedStore.read(spark, root).get
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq.sorted
+    assert(got === Seq((1L, 1.0), (2L, 200.0), (3L, 8.0), (4L, 4.0)),
+      s"matched update + BY SOURCE conditional update: $got")
+    // both dirs rewrote here (dir1 via the BY SOURCE probe, dir2 via the
+    // key probe) — now prove the CONDITIONAL probe carries a dir whose
+    // rows can't pass: BY SOURCE scoped to user 2, source matching user 2
+    // (so dir1 rewrites via keys) — the day-2 dir must carry by reference
+    val dirsNow = VersionedStore.prunedDirs(spark, root, 3L, Seq.empty).toSet
+    val v2 = VersionedStore.mergeIntoClauses(spark, root,
+      Seq((2L, 1)).toDF("user_id", "boost"), Seq("user_id"),
+      matched = Seq(MergeMatched.Delete(None)),
+      insertNotMatched = None,
+      notMatchedBySource = Seq(MergeMatched.Delete(Some(expr("t.user_id = -1")))),
+      statsCols = Seq("user_id"))
+    assert(v2 === 4L)
+    val dirsAfter = VersionedStore.prunedDirs(spark, root, 4L, Seq.empty).toSet
+    assert(dirsNow.intersect(dirsAfter).nonEmpty,
+      "a dir with no matching keys and no condition-passing rows must " +
+        s"carry by reference: before=$dirsNow after=$dirsAfter")
+    assert(VersionedStore.read(spark, root).get.count() === 3L,
+      "only user 2 deleted")
+    // s. references in BY SOURCE clauses are rejected loudly
+    val eS = intercept[IllegalArgumentException] {
+      VersionedStore.mergeIntoClauses(spark, root, src, Seq("user_id"),
+        Seq.empty, None,
+        notMatchedBySource = Seq(MergeMatched.Delete(Some(expr("s.boost > 0")))))
+    }
+    assert(eS.getMessage.contains("target (t.) columns only"))
+    // EMPTY source + BY SOURCE: every target row is unmatched (Delta's
+    // contract) — the conditional update reaches all rows passing it
+    val v3 = VersionedStore.mergeIntoClauses(spark, root,
+      src.limit(0), Seq("user_id"),
+      matched = Seq.empty, insertNotMatched = None,
+      notMatchedBySource = Seq(MergeMatched.Update(
+        Some(expr("t.value > 5")), Map("value" -> expr("t.value - 1")))),
+      statsCols = Seq("user_id"))
+    assert(v3 === 5L)
+    val got3 = VersionedStore.read(spark, root).get
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq.sorted
+    assert(got3 === Seq((1L, 1.0), (3L, 7.0), (4L, 4.0)), s"got $got3")
+    // empty source + all-conditions-fail BY SOURCE: version-less no-op
+    val v4 = VersionedStore.mergeIntoClauses(spark, root,
+      src.limit(0), Seq("user_id"),
+      Seq.empty, None,
+      notMatchedBySource = Seq(MergeMatched.Delete(Some(expr("t.user_id = -1")))))
+    assert(v4 === 5L, "nothing applied — no commit")
+  }
+
+  test("mergeIntoClauses partial-column INSERT: named columns take their " +
+       "expressions, omitted columns insert NULL of the recorded type") {
+    import graft.sinks.VersionedStore.{MergeInsert, MergeMatched}
+    import org.apache.spark.sql.functions.expr
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0), root,
+      statsCols = Seq("user_id"))
+    val src = Seq((1L, 10), (9L, 90)).toDF("user_id", "boost")
+    val v = VersionedStore.mergeIntoClauses(spark, root, src,
+      keys = Seq("user_id"),
+      matched = Seq(MergeMatched.Update(None,
+        Map("value" -> expr("t.value + s.boost")))),
+      insertNotMatched = Some(MergeInsert(None, Some(Map(
+        "user_id" -> expr("s.user_id"),
+        "value"   -> expr("s.boost * 2"))))),
+      statsCols = Seq("user_id"))
+    assert(v === 2L)
+    val rows = VersionedStore.read(spark, root).get
+      .select("day", "user_id", "value").collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2).toSeq
+    assert(rows(0) === (Some(java.sql.Date.valueOf("2024-01-01")), 1L, 11.0))
+    assert(rows(1)._1.isEmpty, "omitted day column must insert NULL")
+    assert(rows(1)._2 === 9L && rows(1)._3 === 180.0,
+      "named columns take their expressions (cast to the recorded type)")
+    // a value column not in the recorded schema is rejected loudly
+    val eU = intercept[IllegalArgumentException] {
+      VersionedStore.mergeIntoClauses(spark, root, src, Seq("user_id"),
+        Seq.empty,
+        Some(MergeInsert(None, Some(Map("nope" -> expr("s.boost"))))))
+    }
+    assert(eU.getMessage.contains("not in the recorded schema"))
+  }
+
   test("TIMESTAMP AS OF: monotonic commit stamps; boundary semantics " +
        "(before-first loud, between-commits floors, after-last loud for " +
        "reads / floors for RESTORE)") {
