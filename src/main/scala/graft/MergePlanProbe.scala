@@ -51,6 +51,28 @@ object MergePlanProbe {
     println("sort-merge joins: " + joined.count(_.contains("SortMergeJoin")))
     joined.find(_.contains("SortMergeJoin")).foreach(p =>
       println("SMJ plan head:\n" + p.linesIterator.take(12).mkString("\n")))
+    // Second statement: the BY SOURCE shape (round 16) — the rewrite's
+    // left-outer join must STILL broadcast the bounded source to every
+    // dir scan, and the conditional existence probe must stay join-free
+    // (a pushed filter + limit per leg, no join at all).
+    plans.synchronized { plans.clear() }
+    (1L to 500L).map(i => (i * 11, 2.0, "bys")).toDF("id", "value", "grp")
+      .createOrReplaceTempView("gmp_src2")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING gmp_src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED BY SOURCE AND t.grp = 'g3' AND t.id > 49000
+         |  THEN UPDATE SET value = t.value - 1
+         |""".stripMargin).collect()
+    Thread.sleep(3000)
+    val joined2 = plans.filter(p => p.contains("Join"))
+    println("BY-SOURCE JOIN-BEARING EXECUTIONS: " + joined2.size)
+    println("by-source broadcast joins: " +
+      joined2.count(_.contains("BroadcastHashJoin")))
+    println("by-source sort-merge joins: " +
+      joined2.count(_.contains("SortMergeJoin")))
+    joined2.find(_.contains("SortMergeJoin")).foreach(p =>
+      println("SMJ plan head:\n" + p.linesIterator.take(12).mkString("\n")))
     spark.sql(s"DROP TABLE $tbl")
     spark.stop()
   }

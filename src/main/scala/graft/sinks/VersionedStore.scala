@@ -109,6 +109,42 @@ object VersionedStore {
           val t = new Thread(r, "graft-vstore-io"); t.setDaemon(true); t
         }))
 
+  /** scala Futures complete their promise only for NonFatal throws — a
+    * FATAL error inside a pool task (StackOverflowError from a deep
+    * Catalyst tree, OutOfMemoryError) kills the worker runnable WITHOUT
+    * completing the promise, and every `Await` upstream parks forever
+    * (measured: the ≤1024-key literal MERGE probe at 500 keys
+    * overflowed the default 1 MB stack inside a Future and hung the
+    * writer indefinitely — zero CPU, zero progress, no error). Every
+    * Future body on [[ioPool]] wraps in this: fatal throwables re-throw
+    * as a non-fatal ExecutionException so they reach the Await site as
+    * a loud failure instead of a silent hang. */
+  private def fatalSafe[T](body: => T): T =
+    try body catch {
+      case t: Throwable if !scala.util.control.NonFatal(t) =>
+        throw new java.util.concurrent.ExecutionException(
+          s"fatal error on the store IO pool: $t", t)
+    }
+
+  /** The only sanctioned Future constructor for [[ioPool]] tasks —
+    * see [[fatalSafe]]. */
+  private[graft] def ioFuture[T](body: => T): scala.concurrent.Future[T] =
+    scala.concurrent.Future(fatalSafe(body))(ioPool)
+
+  /** Balanced binary reduce: a left fold over N elements builds an
+    * N-deep expression/plan tree, and Catalyst's per-node recursion
+    * makes every later transform O(N) stack frames deep — a 500-term
+    * left-deep OR overflowed the default 1 MB stack. Halving keeps the
+    * tree (and the recursion) log2(N) deep at identical semantics. */
+  private def balancedReduce[T](xs: Seq[T])(op: (T, T) => T): T = {
+    require(xs.nonEmpty, "balancedReduce over an empty sequence")
+    var level = xs.toIndexedSeq
+    while (level.length > 1)
+      level = level.grouped(2).map(g =>
+        if (g.length == 2) op(g(0), g(1)) else g(0)).toIndexedSeq
+    level.head
+  }
+
   private def manifestPath(root: String, v: Long) = new Path(s"$root/_manifests/$v.json")
 
   /** ATOMIC create-if-absent with content — the commit arbitration
@@ -411,7 +447,7 @@ object VersionedStore {
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ioPool
-    val legs = Await.result(Future.traverse(use.toList) { d => Future {
+    val legs = Await.result(Future.traverse(use.toList) { d => ioFuture {
       val reader = schema.fold(spark.read)(spark.read.schema)
       reader.parquet(s"$root/$d")
     }}, Duration.Inf)
@@ -1489,7 +1525,7 @@ object VersionedStore {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ioPool
       val dirs = Await.result(
-        Future.traverse(preds.zipWithIndex.toList) { case (p, i) => Future {
+        Future.traverse(preds.zipWithIndex.toList) { case (p, i) => ioFuture {
           if (occRow.isNullAt(i) || occRow.getInt(i) == 0) None
           else Some(prepare(toPhysical(
             keyed.filter(p).sortWithinPartitions(c(kcol))
@@ -1599,7 +1635,7 @@ object VersionedStore {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ioPool
       Await.result(
-        Future.traverse(touched.toList) { d => Future {
+        Future.traverse(touched.toList) { d => ioFuture {
           val kept = toLogical(spark.read.parquet(s"$root/$d"), colmap)
             .filter(keep)
           if (kept.isEmpty) None else {
@@ -1765,7 +1801,7 @@ object VersionedStore {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ioPool
       Await.result(
-        Future.traverse(touched.toList) { d => Future {
+        Future.traverse(touched.toList) { d => ioFuture {
           val df = toLogical(spark.read.parquet(s"$root/$d"), colmap)
           val updated = df.select(df.columns.map { n =>
             set.get(n) match {
@@ -1949,7 +1985,7 @@ object VersionedStore {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ioPool
       Await.result(
-        Future.traverse(touched.toSeq.sorted.toList) { d => Future {
+        Future.traverse(touched.toSeq.sorted.toList) { d => ioFuture {
           // reading through the known merged schema (rather than
           // re-inferring per dir) spares every rewrite its schema-
           // inference job; a pre-evolution dir's missing columns read
@@ -2009,10 +2045,16 @@ object VersionedStore {
     val srcKeys = source.select(keys.map(c): _*).filter(keyedNonNull).distinct()
     val keyPred: Option[org.apache.spark.sql.Column] =
       if (ndistinct > 1024) None
-      else Some(srcKeys.collect().map { r =>
-        keys.zipWithIndex.map { case (k, i) => c(k) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduceOption(_ || _).getOrElse(lit(false))) // all-NULL keys match nothing
+      else {
+        // balanced OR — a left-deep 1024-term disjunction is ~1024
+        // Catalyst frames deep and overflowed the default JVM stack
+        val terms = srcKeys.collect().map { r =>
+          keys.zipWithIndex.map { case (k, i) => c(k) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.toSeq
+        Some(if (terms.isEmpty) lit(false) // all-NULL keys match nothing
+             else balancedReduce(terms)(_ || _))
+      }
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else keyPred match {
@@ -2379,7 +2421,7 @@ object VersionedStore {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ioPool
         Await.result(Future.traverse(rewriteSet.toList)(d =>
-          Future(rewriteDir(d))), Duration.Inf)
+          ioFuture(rewriteDir(d))), Duration.Inf)
       }
 
     // NOT MATCHED inserts: the source anti-joined against the touched
@@ -2478,7 +2520,7 @@ object VersionedStore {
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ioPool
-    val legs = Await.result(Future.traverse(dirs.toList) { d => Future {
+    val legs = Await.result(Future.traverse(dirs.toList) { d => ioFuture {
       val reader = schema.fold(spark.read)(spark.read.schema)
       toLogical(reader.parquet(s"$root/$d"), colmap).filter(predicate)
         .select(lit(d).as("__graft_dir")).limit(1)
@@ -2490,7 +2532,7 @@ object VersionedStore {
     // 64 keep each plan small (analysis O(N·64) total) and the group
     // jobs overlap on the scheduler.
     val groups = legs.grouped(64).toSeq
-    Await.result(Future.traverse(groups) { g => Future {
+    Await.result(Future.traverse(groups) { g => ioFuture {
       g.reduce(_ unionByName _).collect().map(_.getString(0))
     }}, Duration.Inf).flatten.toSet
   }
@@ -2622,7 +2664,7 @@ object VersionedStore {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ioPool
         Await.result(Future.traverse(legPairs.toList) { case (d, df) =>
-          Future { bloomStats(df, d, bloomCols, rowsByDir.getOrElse(d, 64L)) }
+          ioFuture { bloomStats(df, d, bloomCols, rowsByDir.getOrElse(d, 64L)) }
         }, Duration.Inf).flatten.toMap
       }
     // Per-dir byte sizes CONCURRENTLY on the IO pool — a sequential
@@ -2633,7 +2675,7 @@ object VersionedStore {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ioPool
       Await.result(Future.traverse(legPairs.map(_._1).toList) { d =>
-        Future { d -> dirBytes(spark, root, d) }
+        ioFuture { d -> dirBytes(spark, root, d) }
       }, Duration.Inf).toMap
     }
     rows.flatMap { row =>
@@ -3037,7 +3079,7 @@ object VersionedStore {
         import scala.concurrent.duration.Duration
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ioPool
-        Await.result(Future.traverse((0 until k).toList) { i => Future {
+        Await.result(Future.traverse((0 until k).toList) { i => ioFuture {
           val in = f.open(checkpointPartPath(root, v, i))
           val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
                      finally in.close()
@@ -3139,7 +3181,7 @@ object VersionedStore {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ioPool
       Await.result(Future.traverse(slices.zipWithIndex.toList) { case (sl, i) =>
-        Future {
+        ioFuture {
           val stats = sl.flatMap(d => statsByDir.getOrElse(d, Map.empty)).toMap
           put(s"""{"dataDirs": [${sl.map(jsString).mkString(", ")}],
                  | "stats": {${statsBody(stats)}}}""".stripMargin,

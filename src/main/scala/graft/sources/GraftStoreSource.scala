@@ -446,9 +446,11 @@ final class GraftFileIndex(spark: SparkSession, val root: String,
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = VersionedStore.ioPool
-    Await.result(Future.traverse(ds.toList) { d => Future {
-      listOne(d).map { case (pv, files) => (d, pv, files) }
-    }}, Duration.Inf).flatten
+    Await.result(Future.traverse(ds.toList) { d =>
+      VersionedStore.ioFuture {
+        listOne(d).map { case (pv, files) => (d, pv, files) }
+      }
+    }, Duration.Inf).flatten
   }
 
   /** Hive partition-path unescape: %XX sequences ONLY — URLDecoder would

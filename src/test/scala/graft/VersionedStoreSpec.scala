@@ -1185,6 +1185,27 @@ class VersionedStoreSpec extends SparkSpec {
     assert(v4 === 5L, "nothing applied — no commit")
   }
 
+  test("the ≤1024-key literal probe path survives its own ceiling " +
+       "(balanced OR — a left-deep disjunction overflowed the default " +
+       "stack inside a pool Future and hung the writer forever)") {
+    val root = tmp()
+    VersionedStore.commitAppend(
+      snap("2024-01-01", (1L to 50L).map(i => i -> i.toDouble): _*),
+      root, statsCols = Seq("user_id"))
+    // exactly 1024 distinct keys = the literal fast path's ceiling; the
+    // regression shape: before the balanced reduce, ~500 terms already
+    // blew the 1 MB stack DURING the probe's collect — fatally, inside
+    // a Future whose promise then never completed (silent infinite
+    // Await). Completing at all is the gate; values prove the upsert.
+    val src = (1L to 1024L).map(i => ("2024-01-02", i, i * 10.0))
+      .toDF("day", "user_id", "value")
+    val v = VersionedStore.mergeInto(spark, root, src, Seq("user_id"),
+      statsCols = Seq("user_id"))
+    val rows = VersionedStore.readAt(spark, root, v)
+    assert(rows.count() === 1024L, "50 updates + 974 inserts")
+    assert(rows.filter($"user_id" === 7L).head().getAs[Double]("value") === 70.0)
+  }
+
   test("mergeIntoClauses partial-column INSERT: named columns take their " +
        "expressions, omitted columns insert NULL of the recorded type") {
     import graft.sinks.VersionedStore.{MergeInsert, MergeMatched}
