@@ -1092,6 +1092,18 @@ object SparkEntry {
           sum(floor(col("value") * 1000).cast("long")).as("val_q"))
         .orderBy("_commit_version", "_change_type", "event_type")
     }),
+    // And the same feed through the DATA SOURCE batch option — Delta's
+    // `readChangeFeed`/`startingVersion` surface. Third access path,
+    // same oracle: option, TVF and Scala API must be one computation.
+    "versioned_cdf_batch" -> ((s, dir) => {
+      val p = ensureUpdatedEventsStore(s, dir)
+      s.read.format("graftstore").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(p)
+        .groupBy(col("_commit_version"), col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"))
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
     // DATA SOURCE surface over the versioned store — the same skipping
     // seam as versioned_skip_read but through Spark's OWN planner:
     // spark.read.format("graftstore") builds a HadoopFsRelation over the
@@ -3695,6 +3707,7 @@ object SparkEntry {
         |FROM events WHERE event_id = 42 ORDER BY event_id""".stripMargin,
     "versioned_cdf_read" -> CdfFeedSql,
     "versioned_cdf_sql" -> CdfFeedSql,
+    "versioned_cdf_batch" -> CdfFeedSql,
     // The live CDF stream delivers the same feed the batch read computes.
     "versioned_cdf_stream" -> CdfFeedSql,
     "versioned_dsv2_read" ->

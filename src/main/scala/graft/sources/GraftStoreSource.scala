@@ -15,7 +15,7 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.graft.StreamingFrame
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter,
-  PrunedFilteredScan, RelationProvider, SchemaRelationProvider,
+  PrunedFilteredScan, PrunedScan, RelationProvider, SchemaRelationProvider,
   StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -158,6 +158,19 @@ final class GraftStoreSource extends RelationProvider
                           parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
+    // BATCH change-feed read — Delta's own surface:
+    //   spark.read.format("graftstore").option("readChangeFeed", "true")
+    //     .option("startingVersion" | "startingTimestamp", ...)
+    //     [.option("endingVersion" | "endingTimestamp", ...)].load(root)
+    // Bounds are INCLUSIVE commit versions (timestamps resolve through
+    // the publish-stamped commit clock: start → first commit stamped
+    // at/after, end → floor), the same contract as the table_changes
+    // TVF. Without this seam the option would be silently IGNORED and a
+    // CDF consumer would read the SNAPSHOT — wrong rows, not an error.
+    // (The STREAMING half of the same option rides createSource →
+    // versioned-cdc, unchanged.)
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean))
+      return cdfBatchRelation(spark, root, parameters)
     // timestampAsOf resolves to a version FIRST (epoch millis, ISO
     // instant, or session-zoned date[time] — see parseTravelTimestamp),
     // then rides the same pinned-relation path as versionAsOf.
@@ -222,6 +235,54 @@ final class GraftStoreSource extends RelationProvider
       HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
         bucketSpec = None, new GraftGuardedParquetFormat(root), Map.empty)(spark)
     }
+  }
+
+  /** The batch CDF window as a relation (see [[relationFor]]'s option
+    * doc). Resolution mirrors the `table_changes` TVF exactly: an empty
+    * window (start past the current version — the caught-up CDC
+    * poller's shape) is a zero-row frame with the CDF schema, a NUMERIC
+    * end past the current version is readRowChanges' loud "does not
+    * exist", and a timestamp end floors to current. */
+  private def cdfBatchRelation(spark: SparkSession, root: String,
+                               parameters: Map[String, String]): BaseRelation = {
+    require(parameters.get("versionAsOf").isEmpty &&
+        parameters.get("timestampAsOf").isEmpty,
+      "readChangeFeed and time travel are mutually exclusive — the feed " +
+        "IS a version range")
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val cur = VersionedStore.currentVersion(spark, root)
+    val sv = parameters.get("startingVersion").map(_.trim.toLong)
+    val st = parameters.get("startingTimestamp").map { s =>
+      // first commit stamped AT OR AFTER the timestamp: resolve the
+      // floor of (ts - 1) and step past it; a ts before every stamp
+      // floors to nothing → start at version 1
+      val ts = VersionedStore.parseTravelTimestamp(s, zone)
+      val floor = try VersionedStore.versionAtTimestamp(spark, root,
+        ts - 1, canReturnLastCommit = true)
+      catch { case _: IllegalArgumentException => 0L }
+      floor + 1
+    }
+    require(sv.isEmpty || st.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val start = sv.orElse(st).getOrElse(throw new IllegalArgumentException(
+      "readChangeFeed needs startingVersion or startingTimestamp " +
+        "(inclusive, Delta's contract)"))
+    require(start >= 1,
+      s"startingVersion must be >= 1 (the first commit), got $start")
+    val ev = parameters.get("endingVersion").map(_.trim.toLong)
+    val et = parameters.get("endingTimestamp").map(s =>
+      VersionedStore.versionAtTimestamp(spark, root,
+        VersionedStore.parseTravelTimestamp(s, zone),
+        canReturnLastCommit = true))
+    require(ev.isEmpty || et.isEmpty,
+      "endingVersion and endingTimestamp are mutually exclusive")
+    val end = ev.orElse(et).getOrElse(cur)
+    val frame = VersionedStore.readRowChanges(spark, root,
+        (start - 1) min cur, end)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        VersionedCdc.sourceSchemaFor(spark, root, cdf = true)))
+    new GraftCdfBatchRelation(spark, frame)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -586,6 +647,23 @@ final class GraftStoreRowRelation(spark: SparkSession, val root: String,
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
       bucketSpec = None, new GraftGuardedParquetFormat(root), Map.empty)(spark)
   }
+}
+
+/** The batch change-feed window served as a relation — a computed
+  * frame, not a file listing, so the scan is the frame's own plan with
+  * column pruning applied (per-step dir reads + the DML steps'
+  * exceptAll shuffles happen inside it; filters stay Spark-side — a
+  * version range is already the coarse pushdown). Immutable by
+  * construction: the window's manifests are committed history. */
+final class GraftCdfBatchRelation(spark: SparkSession,
+                                  frame: org.apache.spark.sql.DataFrame)
+    extends BaseRelation with PrunedScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = frame.schema
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
+    (if (requiredColumns.isEmpty) frame
+     else frame.select(requiredColumns.toSeq
+       .map(org.apache.spark.sql.functions.col): _*)).rdd
 }
 
 /** [[ParquetFileFormat]] with the WRITE half sealed: reads inherit the

@@ -369,6 +369,52 @@ class GraftStoreSourceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl2")
   }
 
+  test("BATCH readChangeFeed: the feed (not the snapshot), inclusive " +
+       "version/timestamp bounds, empty window, guards") {
+    val root = tmp()
+    (1 to 3).foreach { d =>
+      Seq((d.toLong, d * 10L)).toDF("id", "v")
+        .write.format("graftstore").option("statsCols", "id")
+        .mode(SaveMode.Append).save(root)
+    }
+    VersionedStore.deleteWhere(spark, root, col("id") === 2L)  // v4
+    def feed(opts: (String, String)*): DataFrame = {
+      val r = spark.read.format("graftstore").option("readChangeFeed", "true")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(root)
+    }
+    // full window: 3 inserts + v4's delete — the FEED, never the table
+    val full = feed("startingVersion" -> "1")
+    assert(full.columns.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_version"))
+    val byType = full.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 3L, "delete" -> 1L), s"got $byType")
+    // inclusive version slice
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "3")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // timestamp bounds through the commit clock (inclusive both ways)
+    val ts2 = java.time.Instant.ofEpochMilli(
+      VersionedStore.metaAt(spark, root, 2L)("commitTs").toLong).toString
+    assert(feed("startingTimestamp" -> ts2).count() === 3L,
+      "commits stamped at/after v2: v2, v3 inserts + v4 delete")
+    assert(feed("startingVersion" -> "1", "endingTimestamp" -> ts2)
+      .count() === 2L, "v1..v2 inserts")
+    // empty window (caught-up poller): zero rows, CDF schema, no error
+    val empty = feed("startingVersion" -> "5")
+    assert(empty.count() === 0L && empty.columns.contains("_change_type"))
+    // guards: missing start, travel mix, numeric end past current
+    val e1 = intercept[IllegalArgumentException] { feed() }
+    assert(e1.getMessage.contains("startingVersion or startingTimestamp"))
+    val e2 = intercept[IllegalArgumentException] {
+      feed("startingVersion" -> "1", "versionAsOf" -> "2")
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+    val e3 = intercept[Exception] {
+      feed("startingVersion" -> "1", "endingVersion" -> "99").collect()
+    }
+    assert(e3.getMessage.contains("does not exist"))
+  }
+
   test("the guarded parquet format seals prepareWrite (belt-and-braces " +
        "under the extension session)") {
     val e = intercept[UnsupportedOperationException] {
