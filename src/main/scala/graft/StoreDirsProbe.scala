@@ -130,6 +130,32 @@ object StoreDirsProbe {
       val mergeSec = secs(tM0)
       require(vMrg == vDel + 1)
 
+      // Conditional BY SOURCE merge (round 16): the clause family whose
+      // UNCONDITIONAL form is an every-dir rewrite by definition — here
+      // the condition must bound the rewrite through the one-job
+      // existence probe, so cost at width is the probe term plus O(the
+      // matching dirs), never O(all dirs) of rewrites. The source
+      // matches nothing (negative keys; stats prune every candidate),
+      // so the rewrite set is purely probe-driven.
+      val dirsPre = VersionedStore.prunedDirs(spark, root, vMrg, Seq.empty).toSet
+      val bysSource = spark.range(1, 3)
+        .select((-col("id")).as("o_orderkey"))
+      val tB0 = System.nanoTime()
+      val vBys = VersionedStore.mergeIntoClauses(spark, root, bysSource,
+        keys = Seq("o_orderkey"),
+        matched = Seq.empty, insertNotMatched = None,
+        notMatchedBySource = Seq(VersionedStore.MergeMatched.Update(
+          Some(expr(s"t.o_orderkey >= $lo5 AND t.o_orderkey < $hi5")),
+          Map("o_totalprice" -> expr("t.o_totalprice + 1")))),
+        statsCols = Seq("o_orderkey"))
+      val bySourceSec = secs(tB0)
+      require(vBys == vMrg + 1, "the conditional BY SOURCE merge must commit")
+      val dirsPost = VersionedStore.prunedDirs(spark, root, vBys, Seq.empty).toSet
+      val bysRewritten = dirsPre.diff(dirsPost).size
+      require(bysRewritten <= 3,
+        s"conditional BY SOURCE must rewrite only the condition-matching " +
+          s"dirs, rewrote $bysRewritten of ${dirsPre.size}")
+
       // Maintenance lifecycle at width: expire old versions (manifest
       // deletes + liveness bookkeeping over ALL manifests) then vacuum
       // (cross-manifest referenced-dir sweep + orphan deletes).
@@ -149,6 +175,7 @@ object StoreDirsProbe {
         f""""parse_plan_sec":$parseSec%.3f,""" +
         f""""count_meta_sec":$countSec%.3f,"probe_all_sec":$probeAllSec%.2f,""" +
         f""""delete_pruned_sec":$deleteSec%.2f,"merge_sec":$mergeSec%.2f,""" +
+        f""""bysource_sec":$bySourceSec%.2f,"bysource_rewritten":$bysRewritten,""" +
         f""""cdc_sec":$cdcSec%.2f,""" +
         f""""expire_sec":$expireSec%.2f,"vacuum_sec":$vacuumSec%.2f}""")
 
