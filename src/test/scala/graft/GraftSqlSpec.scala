@@ -268,6 +268,18 @@ class GraftSqlSpec extends SparkSpec {
       .collect()
     assert(spark.sql(s"SELECT id FROM $tbl ORDER BY id").as[Long].collect()
       .toSeq == Seq(1L, 3L, 5L), "ids 2 (v=200) and 8 (v=801) deleted")
+    // the whole-row upsert shape (SET * / INSERT *) COMBINED with a BY
+    // SOURCE clause leaves its dedicated single-pass path and lowers to
+    // the clauses rewrite — Delta's full sync-table-to-source statement
+    spark.sql(
+      s"""MERGE INTO $tbl t USING gsql_bys s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    val synced = spark.sql(s"SELECT id, v, grp FROM $tbl ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(synced == Seq((1L, 100L, "gU"), (2L, 200L, "gU"), (8L, 800L, "gI")),
+      s"table must now equal the source exactly: $synced")
   }
 
   test("OPTIMIZE reproduces the table's recorded stats columns — " +
