@@ -376,15 +376,24 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         // (standard SQL INSERT semantics — Delta permits the same)
         val values =
           if (fullRowAssignments(as, targetAttrs)) None
-          else Some(as.map { a =>
-            a.key match {
-              case k: AttributeReference if tIds.contains(k.exprId) =>
-                k.name -> sourceOnly(a.value, s"INSERT value for ${k.name}")
-              case other => throw new IllegalArgumentException(
-                s"graftstore MERGE INSERT names top-level target columns " +
-                  s"only, got: INSERT (... $other ...)")
+          else {
+            val pairs = as.map { a =>
+              a.key match {
+                case k: AttributeReference if tIds.contains(k.exprId) =>
+                  k.name -> sourceOnly(a.value, s"INSERT value for ${k.name}")
+                case other => throw new IllegalArgumentException(
+                  s"graftstore MERGE INSERT names top-level target columns " +
+                    s"only, got: INSERT (... $other ...)")
+              }
             }
-          }.toMap)
+            // a repeated column (INSERT (v, v) VALUES (1, 2)) must fail,
+            // not silently take the last assignment — Delta rejects it
+            val dups = pairs.map(_._1)
+              .groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+            if (dups.nonEmpty) throw new IllegalArgumentException(
+              s"duplicate column in MERGE INSERT list: ${dups.toSeq.sorted.mkString(",")}")
+            Some(pairs.toMap)
+          }
         Some(VersionedStore.MergeInsert(
           cond.map(sourceOnly(_, "WHEN NOT MATCHED AND")), values))
       case many => throw new IllegalArgumentException(

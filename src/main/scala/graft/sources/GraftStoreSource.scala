@@ -392,7 +392,7 @@ object GraftStoreSource {
     * range's column, and a historical column that happened to use the
     * twin name reads as NULL under the current column in its dirs —
     * rows that cannot satisfy the pushed comparison anyway. */
-  private[sources] def expandAcrossMapping(rs: Seq[ColRange],
+  private[graft] def expandAcrossMapping(rs: Seq[ColRange],
                                            colmap: Map[String, String]): Seq[ColRange] =
     if (colmap.isEmpty) rs
     else {

@@ -223,6 +223,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(e3.getMessage.toLowerCase.contains("nope"))
   }
 
+  test("MERGE INSERT with a repeated column is rejected (Delta rejects " +
+       "it; .toMap would silently take the last assignment)") {
+    val (root, tbl) = seeded()
+    Seq((9L, 900L, "gI")).toDF("id", "v", "grp")
+      .createOrReplaceTempView("gsql_dupins")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING gsql_dupins s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (v, v) VALUES (s.v, s.v + 1)
+           |""".stripMargin).collect()
+    }
+    // the analyzer may reject the repeated assignment itself; if the
+    // shape reaches the lowering, the lowering must (not .toMap it away)
+    assert(e.getMessage.toLowerCase.contains("duplicate") ||
+      e.getMessage.toLowerCase.contains("multiple"),
+      s"expected a duplicate-column rejection, got: ${e.getMessage}")
+    assert(VersionedStore.read(spark, root).get.filter("id = 9").count() === 0L,
+      "the rejected statement must not have committed")
+  }
+
   test("MERGE INTO WHEN NOT MATCHED BY SOURCE (sync-to-source) + partial " +
        "INSERT: conditional update/delete of unmatched rows, omitted " +
        "insert columns NULL, CDF populations, ledger carries") {

@@ -1185,6 +1185,133 @@ class VersionedStoreSpec extends SparkSpec {
     assert(v4 === 5L, "nothing applied — no commit")
   }
 
+  test("BY-SOURCE-only merge: duplicate source keys matching a target row " +
+       "must not fan the row out (the rewrite joins DISTINCT key tuples " +
+       "when no matched clause reads the pair)") {
+    import graft.sinks.VersionedStore.MergeMatched
+    import org.apache.spark.sql.functions.expr
+    val root = tmp()
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0),
+      root, statsCols = Seq("user_id"))
+    // user 1 appears THREE times in the source — legal under Delta when
+    // no matched clause exists; the committed table must still hold
+    // exactly one copy of user 1 (and user 2 deleted by the BY SOURCE
+    // clause, which proves the dir actually rewrote)
+    val src = Seq((1L, 5), (1L, 6), (1L, 7)).toDF("user_id", "boost")
+    val v = VersionedStore.mergeIntoClauses(spark, root, src,
+      keys = Seq("user_id"),
+      matched = Seq.empty, insertNotMatched = None,
+      notMatchedBySource = Seq(MergeMatched.Delete(None)),
+      statsCols = Seq("user_id"))
+    assert(v === 2L)
+    val got = VersionedStore.read(spark, root).get
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq.sorted
+    assert(got === Seq((1L, 1.0)),
+      s"duplicate source keys fanned out / BY SOURCE missed: $got")
+  }
+
+  test("BY SOURCE existence probe is stats-bounded: clause conditions " +
+       "derive ColRanges that prune non-overlapping dirs before any probe " +
+       "leg opens — soundly (pruned dirs provably hold no passing row), " +
+       "with keep-all fallbacks for underivable or unsound shapes") {
+    import graft.sinks.VersionedStore.MergeMatched
+    import org.apache.spark.sql.functions.expr
+    val root = tmp()
+    // three dirs with disjoint user_id decades, min/max stats recorded
+    VersionedStore.commitAppend(snap("2024-01-01", 1L -> 1.0, 2L -> 2.0),
+      root, statsCols = Seq("user_id"))
+    VersionedStore.commitAppend(snap("2024-01-02", 11L -> 1.0, 12L -> 2.0),
+      root, statsCols = Seq("user_id"))
+    VersionedStore.commitAppend(snap("2024-01-03", 21L -> 1.0, 22L -> 2.0),
+      root, statsCols = Seq("user_id"))
+    val all = VersionedStore.prunedDirs(spark, root, 3L, Seq.empty)
+    val stats = VersionedStore.statsAt(spark, root, 3L)
+    val recorded = org.apache.spark.sql.types.StructType.fromDDL(
+      VersionedStore.schemaAt(spark, root, 3L).get)
+    val cond = expr("user_id >= 11 AND user_id <= 12") // stripped form
+    val probeSet =
+      VersionedStore.bySourceProbeSet(all, stats, Seq(cond), recorded, Map.empty)
+    assert(probeSet.size === 1,
+      s"stats must bound the probe to the middle dir, got $probeSet of $all")
+    // soundness proof, verifyPrune-style: the pruned-out dirs hold no
+    // condition-passing row under the REAL predicate
+    val escaped = VersionedStore.probeMatching(spark, root,
+      all.filterNot(probeSet.contains), cond,
+      VersionedStore.schemaAt(spark, root, 3L), Map.empty)
+    assert(escaped.isEmpty, s"pruned dirs held matching rows: $escaped")
+    // two clauses union their survivors (a dir pruned under EVERY
+    // clause's ranges is out; one clause keeping it keeps it)
+    val probeTwo = VersionedStore.bySourceProbeSet(all, stats,
+      Seq(cond, expr("user_id = 21")), recorded, Map.empty)
+    assert(probeTwo.size === 2, s"union across clauses: $probeTwo")
+    // an underivable condition keeps everything — fallback, not a filter
+    assert(VersionedStore.bySourceProbeSet(all, stats,
+      Seq(expr("user_id % 2 = 0")), recorded, Map.empty) === all)
+    // end-to-end: the merge answers right through the pruned probe and
+    // carries the non-overlapping dirs by reference
+    val dirs0 = VersionedStore.prunedDirs(spark, root, 3L, Seq.empty).toSet
+    // no-match source key: `touched` stays empty, so the rewrite set is
+    // purely the stats-bounded probe's answer
+    val vM = VersionedStore.mergeIntoClauses(spark, root,
+      Seq((-1L, 0)).toDF("user_id", "boost"), Seq("user_id"),
+      matched = Seq.empty, insertNotMatched = None,
+      notMatchedBySource = Seq(MergeMatched.Delete(
+        Some(expr("t.user_id >= 11 AND t.user_id <= 12")))),
+      statsCols = Seq("user_id"))
+    assert(vM === 4L)
+    val got = VersionedStore.read(spark, root).get
+      .select("user_id").as[Long].collect().toSeq.sorted
+    assert(got === Seq(1L, 2L, 21L, 22L), s"got $got")
+    val dirs1 = VersionedStore.prunedDirs(spark, root, 4L, Seq.empty).toSet
+    assert(dirs0.intersect(dirs1).size === 2,
+      s"both non-overlapping dirs must carry by reference: $dirs0 -> $dirs1")
+  }
+
+  test("BY SOURCE probe derivation refuses the string-column-vs-numeric-" +
+       "literal pair (lexical stats order diverges from Spark's numeric " +
+       "coercion — deriving would prune a dir that MATCHES)") {
+    import org.apache.spark.sql.functions.expr
+    val root = tmp()
+    // s = "10": numerically 10 > 9 matches; lexically "9" <= max("10")
+    // is FALSE, so a naive derivation would prune the dir wrongly
+    VersionedStore.commitAppend(Seq(("10", 1L)).toDF("s", "id"),
+      root, statsCols = Seq("s"))
+    val all = VersionedStore.prunedDirs(spark, root, 1L, Seq.empty)
+    val stats = VersionedStore.statsAt(spark, root, 1L)
+    val recorded = org.apache.spark.sql.types.StructType.fromDDL(
+      VersionedStore.schemaAt(spark, root, 1L).get)
+    val kept = VersionedStore.bySourceProbeSet(all, stats,
+      Seq(expr("s > 9")), recorded, Map.empty)
+    assert(kept === all,
+      "string-col-vs-numeric-literal must not derive a range")
+    // the probe under the real predicate DOES find the row
+    val hit = VersionedStore.probeMatching(spark, root, all, expr("s > 9"),
+      VersionedStore.schemaAt(spark, root, 1L), Map.empty)
+    assert(hit === all.toSet, "the row numerically matches")
+  }
+
+  test("BY SOURCE condition on a NESTED field strips the t. alias " +
+       "(t.addr.city parses as [t, addr, city] — the probe scan has no " +
+       "alias to resolve it against)") {
+    import graft.sinks.VersionedStore.MergeMatched
+    import org.apache.spark.sql.functions.{expr, struct, lit, col}
+    val root = tmp()
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "c")
+      .withColumn("addr", struct(col("c").as("city"))).drop("c")
+    VersionedStore.commit(df, root)
+    // empty source: both rows unmatched; the nested condition must both
+    // PROBE (unaliased scan) and APPLY (aliased rewrite join) cleanly
+    val v = VersionedStore.mergeIntoClauses(spark, root,
+      Seq.empty[(Long, Int)].toDF("id", "boost"), Seq("id"),
+      matched = Seq.empty, insertNotMatched = None,
+      notMatchedBySource =
+        Seq(MergeMatched.Delete(Some(expr("t.addr.city = 'x'")))))
+    assert(v === 2L)
+    val got = VersionedStore.read(spark, root).get
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(2L), s"nested-field BY SOURCE condition: $got")
+  }
+
   test("the ≤1024-key literal probe path survives its own ceiling " +
        "(balanced OR — a left-deep disjunction overflowed the default " +
        "stack inside a pool Future and hung the writer forever)") {
