@@ -10,11 +10,18 @@ object Bench {
     *  - bloom_shuffle_join (r15): the suite's slowest join — isolated
     *    number adjudicates suite-noise vs real cost of the A/B pair.
     *  - versioned_sql_dml (r16): driver r15 read 0.64 s vs 0.31 s
-    *    canonical — suspected first-rep store-build attribution.
+    *    canonical — suspected first-rep store-build attribution. Read
+    *    CLEAN r16 (in-suite ≈ canonical, driver agreed) — first of two.
     *  - token_count_bpe_stress (r16): driver r15 read 0.74 s vs 0.11 s
-    *    r14 driver — suspected memo-warmth variance. */
+    *    r14 driver — suspected memo-warmth variance. Read CLEAN r16 —
+    *    first of two.
+    *  - corpus_clean (r17, verdict ask): three rounds of one-direction
+    *    canonical drift (3.49 → 4.93 s) on the #2-expensive row with no
+    *    plan change; the isolated number adjudicates session-debris vs
+    *    real cost. */
   private val WatchList = Seq(
-    "bloom_shuffle_join", "versioned_sql_dml", "token_count_bpe_stress")
+    "bloom_shuffle_join", "versioned_sql_dml", "token_count_bpe_stress",
+    "corpus_clean")
 
   /** Second-process contamination probe: re-run ONE query in a fresh JVM
     * (same classpath + JVM args as this one, reps=2, no vacuum, no

@@ -904,6 +904,30 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // DELETION VECTORS — merge-on-read row-level DELETE
+    // (VersionedStore.deleteWhereDv, the Delta DV / Iceberg
+    // positional-delete architecture at dir granularity): a SCATTERED
+    // delete (event_id % 97 — rows in every dir) plus a targeted one
+    // (day-14 clicks) write tiny per-dir position sidecars and rewrite
+    // ZERO data dirs — the build gates all ten dirs carrying by
+    // reference through BOTH deletes, where copy-on-write would have
+    // rewritten all ten. The read anti-applies the vectors (and still
+    // prunes dirs through manifest stats); values oracle-checked against
+    // flat events minus both deleted slices.
+    "versioned_dv_read" -> ((s, dir) => {
+      import graft.sinks.VersionedStore
+      val p = ensureDvEventsStore(s, dir)
+      val v = VersionedStore.currentVersion(s, p)
+      VersionedStore.readAt(s, p, v,
+          Seq(VersionedStore.ColRange("day", Some("2024-01-13"), Some("2024-01-15"))))
+        .filter(col("day").between(
+          lit("2024-01-13").cast("date"), lit("2024-01-15").cast("date")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_q"))
+        .orderBy("event_type")
+    }),
     // ROW-LEVEL UPDATE in the versioned store — the UPDATE SET ... WHERE
     // seam (VersionedStore.updateWhere), completing the DML triad: day-14
     // clicks get value tripled in ONE copy-on-write dir rewrite (build
@@ -1560,6 +1584,48 @@ object SparkEntry {
       require(after.intersect(before).size == before.size - 1,
         s"targeted delete must rewrite exactly one dir, carried " +
           s"${after.intersect(before).size}/${before.size}")
+    }
+    p
+  }
+
+  /** Build (once per corpus) the DELETION-VECTOR VersionedStore of
+    * events: the same 10 day-ranged appends, then two merge-on-read
+    * deletes — a SCATTERED one (`event_id % 97 = 0`: matching rows in
+    * every dir, the shape where copy-on-write rewrites the whole table)
+    * and a targeted day-prune one (day-14 clicks). The requires gate the
+    * DV contract: all ten dirs carry by reference through BOTH commits
+    * (zero rewrites), every touched dir carries a sidecar reference, and
+    * the whole-table count stays manifest-exact (rows − dvrows). */
+  private def ensureDvEventsStore(s: SparkSession, dir: String): String = {
+    import graft.sinks.{ArtifactStore, VersionedStore}
+    val p = artifactPath("vstore_events_dv", dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ArtifactStore.ensure(ev, p, builderId = "dv2") { (src, tmp) =>
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 10).foreach { i =>
+        VersionedStore.commitAppend(
+          src.filter(col("day").between(
+            lit(d0.plusDays(i * 3L).toString).cast("date"),
+            lit(d0.plusDays(i * 3L + 2).toString).cast("date")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "day"),
+          tmp, statsCols = Seq("day"))
+      }
+      val total = VersionedStore.countWhere(s, tmp)
+      val before = VersionedStore.prunedDirs(s, tmp, 10L, Seq.empty)
+      val v1 = VersionedStore.deleteWhereDv(s, tmp, col("event_id") % 97 === 0)
+      val v2 = VersionedStore.deleteWhereDv(s, tmp,
+        col("event_type") === "click" && col("day") === lit("2024-01-14").cast("date"),
+        prune = Seq(VersionedStore.ColRange.eq("day", "2024-01-14")))
+      val after = VersionedStore.prunedDirs(s, tmp, v2, Seq.empty)
+      require(after == before,
+        s"merge-on-read must rewrite ZERO dirs: ${before.size} -> ${after.size}")
+      val stats = VersionedStore.statsAt(s, tmp, v2)
+      val dvd = after.count(d => stats.contains(s"$d|#|dv"))
+      require(dvd == after.size,
+        s"the scattered delete must DV every dir, got $dvd/${after.size}")
+      val marked = after.map(d => stats(s"$d|#|dvrows").toLong).sum
+      require(VersionedStore.countWhere(s, tmp) == total - marked,
+        "whole-table count must stay manifest-exact (rows - dvrows)")
     }
     p
   }
@@ -3640,6 +3706,15 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_users
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |  AND NOT (event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "versioned_dv_read" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_q
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+        |  AND NOT (event_id % 97 = 0)
         |  AND NOT (event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-14')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "versioned_update_read" ->

@@ -156,6 +156,32 @@ object StoreDirsProbe {
         s"conditional BY SOURCE must rewrite only the condition-matching " +
           s"dirs, rewrote $bysRewritten of ${dirsPre.size}")
 
+      // DELETION-VECTOR scatter leg (round 17): the delete shape where
+      // copy-on-write is O(touched dirs × dir size) — matching rows
+      // sprinkled across the table — done merge-on-read: per-dir
+      // position sidecars, ZERO data dirs rewritten. The copy-on-write
+      // TWIN runs right after on the same store (an equal-density
+      // scattered prime), so the decade carries both curves over the
+      // same touched-dir population: dv pays probe + tiny sidecar
+      // writes, CoW pays probe + every touched dir's full rewrite.
+      val dirsPreDv = VersionedStore.prunedDirs(spark, root, vBys, Seq.empty).toSet
+      val tDv0 = System.nanoTime()
+      val vDv = VersionedStore.deleteWhereDv(spark, root,
+        col("o_orderkey") % 97 === 0)
+      val dvScatterSec = secs(tDv0)
+      val dirsPostDv = VersionedStore.prunedDirs(spark, root, vDv, Seq.empty).toSet
+      require(dirsPostDv == dirsPreDv,
+        s"merge-on-read must rewrite no dirs: ${dirsPreDv.size} -> ${dirsPostDv.size}")
+      val dvSidecars = VersionedStore.statsAt(spark, root, vDv)
+        .keys.count(_.endsWith("|#|dv"))
+      require(dvSidecars > 0, "the scattered delete must mark something")
+      val tCw0 = System.nanoTime()
+      val vCw = VersionedStore.deleteWhere(spark, root,
+        col("o_orderkey") % 89 === 0)
+      val cowScatterSec = secs(tCw0)
+      val cowRewritten = dirsPostDv
+        .diff(VersionedStore.prunedDirs(spark, root, vCw, Seq.empty).toSet).size
+
       // Maintenance lifecycle at width: expire old versions (manifest
       // deletes + liveness bookkeeping over ALL manifests) then vacuum
       // (cross-manifest referenced-dir sweep + orphan deletes).
@@ -176,6 +202,8 @@ object StoreDirsProbe {
         f""""count_meta_sec":$countSec%.3f,"probe_all_sec":$probeAllSec%.2f,""" +
         f""""delete_pruned_sec":$deleteSec%.2f,"merge_sec":$mergeSec%.2f,""" +
         f""""bysource_sec":$bySourceSec%.2f,"bysource_rewritten":$bysRewritten,""" +
+        f""""dv_scatter_sec":$dvScatterSec%.2f,"dv_sidecars":$dvSidecars,""" +
+        f""""cow_scatter_sec":$cowScatterSec%.2f,"cow_rewritten":$cowRewritten,""" +
         f""""cdc_sec":$cdcSec%.2f,""" +
         f""""expire_sec":$expireSec%.2f,"vacuum_sec":$vacuumSec%.2f}""")
 

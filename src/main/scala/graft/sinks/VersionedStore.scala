@@ -421,7 +421,74 @@ object VersionedStore {
       val f = fs(spark, root)
       Some(readDirs(spark, root, prunedDirs(spark, root, v, skip),
         allDirs = dataDirsOf(f, root, v), schemaDdl = schemaOf(f, root, v),
-        colmap = colmapOf(f, root, v)))
+        colmap = colmapOf(f, root, v), stats = statsOf(f, root, v)))
+    }
+  }
+
+  // ─────────────────────── deletion vectors ───────────────────────
+  // Merge-on-read row-level DML (the Delta deletion-vector / Iceberg
+  // positional-delete ARCHITECTURE — both public — at this store's dir
+  // granularity): a dir's deleted rows are recorded as (file name, row
+  // position) pairs in a tiny parquet SIDECAR inside the dir itself
+  // (`_dv-<uuid>` — the leading underscore hides it from every plain
+  // parquet listing, so time travel to pre-DV versions reads the dir
+  // unchanged and the sidecar's lifecycle rides the dir's), referenced
+  // from the manifest's per-dir stats as
+  //   `<dir>|#|dv`     -> sidecar name
+  //   `<dir>|#|dvrows` -> distinct deleted positions
+  // Stats ride the log segments, so the reference carries, overrides
+  // and drops through delta commits, checkpoints, RESTORE and expire
+  // with ZERO manifest-format changes; any copy-on-write rewrite of the
+  // dir (UPDATE/DELETE/MERGE/OPTIMIZE) reads the DV-applied rows and
+  // drops the reference with the dir — compaction materializes the
+  // deletes for free. Positions come from the parquet scan's
+  // `_metadata.row_index` (stable: committed files are immutable),
+  // files from the DIR-RELATIVE path (`day=.../part-...` under a
+  // hive-partitioned dir) — NOT the bare file name: one write task
+  // reuses its part-file name across every day= subdir it writes, so
+  // names collide within a dir, and not the absolute path: the
+  // artifact-store swap RENAMES a built root into place, which would
+  // orphan absolute references. Exactly Delta's DV addressing scheme
+  // (file, position), with the file keyed the way this store's dirs
+  // move.
+
+  private def dvFor(stats: Map[String, String], d: String): Option[String] =
+    stats.get(s"$d|#|dv")
+
+  /** The dir-relative file of each scanned row: everything after the
+    * LAST `/<dir>/` in `_metadata.file_path` — unambiguous because dir
+    * names carry a UUID. */
+  private def dvFileCol(d: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.substring_index(
+      org.apache.spark.sql.functions.col("_metadata.file_path"), s"/$d/", -1)
+
+  /** Read a DV sidecar by part-file GLOB, not by its directory: the
+    * `_`-prefixed dir name trips DataSource's hidden-path warning on
+    * every open (cosmetic — explicitly named paths still read — but a
+    * 10³-DV'd-dir scan would log it 10³ times). */
+  private def dvSidecar(spark: SparkSession, root: String, d: String,
+                        name: String): DataFrame =
+    spark.read.parquet(s"$root/$d/$name/part-*.parquet")
+
+  /** One data dir as a PHYSICAL-schema frame, its deletion vector (if
+    * any) anti-applied: rows whose (file, position) pair appears in the
+    * sidecar leave the frame before anything downstream sees them. The
+    * DV is BROADCAST (small by the merge-on-read contract — a DV
+    * approaching its dir's size is [[optimize]]'s cue), so the
+    * anti-join adds no shuffle and the scan itself stays a plain
+    * pushdown-friendly parquet read. */
+  private def openDirPhys(spark: SparkSession, root: String, d: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dv: Option[String]): DataFrame = {
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val base = reader.parquet(s"$root/$d")
+    dv.fold(base) { name =>
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val dvdf = dvSidecar(spark, root, d, name)
+      base.withColumn("__dv_f", dvFileCol(d))
+        .withColumn("__dv_p", col("_metadata.row_index"))
+        .join(broadcast(dvdf), Seq("__dv_f", "__dv_p"), "left_anti")
+        .drop("__dv_f", "__dv_p")
     }
   }
 
@@ -446,7 +513,8 @@ object VersionedStore {
   private def readDirs(spark: SparkSession, root: String, dirs: Seq[String],
                        allDirs: Seq[String] = Seq.empty,
                        schemaDdl: Option[String] = None,
-                       colmap: Map[String, String] = Map.empty): DataFrame = {
+                       colmap: Map[String, String] = Map.empty,
+                       stats: Map[String, String] = Map.empty): DataFrame = {
     val use = if (dirs.nonEmpty) dirs else allDirs
     // dirs store PHYSICAL column names (stable across renames); request
     // the physical schema per leg and alias the union back to logical.
@@ -456,8 +524,7 @@ object VersionedStore {
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ioPool
     val legs = Await.result(Future.traverse(use.toList) { d => ioFuture {
-      val reader = schema.fold(spark.read)(spark.read.schema)
-      reader.parquet(s"$root/$d")
+      openDirPhys(spark, root, d, schema, dvFor(stats, d))
     }}, Duration.Inf)
     val df = legs.grouped(64).toSeq
       .map(_.reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -510,12 +577,31 @@ object VersionedStore {
       throw new IllegalStateException(
         s"versions $sinceVersion..$to of $root span a snapshot rewrite " +
           "(compaction); dir-level changes are undefined — read the full table")
+    // DV guard: a deletion-vector change anywhere in the range means
+    // rows were REMOVED (or restored) without any dir changing hands —
+    // not an append-only range, and a dir-level consumer would silently
+    // miss the deletes. Same loud contract as the snapshot-rewrite
+    // check above; readRowChanges reports the delta exactly.
+    val toStats = statsOf(f, root, to)
+    val sinceStats =
+      if (sinceVersion == 0) Map.empty[String, String]
+      else statsOf(f, root, sinceVersion)
+    val dvDirty = after.exists { d =>
+      dvFor(toStats, d) !=
+        (if (beforeSet(d)) dvFor(sinceStats, d) else None)
+    }
+    if (dvDirty)
+      throw new IllegalStateException(
+        s"versions $sinceVersion..$to of $root include row-level deletes " +
+          "(deletion vectors); dir-level changes are undefined — read the " +
+          "full table and re-checkpoint, or consume readRowChanges")
     val added = after.filterNot(beforeSet)
     if (added.isEmpty) None
     else {
-      val kept = pruneWithStats(added, statsOf(f, root, to), skip)
+      val kept = pruneWithStats(added, toStats, skip)
       Some(readDirs(spark, root, kept, allDirs = added,
-        schemaDdl = schemaOf(f, root, to), colmap = colmapOf(f, root, to)))
+        schemaDdl = schemaOf(f, root, to), colmap = colmapOf(f, root, to),
+        stats = toStats))
     }
   }
 
@@ -535,7 +621,8 @@ object VersionedStore {
     readDirs(spark, root, prunedDirs(spark, root, version, skip),
       allDirs = dataDirsOf(f, root, version),
       schemaDdl = schemaOf(f, root, version),
-      colmap = colmapOf(f, root, version))
+      colmap = colmapOf(f, root, version),
+      stats = statsOf(f, root, version))
   }
 
   /** The data dirs of `version` that SURVIVE manifest-stats pruning under
@@ -562,7 +649,8 @@ object VersionedStore {
     * per-query skipping from the parsed-state caches). */
   private[graft] def relationSnapshot(spark: SparkSession, root: String,
                                       versionAsOf: Option[Long])
-      : (Long, Seq[String], Option[String], Map[String, String]) = {
+      : (Long, Seq[String], Option[String], Map[String, String],
+         Map[String, String]) = {
     val f = fs(spark, root)
     val v = versionAsOf.getOrElse(currentVersion(spark, root))
     require(v > 0,
@@ -571,7 +659,12 @@ object VersionedStore {
     if (versionAsOf.isDefined && !f.exists(manifestPath(root, v)))
       throw new IllegalArgumentException(
         s"version $v of $root does not exist (never committed, or expired)")
-    (v, dataDirsOf(f, root, v), schemaOf(f, root, v), colmapOf(f, root, v))
+    // the per-dir deletion-vector references of this version — nonempty
+    // routes the relation through the store's own row path (the raw
+    // file scan would resurrect deleted rows)
+    val dv = statsOf(f, root, v).collect {
+      case (k, n) if k.endsWith("|#|dv") => k.stripSuffix("|#|dv") -> n }
+    (v, dataDirsOf(f, root, v), schemaOf(f, root, v), colmapOf(f, root, v), dv)
   }
 
   /** Keep the dirs whose recorded [min, max] can overlap EVERY requested
@@ -986,15 +1079,21 @@ object VersionedStore {
           }
         val schemaV = schemaOf(f, root, v)
         val mapV = colmapOf(f, root, v)
-        def side(dirs: Seq[String]): Option[DataFrame] =
+        // Deletion-vector awareness: the removed side reads under the
+        // PREVIOUS version's DV state, the added side under THIS one's —
+        // rows already dead before the step must not re-enter the feed.
+        val statsNow = statsOf(f, root, v)
+        lazy val statsPrev: Map[String, String] =
+          if (v == 1) Map.empty else statsOf(f, root, v - 1)
+        def side(dirs: Seq[String], st: Map[String, String]): Option[DataFrame] =
           if (dirs.isEmpty) None
           else Some(align(readDirs(spark, root, dirs, allDirs = dirs,
-            schemaDdl = schemaV, colmap = mapV), mapV))
+            schemaDdl = schemaV, colmap = mapV, stats = st), mapV))
         val (insTag, delTag) =
           if (pm.meta.contains("update") && !isRestore)
             ("update_postimage", "update_preimage")
           else ("insert", "delete")
-        val (oldDf, newDf) = (side(removed), side(added))
+        val (oldDf, newDf) = (side(removed, statsPrev), side(added, statsNow))
         val ins = (oldDf, newDf) match {
           case (None, Some(n))    => Some(n) // pure append: no shuffle
           case (Some(o), Some(n)) => Some(n.exceptAll(o))
@@ -1005,9 +1104,62 @@ object VersionedStore {
           case (Some(o), Some(n)) => Some(o.exceptAll(n))
           case _                  => None
         }
+        // DV DELTAS: rows that changed liveness WITHOUT a dir changing
+        // hands — for each dir live on both sides whose DV reference
+        // differs, (new ∖ old) positions are exact `delete` rows and
+        // (old ∖ new) positions exact `insert` rows (a RESTORE across a
+        // DV un-deletes). Positions address the dir's immutable files,
+        // so a semi-join on (file, row_index) recovers the rows.
+        val dvSteps: Seq[DataFrame] = {
+          val anyDv = statsNow.keys.exists(_.endsWith("|#|dv")) ||
+            (v > 1 && statsPrev.keys.exists(_.endsWith("|#|dv")))
+          if (!anyDv) Seq.empty
+          else {
+            import org.apache.spark.sql.functions.broadcast
+            val nowD =
+              if (pm.base.isEmpty) fullDirs(pm) else dataDirsOf(f, root, v)
+            val prevD =
+              if (v == 1) Seq.empty[String] else dataDirsOf(f, root, v - 1)
+            val prevSet = prevD.toSet
+            val changed = nowD.filter(d => prevSet(d) &&
+              dvFor(statsNow, d) != dvFor(statsPrev, d))
+            val schemaP = schemaV.map(x => StructType.fromDDL(
+              physicalDdl(x, mapV)))
+            changed.flatMap { d =>
+              def dvDf(n: Option[String]): Option[DataFrame] =
+                n.map(x => dvSidecar(spark, root, d, x))
+              val nw = dvDf(dvFor(statsNow, d))
+              val od = dvDf(dvFor(statsPrev, d))
+              def rowsAt(pos: DataFrame): DataFrame = {
+                val raw = schemaP.fold(spark.read)(spark.read.schema)
+                  .parquet(s"$root/$d")
+                  .withColumn("__dv_f", dvFileCol(d))
+                  .withColumn("__dv_p", c("_metadata.row_index"))
+                align(toLogical(
+                  raw.join(broadcast(pos), Seq("__dv_f", "__dv_p"),
+                      "left_semi")
+                    .drop("__dv_f", "__dv_p"), mapV), mapV)
+              }
+              val dels = (nw, od) match {
+                case (Some(n), Some(o)) => Some(rowsAt(n.exceptAll(o)))
+                case (Some(n), None)    => Some(rowsAt(n))
+                case _                  => None
+              }
+              val undels = (nw, od) match {
+                case (Some(n), Some(o)) if isRestore =>
+                  Some(rowsAt(o.exceptAll(n)))
+                case (None, Some(o)) => Some(rowsAt(o)) // DV dropped whole
+                case _               => None
+              }
+              (dels.map(_.withColumn("_change_type", lit("delete"))) ++
+                undels.map(_.withColumn("_change_type", lit("insert"))))
+                .map(_.withColumn("_commit_version", lit(v)))
+            }
+          }
+        }
         (ins.map(_.withColumn("_change_type", lit(insTag))) ++
           del.map(_.withColumn("_change_type", lit(delTag))))
-          .map(_.withColumn("_commit_version", lit(v)))
+          .map(_.withColumn("_commit_version", lit(v))) ++ dvSteps
       }
     }
     if (steps.isEmpty) None
@@ -1624,7 +1776,7 @@ object VersionedStore {
     // (stats said "might match"; the data says no).
     val matched = probeMatching(spark, root,
       if (verifyPrune) all else candidates, predicate, schemaOf(f, root, base),
-      colmap)
+      colmap, baseStats)
     if (verifyPrune) requireSoundPrune("deleteWhere", root, matched, candidates)
     val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
@@ -1644,7 +1796,8 @@ object VersionedStore {
       implicit val ec: ExecutionContext = ioPool
       Await.result(
         Future.traverse(touched.toList) { d => ioFuture {
-          val kept = toLogical(spark.read.parquet(s"$root/$d"), colmap)
+          val kept = toLogical(
+              openDirPhys(spark, root, d, None, dvFor(baseStats, d)), colmap)
             .filter(keep)
           if (kept.isEmpty) None else {
             val nd = prepare(toPhysical(kept, colmap), root)
@@ -1684,6 +1837,129 @@ object VersionedStore {
     base + 1
   }
 
+  /** Row-level DELETE, MERGE-ON-READ — the Delta deletion-vector move
+    * (see the deletion-vectors block above): instead of rewriting every
+    * touched dir (copy-on-write — pathological for a one-row GDPR
+    * delete inside a big dir, or a scattered delete touching many dirs:
+    * O(touched dirs × dir size) rewritten for O(rows) deleted), record
+    * the deleted (file, position) pairs in a per-dir sidecar and let
+    * every read path anti-apply it. Cost: O(matching rows) written,
+    * ZERO data dirs rewritten. The trade is read-side: each DV'd dir
+    * pays one broadcast anti-join per scan until any copy-on-write
+    * rewrite of the dir — [[optimize]], [[updateWhere]],
+    * [[deleteWhere]], MERGE — materializes the deletes and drops the
+    * vector with the dir.
+    *
+    * Semantics are [[deleteWhere]]'s exactly: TRUE removes, FALSE/NULL
+    * keep; a no-match delete (including one matching only
+    * already-deleted rows — the probe sees live rows only) is a
+    * version-less no-op; a dir whose every LIVE row matches leaves the
+    * snapshot outright (never an all-deleted sidecar); old versions
+    * time-travel to the pre-delete rows until [[expire]]; the ledger
+    * carries; CAS at base+1 with sidecar cleanup on conflict. Repeated
+    * DVs UNION into a fresh superseding sidecar (the old file stays for
+    * time travel; [[vacuum]] sweeps it once unreferenced). `prune` /
+    * `verifyPrune`: same contract and correctness stakes as
+    * [[deleteWhere]].
+    *
+    * Interplay: [[readChanges]] (dir-level feed) THROWS across a DV
+    * commit like any snapshot rewrite — rows left without a dir
+    * changing hands; [[readRowChanges]] reports the delta exactly (the
+    * newly-marked positions surface as `delete` rows); [[countWhere]]
+    * stays exact — DV'd dirs lose metadata-only eligibility under
+    * ranges and subtract `dvrows` from the whole-table count. */
+  def deleteWhereDv(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column,
+                    prune: Seq[ColRange] = Seq.empty,
+                    meta: Map[String, String] = Map.empty,
+                    verifyPrune: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val base = currentVersion(spark, root)
+    require(base > 0, s"nothing to delete from: $root has no committed version")
+    val f = fs(spark, root)
+    val all = dataDirsOf(f, root, base)
+    val baseStats = statsOf(f, root, base)
+    val baseMeta = metaOf(f, root, base)
+    val colmap = colmapOf(f, root, base)
+    val schemaDdl = schemaOf(f, root, base)
+    val physSchema = schemaDdl.map(d =>
+      org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
+    val candidates =
+      if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
+    val matched = probeMatching(spark, root,
+      if (verifyPrune) all else candidates, predicate, schemaDdl, colmap,
+      baseStats)
+    if (verifyPrune) requireSoundPrune("deleteWhereDv", root, matched, candidates)
+    val touched = candidates.filter(matched.contains)
+    if (touched.isEmpty) return base
+    val hit = coalesce(predicate, lit(false))
+    // Per touched dir (concurrently, disjoint inputs): the positions of
+    // newly-matching LIVE rows (existing DV anti-applied first — a
+    // re-marked position would inflate dvrows and countWhere with it)
+    // union the old DV into a fresh superseding sidecar. Left(dir) = the
+    // dir's every live row matched — remove it from the snapshot;
+    // Right((dir, sidecar, positions)) = the new reference.
+    val results: List[Either[String, (String, String, Long)]] = {
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ioPool
+      Await.result(Future.traverse(touched.toList) { d => ioFuture {
+        val oldDvName = dvFor(baseStats, d)
+        val reader = physSchema.fold(spark.read)(spark.read.schema)
+        val raw = reader.parquet(s"$root/$d")
+          .withColumn("__dv_f", dvFileCol(d))
+          .withColumn("__dv_p", col("_metadata.row_index"))
+        val oldDv = oldDvName.map(n => dvSidecar(spark, root, d, n))
+        val live = oldDv.fold(raw)(o =>
+          raw.join(broadcast(o), Seq("__dv_f", "__dv_p"), "left_anti"))
+        val marks = toLogical(live, colmap).filter(hit)
+          .select(col("__dv_f"), col("__dv_p"))
+        val combined = oldDv.fold(marks)(o => marks.unionByName(o)).distinct()
+        // ONE distributed job writes the union; the decision counts come
+        // from parquet FOOTERS (row-count metadata, no second scan) — no
+        // driver-side materialization of the vector at any size
+        val name = s"_dv-${java.util.UUID.randomUUID()}"
+        combined.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$root/$d/$name")
+        val total = dvSidecar(spark, root, d, name).count()
+        val oldCount = oldDvName.map(_ =>
+          baseStats(s"$d|#|dvrows").toLong).getOrElse(0L)
+        if (total == oldCount) { // matched rows were all already dead
+          f.delete(new Path(s"$root/$d/$name"), true); None
+        } else {
+          val dirRows = baseStats.get(s"$d|#|rows").map(_.toLong)
+            .getOrElse(reader.parquet(s"$root/$d").count())
+          if (total >= dirRows) { // nothing left alive: drop the dir
+            f.delete(new Path(s"$root/$d/$name"), true); Some(Left(d))
+          } else Some(Right((d, name, total)))
+        }
+      }}, Duration.Inf).flatten
+    }
+    val removed = results.collect { case Left(d) => d }
+    val dvd = results.collect { case Right(t) => t }
+    if (removed.isEmpty && dvd.isEmpty) return base
+    val survivors = all.filterNot(removed.contains)
+    if (survivors.isEmpty)
+      throw new IllegalStateException(
+        s"deleteWhereDv would empty $root entirely; an empty snapshot has " +
+          "no readable schema — commit an explicit empty snapshot instead")
+    val dvStats = dvd.flatMap { case (d, n, c) =>
+      Seq(s"$d|#|dv" -> n, s"$d|#|dvrows" -> c.toString) }.toMap
+    try {
+      publishDelta(spark, root, base + 1,
+        addDirs = Seq.empty, removedDirs = removed,
+        meta = carriedEntries(baseMeta) ++ meta + ("delete" -> "dv"),
+        schemaDdl = schemaDdl, statsForAdded = dvStats,
+        anchor = survivors.last, anchorIsCarried = true)
+    } catch { case e: CommitConflict =>
+      // the losing sidecars are ours to clean (committed dirs are not)
+      dvd.foreach { case (d, n, _) =>
+        f.delete(new Path(s"$root/$d/$n"), true) }
+      throw e
+    }
+    base + 1
+  }
+
   /** Metadata-first COUNT under a conjunction of [[ColRange]]s — the
     * Iceberg "metadata-only query" seam: the count of rows where every
     * range's `lo <= col <= hi` holds (an EMPTY `ranges` counts the whole
@@ -1710,7 +1986,11 @@ object VersionedStore {
     val f = fs(spark, root)
     val stats = statsOf(f, root, v)
     val (meta, residual) = countPlan(spark, root, ranges, v)
-    val metaCount = meta.map(d => stats(s"$d|#|rows").toLong).sum
+    // DV'd dirs reach the metadata leg only under EMPTY ranges (see
+    // countPlan), where rows − dvrows is exact (dvrows counts DISTINCT
+    // deleted positions by deleteWhereDv's construction).
+    val metaCount = meta.map(d => stats(s"$d|#|rows").toLong -
+      stats.getOrElse(s"$d|#|dvrows", "0").toLong).sum
     val residualCount =
       if (residual.isEmpty) 0L
       else {
@@ -1724,7 +2004,8 @@ object VersionedStore {
         readDirs(spark, root, residual,
           allDirs = dataDirsOf(f, root, v),
           schemaDdl = schemaOf(f, root, v),
-          colmap = colmapOf(f, root, v)).filter(pred).count()
+          colmap = colmapOf(f, root, v),
+          stats = stats).filter(pred).count()
       }
     metaCount + residualCount
   }
@@ -1751,7 +2032,12 @@ object VersionedStore {
         case _ => false
       }
     }
-    surviving.partition(d => stats.contains(s"$d|#|rows") && contained(d))
+    // A DV'd dir is metadata-eligible only for the WHOLE-TABLE count
+    // (rows − dvrows is exact there); under ranges a deleted row may
+    // satisfy them, so min/max containment no longer implies the
+    // manifest row count — the dir reads as residual.
+    surviving.partition(d => stats.contains(s"$d|#|rows") && contained(d) &&
+      (ranges.isEmpty || dvFor(stats, d).isEmpty))
   }
 
   /** Row-level UPDATE — `UPDATE SET col = expr, ... WHERE predicate`,
@@ -1798,7 +2084,8 @@ object VersionedStore {
     val candidates =
       if (prune.isEmpty) all else pruneWithStats(all, baseStats, prune)
     val matched = probeMatching(spark, root,
-      if (verifyPrune) all else candidates, predicate, recorded, colmap)
+      if (verifyPrune) all else candidates, predicate, recorded, colmap,
+      baseStats)
     if (verifyPrune) requireSoundPrune("updateWhere", root, matched, candidates)
     val touched = candidates.filter(matched.contains)
     if (touched.isEmpty) return base
@@ -1810,7 +2097,8 @@ object VersionedStore {
       implicit val ec: ExecutionContext = ioPool
       Await.result(
         Future.traverse(touched.toList) { d => ioFuture {
-          val df = toLogical(spark.read.parquet(s"$root/$d"), colmap)
+          val df = toLogical(
+            openDirPhys(spark, root, d, None, dvFor(baseStats, d)), colmap)
           val updated = df.select(df.columns.map { n =>
             set.get(n) match {
               case Some(expr) => when(hit, expr).otherwise(c(n)).as(n)
@@ -1956,12 +2244,12 @@ object VersionedStore {
     val colmap = colmapOf(f, root, base)
 
     val (srcKeys, touched, keyPred) = probeTouchedByKeys(spark, root,
-      candidates, source, keys, ndistinct, recordedDdl, colmap)
+      candidates, source, keys, ndistinct, recordedDdl, colmap, baseStats)
     // whole-row upsert = an unconditional matched UPDATE, so a duplicate
     // key is ambiguous exactly when it meets a target row
     if (hasDupKeys)
       requireNoAmbiguousDupKeys(spark, root, source, keys, touched,
-        recordedDdl, colmap)
+        recordedDdl, colmap, baseStats)
 
     // Pass 2: rewrite touched dirs minus their matched rows; append the
     // source as its own dir (schema-policed like any append). A source
@@ -1999,10 +2287,13 @@ object VersionedStore {
           // inference job; a pre-evolution dir's missing columns read
           // as NULL, a pre-widening dir reads widened — the rewrite
           // normalizes the dir to the current schema.
-          val dirDf = toLogical(spark.read
-            .schema(org.apache.spark.sql.types.StructType
-              .fromDDL(physicalDdl(merged, colmap)))
-            .parquet(s"$root/$d"), colmap)
+          // the rewrite reads DV-applied (deleted rows stay deleted) and
+          // its fresh dir carries no DV reference — copy-on-write
+          // naturally compacts the vector away
+          val dirDf = toLogical(openDirPhys(spark, root, d,
+            Some(org.apache.spark.sql.types.StructType
+              .fromDDL(physicalDdl(merged, colmap))),
+            dvFor(baseStats, d)), colmap)
           val kept = keyPred match {
             case Some(p) =>
               dirDf.filter(!org.apache.spark.sql.functions.coalesce(p, lit(false)))
@@ -2046,7 +2337,8 @@ object VersionedStore {
   private def probeTouchedByKeys(spark: SparkSession, root: String,
       candidates: Seq[String], source: DataFrame, keys: Seq[String],
       ndistinct: Long, recordedDdl: Option[String],
-      colmap: Map[String, String])
+      colmap: Map[String, String],
+      stats: Map[String, String] = Map.empty)
       : (DataFrame, Set[String], Option[org.apache.spark.sql.Column]) = {
     import org.apache.spark.sql.functions.{col => c, lit}
     val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
@@ -2066,9 +2358,11 @@ object VersionedStore {
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else keyPred match {
-        case Some(p) => probeMatching(spark, root, candidates, p, recordedDdl, colmap)
+        case Some(p) => probeMatching(spark, root, candidates, p, recordedDdl,
+          colmap, stats)
         case None => candidates.map { d =>
-          val df = toLogical(spark.read.parquet(s"$root/$d"), colmap)
+          val df = toLogical(
+            openDirPhys(spark, root, d, None, dvFor(stats, d)), colmap)
           keys.foldLeft(df) { (acc, k) =>
             if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
           }.select(keys.map(c): _*).withColumn("__graft_dir", lit(d))
@@ -2122,7 +2416,8 @@ object VersionedStore {
     * set. */
   private def requireNoAmbiguousDupKeys(spark: SparkSession, root: String,
       source: DataFrame, keys: Seq[String], touched: Set[String],
-      recordedDdl: Option[String], colmap: Map[String, String]): Unit = {
+      recordedDdl: Option[String], colmap: Map[String, String],
+      stats: Map[String, String] = Map.empty): Unit = {
     if (touched.isEmpty) return
     import org.apache.spark.sql.functions.{col => c, lit}
     val keyedNonNull = keys.map(c(_).isNotNull).reduce(_ && _)
@@ -2132,8 +2427,9 @@ object VersionedStore {
     val schema = recordedDdl.map(d =>
       org.apache.spark.sql.types.StructType.fromDDL(physicalDdl(d, colmap)))
     val targetKeys = touched.toSeq.sorted.map { d =>
-      val reader = schema.fold(spark.read)(spark.read.schema)
-      val df = toLogical(reader.parquet(s"$root/$d"), colmap)
+      // DV-applied: a duplicate matching only DELETED rows is legal
+      val df = toLogical(
+        openDirPhys(spark, root, d, schema, dvFor(stats, d)), colmap)
       keys.foldLeft(df) { (acc, k) =>
         if (acc.columns.contains(k)) acc else acc.withColumn(k, lit(null))
       }.select(keys.map(c): _*)
@@ -2324,12 +2620,12 @@ object VersionedStore {
     val touched: Set[String] =
       if (profile.isEmpty) Set.empty
       else probeTouchedByKeys(spark, root, candidates,
-        source, keys, ndistinct, recordedDdl, colmap)._2
+        source, keys, ndistinct, recordedDdl, colmap, baseStats)._2
     // an insert-only merge ignores matched rows entirely — no pairing is
     // ambiguous, so duplicate keys are checked only under matched clauses
     if (hasDupKeys && matched.nonEmpty)
       requireNoAmbiguousDupKeys(spark, root, source, keys, touched,
-        recordedDdl, colmap)
+        recordedDdl, colmap, baseStats)
 
     def condOr(cond: Option[org.apache.spark.sql.Column],
                default: Boolean): org.apache.spark.sql.Column =
@@ -2381,8 +2677,8 @@ object VersionedStore {
               bySourceProbeSet(rest, baseStats, stripped, recorded, colmap)
             val pred = stripped
               .map(x => coalesce(x, lit(false))).reduce(_ || _)
-            probeMatching(spark, root, probeSet, pred, recordedDdl, colmap) ++
-              touched
+            probeMatching(spark, root, probeSet, pred, recordedDdl, colmap,
+              baseStats) ++ touched
           }
         }
       }
@@ -2420,8 +2716,8 @@ object VersionedStore {
        else source).withColumn("__graft_m", lit(true)).alias("s")
     val joinCond = keys.map(k => c(s"t.$k") === c(s"s.$k")).reduce(_ && _)
     def rewriteDir(d: String): String = {
-      val dirDf = toLogical(
-        spark.read.schema(physSchema).parquet(s"$root/$d"), colmap).alias("t")
+      val dirDf = toLogical(openDirPhys(spark, root, d, Some(physSchema),
+        dvFor(baseStats, d)), colmap).alias("t")
       val joined = dirDf.join(marked, joinCond, "left_outer")
       val isM = c("__graft_m").isNotNull
       val action = allClauses
@@ -2468,7 +2764,8 @@ object VersionedStore {
         val targetKeys: Option[DataFrame] =
           if (touched.isEmpty) None
           else Some(touched.toSeq.sorted.map { d =>
-            toLogical(spark.read.schema(physSchema).parquet(s"$root/$d"), colmap)
+            toLogical(openDirPhys(spark, root, d, Some(physSchema),
+              dvFor(baseStats, d)), colmap)
               .select(keys.map(c): _*)
           }.reduce(_ unionByName _).distinct())
         val filtered = source.alias("s").filter(condOr(ins.condition, default = true))
@@ -2631,7 +2928,8 @@ object VersionedStore {
                                    dirs: Seq[String],
                                    predicate: org.apache.spark.sql.Column,
                                    schemaDdl: Option[String] = None,
-                                   colmap: Map[String, String] = Map.empty): Set[String] = {
+                                   colmap: Map[String, String] = Map.empty,
+                                   stats: Map[String, String] = Map.empty): Set[String] = {
     import org.apache.spark.sql.functions.lit
     if (dirs.isEmpty) return Set.empty
     // The store's recorded schema spares every leg its plan-time footer
@@ -2650,8 +2948,11 @@ object VersionedStore {
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ioPool
     val legs = Await.result(Future.traverse(dirs.toList) { d => ioFuture {
-      val reader = schema.fold(spark.read)(spark.read.schema)
-      toLogical(reader.parquet(s"$root/$d"), colmap).filter(predicate)
+      // a DV'd dir probes its LIVE rows only — already-deleted rows
+      // must not count as matches (a delete hitting only them is a
+      // no-op, not a rewrite)
+      toLogical(openDirPhys(spark, root, d, schema, dvFor(stats, d)), colmap)
+        .filter(predicate)
         .select(lit(d).as("__graft_dir")).limit(1)
     }}, Duration.Inf)
     // BOUNDED unions, collected concurrently: a single pairwise
@@ -3081,6 +3382,10 @@ object VersionedStore {
     lazy val removedDirs: Seq[String] = dirArray("removed")
     lazy val meta: Map[String, String] = flatObjectOf(body, "meta")
     lazy val stats: Map[String, String] = flatObjectOf(body, "stats")
+    /** Cheap containment probe: does this record reference any deletion
+      * vector? Spares [[vacuum]]'s sidecar sweep the full stats parse
+      * (and the per-dir listings) on the DV-free steady state. */
+    lazy val hasDvRef: Boolean = body.contains("|#|dv")
     lazy val schema: Option[String] =
       """"schema":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
         .map(m => unescape(m.group(1)))
@@ -3557,9 +3862,10 @@ object VersionedStore {
     // each step is O(edit); full manifests reset the state; the first
     // version anchors via its checkpoint when expire cut its chain) —
     // never a per-version chain resolution.
-    val referenced: Set[String] = {
-      val versions = committedVersions(f, root)
+    val versions = committedVersions(f, root)
+    val (referenced: Set[String], dvSweepNeeded: Boolean) = {
       var refs = Set.empty[String]
+      var anyDv = false
       var first = true
       versions.foreach { v =>
         val pm = parsedManifest(f, root, v)
@@ -3569,11 +3875,19 @@ object VersionedStore {
         // shrinks the union — the versions before it still reference the
         // dir); full manifests contribute their own list directly.
         if (pm.base.isEmpty) refs ++= fullDirs(pm)
-        else if (first) refs ++= resolvedState(f, root, v).dirs
+        else if (first) {
+          val st = resolvedState(f, root, v)
+          refs ++= st.dirs
+          // a DV ref introduced in EXPIRED history survives only through
+          // the first live version's (checkpoint-anchored) state — the
+          // live manifest bodies never mention it
+          anyDv ||= st.stats.keys.exists(_.endsWith("|#|dv"))
+        }
         else refs ++= pm.addDirs
+        anyDv ||= pm.hasDvRef
         first = false
       }
-      refs
+      (refs, anyDv)
     }
     f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
@@ -3603,6 +3917,45 @@ object VersionedStore {
             (minAgeMs == 0L || s.getModificationTime < cutoff))
           f.delete(s.getPath, false)
       }
+    }
+    // STALE DV SIDECARS inside LIVE dirs: a superseded deletion vector
+    // (its dir re-DV'd, its references expired, or a restore moved past
+    // it) is the one artifact the dir-granular sweep above can't reach —
+    // the dir itself is still referenced. Live refs = the union over
+    // every live version of its (dir, sidecar) references, computed like
+    // the dir union (first live RESOLVED state + each later manifest's
+    // own stats; over-approximate — an overridden ref merely keeps a
+    // tiny file one cycle longer). Gated on any DV evidence at all, so
+    // the DV-free steady state pays neither the stats parses nor the
+    // per-dir listings; same age floor as the data sweep (an in-flight
+    // deleteWhereDv's sidecar lands before its manifest).
+    if (dvSweepNeeded) {
+      val dvRefs: Set[(String, String)] = {
+        var refs = Set.empty[(String, String)]
+        var first = true
+        versions.foreach { v =>
+          val pm = parsedManifest(f, root, v)
+          val st: Map[String, String] =
+            if (first && pm.base.isDefined) resolvedState(f, root, v).stats
+            else pm.stats
+          refs ++= st.collect { case (k, n) if k.endsWith("|#|dv") =>
+            (k.stripSuffix("|#|dv"), n) }
+          first = false
+        }
+        refs
+      }
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ioPool
+      Await.result(Future.traverse(referenced.toList) { d => ioFuture {
+        val p = new Path(s"$root/$d")
+        if (f.exists(p)) f.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_dv-"))
+          .filterNot(s => dvRefs.contains((d, s.getPath.getName)))
+          .filter(s => minAgeMs == 0L || s.getModificationTime < cutoff)
+          .foreach(s => f.delete(s.getPath, true))
+      }}, Duration.Inf)
+      ()
     }
   }
 }

@@ -182,7 +182,7 @@ final class GraftStoreSource extends RelationProvider
     require(versionAsOf.isEmpty || tsAsOf.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive — pick one " +
         "travel axis")
-    val (v, dirs, ddlOpt, colmap) =
+    val (v, dirs, ddlOpt, colmap, dvMap) =
       VersionedStore.relationSnapshot(spark, root, versionAsOf.orElse(tsAsOf))
     val ddl = ddlOpt.getOrElse(throw new IllegalArgumentException(
       s"$root records no schema (written before schema recording) — " +
@@ -217,7 +217,12 @@ final class GraftStoreSource extends RelationProvider
     // it through the transactional commit.
     val dmlGuarded = spark.sessionState.analyzer.postHocResolutionRules
       .contains(graft.plans.GraftDmlRule)
-    if (colmap.nonEmpty || dayNotLast || !dmlGuarded)
+    // A snapshot carrying DELETION VECTORS must read through the store's
+    // own row path — a raw file scan (HadoopFsRelation, or the
+    // vectorized upgrade) would resurrect every deleted row. The row
+    // relation applies the DVs inside readAt; OPTIMIZE (any rewrite)
+    // drops them and restores the vectorized door.
+    if (colmap.nonEmpty || dayNotLast || !dmlGuarded || dvMap.nonEmpty)
       // Rename-mapped (or day-not-last) store: physical parquet names /
       // positions differ from the logical schema, and HadoopFsRelation
       // has no alias layer. This relation is CORRECT standalone — it
@@ -228,7 +233,8 @@ final class GraftStoreSource extends RelationProvider
       // consumers keep the vectorized parquet reader and codegen even
       // after a metadata-only rename.
       new GraftStoreRowRelation(spark, root, v, logical, colmap, dirs,
-        pinned = versionAsOf.isDefined || tsAsOf.isDefined)
+        pinned = versionAsOf.isDefined || tsAsOf.isDefined,
+        hasDv = dvMap.nonEmpty)
     else {
       val index = new GraftFileIndex(spark, root, v, dirs, logical,
         pinned = versionAsOf.isDefined || tsAsOf.isDefined)
@@ -617,7 +623,8 @@ final class GraftStoreRowRelation(spark: SparkSession, val root: String,
                                   override val schema: StructType,
                                   val colmap: Map[String, String],
                                   val dirs: Seq[String],
-                                  val pinned: Boolean = false)
+                                  val pinned: Boolean = false,
+                                  val hasDv: Boolean = false)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -715,7 +722,10 @@ object GraftStoreVectorizeRule
   import org.apache.spark.sql.execution.datasources.LogicalRelation
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case l: LogicalRelation if l.relation.isInstanceOf[GraftStoreRowRelation] =>
+    // a DV'd relation stays on the row path — the vectorized upgrade is
+    // a raw file scan and would resurrect the deleted rows
+    case l: LogicalRelation if l.relation.isInstanceOf[GraftStoreRowRelation] &&
+        !l.relation.asInstanceOf[GraftStoreRowRelation].hasDv =>
       val rel = l.relation.asInstanceOf[GraftStoreRowRelation]
       // catalogTable rides along: cache invalidation (and anything else
       // walking the analyzed plan) expects the catalog-backed relation

@@ -172,7 +172,7 @@ class GraftStoreSourceSpec extends SparkSpec {
     VersionedStore.renameColumn(spark, root, "val", "value")
     Seq((2L, 20L)).toDF("id", "value").write.format("graftstore")
       .option("statsCols", "value").mode(SaveMode.Append).save(root)
-    val (v, dirs, ddl, colmap) =
+    val (v, dirs, ddl, colmap, _) =
       VersionedStore.relationSnapshot(spark, root, None)
     val rel = new graft.sources.GraftStoreRowRelation(spark, root, v,
       org.apache.spark.sql.types.StructType.fromDDL(ddl.get), colmap, dirs)
