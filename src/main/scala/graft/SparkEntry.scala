@@ -401,9 +401,14 @@ object SparkEntry {
       val p = artifactPath("bpe", dir)
       BpeStore.ensure(Tables.documents(s, dir), p)
       val ranks = BpeStore.readRanks(s, p)
-      Tables.documents(s, dir).select(col("doc_id"),
-        graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars"))
+      // Narrow-scan spread (guide §2.5): the greedy encoder is per-row
+      // CPU-dense and the one-file corpus scans as a single task.
+      SkewUtils.spreadCompute(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
     }),
     // Token-budget selection re-priced in real BPE tokens — the budget
@@ -428,7 +433,8 @@ object SparkEntry {
       val ranks = BpeStore.readRanks(s, store)
       require(ranks.merges.size >= 4096,
         s"stress vocabulary must be production-scale, got ${ranks.merges.size} merges")
-      s.read.parquet(s"$BpeStressCorpusRoot/docs")
+      SkewUtils.spreadCompute(
+        s.read.parquet(s"$BpeStressCorpusRoot/docs"), col("doc_id"))
         .select(col("doc_id"),
           graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("n_tokens"))
         .orderBy("doc_id")
@@ -1426,7 +1432,10 @@ object SparkEntry {
       val terms = Seq("dup", "vector", "scan", "the")
       // one tokenization feeds the sketch counters AND the exact branch
       // (bounded-registry persist — no per-call cache accumulation)
-      val toks = CacheRegistry.persistBounded(Tables.documents(s, dir)
+      val toks = CacheRegistry.persistBounded(
+        SkewUtils.spreadCompute(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(explode(TextAnalysis.wordsExpr).as("term")))
       val exact = toks.filter(col("term").isin(terms: _*))
         .groupBy("term").agg(count(lit(1)).as("n_exact"))

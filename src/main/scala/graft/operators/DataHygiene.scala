@@ -19,7 +19,11 @@ object DataHygiene {
     * per-document redaction counts (the audit trail a scrubbing pass
     * needs). Pure per-row codegen'd string work — no shuffle. */
   def redactPii(docs: DataFrame): DataFrame =
-    docs.select(
+    // Narrow-scan spread: four regexp passes per row are CPU-dense and
+    // otherwise run on the single scan task of a one-file corpus.
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(
       col("doc_id"),
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
         .as("clean_text"),
@@ -43,7 +47,11 @@ object DataHygiene {
     * quality filter drops. Per-row array expressions only. */
   def repetitionScore(docs: DataFrame, k: Int = 3): DataFrame = {
     val gram = (0 until k).map(j => s"w[i+$j]").mkString(", ")
-    docs
+    // Narrow-scan spread before the per-row 3-gram transform +
+    // array_distinct (guide §2.5): otherwise single-task on a
+    // single-file corpus scan.
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.wordsExpr.as("w"))
       .withColumn("grams",
         expr(s"CASE WHEN size(w) >= $k THEN transform(sequence(0, size(w)-$k), i -> concat_ws(' ', $gram)) ELSE array() END"))

@@ -35,7 +35,8 @@ object Dedup {
   /** Distinct word-3-gram shingles per document: (doc_id, sh). */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
     val gram = (0 until k).map(j => s"w[i+$j]").mkString(", ")
-    docs
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.wordsExpr.as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
@@ -444,7 +445,8 @@ object Dedup {
     // a pure higher-order-fold formulation re-evaluates the hash array at
     // every bit position after CollapseProject inlines it (measured 60×
     // slower). The grouped agg computes all 60 bit-counts in one shuffle.
-    val tok = docs
+    val tok = SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("word"))
       .select(col("doc_id"),
         graft.functions.Md5Hash60.md5_hash60(col("word")).as("h"))

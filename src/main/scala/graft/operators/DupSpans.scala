@@ -39,7 +39,10 @@ object DupSpans {
     * deduplicated (spans need every occurrence, unlike [[Dedup.shingles]]). */
   private[operators] def gramOccurrences(docs: DataFrame, n: Int): DataFrame = {
     val gram = (0 until n).map(j => s"w[i+$j]").mkString(", ")
-    docs
+    // Narrow-scan spread before tokenize + per-gram md5 (guide §2.5):
+    // otherwise single-task over a one-file corpus scan.
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), graft.operators.TextAnalysis.wordsExpr.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
@@ -144,7 +147,8 @@ object DupSpans {
     * (`sp_doc`/`span_start`/`span_end`), reassemble each document's
     * surviving tokens in order. Returns (doc_id, n_kept, txt). */
   private def exciseBySpans(docs: DataFrame, sp: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), posexplode(graft.operators.TextAnalysis.wordsExpr).as(Seq("pos", "tok")))
     val kept = toks.join(sp,
       col("doc_id") === col("sp_doc") &&

@@ -63,6 +63,16 @@ object Multimodal {
     * into genuine image payloads and the decode proven faithful against a
     * byte-level oracle ([[imageRoundtrip]]). */
   object ImageCodec {
+    // ImageIO's stream cache defaults to DISK: every read/write spins up
+    // a temp FILE (FileCacheImageInput/OutputStream) — per payload, per
+    // row. Sequentially that is hidden syscall overhead; across a wide
+    // codec stage it is filesystem contention that made the parallel
+    // decode SLOWER than single-task (measured: imageRoundtrip 1.6 s
+    // 1-task → 6-7 s at 32 tasks with the disk cache; memory-cached
+    // streams restore the parallel win). Payloads here are KB-scale, so
+    // memory caching is strictly cheaper. JVM-global, set once at codec
+    // init on whichever side (driver/executor) first touches the codec.
+    javax.imageio.ImageIO.setUseCache(false)
     val BatchSize = 64
 
     /** Fixed row width for [[encodeGrayPng]] — payload bytes pack
@@ -120,6 +130,7 @@ object Multimodal {
     * frame by frame through `javax.imageio`, so "frames" are genuine
     * decoded rasters, not byte windows. */
   object GifCodec {
+    javax.imageio.ImageIO.setUseCache(false) // see ImageCodec — disk-cache contention
     val BatchSize = 32
     val FrameWidth = 16
     val FrameHeight = 4
@@ -205,8 +216,7 @@ object Multimodal {
   def gifFrames(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    assets(docs)
-      .select(col("doc_id"), col("payload"))
+    spreadPayloads(docs) // heavy codec stage — see spreadPayloads
       .as[AssetRow]
       .mapPartitions { it =>
         it.grouped(GifCodec.BatchSize).flatMap { batch =>
@@ -361,8 +371,7 @@ object Multimodal {
   def imageRoundtrip(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    assets(docs)
-      .select(col("doc_id"), col("payload"))
+    spreadPayloads(docs) // heavy codec stage — see spreadPayloads
       .as[AssetRow]
       .mapPartitions { it =>
         it.grouped(ImageCodec.BatchSize).flatMap { batch =>
@@ -394,6 +403,18 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit("application/x-fake").as("media_type"),
       octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** The (doc_id, payload) slice of [[assets]] spread for a HEAVY codec
+    * stage (guide §2.5): the imageio/AVI encode+decode pipelines cost
+    * seconds of CPU per MB and a one-file corpus scans as a single task,
+    * so they ran single-threaded at local[32]. Applied only at the real
+    * codec entries — the byte-cheap paths (FakeDecoder, frame slicing,
+    * WAV) measured FASTER unspread (the exchange + extra stage costs
+    * more than their per-row work). */
+  private def spreadPayloads(docs: DataFrame): DataFrame =
+    SkewUtils.spreadComputeSized(
+      assets(docs).select(col("doc_id"), col("payload")),
+      SkewUtils.CodecBytesPerTask, col("doc_id"))
 
   /** One sampled frame of a payload (video-frame-sampling shape): payloads
     * chop into fixed `frameSize` windows, every `every`-th frame is kept
@@ -438,6 +459,7 @@ object Multimodal {
     * After this, [[FakeDecoder]] stands in only for the compressed video
     * codec families the JVM genuinely lacks (H.26x/VP9/AV1). */
   object AviCodec {
+    javax.imageio.ImageIO.setUseCache(false) // see ImageCodec — disk-cache contention
     val BatchSize = 32
     val FrameWidth = 16
     val FrameHeight = 4
@@ -669,8 +691,7 @@ object Multimodal {
   def videoFrames(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    assets(docs)
-      .select(col("doc_id"), col("payload"))
+    spreadPayloads(docs) // heavy codec stage — see spreadPayloads
       .as[AssetRow]
       .mapPartitions { it =>
         it.grouped(AviCodec.BatchSize).flatMap { batch =>

@@ -39,7 +39,8 @@ object Packing {
   def packDocuments(docs: DataFrame, budget: Long = 2048, shards: Int = 8): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokensExpr.as("tokens"))
       // md5-derived shard: first 15 hex chars fit a BIGINT exactly; both
       // engines compute the identical value (hash() would not reproduce;
@@ -65,7 +66,9 @@ object Packing {
     * integer division of (rank, total) — deterministic, DuckDB-replayable.
     * The 1-row total frame is the allowlisted broadcast-scalar pattern. */
   def lengthBatches(docs: DataFrame, nBuckets: Int = 8, batchSize: Int = 16): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokensExpr.as("tokens"))
+    val toks = SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), tokensExpr.as("tokens"))
     val ranked = RankUtils.globalRowNumber(toks, Seq(col("tokens"), col("doc_id")), "rank")
     val total = toks.agg(count(lit(1)).as("total"))
     ranked.crossJoin(broadcast(total))
@@ -110,7 +113,8 @@ object Packing {
   def slidingWindows(docs: DataFrame, windowSize: Int = 128, stride: Int = 96): DataFrame = {
     require(windowSize > 0 && stride > 0 && stride <= windowSize,
       s"need 0 < stride <= windowSize, got windowSize=$windowSize stride=$stride")
-    docs
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.wordsExpr.as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens_doc"))
       .withColumn("chunk_idx", explode(expr(
@@ -149,7 +153,10 @@ object Packing {
     * Output: (doc_id, chunk_idx, start_word, n_words, chunk_hash). */
   def cdcChunks(docs: DataFrame, divisor: Int = 8): DataFrame = {
     require(divisor > 0, s"divisor must be positive, got $divisor")
-    docs
+    // Narrow-scan spread (guide §2.5): one md5 per boundary candidate per
+    // row is the heaviest per-row expression in the chunking family.
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.wordsExpr.as("ws"))
       .withColumn("n", size(col("ws")))
       // Boundary candidates i ∈ [3, n−1]: a gram needs 3 words, and a

@@ -252,8 +252,13 @@ object Sampling {
     val scored = TextAnalysis.textStats(docs)
       .select(col("doc_id"), col("quality"))
       .filter(col("quality").isNotNull)
-    val toks = docs.select(col("doc_id"),
-      graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("tokens"))
+    // Narrow-scan spread: the greedy BPE encoder is the most CPU-dense
+    // per-row expression in the repo and otherwise runs on the single
+    // scan task of a one-file corpus (guide §2.5).
+    val toks = SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.BpeTokenizer.bpe_count(col("text"), ranks).as("tokens"))
     RankUtils.globalRunningSum(scored.join(toks, Seq("doc_id")),
         Seq(col("quality").desc, col("doc_id").asc), col("tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= tokenBudget)

@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Shared token explode. A narrow-scan spread (guide §2.5) was
+    * MEASURED HERE AND REVERTED: the split+explode per-row work is light
+    * relative to the exchange + extra stage it buys (bm25_topk 0.38 s
+    * unspread vs 0.54-0.99 s across spread widths at sf0.1). */
+  private def tokExplode(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must not be empty")
@@ -41,8 +48,7 @@ object Search {
     // share one token explode) — a bare .persist() here accumulated an
     // entry per query in a long-lived session, the leak class the
     // CacheRegistry exists for.
-    val toks = CacheRegistry.persistBounded(
-      docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term")))
+    val toks = CacheRegistry.persistBounded(tokExplode(docs))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -121,7 +127,7 @@ object Search {
       tmp => writeIndexTables(docs, tmp))
 
   private def writeIndexTables(docs: DataFrame, tmpRoot: String): Unit = {
-    val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
+    val toks = tokExplode(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.sinks.SnapshotStore.overwriteLatest(
       toks.groupBy("doc_id").agg(count(lit(1)).as("dl")), s"$tmpRoot/doclen")
@@ -157,7 +163,7 @@ object Search {
     * partitions on doc_id — |docs| groups, so parallelism scales with the
     * corpus (unlike a per-category window). */
   def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(TextAnalysis.wordsExpr).as("term"))
+    val toks = tokExplode(docs)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

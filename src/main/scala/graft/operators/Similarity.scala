@@ -31,8 +31,15 @@ object Similarity {
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       // The repartition is an exchange barrier: it materializes `e` once.
       // Without it CollapseProject inlines the cast-transform into every
-      // downstream reference.
-      .repartition(col("vec_id"))
+      // downstream reference. The partition count is pinned to the
+      // session's parallelism: a bare repartition(col) is an AQE
+      // REPARTITION_BY_COL exchange that legally coalesces back to ~1
+      // partition for a byte-tiny corpus, and everything downstream of
+      // this barrier is CPU-bound vector math (O(N²) dot products in the
+      // near-dup join, O(Q·N) in top-k scoring) — measured at sf0.1:
+      // the whole brute-force pair scan ran on ONE post-coalesce task.
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
       .withColumn("nrm", sqrt(vec_dot(col("e"), col("e"))))
 
   /** Shared base for the measurement queries that run BOTH a brute-truth

@@ -61,7 +61,11 @@ object Sketches {
     * path with a NULL-seeded key column. */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val gc = groupCols.map(col)
-    df.filter(col(valueCol).isNotNull)
+    // Narrow-scan spread before the per-row md5 (guide §2.5) — hash on
+    // the value column (high-cardinality), no-op on wide inputs.
+    SkewUtils.spreadCompute(
+      df.filter(col(valueCol).isNotNull)
+        .select((groupCols :+ valueCol).distinct.map(col): _*), col(valueCol))
       .select(gc :+ graft.functions.Md5Hash60
         .md5_hash60(col(valueCol).cast("string")).as("__h"): _*)
       .select(gc ++ Seq(
@@ -341,7 +345,9 @@ object Sketches {
     * reduced to candidate occurrences. The long tail never shuffles. */
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
     val toks = CacheRegistry.persistBounded(
-      docs.select(explode(TextAnalysis.wordsExpr).as("term")))
+      SkewUtils.spreadCompute(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(explode(TextAnalysis.wordsExpr).as("term")))
     val cands = toks
       .agg(graft.functions.MisraGriesAgg.misra_gries(col("term"), k).as("cand"))
       .select(explode(col("cand")).as("c"))

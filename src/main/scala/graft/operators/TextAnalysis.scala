@@ -25,7 +25,11 @@ object TextAnalysis {
     * arithmetic is written in the same textual order as the oracle SQL so
     * doubles come out bit-identical. */
   def textStats(docs: DataFrame): DataFrame =
-    docs
+    // Narrow-scan spread before the per-row split/regexp work (guide
+    // §2.5): a single-file corpus scans as one task and this stage was
+    // running single-threaded at local[32]; no-op on wide inputs.
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), col("text"), wordsExpr.as("w"))
       .select(
         col("doc_id"),
@@ -66,7 +70,9 @@ object TextAnalysis {
     * by construction — same CASE precedence in the oracle SQL. */
   def langId(docs: DataFrame): DataFrame = {
     val scored = stopwords.foldLeft(
-      docs.select(col("doc_id"), col("lang"), wordsExpr.as("w"))) {
+      SkewUtils.spreadCompute(
+        docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), wordsExpr.as("w"))) {
       case (df, (code, words)) =>
         val inList = words.map(w => s"'$w'").mkString(", ")
         df.withColumn(s"s_$code",
@@ -112,7 +118,9 @@ object TextAnalysis {
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
     * (alpha runs | digit runs | single non-space symbol). */
   def tokenCount(docs: DataFrame): DataFrame =
-    docs.select(
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(
       col("doc_id"),
       size(wordsExpr).cast("long").as("tokens_ws"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("tokens_bpe"),
@@ -124,7 +132,10 @@ object TextAnalysis {
     * survives local edits elsewhere in the document. Pure per-row
     * higher-order expression (no explode, no shuffle). */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs
+    // Narrow-scan spread: one md5 per word-5-gram per row — the heaviest
+    // per-row expression in the text family — was single-task otherwise.
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), wordsExpr.as("w"))
       .filter(size(col("w")) >= 5)
       .select(
@@ -166,13 +177,17 @@ object TextAnalysis {
     lmScoreWithModel(
       tb.groupBy("bg").agg(count(lit(1)).as("c12")),
       tb.groupBy("w1").agg(count(lit(1)).as("c1")),
-      train.select(explode(wordsExpr).as("wd")).agg(countDistinct(col("wd")).as("v")),
+      SkewUtils.spreadCompute(
+        train.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(explode(wordsExpr).as("wd")).agg(countDistinct(col("wd")).as("v")),
       score, k)
   }
 
   /** The (doc_id, bg, w1) bigram stream shared by training and scoring —
     * and by [[LmStore]]'s materialized model tables. */
-  private[operators] def lmBigrams(docs: DataFrame): DataFrame = docs
+  private[operators] def lmBigrams(docs: DataFrame): DataFrame =
+    SkewUtils.spreadCompute(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
     .select(col("doc_id"), wordsExpr.as("w"))
     .filter(size(col("w")) >= 2)
     .select(col("doc_id"), explode(expr(
@@ -188,7 +203,9 @@ object TextAnalysis {
     * UNSCORABLE and surfaces with NULL scores — flagged, never dropped,
     * and never silently scored against the wrong language. */
   def lmPerplexityByLang(train: DataFrame, score: DataFrame, k: Double = 0.5): DataFrame = {
-    def bigramsL(docs: DataFrame): DataFrame = docs
+    def bigramsL(docs: DataFrame): DataFrame =
+      SkewUtils.spreadCompute(
+        docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
       .select(col("doc_id"), col("lang"), wordsExpr.as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -197,7 +214,8 @@ object TextAnalysis {
     val tb = CacheRegistry.persistBounded(bigramsL(train))
     val c12 = tb.groupBy("lang", "bg").agg(count(lit(1)).as("c12"))
     val c1 = tb.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
-    val vocab = train
+    val vocab = SkewUtils.spreadCompute(
+      train.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
       .select(col("lang"), explode(wordsExpr).as("wd"))
       .groupBy("lang").agg(countDistinct(col("wd")).as("v"))
     val scored = bigramsL(score)
