@@ -35,8 +35,17 @@ object StarSchema {
   /** TPC-H Q1-shaped pricing summary: one wide hash aggregate over the fact
     * table with a pushed-down date predicate. */
   def q1Pricing(lineitem: DataFrame): DataFrame =
-    lineitem
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // Narrow-scan spread AFTER the pushed filter (guide §2.5): the wide
+    // decimal partial aggregate otherwise runs on the fact file's single
+    // scan task. Projection first so the exchange carries only the five
+    // aggregate inputs; hash on l_orderkey (high-cardinality, skew-free)
+    // — the group key itself has 6 values and would collapse the spread.
+    SkewUtils.spreadCompute(
+      lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_orderkey"),
+      col("l_orderkey"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -94,7 +103,12 @@ object StarSchema {
     * single hash aggregate). NULL ordering pinned explicitly — Spark ASC
     * defaults NULLS FIRST, DuckDB NULLS LAST. */
   def pricingRollup(lineitem: DataFrame): DataFrame =
-    lineitem
+    // Same single-scan-task spread as q1Pricing — the Expand multiplies
+    // every fact row by the grouping-set count BEFORE the partial
+    // aggregate, so the single-task penalty is 3-4× the plain aggregate's.
+    SkewUtils.spreadCompute(
+      lineitem.select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"),
+      col("l_orderkey"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
@@ -109,7 +123,9 @@ object StarSchema {
     * and unordered-able; with them the sort is total and
     * engine-independent. */
   def pricingCube(lineitem: DataFrame): DataFrame =
-    lineitem
+    SkewUtils.spreadCompute( // see pricingRollup — Expand × single task
+      lineitem.select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"),
+      col("l_orderkey"))
       .cube("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
@@ -127,7 +143,9 @@ object StarSchema {
     * planner metadata, not extra scans, so cost is rows × |sets| inside
     * one Expand — scale-identical to cube. */
   def pricingGroupingSets(lineitem: DataFrame): DataFrame =
-    lineitem
+    SkewUtils.spreadCompute( // see pricingRollup — Expand × single task
+      lineitem.select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"),
+      col("l_orderkey"))
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
